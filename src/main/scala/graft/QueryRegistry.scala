@@ -7,15 +7,16 @@ import graft.{queries => Q}
   * the per-area query modules. SparkEntry delegates here.
   */
 object QueryRegistry {
-  type Q = (SparkSession, String) => DataFrame
+  type Qf = (SparkSession, String) => DataFrame
 
-  /** name -> (query, Some(oracleSql) | None). */
-  val registered: Map[String, (Q, Option[String])] = Map(
-    "q1_agg" -> ((Q.Relational.q1Agg _, Some(Q.Relational.q1AggSql)))
-  )
+  /** (name, query, Some(oracleSql) | None — None → driver rows-only check). */
+  def contributions: Seq[(String, Qf, Option[String])] =
+    Q.Relational.defs ++ Q.EventsStream.defs ++ Q.TextOps.defs ++
+      Q.DedupOps.defs ++ Q.SimilarityOps.defs
 
-  def queries: Map[String, Q] = registered.map { case (k, (q, _)) => k -> q }
+  def queries: Map[String, Qf] =
+    contributions.map { case (k, q, _) => k -> q }.toMap
 
   def oracleSql: Map[String, String] =
-    registered.collect { case (k, (_, Some(sql))) => k -> sql }
+    contributions.collect { case (k, _, Some(sql)) => k -> sql }.toMap
 }

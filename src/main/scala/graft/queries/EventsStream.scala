@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-semantics operators from SURVEY §2.1/§2.4/§2.11 mapped onto the
+  * driver's `events` table, which stands in for one Pravega stream:
+  * `user_id % 8` plays the routing-key→segment hash
+  * (reference: client/.../stream/impl/SegmentSelector.java:87) and
+  * `event_id` plays the per-segment byte offset
+  * (client/.../stream/impl/EventPointerImpl.java:42).
+  *
+  * Everything is expressed as declarative DataFrame ops so offset/segment
+  * predicates push down to the scan — the 100 TB analog of Pravega's
+  * StreamCut → byte-range pruning (BatchClientFactory.java:80).
+  */
+object EventsStream {
+
+  private val SEG = "user_id % 8"
+  private val VAL = "CAST(value AS DECIMAL(18,6))"
+
+  /** Consumption surface: per-event-type counts + exact value totals. */
+  private def evCountByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           expr(s"CAST(SUM($VAL) AS DOUBLE)").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  private val evCountByTypeSql =
+    s"""SELECT event_type, COUNT(*) AS n, CAST(SUM($VAL) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** EVENT_COUNT segment attribute analog (Attributes.java:66): per-segment
+    * running event count + offset bounds.
+    */
+  private def evSegmentCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(expr(s"$SEG").as("segment"), $"event_id")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("event_count"),
+           min($"event_id").as("start_offset"),
+           max($"event_id").as("tail_offset"))
+      .orderBy($"segment")
+  }
+
+  private val evSegmentCountsSql =
+    s"""SELECT $SEG AS segment, COUNT(*) AS event_count,
+       |  MIN(event_id) AS start_offset, MAX(event_id) AS tail_offset
+       |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Bounded batch read between two StreamCuts [300, 400)
+    * (BatchClientFactory.java:92 readSegment) — offset predicate prunes at
+    * the scan, rows come back in offset order.
+    */
+  private def evCutBoundedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" >= 300 && $"event_id" < 400)
+      .select(expr(s"$SEG").as("segment"), $"event_id", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  private val evCutBoundedReadSql =
+    s"""SELECT $SEG AS segment, event_id, user_id, event_type
+       |FROM events WHERE event_id >= 300 AND event_id < 400
+       |ORDER BY event_id""".stripMargin
+
+  /** fetchEvent(EventPointer) random access (EventStreamReader.java:82):
+    * a point lookup that prunes to a single row group/file at scale.
+    */
+  private def evFetchEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" === 500)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+  }
+
+  private val evFetchEventSql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+      |FROM events WHERE event_id = 500""".stripMargin
+
+  /** getSegmentsAtTime(stream, t) (Controller.java:388): first offset at or
+    * after an event-time instant, per segment.
+    */
+  private def evSegmentsAtTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      .groupBy(expr(s"$SEG").as("segment"))
+      .agg(min($"event_id").as("position"))
+      .orderBy($"segment")
+  }
+
+  private val evSegmentsAtTimeSql =
+    s"""SELECT $SEG AS segment, MIN(event_id) AS position
+       |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** getDistanceBetweenTwoStreamCuts (StreamManager.java:261): per-segment
+    * span between cuts.
+    */
+  private def evCutDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" >= 100 && $"event_id" < 800)
+      .groupBy(expr(s"$SEG").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+           (max($"event_id") - min($"event_id")).as("span"))
+      .orderBy($"segment")
+  }
+
+  private val evCutDistanceSql =
+    s"""SELECT $SEG AS segment, COUNT(*) AS n_events,
+       |  MAX(event_id) - MIN(event_id) AS span
+       |FROM events WHERE event_id >= 100 AND event_id < 800
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Watermark computation (PeriodicWatermarking.java:254): writer marks =
+    * per-writer max event time; writers idle longer than the aggregation
+    * timeout (7 days here) are excluded from the lower bound.
+    */
+  private def evWatermarkBounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val marks = Tables.events(s, dir)
+      .groupBy($"user_id").agg(max($"ts").as("mark"))
+    val maxMark = marks.agg(max($"mark").as("max_mark"))
+    marks.crossJoin(broadcast(maxMark))
+      .filter(expr("mark >= max_mark - INTERVAL 7 DAY"))
+      .agg(min($"mark").as("lower_bound"),
+           max($"mark").as("upper_bound"),
+           count(lit(1)).as("n_active_writers"))
+  }
+
+  private val evWatermarkBoundsSql =
+    """WITH marks AS (
+      |  SELECT user_id, CAST(MAX(ts) AS TIMESTAMP) AS mark FROM events GROUP BY user_id),
+      |m AS (SELECT MAX(mark) AS max_mark FROM marks)
+      |SELECT MIN(mark) AS lower_bound, MAX(mark) AS upper_bound,
+      |  COUNT(*) AS n_active_writers
+      |FROM marks, m WHERE mark >= max_mark - INTERVAL 7 DAY""".stripMargin
+
+  /** Per-routing-key ordered processing: sessionize with a 30-minute gap —
+    * the batch analog of session_window over a keyed stream. Partitioned by
+    * writer, so state never exceeds one key's events.
+    */
+  private def evSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("tus", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .withColumn("prev", lag($"tus", 1).over(w))
+      .withColumn("new_session",
+        when($"prev".isNull || $"tus" - $"prev" > 1800000000L, 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(SUM(new_session) AS BIGINT)").as("n_sessions"))
+      .orderBy($"user_id")
+  }
+
+  private val evSessionizeSql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Event-time tumbling window aggregation — the batch shape of the
+    * streaming `window($"ts", "1 day")` query.
+    */
+  private def evWindowTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 day").getField("start").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           expr(s"CAST(SUM($VAL) AS DOUBLE)").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  private val evWindowTumblingSql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |  COUNT(*) AS n, CAST(SUM($VAL) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Payload deserialization surface (Serializer<T> analog): extract a JSON
+    * field from the payload column and aggregate on it.
+    */
+  private def evJsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", expr("CAST(get_json_object(props, '$.k') AS INT)"))
+      .groupBy(expr("k % 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), expr("CAST(SUM(k) AS BIGINT)").as("sum_k"))
+      .orderBy($"bucket")
+  }
+
+  private val evJsonPropsSql =
+    """SELECT k % 10 AS bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Stream-table enrichment join: events against the broadcast customer
+    * dimension (stream-static join shape in Structured Streaming).
+    */
+  private def evEnrichJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  private val evEnrichJoinSql =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_count_by_type",   evCountByType _,    Some(evCountByTypeSql)),
+    ("ev_segment_counts",  evSegmentCounts _,  Some(evSegmentCountsSql)),
+    ("ev_cut_bounded_read", evCutBoundedRead _, Some(evCutBoundedReadSql)),
+    ("ev_fetch_event",     evFetchEvent _,     Some(evFetchEventSql)),
+    ("ev_segments_at_time", evSegmentsAtTime _, Some(evSegmentsAtTimeSql)),
+    ("ev_cut_distance",    evCutDistance _,    Some(evCutDistanceSql)),
+    ("ev_watermark_bounds", evWatermarkBounds _, Some(evWatermarkBoundsSql)),
+    ("ev_sessionize",      evSessionize _,     Some(evSessionizeSql)),
+    ("ev_window_tumbling", evWindowTumbling _, Some(evWindowTumblingSql)),
+    ("ev_json_props",      evJsonProps _,      Some(evJsonPropsSql)),
+    ("ev_enrich_join",     evEnrichJoin _,     Some(evEnrichJoinSql)),
+  )
+}
