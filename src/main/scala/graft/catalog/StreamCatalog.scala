@@ -1,0 +1,200 @@
+package graft.catalog
+
+import graft.core._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import java.io.{FileNotFoundException, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Stream metadata catalog — the controller replacement (SURVEY §2.9,
+  * §3.3). All control-plane state for a stream lives in one JSON manifest
+  * per version under `<root>/<scope>/<stream>/_meta/`; a catalog commit
+  * writes `manifest-%012d.json` for version+1 with create-if-absent
+  * semantics, which gives optimistic concurrency (the catalog analog of
+  * the reference's ConditionalAppend CAS, WireCommands.java:633 — on HDFS
+  * an exclusive create, on object stores a conditional put).
+  *
+  * Readers plan scans from the manifest's file list, never from directory
+  * listings, so data-file writes are invisible until the manifest commit —
+  * that single property yields atomic batch appends, atomic transaction
+  * commits and consistent StreamCuts.
+  *
+  * Scale note: the manifest is O(live files) JSON. At 100 TB with ~1 GB
+  * files that is ~10^5 entries per stream — a few MB, read once per query
+  * planning step and cached by version. Retention/compaction keeps it
+  * bounded; nothing here is per-row or per-executor state.
+  */
+class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configuration()) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val root = new Path(rootDir)
+  private def fs: FileSystem = root.getFileSystem(hadoopConf)
+
+  private def scopePath(scope: String) = new Path(root, scope)
+  private def streamPath(scope: String, stream: String) = new Path(scopePath(scope), stream)
+  private def metaPath(scope: String, stream: String) = new Path(streamPath(scope, stream), "_meta")
+  private def manifestPath(scope: String, stream: String, version: Long) =
+    new Path(metaPath(scope, stream), f"manifest-$version%012d.json")
+  def dataDir(scope: String, stream: String): Path = new Path(streamPath(scope, stream), "data")
+  def txnDir(scope: String, stream: String, txnId: String): Path =
+    new Path(streamPath(scope, stream), s"txn-$txnId")
+
+  // ---------------------------------------------------------------- scopes
+
+  /** createScope (client/.../admin/StreamManager.java:130). */
+  def createScope(scope: String): Boolean = fs.mkdirs(scopePath(scope))
+
+  def scopeExists(scope: String): Boolean = fs.exists(scopePath(scope))
+
+  def listScopes(): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+
+  /** deleteScope; `recursive=true` maps deleteScopeRecursive (StreamManager.java:172). */
+  def deleteScope(scope: String, recursive: Boolean = false): Boolean = {
+    if (!recursive && listStreams(scope).nonEmpty)
+      throw new GraftException(s"scope $scope not empty")
+    fs.delete(scopePath(scope), true)
+  }
+
+  // --------------------------------------------------------------- streams
+
+  /** createStream (StreamManager.java:71): epoch 0 with evenly tiled
+    * segments per the config's initial segment count.
+    */
+  def createStream(scope: String, stream: String, config: StreamConfig = StreamConfig(),
+                   tags: Set[String] = Set.empty): StreamMetadata = {
+    require(scopeExists(scope), s"scope $scope does not exist")
+    if (fs.exists(metaPath(scope, stream)))
+      throw new GraftException(s"stream $scope/$stream already exists")
+    val now = System.currentTimeMillis()
+    val n = config.initialSegments
+    val segs = RoutingKeyHash.evenRanges(n).zipWithIndex.map { case (r, i) =>
+      SegmentRecord(SegmentId.pack(0, i), r.low, r.high, 0L, 0L, isSealed = false, Nil, now)
+    }
+    val meta = StreamMetadata(
+      scope = scope, name = stream, config = config, version = 0L, createdAt = now,
+      isSealed = false, tags = tags,
+      epochs = Seq(EpochRecord(0, segs.map(_.segmentId), now)),
+      segments = segs, files = Nil, headCut = Map.empty,
+      transactions = Map.empty, writerMarks = Map.empty, writerBatches = Map.empty)
+    writeManifest(meta)
+    meta
+  }
+
+  def streamExists(scope: String, stream: String): Boolean =
+    latestVersion(scope, stream).isDefined
+
+  def getStream(scope: String, stream: String): StreamMetadata = {
+    val v = latestVersion(scope, stream).getOrElse(
+      throw new NoSuchStreamException(s"stream $scope/$stream does not exist"))
+    readManifest(scope, stream, v)
+  }
+
+  def listStreams(scope: String): Seq[String] = {
+    val p = scopePath(scope)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_meta")))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** listStreams by tag (Controller.java:220 listStreamsForTag). */
+  def listStreamsByTag(scope: String, tag: String): Seq[String] =
+    listStreams(scope).filter(st => getStream(scope, st).tags.contains(tag))
+
+  def deleteStream(scope: String, stream: String): Unit = {
+    val meta = getStream(scope, stream)
+    if (!meta.isSealed)
+      throw new GraftException(s"stream $scope/$stream must be sealed before delete")
+    fs.delete(streamPath(scope, stream), true)
+  }
+
+  /** Optimistic-concurrency update: transform the latest manifest and
+    * commit as version+1; create-if-absent loses → ConditionalCheckFailed,
+    * caller retries with fresh state. This is the engine's single CAS
+    * primitive — transactions, truncation, scale, sealing all go through
+    * it.
+    */
+  def update(scope: String, stream: String, maxRetries: Int = 10)
+            (f: StreamMetadata => StreamMetadata): StreamMetadata = {
+    var attempt = 0
+    while (true) {
+      val cur = getStream(scope, stream)
+      val next0 = f(cur)
+      val next = next0.copy(version = cur.version + 1)
+      try {
+        writeManifest(next)
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new ConditionalCheckFailedException(
+              s"manifest CAS for $scope/$stream lost $maxRetries times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** seal: reject further appends, mark all segments sealed
+    * (SealStreamTask semantics).
+    */
+  def sealStream(scope: String, stream: String): StreamMetadata =
+    update(scope, stream) { m =>
+      m.copy(isSealed = true, segments = m.segments.map(_.copy(isSealed = true)))
+    }
+
+  /** truncateStream(cut) (Controller.java:237): raise the head cut; files
+    * entirely below it leave the manifest (physical deletion is a separate
+    * best-effort sweep, object-store friendly).
+    */
+  def truncateStream(scope: String, stream: String, cut: StreamCut): StreamMetadata = {
+    val updated = update(scope, stream) { m =>
+      val newHead = m.segments.map { s =>
+        val cur = m.headCut.getOrElse(s.segmentId, s.startOffset)
+        s.segmentId -> math.max(cur, cut.positions.getOrElse(s.segmentId, cur))
+      }.toMap
+      val (dead, live) = m.files.partition(f => f.endOffset <= newHead.getOrElse(f.segmentId, 0L))
+      dead.foreach(f => fs.delete(new Path(f.path), false))
+      m.copy(headCut = newHead, files = live,
+        segments = m.segments.map(s => s.copy(startOffset = newHead.getOrElse(s.segmentId, s.startOffset))))
+    }
+    updated
+  }
+
+  // ------------------------------------------------------------- manifests
+
+  private def latestVersion(scope: String, stream: String): Option[Long] = {
+    val p = metaPath(scope, stream)
+    try {
+      val versions = fs.listStatus(p).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-").stripSuffix(".json").toLong }
+        .toSeq
+      if (versions.isEmpty) None else Some(versions.max)
+    } catch {
+      case _: FileNotFoundException => None
+    }
+  }
+
+  private def readManifest(scope: String, stream: String, version: Long): StreamMetadata = {
+    val in = fs.open(manifestPath(scope, stream, version))
+    try Serialization.read[StreamMetadata](new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  private def writeManifest(meta: StreamMetadata): Unit = {
+    val path = manifestPath(meta.scope, meta.name, meta.version)
+    fs.mkdirs(path.getParent)
+    // overwrite=false → exclusive create; the CAS.
+    var out: OutputStream = null
+    try {
+      out = fs.create(path, false)
+      out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+    } finally if (out != null) out.close()
+  }
+}

@@ -1,0 +1,159 @@
+package graft.core
+
+/** Core stream model (SURVEY §1.1). A stream is an elastic, append-only,
+  * per-routing-key-ordered sequence of events, physically split into
+  * key-range-owning segments that change across epochs (scale events).
+  *
+  * Offsets here are row sequence numbers per segment — the Spark-native
+  * analog of the reference's per-segment byte offsets
+  * (client/.../stream/impl/EventPointerImpl.java:42): parquet+Spark address
+  * rows, not bytes, and every offset-based API (StreamCut, EventPointer,
+  * truncation) carries over unchanged.
+  */
+object SegmentId {
+  /** Pack epoch + segment number, as NameUtils.computeSegmentId
+    * (shared/protocol/.../NameUtils.java:572): epoch in the upper 32 bits.
+    */
+  def pack(epoch: Int, number: Int): Long =
+    (epoch.toLong << 32) | (number & 0xffffffffL)
+  def epoch(id: Long): Int = (id >>> 32).toInt
+  def number(id: Long): Int = id.toInt
+}
+
+/** Key-range [low, high) ⊂ [0,1) owned by a segment
+  * (client/.../stream/impl/SegmentWithRange.java).
+  */
+final case class KeyRange(low: Double, high: Double) {
+  require(low >= 0 && high <= 1 && low < high, s"bad range [$low,$high)")
+  def contains(d: Double): Boolean = d >= low && d < high
+  def overlaps(o: KeyRange): Boolean = low < o.high && o.low < high
+}
+
+/** One segment of a stream: key range, live offset span, lineage.
+  * `startOffset` rises with truncation (head cut); `tailOffset` is the next
+  * offset to be assigned. `parents` are the previous-epoch segments whose
+  * key ranges this segment took over (controller/.../records/HistoryTimeSeries.java).
+  */
+final case class SegmentRecord(
+    segmentId: Long,
+    keyLow: Double,
+    keyHigh: Double,
+    startOffset: Long,
+    tailOffset: Long,
+    isSealed: Boolean,
+    parents: Seq[Long],
+    createdAt: Long) {
+  def range: KeyRange = KeyRange(keyLow, keyHigh)
+}
+
+final case class EpochRecord(epoch: Int, segmentIds: Seq[Long], createdAt: Long)
+
+/** Stream configuration (client/.../stream/StreamConfiguration.java:35 +
+  * ScalingPolicy.java:68-111). Auto-scale thresholds follow
+  * AutoScaleProcessor.java:286-302 semantics when the scaling job runs.
+  */
+final case class StreamConfig(
+    initialSegments: Int = 1,
+    targetRatePerSegment: Long = 0L, // 0 = fixed (no auto-scale)
+    scaleFactor: Int = 2,
+    minSegments: Int = 1,
+    retentionMillis: Long = 0L, // 0 = infinite
+    retentionMaxRows: Long = 0L)
+
+/** A consistent position across the whole key space:
+  * segmentId → row offset (client/.../stream/StreamCut.java). A cut is
+  * valid iff its segments' key ranges tile [0,1).
+  */
+final case class StreamCut(positions: Map[Long, Long]) {
+  def offsetOf(segmentId: Long): Option[Long] = positions.get(segmentId)
+}
+
+object StreamCut {
+  val Unbounded: StreamCut = StreamCut(Map.empty)
+}
+
+/** Direct address of one event (client/.../stream/impl/EventPointerImpl.java:39). */
+final case class EventPointer(segmentId: Long, offset: Long)
+
+/** One committed data file of a segment; rows inside carry explicit
+  * (segmentId, offset) columns so scans prune on parquet stats.
+  * `txnId` marks files written under an open transaction (invisible until
+  * the txn commits and they are merged in).
+  */
+final case class FileEntry(
+    segmentId: Long,
+    path: String,
+    startOffset: Long,
+    rowCount: Long,
+    minEventTime: Long,
+    maxEventTime: Long) {
+  def endOffset: Long = startOffset + rowCount
+}
+
+object TxnState {
+  val Open = "OPEN"
+  val Committing = "COMMITTING"
+  val Committed = "COMMITTED"
+  val Aborting = "ABORTING"
+  val Aborted = "ABORTED"
+}
+
+/** Transaction metadata (client/.../stream/Transaction.java:29-36): staged
+  * under `txn-<id>/`, merged into parent segments atomically at commit
+  * (CommitRequestHandler.java:247), lease-expired txns swept to ABORTED.
+  */
+final case class TxnRecord(
+    id: String,
+    state: String,
+    createdAt: Long,
+    leaseMillis: Long,
+    committedAt: Option[Long] = None)
+
+/** Per-writer event-time mark (controller/.../records/WriterMark.java),
+  * input to watermark computation (PeriodicWatermarking.java:254).
+  */
+final case class WriterMark(writerId: String, time: Long, notedAt: Long)
+
+/** Full stream metadata — one JSON manifest version per catalog commit.
+  * `version` is the optimistic-concurrency token: a commit writes
+  * manifest-(version+1) with create-if-absent semantics, the catalog-level
+  * analog of the reference's ConditionalAppend CAS (WireCommands.java:633).
+  */
+final case class StreamMetadata(
+    scope: String,
+    name: String,
+    config: StreamConfig,
+    version: Long,
+    createdAt: Long,
+    isSealed: Boolean,
+    tags: Set[String],
+    epochs: Seq[EpochRecord],
+    segments: Seq[SegmentRecord],
+    files: Seq[FileEntry],
+    headCut: Map[Long, Long],
+    transactions: Map[String, TxnRecord],
+    writerMarks: Map[String, WriterMark],
+    writerBatches: Map[String, Long]) {
+
+  def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
+
+  def segment(id: Long): SegmentRecord =
+    segments.find(_.segmentId == id)
+      .getOrElse(throw new NoSuchElementException(s"no segment $id in $scope/$name"))
+
+  def openSegments: Seq[SegmentRecord] = segments.filter(!_.isSealed)
+
+  /** Tail cut = current end of every open segment plus sealed tails. */
+  def tailCut: StreamCut =
+    StreamCut(segments.map(s => s.segmentId -> s.tailOffset).toMap)
+
+  def headStreamCut: StreamCut =
+    StreamCut(segments.map(s => s.segmentId -> headCut.getOrElse(s.segmentId, s.startOffset)).toMap)
+}
+
+class GraftException(msg: String) extends RuntimeException(msg)
+class NoSuchStreamException(msg: String) extends GraftException(msg)
+class StreamSealedException(msg: String) extends GraftException(msg)
+class TruncatedDataException(msg: String) extends GraftException(msg)
+class ConditionalCheckFailedException(msg: String) extends GraftException(msg)
+class TxnFailedException(msg: String) extends GraftException(msg)
