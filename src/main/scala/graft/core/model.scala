@@ -107,7 +107,14 @@ final case class TxnRecord(
     state: String,
     createdAt: Long,
     leaseMillis: Long,
-    committedAt: Option[Long] = None)
+    committedAt: Option[Long] = None,
+    /** txn-local rows staged so far per segment (offset base for the next
+      * writeToTxn call).
+      */
+    tails: Map[Long, Long] = Map.empty) {
+  def expired(now: Long): Boolean =
+    state == TxnState.Open && now > createdAt + leaseMillis
+}
 
 /** Per-writer event-time mark (controller/.../records/WriterMark.java),
   * input to watermark computation (PeriodicWatermarking.java:254).

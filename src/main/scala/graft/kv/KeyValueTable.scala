@@ -1,0 +1,224 @@
+package graft.kv
+
+import graft.core.{ConditionalCheckFailedException, GraftException}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Versioned, partitioned key-value table
+  * (client/.../tables/KeyValueTable.java:119,
+  * KeyValueTableConfiguration.java:39-55) re-expressed as an LSM over
+  * parquet: every update batch commits one delta file per touched bucket
+  * plus a manifest CAS; reads resolve base+deltas by latest commit version
+  * per key; compaction rewrites the resolved state as a new base
+  * (TableCompactor analog). Entry versions are commit versions — exactly
+  * the reference's monotonic per-entry `Version` semantics.
+  *
+  * Scale: buckets = `hash(pk) % partitionCount` spread keys across
+  * partitions; point reads prune to one bucket's files via parquet stats
+  * on `bucket`/`pk`; the read amplification between compactions is
+  * #deltas, bounded by the compaction cadence. No driver-side state.
+  */
+final case class KvFile(path: String, kind: String, commitVersion: Long)
+final case class KvManifest(name: String, partitionCount: Int, version: Long,
+                            files: Seq[KvFile])
+
+class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
+                    val partitionCount: Int = 16,
+                    hadoopConf: Configuration = new Configuration()) {
+  import spark.implicits._
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val tableDir = new Path(new Path(rootDir), name)
+  private val metaDir = new Path(tableDir, "_meta")
+  private def fs: FileSystem = tableDir.getFileSystem(hadoopConf)
+
+  // ------------------------------------------------------------- manifest io
+
+  private def manifestPath(v: Long) = new Path(metaDir, f"manifest-$v%012d.json")
+
+  private def latest(): KvManifest = {
+    val versions =
+      try fs.listStatus(metaDir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
+      catch { case _: FileNotFoundException => Seq.empty[Long] }
+    if (versions.isEmpty) KvManifest(name, partitionCount, -1L, Nil)
+    else {
+      val in = fs.open(manifestPath(versions.max))
+      try Serialization.read[KvManifest](
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def commit(m: KvManifest): KvManifest = {
+    fs.mkdirs(metaDir)
+    val out = fs.create(manifestPath(m.version), false) // exclusive → CAS
+    try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    m
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Apply a batch of modifications atomically. `ops` columns:
+    * pk string, sk string, value binary, op string (PUT|REMOVE),
+    * expectedVersion long (-1 = unconditional, 0 = must-not-exist i.e.
+    * Insert, >0 = conditional Put/Remove on that exact version).
+    * Returns the commit version. Condition failures raise
+    * ConditionalCheckFailed before anything becomes visible
+    * (BadKeyVersionException / table-segment conditional-update analog,
+    * segmentstore/contracts/.../tables/TableStore.java:114-242).
+    */
+  def update(ops: DataFrame): Long = {
+    var attempts = 0
+    while (true) {
+      val m = latest()
+      val commitVersion = m.version + 1
+      val keyed = ops.withColumn("bucket", pmod(xxhash64($"pk"), lit(partitionCount)))
+
+      // conditional checks against current resolved state of touched keys
+      val conds = keyed.filter($"expectedVersion" >= 0)
+      if (conds.limit(1).count() > 0) {
+        val cur = resolved(m).select($"pk", $"sk", $"version")
+        val bad = conds.join(cur, Seq("pk", "sk"), "left")
+          .filter(
+            ($"expectedVersion" === 0 && $"version".isNotNull) ||
+            ($"expectedVersion" > 0 && ($"version".isNull || $"version" =!= $"expectedVersion")))
+          .limit(1).collect()
+        if (bad.nonEmpty) {
+          val r = bad.head
+          throw new ConditionalCheckFailedException(
+            s"kv $name: condition failed for pk=${r.getAs[String]("pk")} " +
+            s"expected=${r.getAs[Long]("expectedVersion")} actual=${Option(r.get(r.fieldIndex("version"))).getOrElse("absent")}")
+        }
+      }
+
+      val deltaDir = new Path(tableDir, s"delta-$commitVersion-${UUID.randomUUID()}")
+      keyed
+        .select($"bucket", $"pk", $"sk", $"value", $"op",
+                lit(commitVersion).as("version"))
+        .repartition($"bucket")
+        .sortWithinPartitions($"bucket", $"pk", $"sk")
+        .write.parquet(deltaDir.toString)
+
+      try {
+        commit(m.copy(version = commitVersion,
+          files = m.files :+ KvFile(deltaDir.toString, "delta", commitVersion)))
+        return commitVersion
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(deltaDir, true) // lost the race: re-check conditions on fresh state
+          attempts += 1
+          if (attempts > 10) throw new ConditionalCheckFailedException(s"kv $name: CAS lost $attempts times")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Insert: fail if the key already exists (client/.../tables/Insert.java). */
+  def insert(entries: DataFrame): Long =
+    update(entries.withColumn("op", lit("PUT")).withColumn("expectedVersion", lit(0L)))
+
+  /** Unconditional Put (client/.../tables/Put.java). */
+  def put(entries: DataFrame): Long =
+    update(entries.withColumn("op", lit("PUT")).withColumn("expectedVersion", lit(-1L)))
+
+  /** Conditional Put against an exact entry version. */
+  def putIfVersion(entries: DataFrame, expectedVersion: Long): Long =
+    update(entries.withColumn("op", lit("PUT"))
+      .withColumn("expectedVersion", lit(expectedVersion)))
+
+  /** Remove keys; `df` needs pk + sk. (client/.../tables/Remove.java). */
+  def remove(keys: DataFrame): Long =
+    update(keys.withColumn("value", lit(null).cast("binary"))
+      .withColumn("op", lit("REMOVE")).withColumn("expectedVersion", lit(-1L)))
+
+  // ------------------------------------------------------------------- read
+
+  /** Latest live entries (pk, sk, value, version). */
+  def entries(): DataFrame = resolved(latest())
+
+  private def resolved(m: KvManifest): DataFrame = {
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, pk STRING, sk STRING, value BINARY, version BIGINT"))
+    val raw = spark.read.parquet(m.files.map(_.path): _*)
+    val w = Window.partitionBy($"bucket", $"pk", $"sk").orderBy($"version".desc)
+    raw.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" === "PUT")
+      .select($"bucket", $"pk", $"sk", $"value", $"version")
+  }
+
+  /** Point lookup (KeyValueTable.java:181 get/getAll): bucket + pk
+    * predicates prune to one partition's files.
+    */
+  def get(pk: String, sk: String = ""): Option[(Array[Byte], Long)] = {
+    val rows = entries().filter($"pk" === pk && $"sk" === sk)
+      .select($"value", $"version").collect()
+    rows.headOption.map(r => (r.getAs[Array[Byte]]("value"), r.getAs[Long]("version")))
+  }
+
+  def exists(pk: String, sk: String = ""): Boolean = get(pk, sk).isDefined
+
+  /** Sorted prefix iteration (KeyValueTableIterator.java:64 forPrefix). */
+  def scanPrefix(prefix: String): DataFrame =
+    entries().filter($"pk".startsWith(prefix)).orderBy($"pk", $"sk")
+
+  /** Sorted range iteration [fromPk, toPk) (KeyValueTableIterator.java:123). */
+  def scanRange(fromPk: String, toPk: String): DataFrame =
+    entries().filter($"pk" >= fromPk && $"pk" < toPk).orderBy($"pk", $"sk")
+
+  /** Changes since a commit version — the ReadTableEntriesDelta analog
+    * (WireCommands.java:2718): every PUT/REMOVE with version > from.
+    */
+  def deltaSince(fromVersion: Long): DataFrame = {
+    val m = latest()
+    val files = m.files.filter(_.commitVersion > fromVersion).map(_.path)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, pk STRING, sk STRING, value BINARY, op STRING, version BIGINT"))
+    else spark.read.parquet(files: _*).filter($"version" > fromVersion)
+      .select($"bucket", $"pk", $"sk", $"value", $"op", $"version")
+  }
+
+  def currentVersion: Long = latest().version
+
+  // -------------------------------------------------------------- compaction
+
+  /** Fold all deltas into a fresh base (TableCompactor/HashTableCompactor
+    * analog): one partition-parallel rewrite, old files leave the manifest
+    * atomically and are deleted best-effort.
+    */
+  def compact(): Unit = {
+    val m = latest()
+    if (m.files.isEmpty) return
+    val baseDir = new Path(tableDir, s"base-${m.version}-${UUID.randomUUID()}")
+    resolved(m)
+      .withColumn("op", lit("PUT"))
+      .select($"bucket", $"pk", $"sk", $"value", $"op", $"version")
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"pk", $"sk")
+      .write.parquet(baseDir.toString)
+    try {
+      commit(KvManifest(name, partitionCount, m.version + 1,
+        Seq(KvFile(baseDir.toString, "base", m.version))))
+      m.files.foreach(f => fs.delete(new Path(f.path), true))
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(baseDir, true)
+        throw new GraftException(s"kv $name: compaction lost CAS; rerun")
+    }
+  }
+}

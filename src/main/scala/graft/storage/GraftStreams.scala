@@ -237,6 +237,174 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     val meta = catalog.getStream(scope, stream)
     meta.segments.filter(_.parents.contains(segmentId)).map(_.segmentId)
   }
+
+  // ----------------------------------------------------------- transactions
+
+  /** beginTxn (TransactionalEventStreamWriter.java:37): allocate a txn id,
+    * record it OPEN with a lease. Staged data lives under `txn-<id>/` —
+    * invisible to readers because it never enters the manifest file list.
+    */
+  def beginTxn(scope: String, stream: String, leaseMillis: Long = 600000L): String = {
+    val id = UUID.randomUUID().toString
+    catalog.update(scope, stream) { m =>
+      if (m.isSealed) throw new StreamSealedException(s"$scope/$stream is sealed")
+      m.copy(transactions = m.transactions +
+        (id -> TxnRecord(id, TxnState.Open, System.currentTimeMillis(), leaseMillis)))
+    }
+    id
+  }
+
+  /** Append under an open transaction (Transaction.java:61 writeEvent):
+    * rows are routed exactly like committed writes but offsets are
+    * txn-local; the real offsets are assigned at merge time.
+    */
+  def writeToTxn(scope: String, stream: String, txnId: String, df: DataFrame): Unit = {
+    val meta = catalog.getStream(scope, stream)
+    val txn = txnStatus(meta, txnId)
+    if (txn.state != TxnState.Open || txn.expired(System.currentTimeMillis()))
+      throw new TxnFailedException(s"txn $txnId is ${txn.state}${if (txn.expired(System.currentTimeMillis())) " (lease expired)" else ""}")
+
+    val open = meta.openSegments.sortBy(_.keyLow)
+    val h = hash_to_range(col("routingKey"))
+    val segCol = open.init.foldRight(lit(open.last.segmentId): Column) { (s, rest) =>
+      when(h < s.keyHigh, lit(s.segmentId)).otherwise(rest)
+    }
+    val baseCol = open.foldRight(lit(0L): Column) { (s, rest) =>
+      when(col("segmentId") === s.segmentId, lit(txn.tails.getOrElse(s.segmentId, 0L))).otherwise(rest)
+    }
+    val win = Window.partitionBy($"segmentId").orderBy($"arrivalSeq")
+    val part = catalog.txnDir(scope, stream, txnId)
+    df.withColumn("arrivalSeq", monotonically_increasing_id())
+      .withColumn("segmentId", segCol)
+      .repartition($"segmentId")
+      .withColumn("offset", baseCol + row_number().over(win) - 1)
+      .withColumn("processingTime", current_timestamp())
+      .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
+      .withColumn("segId", $"segmentId")
+      .sortWithinPartitions($"segmentId", $"offset")
+      .write.mode("append").partitionBy("segId").parquet(part.toString)
+
+    val counts = df.select(segCol.as("segmentId"))
+      .groupBy($"segmentId").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
+      val tails = (cur.tails.keySet ++ counts.keySet).map(k =>
+        k -> (cur.tails.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap
+      m.copy(transactions = m.transactions + (txnId -> cur.copy(tails = tails)))
+    }
+  }
+
+  /** Commit (Transaction.java:88, CommitRequestHandler.java:247-367):
+    * OPEN→COMMITTING via CAS, then one merge job rewrites staged rows with
+    * real offsets appended to each parent segment (the
+    * MergeSegmentOperation analog), then a second CAS publishes the files,
+    * advances tails and marks COMMITTED. Commit order = manifest version
+    * order, so concurrent commits serialize exactly like the reference's
+    * per-epoch commit queue.
+    */
+  def commitTxn(scope: String, stream: String, txnId: String): Unit = {
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
+      if (cur.expired(System.currentTimeMillis()))
+        throw new TxnFailedException(s"txn $txnId lease expired")
+      m.copy(transactions = m.transactions + (txnId -> cur.copy(state = TxnState.Committing)))
+    }
+
+    val meta = catalog.getStream(scope, stream)
+    val stagingDir = catalog.txnDir(scope, stream, txnId)
+    val fsys = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fsys.exists(stagingDir)
+
+    var entries: Seq[FileEntry] = Nil
+    if (hasData) {
+      val staged = spark.read.parquet(stagingDir.toString)
+      val bases = meta.segments.map(s => s.segmentId -> s.tailOffset).toMap
+      val baseCol = meta.segments.foldRight(lit(0L): Column) { (s, rest) =>
+        when(col("segmentId") === s.segmentId, lit(bases(s.segmentId))).otherwise(rest)
+      }
+      val sealedTargets = meta.segments.filter(_.isSealed).map(_.segmentId).toSet
+      val commitDir = new Path(catalog.dataDir(scope, stream), s"txncommit-$txnId")
+      val toWrite = staged.withColumn("offset", baseCol + $"offset")
+        .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
+        .withColumn("segId", $"segmentId")
+        .repartition($"segmentId")
+        .sortWithinPartitions($"segmentId", $"offset")
+      toWrite.write.partitionBy("segId").parquet(commitDir.toString)
+
+      val committed = spark.read.parquet(commitDir.toString)
+      if (committed.filter($"segmentId".isin(sealedTargets.toSeq: _*)).limit(1).count() > 0
+          && sealedTargets.nonEmpty)
+        throw new TxnFailedException(s"txn $txnId targets sealed segments (stream scaled mid-txn)")
+      entries = committed
+        .groupBy(input_file_name().as("path"), $"segmentId")
+        .agg(count(lit(1)).as("n"), min($"offset").as("lo"), max($"offset").as("hi"),
+             min($"eventTime").as("tmin"), max($"eventTime").as("tmax"))
+        .collect()
+        .map(r => FileEntry(r.getAs[Long]("segmentId"), stripScheme(r.getAs[String]("path")),
+          r.getAs[Long]("lo"), r.getAs[Long]("n"), r.getAs[Long]("tmin"), r.getAs[Long]("tmax")))
+        .toSeq
+    }
+
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state != TxnState.Committing)
+        throw new TxnFailedException(s"txn $txnId is ${cur.state}, expected COMMITTING")
+      val moved = entries.map(_.segmentId).distinct.exists(sid =>
+        m.segment(sid).tailOffset != meta.segment(sid).tailOffset)
+      if (moved) throw new ConditionalCheckFailedException(
+        s"tails moved during txn $txnId commit")
+      val newTails = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.endOffset).max }
+      m.copy(
+        files = m.files ++ entries,
+        segments = m.segments.map(s =>
+          s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset))),
+        transactions = m.transactions + (txnId -> cur.copy(
+          state = TxnState.Committed, committedAt = Some(System.currentTimeMillis()))))
+    }
+    fsys.delete(stagingDir, true)
+  }
+
+  /** Abort (Transaction.java:102): mark ABORTED, drop staged files. */
+  def abortTxn(scope: String, stream: String, txnId: String): Unit = {
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state == TxnState.Committed || cur.state == TxnState.Committing)
+        throw new TxnFailedException(s"cannot abort txn $txnId in ${cur.state}")
+      m.copy(transactions = m.transactions + (txnId -> cur.copy(state = TxnState.Aborted)))
+    }
+    val stagingDir = catalog.txnDir(scope, stream, txnId)
+    stagingDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(stagingDir, true)
+  }
+
+  /** Lease keep-alive (client/.../stream/impl/Pinger.java:47). */
+  def pingTxn(scope: String, stream: String, txnId: String, leaseMillis: Long): Unit =
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
+      m.copy(transactions = m.transactions +
+        (txnId -> cur.copy(createdAt = System.currentTimeMillis(), leaseMillis = leaseMillis)))
+    }
+
+  /** Expired-lease sweep (controller/.../timeout/ semantics): every OPEN
+    * txn past its lease is aborted and its staging dropped.
+    */
+  def sweepExpiredTxns(scope: String, stream: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val expired = catalog.getStream(scope, stream).transactions.values
+      .filter(_.expired(now)).map(_.id).toSeq
+    expired.foreach(abortTxn(scope, stream, _))
+    expired
+  }
+
+  def txnStatus(scope: String, stream: String, txnId: String): TxnRecord =
+    txnStatus(catalog.getStream(scope, stream), txnId)
+
+  private def txnStatus(m: StreamMetadata, txnId: String): TxnRecord =
+    m.transactions.getOrElse(txnId,
+      throw new TxnFailedException(s"unknown txn $txnId on ${m.scope}/${m.name}"))
 }
 
 object GraftStreams {

@@ -51,6 +51,28 @@ object StreamDemo {
     val probe = g.fetchEvent("demo", "clicks", EventPointer(SegmentId.pack(0, 0), head.positions.getOrElse(SegmentId.pack(0, 0), 0L) + bounded / 4))
       .select("routingKey", "offset").collect()
     println(s"[demo] fetchEvent → ${probe.mkString(",")}")
+
+    // transactions: commit is atomic, abort leaves nothing
+    val txn = g.beginTxn("demo", "clicks")
+    g.writeToTxn("demo", "clicks", txn, events.limit(1000))
+    val duringTxn = g.readEvents("demo", "clicks").count()
+    g.commitTxn("demo", "clicks", txn)
+    val afterCommit = g.readEvents("demo", "clicks").count()
+    val txn2 = g.beginTxn("demo", "clicks")
+    g.writeToTxn("demo", "clicks", txn2, events.limit(500))
+    g.abortTxn("demo", "clicks", txn2)
+    val afterAbort = g.readEvents("demo", "clicks").count()
+    println(s"[demo] txn: during=$duringTxn afterCommit=$afterCommit (+1000) afterAbort=$afterAbort (unchanged)")
+
+    // key-value table: conditional updates + sorted scans
+    import graft.kv.KeyValueTable
+    val t = new KeyValueTable(spark, s"$work/kv", "profiles", partitionCount = 8)
+    t.insert(spark.range(100).select(
+      concat(lit("user"), format_string("%03d", col("id"))).as("pk"),
+      lit("").as("sk"), encode(concat(lit("profile-"), col("id")), "UTF-8").as("value")))
+    val vGot = t.get("user042").map(p => new String(p._1))
+    val pfx = t.scanPrefix("user00").count()
+    println(s"[demo] kv: get(user042)=$vGot prefixCount=$pfx version=${t.currentVersion}")
     println(s"[demo] OK workDir=$work")
     spark.stop()
   }

@@ -1,0 +1,107 @@
+package graft.kv
+
+import graft.SparkTestSession
+import graft.core.ConditionalCheckFailedException
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** kv-table fixture (FIXTURES.md) mirroring KeyValueTableTest.java:
+  * conditional semantics incl. bad-version, sorted prefix/range iteration,
+  * delta (CDF) reads, compaction equivalence.
+  */
+class KeyValueTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fresh(parts: Int = 8): KeyValueTable =
+    new KeyValueTable(spark, Files.createTempDirectory("graft-kv").toString, "t", parts)
+
+  private def kv(pairs: (String, String)*): DataFrame =
+    pairs.toSeq.toDF("pk", "v")
+      .select($"pk", lit("").as("sk"), encode($"v", "UTF-8").as("value"))
+
+  test("insert/put/get/exists with version semantics") {
+    val t = fresh()
+    val v1 = t.insert(kv("a" -> "1", "b" -> "2"))
+    assert(t.get("a").map(p => new String(p._1)) == Some("1"))
+    assert(t.get("a").map(_._2) == Some(v1))
+    assert(!t.exists("zz"))
+
+    // Insert on existing key must fail (key-exists condition)
+    assertThrows[ConditionalCheckFailedException](t.insert(kv("a" -> "X")))
+    assert(t.get("a").map(p => new String(p._1)) == Some("1"), "failed insert leaked")
+
+    // unconditional put overwrites, version advances
+    val v2 = t.put(kv("a" -> "10"))
+    assert(v2 > v1)
+    assert(t.get("a").map(p => new String(p._1)) == Some("10"))
+
+    // conditional put with right/wrong version
+    val v3 = t.putIfVersion(kv("a" -> "11"), v2)
+    assert(new String(t.get("a").get._1) == "11")
+    assertThrows[ConditionalCheckFailedException](t.putIfVersion(kv("a" -> "12"), v2))
+    assert(new String(t.get("a").get._1) == "11")
+    assert(t.get("a").get._2 == v3)
+  }
+
+  test("remove hides entries; delta feed reports every change") {
+    val t = fresh()
+    t.insert(kv("x" -> "1", "y" -> "2"))
+    val vAfterInsert = t.currentVersion
+    t.remove(Seq(("x", "")).toDF("pk", "sk"))
+    assert(!t.exists("x") && t.exists("y"))
+
+    val delta = t.deltaSince(vAfterInsert).collect()
+    assert(delta.length == 1 && delta.head.getAs[String]("op") == "REMOVE"
+      && delta.head.getAs[String]("pk") == "x")
+    assert(t.deltaSince(-1L).count() == 3) // 2 puts + 1 remove
+  }
+
+  test("sorted prefix and range iteration over many keys") {
+    val t = fresh()
+    val entries = (0 until 500).map(i => f"key$i%04d" -> s"v$i")
+    t.put(kv(entries: _*))
+    val prefix = t.scanPrefix("key00").select($"pk").as[String].collect()
+    assert(prefix.length == 100 && prefix.toSeq == prefix.toSeq.sorted)
+    val range = t.scanRange("key0100", "key0200").select($"pk").as[String].collect()
+    assert(range.length == 100 && range.head == "key0100" && range.last == "key0199")
+  }
+
+  test("compaction preserves resolved state and prunes history") {
+    val t = fresh()
+    t.put(kv((0 until 200).map(i => s"k$i" -> s"v$i"): _*))
+    t.put(kv((0 until 100).map(i => s"k$i" -> s"w$i"): _*))  // overwrite half
+    t.remove((0 until 50).map(i => (s"k$i", "")).toDF("pk", "sk"))
+    val before = t.entries().select($"pk", $"value").collect()
+      .map(r => r.getAs[String]("pk") -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    t.compact()
+    val after = t.entries().select($"pk", $"value").collect()
+      .map(r => r.getAs[String]("pk") -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(after == before)
+    assert(after.size == 150)
+    assert(after("k60") == "w60" && after("k150") == "v150")
+    // writes continue after compaction
+    t.put(kv("k999" -> "z"))
+    assert(new String(t.get("k999").get._1) == "z")
+  }
+
+  test("StateSynchronizer: CAS revisions, lost race, update loop") {
+    val root = Files.createTempDirectory("graft-state").toString
+    val s1 = new StateSynchronizer(root, "rg")
+    assert(s1.fetch() == (-1L, None))
+    val r0 = s1.writeConditionally(-1L, "state0")
+    assert(r0 == 0L)
+    // stale writer loses
+    assertThrows[ConditionalCheckFailedException](s1.writeConditionally(-1L, "conflict"))
+    // two synchronizers over the same state converge via updateState
+    val s2 = new StateSynchronizer(root, "rg")
+    s1.updateState(cur => cur.getOrElse("") + "+a")
+    s2.updateState(cur => cur.getOrElse("") + "+b")
+    assert(s1.fetch()._2 == Some("state0+a+b"))
+    s1.compact(keep = 1)
+    assert(s1.fetch()._2 == Some("state0+a+b"))
+  }
+}
