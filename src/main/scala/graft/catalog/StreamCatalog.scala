@@ -89,9 +89,22 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     latestVersion(scope, stream).isDefined
 
   def getStream(scope: String, stream: String): StreamMetadata = {
-    val v = latestVersion(scope, stream).getOrElse(
-      throw new NoSuchStreamException(s"stream $scope/$stream does not exist"))
-    readManifest(scope, stream, v)
+    val versions = listVersions(scope, stream)
+    if (versions.isEmpty)
+      throw new NoSuchStreamException(s"stream $scope/$stream does not exist")
+    // The newest manifest may be created but not yet fully written by a
+    // concurrent committer (exclusive create + write is not one atomic
+    // step on every FS). Manifests are immutable once written, so: retry
+    // the newest briefly, then fall back to the previous version.
+    val newestFirst = versions.sorted.reverse
+    for ((v, idx) <- newestFirst.zipWithIndex) {
+      val retries = if (idx == 0) 20 else 1
+      for (_ <- 1 to retries) {
+        try return readManifest(scope, stream, v)
+        catch { case _: Exception => Thread.sleep(10) }
+      }
+    }
+    throw new GraftException(s"no readable manifest for $scope/$stream")
   }
 
   def listStreams(scope: String): Seq[String] = {
@@ -167,18 +180,19 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
 
   // ------------------------------------------------------------- manifests
 
-  private def latestVersion(scope: String, stream: String): Option[Long] = {
+  private def listVersions(scope: String, stream: String): Seq[Long] = {
     val p = metaPath(scope, stream)
-    try {
-      val versions = fs.listStatus(p).iterator
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
-          n.stripPrefix("manifest-").stripSuffix(".json").toLong }
-        .toSeq
-      if (versions.isEmpty) None else Some(versions.max)
-    } catch {
-      case _: FileNotFoundException => None
-    }
+    try fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong }
+      .toSeq
+    catch { case _: FileNotFoundException => Seq.empty }
+  }
+
+  private def latestVersion(scope: String, stream: String): Option[Long] = {
+    val versions = listVersions(scope, stream)
+    if (versions.isEmpty) None else Some(versions.max)
   }
 
   private def readManifest(scope: String, stream: String, version: Long): StreamMetadata = {

@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.core._
+import graft.storage.GraftStreams
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** Structured Streaming source over a graft stream (SURVEY §2.8/§3.2): one
+  * streaming query plays the role of a reader group — Spark's offset log
+  * replaces reader-group checkpoints, task scheduling replaces segment
+  * rebalancing (ReaderGroupStateManager), and restart-from-checkpoint is
+  * resetReaderGroup. Offsets ARE StreamCuts (JSON), so positions
+  * interoperate with the batch API.
+  *
+  * Each micro-batch plans only the manifest files overlapping
+  * (lastCut, nextCut] and reads them through the normal vectorized parquet
+  * path — no per-row custom reader, full codegen. `maxRowsPerTrigger`
+  * throttles like the reference's read pacing (getNextStreamCut,
+  * BatchClientFactory.java:123).
+  */
+class GraftStreamSource(
+    sqlContext: SQLContext,
+    rootDir: String,
+    scope: String,
+    stream: String,
+    startCut: Option[StreamCut],
+    maxRowsPerTrigger: Option[Long]) extends Source {
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val spark: SparkSession = sqlContext.sparkSession
+  private val g = new GraftStreams(spark, rootDir)
+
+  override def schema: StructType = GraftStreams.eventSchema
+
+  private def initialCut: StreamCut =
+    startCut.getOrElse(g.catalog.getStream(scope, stream).headStreamCut)
+
+  /** Highest cut handed to Spark so far (monotonic). */
+  private var lastEnd: Option[StreamCut] = None
+
+  override def getOffset: Option[OffsetV1] = {
+    val meta = g.catalog.getStream(scope, stream)
+    val tail = meta.tailCut
+    val from = lastEnd.getOrElse(initialCut)
+    val next = maxRowsPerTrigger match {
+      case None => tail
+      case Some(max) =>
+        val segs = meta.segments.map(_.segmentId)
+        val per = math.max(1L, max / math.max(1, segs.size))
+        StreamCut(segs.map { sid =>
+          val cur = from.positions.getOrElse(sid, 0L)
+          val t = tail.positions.getOrElse(sid, cur)
+          sid -> math.min(t, cur + per)
+        }.toMap)
+    }
+    // monotonic merge: never regress below what we already announced
+    val merged = StreamCut((next.positions.keySet ++ from.positions.keySet).map { sid =>
+      sid -> math.max(next.positions.getOrElse(sid, 0L), from.positions.getOrElse(sid, 0L))
+    }.toMap)
+    if (merged.positions.forall { case (sid, off) => from.positions.getOrElse(sid, 0L) >= off }
+        && lastEnd.isDefined) {
+      Some(GraftSourceOffset(merged)) // unchanged; Spark skips the batch
+    } else {
+      lastEnd = Some(merged)
+      Some(GraftSourceOffset(merged))
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(GraftSourceOffset.toCut).getOrElse(initialCut)
+    val to = GraftSourceOffset.toCut(end)
+    lastEnd = Some(to)
+
+    val meta = g.catalog.getStream(scope, stream)
+    val lo: Long => Long = sid => from.positions.getOrElse(sid, 0L)
+    val hi: Long => Long = sid => to.positions.getOrElse(sid, 0L)
+    val files = meta.files.filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
+    if (files.isEmpty) return StreamingShim.emptyStreamingBatch(spark, schema)
+
+    val cond = files.map(_.segmentId).distinct.map { sid =>
+      col("segmentId") === sid && col("offset") >= lo(sid) && col("offset") < hi(sid)
+    }.reduce(_ || _)
+    StreamingShim.streamingParquet(spark, schema, files.map(_.path).distinct)
+      .filter(cond)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = StreamCut JSON ({"segmentId": offset, ...}). */
+case class GraftSourceOffset(cut: StreamCut) extends OffsetV1 {
+  override val json: String =
+    Serialization.write(cut.positions.map { case (k, v) => k.toString -> v })(DefaultFormats)
+}
+
+object GraftSourceOffset {
+  private implicit val fmts: Formats = DefaultFormats
+  def fromJson(s: String): StreamCut =
+    StreamCut(Serialization.read[Map[String, Long]](s).map { case (k, v) => k.toLong -> v })
+  def toCut(o: OffsetV1): StreamCut = o match {
+    case g: GraftSourceOffset => g.cut
+    case s: SerializedOffset => fromJson(s.json)
+    case other => fromJson(other.json)
+  }
+}
+
+/** format("graft-stream") provider. Options: rootDir, scope, stream,
+  * fromStreamCut (JSON | "head"), maxRowsPerTrigger.
+  */
+class GraftStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stream"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String]) =
+    (shortName(), GraftStreams.eventSchema)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    def req(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(s"graft-stream source requires option '$k'"))
+    val startCut = parameters.get("fromStreamCut").filter(_ != "head")
+      .map(GraftSourceOffset.fromJson)
+    new GraftStreamSource(ctx, req("rootDir"), req("scope"), req("stream"),
+      startCut, parameters.get("maxRowsPerTrigger").map(_.toLong))
+  }
+}

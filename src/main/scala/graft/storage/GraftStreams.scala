@@ -399,6 +399,39 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     expired
   }
 
+  // ------------------------------------------------------------- watermarks
+
+  /** noteTime (EventStreamWriter.java:117 + Controller.java:468
+    * noteTimestampFromWriter): writers declare an event-time high-water
+    * mark; marks only move forward.
+    */
+  def noteTime(scope: String, stream: String, writerId: String, time: Long): Unit =
+    catalog.update(scope, stream) { m =>
+      val prev = m.writerMarks.get(writerId)
+      if (prev.exists(_.time >= time)) m
+      else m.copy(writerMarks = m.writerMarks +
+        (writerId -> WriterMark(writerId, time, System.currentTimeMillis())))
+    }
+
+  /** removeWriter (Controller.java:478). */
+  def removeWriter(scope: String, stream: String, writerId: String): Unit =
+    catalog.update(scope, stream)(m => m.copy(writerMarks = m.writerMarks - writerId))
+
+  /** Watermark computation (PeriodicWatermarking.java:192-300): writers
+    * idle longer than `timeoutMillis` (wall clock since their last note)
+    * are excluded; lower bound = min mark over active writers, upper =
+    * max over all. Returns (lowerTimeBound, upperTimeBound) — the
+    * TimeWindow surface (client/.../stream/TimeWindow.java).
+    */
+  def timeWindow(scope: String, stream: String, timeoutMillis: Long = 600000L): Option[(Long, Long)] = {
+    val marks = catalog.getStream(scope, stream).writerMarks.values.toSeq
+    if (marks.isEmpty) return None
+    val now = System.currentTimeMillis()
+    val active = marks.filter(m => now - m.notedAt <= timeoutMillis)
+    val considered = if (active.nonEmpty) active else marks
+    Some((considered.map(_.time).min, marks.map(_.time).max))
+  }
+
   def txnStatus(scope: String, stream: String, txnId: String): TxnRecord =
     txnStatus(catalog.getStream(scope, stream), txnId)
 

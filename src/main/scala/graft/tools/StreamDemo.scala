@@ -73,6 +73,23 @@ object StreamDemo {
     val vGot = t.get("user042").map(p => new String(p._1))
     val pfx = t.scanPrefix("user00").count()
     println(s"[demo] kv: get(user042)=$vGot prefixCount=$pfx version=${t.currentVersion}")
+
+    // structured streaming: stream → windowed agg → exactly-once sink stream
+    g.catalog.createStream("demo", "derived", StreamConfig(initialSegments = 2))
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "demo").option("stream", "clicks")
+      .option("maxRowsPerTrigger", "5000")
+      .load()
+      .select(col("routingKey"), col("eventTime"), col("payload"))
+      .writeStream
+      .foreachBatch(graft.sources.GraftStreamSink.writer(g, "demo", "derived", "demo-pipe"))
+      .option("checkpointLocation", s"$work/_ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val derived = g.readEvents("demo", "derived").count()
+    val tw = g.timeWindow("demo", "derived")
+    println(s"[demo] streaming: derived=$derived batches=${q.recentProgress.count(_.numInputRows > 0)} timeWindow=$tw")
     println(s"[demo] OK workDir=$work")
     spark.stop()
   }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core._
+import graft.storage.GraftStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** checkpoint-resume + watermark fixtures (FIXTURES.md) mirroring
+  * CheckpointTest / ReaderCheckpointTest / ControllerWatermarkingTest.
+  */
+class StreamingSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(): (GraftStreams, String) = {
+    val root = Files.createTempDirectory("graft-ss").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 3))
+    (g, root)
+  }
+
+  private def batch(tag: String, n: Int, t0: Long = 1704067200000L): DataFrame =
+    spark.range(n).select(
+      concat(lit(s"$tag-"), col("id") % 9).as("routingKey"),
+      (lit(t0) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), lit("#"), col("id")), "UTF-8").as("payload"))
+
+  private def readStreamDF(root: String) =
+    spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .load()
+
+  test("micro-batch read: incremental, exactly-once into memory sink") {
+    val (g, root) = mk()
+    g.writeEvents("s", "ev", batch("a", 900))
+
+    val q = readStreamDF(root).writeStream
+      .format("memory").queryName("mem1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mem1").count() == 900L)
+      g.writeEvents("s", "ev", batch("b", 600))
+      q.processAllAvailable()
+      val all = spark.table("mem1")
+      assert(all.count() == 1500L)
+      assert(all.groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0,
+        "duplicate delivery")
+    } finally q.stop()
+  }
+
+  test("maxRowsPerTrigger paces batches like read throttling") {
+    val (g, root) = mk()
+    g.writeEvents("s", "ev", batch("a", 1200))
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "300")
+      .load()
+      .writeStream.format("memory").queryName("mem2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mem2").count() == 1200L)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected pacing into >=3 non-empty batches, got $batches")
+    } finally q.stop()
+  }
+
+  test("checkpoint-resume: restart yields the exact remainder, no loss/dup") {
+    val (g, root) = mk()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-out").toString
+
+    g.writeEvents("s", "ev", batch("first", 500))
+    val q1 = readStreamDF(root).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    g.writeEvents("s", "ev", batch("second", 700))
+    val q2 = readStreamDF(root).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val res = spark.read.parquet(out)
+    assert(res.count() == 1200L)
+    assert(res.groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("stream-to-stream pipeline via exactly-once foreachBatch sink") {
+    val (g, root) = mk()
+    g.catalog.createStream("s", "out", StreamConfig(initialSegments = 2))
+    g.writeEvents("s", "ev", batch("x", 400))
+
+    val q = readStreamDF(root)
+      .select($"routingKey", $"eventTime", $"payload")
+      .writeStream
+      .foreachBatch(GraftStreamSink.writer(g, "s", "out", "pipe-1"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt2").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(g.readEvents("s", "out").count() == 400L)
+      // writer mark noted from batch max eventTime (auto noteTime)
+      val tw = g.timeWindow("s", "out")
+      assert(tw.exists(_._2 == 1704067200000L + 399))
+    } finally q.stop()
+  }
+
+  test("watermark bounds: idle writers drop out of the lower bound") {
+    val (g, _) = mk()
+    g.noteTime("s", "ev", "w1", 1000L)
+    g.noteTime("s", "ev", "w2", 5000L)
+    assert(g.timeWindow("s", "ev") == Some((1000L, 5000L)))
+    // marks are monotonic per writer
+    g.noteTime("s", "ev", "w1", 500L)
+    assert(g.timeWindow("s", "ev") == Some((1000L, 5000L)))
+    g.noteTime("s", "ev", "w1", 9000L)
+    assert(g.timeWindow("s", "ev") == Some((5000L, 9000L)))
+    // timeout 0 → everyone idle → fall back to all marks
+    assert(g.timeWindow("s", "ev", timeoutMillis = -1) == Some((5000L, 9000L)))
+    g.removeWriter("s", "ev", "w2")
+    assert(g.timeWindow("s", "ev") == Some((9000L, 9000L)))
+  }
+}
