@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity primitives over `array<float>` columns, all as
+  * codegen'd higher-order functions: element-wise products accumulate
+  * left-to-right in double, matching DuckDB's list_sum/list_transform
+  * order so oracle results are bit-identical.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k neighbors for each query vector: one broadcast of
+    * the (small) query set against the full corpus, ranked per query —
+    * the exact baseline ANN variants are measured against. Corpus-side
+    * scan is embarrassingly parallel; only the final per-query top-k
+    * window shuffles k rows per query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH (SimHash-for-vectors): `nbits` fixed seeded
+    * hyperplanes → signature → candidates share a bucket → exact re-rank
+    * inside buckets. Queries multi-probe neighboring buckets (hamming ≤ 1)
+    * to trade a little candidate volume for recall. The scale path: the
+    * corpus is scanned once to signatures, then only bucket-local pairs
+    * are scored.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nbits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+
+    def sig(v: Column): Column =
+      (0 until nbits).map { b =>
+        val plane = lit(planes(b)) // array<double> literal
+        when(aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val cSig = corpus.withColumn("bucket", sig(col("embedding")))
+    // multi-probe: the exact bucket plus every single-bit flip
+    val probeFlips = lit((0L +: (0 until nbits).map(b => 1L << b)).toArray)
+    val qSig = queries.withColumn("sig", sig(col("embedding")))
+      .select(col("*"), explode(transform(probeFlips, f => col("sig").bitwiseXOR(f))).as("bucket"))
+    val scored = cSig.as("c").join(broadcast(qSig.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,8 +1,93 @@
 package graft.queries
 
+import graft.Tables
 import graft.QueryRegistry.Qf
+import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Deduplication operators over `documents` (built out in a later slice). */
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * SimHash and MinHash+LSH, each partition-parallel with no driver-side
+  * state (SURVEY §7 step 9 "beyond-reference" inventory).
+  */
 object DedupOps {
-  val defs: Seq[(String, Qf, Option[String])] = Seq.empty
+
+  /** Exact dedup via content fingerprint, summarized per source: the
+    * hash-groupBy shape — one map-side-combined shuffle on the fingerprint
+    * regardless of corpus size.
+    */
+  private def exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", md5(lower(trim($"text"))).as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct($"fp").as("n_distinct"),
+           (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"))
+      .orderBy($"source")
+  }
+
+  private val exactSql =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+      |FROM (SELECT source, md5(lower(trim(text))) AS fp FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Exact n-gram (token-set) Jaccard pairs over the short-document slice:
+    * the brute-force verifier the LSH path approximates.
+    */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir).filter($"n_chars" < 200)
+      .select($"doc_id", array_distinct(split(lower(trim($"text")), "\\s+")).as("toks"))
+    val a = t.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = t.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
+    a.join(b, $"a_id" < $"b_id")
+      .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
+      .withColumn("jaccard",
+        $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
+      .filter($"jaccard" >= 0.35)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val ngramJaccardSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      |  FROM documents WHERE n_chars < 200)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** SimHash signatures (cross-engine-reproducible md5 token hashes) for
+    * a doc slice — the oracle recomputes identical 60-bit signatures.
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimHash.signatures(
+        Tables.documents(s, dir).filter($"doc_id" < 200), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash+LSH near-dup candidates with exact verification — not
+    * SQL-expressible in the oracle (banded signature shuffle); correctness
+    * is covered by the recall-vs-brute-force spec.
+    */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MinHashLSH.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.35)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_exact",         exact _,        Some(exactSql)),
+    ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    ("dedup_simhash",       simhash _,      Some(SimHash.oracleSignatureSql(200))),
+    ("dedup_minhash_lsh",   minhashLsh _,   None),
+  )
 }

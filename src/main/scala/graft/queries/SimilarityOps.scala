@@ -1,10 +1,119 @@
 package graft.queries
 
+import graft.Tables
 import graft.QueryRegistry.Qf
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Embedding similarity-search operators over `embeddings` (built out in a
-  * later slice).
+/** Embedding similarity search + multimodal-column operators (SURVEY §7
+  * step 9). Cosine math accumulates left-to-right in double on both
+  * engines, so oracle comparisons are bit-exact.
   */
 object SimilarityOps {
-  val defs: Seq[(String, Qf, Option[String])] = Seq.empty
+
+  /** All same-label pairs above a cosine threshold — the pairwise
+    * similarity-graph shape (blocked on `label` so the join is equi-keyed,
+    * never a full cross product).
+    */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"label", $"vec_id".as("qa"), $"embedding".as("ea"))
+    val b = e.select($"label", $"vec_id".as("qb"), $"embedding".as("eb"))
+    a.join(b, Seq("label"))
+      .filter($"qa" < $"qb")
+      .withColumn("cos", Similarity.cosine($"ea", $"eb"))
+      .filter($"cos" >= 0.3)
+      .select($"label", $"qa", $"qb", $"cos")
+      .orderBy($"label", $"qa", $"qb")
+  }
+
+  private val cosinePairsSql =
+    """WITH n AS (
+      |  SELECT label, vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS qa, b.vec_id AS qb,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.3
+      |ORDER BY label, qa, qb""".stripMargin
+
+  /** Brute-force cosine top-k for a small query set: broadcast queries ×
+    * full corpus scan, per-query ranking window — the exact ANN baseline.
+    */
+  private def topkBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter($"vec_id" < 10), k = 5)
+      .select($"query_id", $"cand_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val topkBruteSql =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT query_id, cand_id, rank, cos FROM (
+      |  SELECT query_id, cand_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (the 100 TB path: signatures once, bucket-local
+    * scoring) — no SQL oracle; the recall spec covers it.
+    */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(e, e.filter($"vec_id" < 10), k = 5, nbits = 8)
+      .select($"query_id", $"cand_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Multimodal metadata surface: binary payload length + content hash —
+    * the opaque-blob bookkeeping every media pipeline starts with.
+    */
+  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        length(encode($"text", "UTF-8")).as("byte_len"),
+        md5($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmBinaryMetaSql =
+    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed decode + feature extraction over binary media columns
+    * (partition-parallel typed pipeline; decode is a deterministic fake —
+    * see Multimodal.decodeStub).
+    */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
+    ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
+    ("sim_ann_lsh",      annLsh _,       None),
+    ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
+    ("mm_features",      mmFeatures _,   None),
+  )
 }

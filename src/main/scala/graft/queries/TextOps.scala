@@ -1,8 +1,147 @@
 package graft.queries
 
+import graft.Tables
 import graft.QueryRegistry.Qf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text-analysis operators over `documents` (built out in a later slice). */
+/** Text-analysis operators over `documents` — the per-document scalar
+  * stage of a training-data pipeline. Everything is built from codegen'd
+  * `functions._` (no UDFs), so at 100 TB these run as a single
+  * partition-parallel projection with no shuffle at all; only the final
+  * demo aggregations group.
+  *
+  * Oracle parity: every derived value is either integer, or double
+  * arithmetic on identical inputs (IEEE ops are bit-deterministic given
+  * the same expression shape on both engines).
+  */
 object TextOps {
-  val defs: Seq[(String, Qf, Option[String])] = Seq.empty
+
+  private val STOP = "\\b(the|and|of|to|is)\\b"
+
+  /** Token counting: whitespace tokens + a BPE-ish lexer split (letters /
+    * digits / single punctuation marks).
+    */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).as("n_ws"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"),
+        length($"text").as("len"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe,
+      |  length(text) AS len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, punctuation density, length band —
+    * the usual cheap pre-filter features before expensive model scoring.
+    */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        size(split(trim($"text"), "\\s+")).as("n_tok"),
+        size(regexp_extract_all($"text", lit("[.!?,;]"), lit(0))).as("n_punct"),
+        size(regexp_extract_all(lower($"text"), lit(STOP), lit(0))).as("n_stop"))
+      .select($"doc_id", $"n_tok", $"n_punct", $"n_stop",
+        ($"n_stop".cast("double") / $"n_tok".cast("double")).as("stop_ratio"),
+        ($"n_punct".cast("double") / length($"text").cast("double")).as("punct_ratio"))
+      .withColumn("quality",
+        lit(0.5) * $"stop_ratio"
+          + lit(0.3) * when($"n_tok".between(20, 400), 1.0).otherwise(0.0)
+          + lit(0.2) * (lit(1.0) - $"punct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualityScoreSql =
+    s"""SELECT doc_id, n_tok, n_punct, n_stop,
+       |  CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+       |  CAST(n_punct AS DOUBLE) / CAST(len AS DOUBLE) AS punct_ratio,
+       |  0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |    + 0.3 * (CASE WHEN n_tok BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END)
+       |    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(len AS DOUBLE)) AS quality
+       |FROM (
+       |  SELECT doc_id, length(text) AS len,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    len(regexp_extract_all(text, '[.!?,;]')) AS n_punct,
+       |    len(regexp_extract_all(lower(text), '$STOP')) AS n_stop
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language ID: n-gram/marker-word heuristic scored per language, CJK
+    * characters short-circuit to zh. Output is the confusion matrix
+    * against the table's `lang` label.
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Map(
+      "en" -> "\\b(the|and|of|to|is)\\b",
+      "de" -> "\\b(der|die|das|und|ist)\\b",
+      "fr" -> "\\b(le|la|les|et|est)\\b",
+      "es" -> "\\b(el|los|las|y|es)\\b")
+    val scored = Tables.documents(s, dir).select($"doc_id", $"lang",
+      size(regexp_extract_all(lower($"text"), lit(m("en")), lit(0))).as("s_en"),
+      size(regexp_extract_all(lower($"text"), lit(m("de")), lit(0))).as("s_de"),
+      size(regexp_extract_all(lower($"text"), lit(m("fr")), lit(0))).as("s_fr"),
+      size(regexp_extract_all(lower($"text"), lit(m("es")), lit(0))).as("s_es"),
+      size(regexp_extract_all($"text", lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).as("s_zh"))
+    scored
+      .withColumn("pred",
+        when($"s_zh" > 0, "zh")
+          .when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
+          .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+          .when($"s_fr" >= $"s_es", "fr")
+          .otherwise("es"))
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  private val langIdSql =
+    """SELECT lang, pred, COUNT(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN s_zh > 0 THEN 'zh'
+      |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |         WHEN s_fr >= s_es THEN 'fr'
+      |         ELSE 'es' END AS pred
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+      |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+      |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+      |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+      |      len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+      |    FROM documents) a) b
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  /** Document fingerprinting: md5 of normalized text (the cheap content
+    * hash backing exact dedup), summarized per leading-byte bucket.
+    */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(md5(lower(trim($"text"))).as("fp"))
+      .groupBy(substring($"fp", 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct($"fp").as("n_distinct"))
+      .orderBy($"bucket")
+  }
+
+  private val fingerprintSql =
+    """SELECT substring(fp, 1, 2) AS bucket, COUNT(*) AS n,
+      |  COUNT(DISTINCT fp) AS n_distinct
+      |FROM (SELECT md5(lower(trim(text))) AS fp FROM documents) t
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
+    ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
+    ("txt_lang_id",       langId _,        Some(langIdSql)),
+    ("txt_fingerprint",   fingerprint _,   Some(fingerprintSql)),
+  )
 }

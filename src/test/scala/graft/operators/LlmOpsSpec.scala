@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the non-SQL-expressible pipeline operators: LSH recall
+  * against brute-force ground truth, signature determinism, multimodal
+  * plumbing shape.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds a high fraction of true Jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    // ground truth: all pairs with token-set Jaccard >= 0.5 among short docs
+    val t = docs.filter($"n_chars" < 200)
+      .select($"doc_id", array_distinct(split(lower(trim($"text")), "\\s+")).as("toks"))
+    val a = t.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = t.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
+    val truth = a.join(b, $"a_id" < $"b_id")
+      .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
+      .withColumn("j", $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
+      .filter($"j" >= 0.5)
+      .select($"a_id", $"b_id")
+    val truthSet = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truthSet.nonEmpty, "fixture has no true near-dup pairs")
+
+    val found = MinHashLSH.nearDuplicates(docs.filter($"n_chars" < 200),
+        "doc_id", "text", shingleSize = 1, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truthSet.intersect(found).size.toDouble / truthSet.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (truth=${truthSet.size}, found=${found.size})")
+    // verification step guarantees precision = 1.0 against the threshold
+    assert(found.subsetOf(
+      a.join(b, $"a_id" < $"b_id")
+        .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
+        .withColumn("j", $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
+        .filter($"j" >= 0.5).select($"a_id", $"b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("simhash signatures are deterministic and near-dup blocking works") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val s1 = SimHash.signatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = SimHash.signatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // identical docs → distance 0 → found by blocking
+    val dup = docs.union(docs.withColumn("doc_id", $"doc_id" + 10000))
+    val pairs = SimHash.nearDuplicates(dup, "doc_id", "text", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 100)
+    pairs.take(5).foreach { case (x, y) => assert(y - x == 10000 || s1.get(x) == s1.get(y % 10000)) }
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(e, q, 5).select($"query_id", $"cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(e, q, 5, nbits = 4).select($"query_id", $"cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"ANN recall@5 $recall unexpectedly low for 4-bit multi-probe buckets")
+    // top-1 cosine sanity: brute-force best neighbor similarity is within [−1, 1]
+    val best = Similarity.bruteForceTopK(e, q, 1).agg(max($"cos")).as[Double].head()
+    assert(best <= 1.0 && best >= -1.0)
+  }
+
+  test("multimodal stub pipeline: schema, determinism, partition parallelism") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(media.repartition(8))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(f => f.width >= 1 && f.width <= 64 && f.channels == 3))
+    val again = Multimodal.extractFeatures(media.repartition(3)).collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq,
+      "features depend on partitioning — not allowed")
+  }
+}
