@@ -41,9 +41,16 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
+    // tokenization feeds signatures AND the verification joins, and the
+    // banded view self-joins — persist both so the text is tokenized once
+    // and signatures are computed once, not per join side.
+    // repartition: the corpus often arrives as few large files; signature
+    // hashing is the CPU hot spot and must spread across all cores.
     val toks = docs.select(
       col(idCol).as("id"),
       array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("toks"))
+      .repartition(col("id"))
+      .persist()
 
     val sigs = toks.select(col("id"), signature(col("toks"), shingleSize, numHashes).as("sig"))
 
@@ -52,6 +59,7 @@ object MinHashLSH {
           b => struct(b.as("band"), hash(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .persist()
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&

@@ -38,11 +38,24 @@ object DedupOps {
     */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // token sets are interned to 64-bit hashes: |A∩B| over bigint arrays
+    // is several times cheaper than string arrays and collision odds are
+    // ~1e-10 for this vocabulary, so Jaccard values match the raw-token
+    // oracle bit-for-bit.
     val t = Tables.documents(s, dir).filter($"n_chars" < 200)
-      .select($"doc_id", array_distinct(split(lower(trim($"text")), "\\s+")).as("toks"))
-    val a = t.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
-    val b = t.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
-    a.join(b, $"a_id" < $"b_id")
+      .select($"doc_id",
+        array_distinct(transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x))).as("toks"))
+    // size-ratio bound: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so pairs whose
+    // token-set sizes differ too much can never reach the threshold —
+    // prunes before the expensive intersection, with zero false negatives.
+    // stream side repartitioned so the broadcast nested-loop pair join
+    // parallelizes (the input is one parquet file = one partition);
+    // dimension side broadcast explicitly.
+    val a = t.repartition($"doc_id").select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = broadcast(t.select($"doc_id".as("b_id"), $"toks".as("b_toks")))
+    a.join(b, $"a_id" < $"b_id" &&
+        least(size($"a_toks"), size($"b_toks")).cast("double") >=
+          lit(0.35) * greatest(size($"a_toks"), size($"b_toks")).cast("double"))
       .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
       .withColumn("jaccard",
         $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
@@ -59,6 +72,8 @@ object DedupOps {
       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  AND CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) >=
+      |      0.35 * CAST(greatest(len(a.toks), len(b.toks)) AS DOUBLE)
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |    (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin

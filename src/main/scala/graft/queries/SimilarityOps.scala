@@ -18,12 +18,16 @@ object SimilarityOps {
     */
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // norms are computed once per vector before the pair join (the join
+    // would otherwise recompute both norms for every pair)
     val e = Tables.embeddings(s, dir)
-    val a = e.select($"label", $"vec_id".as("qa"), $"embedding".as("ea"))
-    val b = e.select($"label", $"vec_id".as("qb"), $"embedding".as("eb"))
+      .select($"label", $"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    val a = e.select($"label", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(b, Seq("label"))
       .filter($"qa" < $"qb")
-      .withColumn("cos", Similarity.cosine($"ea", $"eb"))
+      .withColumn("cos", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
       .filter($"cos" >= 0.3)
       .select($"label", $"qa", $"qb", $"cos")
       .orderBy($"label", $"qa", $"qb")
