@@ -121,6 +121,36 @@ final case class TxnRecord(
   */
 final case class WriterMark(writerId: String, time: Long, notedAt: Long)
 
+/** Per-segment EWMA append rates at the reference's four horizons
+  * (segmentstore/server/host/.../stat/SegmentStatsRecorderImpl.java:63,246):
+  * rows/sec smoothed over 2/5/10/20 minutes, driving auto-scale decisions.
+  */
+final case class SegmentRates(
+    twoMin: Double = 0.0,
+    fiveMin: Double = 0.0,
+    tenMin: Double = 0.0,
+    twentyMin: Double = 0.0,
+    createdAt: Long = 0L,
+    lastUpdated: Long = 0L) {
+
+  /** EWMA update with elapsed-time-aware alpha (1 − e^(−dt/τ)). */
+  def update(rows: Long, now: Long): SegmentRates = {
+    val dt = math.max(1L, now - (if (lastUpdated == 0) now - 1000 else lastUpdated))
+    val instant = rows.toDouble * 1000.0 / dt
+    def ewma(prev: Double, windowMillis: Long): Double = {
+      val alpha = 1.0 - math.exp(-dt.toDouble / windowMillis)
+      prev + alpha * (instant - prev)
+    }
+    SegmentRates(
+      twoMin = ewma(twoMin, 2 * 60 * 1000L),
+      fiveMin = ewma(fiveMin, 5 * 60 * 1000L),
+      tenMin = ewma(tenMin, 10 * 60 * 1000L),
+      twentyMin = ewma(twentyMin, 20 * 60 * 1000L),
+      createdAt = if (createdAt == 0) now else createdAt,
+      lastUpdated = now)
+  }
+}
+
 /** Full stream metadata — one JSON manifest version per catalog commit.
   * `version` is the optimistic-concurrency token: a commit writes
   * manifest-(version+1) with create-if-absent semantics, the catalog-level
@@ -140,7 +170,16 @@ final case class StreamMetadata(
     headCut: Map[Long, Long],
     transactions: Map[String, TxnRecord],
     writerMarks: Map[String, WriterMark],
-    writerBatches: Map[String, Long]) {
+    writerBatches: Map[String, Long],
+    /** EWMA append rates per open segment (auto-scale input). */
+    segmentRates: Map[Long, SegmentRates] = Map.empty,
+    /** Named StreamCuts: checkpoints (initiateCheckpoint/generateStreamCuts
+      * analogs) and `sub:`-prefixed subscriber positions for
+      * consumption-based retention (ReaderGroupConfig.StreamDataRetention).
+      */
+    namedCuts: Map[String, Map[Long, Long]] = Map.empty,
+    /** Wall-clock of the last scale event (cooldown gate). */
+    lastScaleAt: Long = 0L) {
 
   def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
 

@@ -1,0 +1,111 @@
+package graft.storage
+
+import graft.core.{GraftException, TruncatedDataException}
+import graft.kv.StateSynchronizer
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Raw byte streams (SURVEY §1.1 ByteStream;
+  * client/.../byteStream/ByteStreamReader.java:34-149, ByteStreamWriter
+  * .java:58-130): a single-segment stream of bytes with append, offset
+  * reads, seek and truncate-before. Deliberately driver-side and
+  * non-relational — the reference's byte-stream API is a raw
+  * InputStream/OutputStream per segment, and the Spark-side analog for
+  * bulk processing is `spark.read.format("binaryFile")` over the chunk
+  * files.
+  *
+  * Layout: `<root>/<scope>/<name>/chunk-<startOffset>` data files plus a
+  * CAS'd head/tail record (StateSynchronizer), so truncation and appends
+  * are atomic and readers below the head fail like TruncatedDataException.
+  */
+class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration()) {
+
+  private def dir(scope: String, name: String) = new Path(new Path(rootDir), s"$scope/$name")
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  private def state(scope: String, name: String) =
+    new StateSynchronizer(rootDir, s"bytestream-$scope-$name", hadoopConf)
+
+  private def meta(scope: String, name: String): (Long, Long) =
+    state(scope, name).fetch()._2 match {
+      case Some(s) =>
+        val Array(h, t) = s.split(","); (h.toLong, t.toLong)
+      case None => throw new GraftException(s"byte stream $scope/$name does not exist")
+    }
+
+  def create(scope: String, name: String): Unit = {
+    val d = dir(scope, name)
+    fs(d).mkdirs(d)
+    state(scope, name).updateState {
+      case Some(existing) => existing // idempotent create
+      case None => "0,0"
+    }
+  }
+
+  /** Append bytes; returns the offset the chunk starts at. */
+  def append(scope: String, name: String, data: Array[Byte]): Long = {
+    var start = -1L
+    state(scope, name).updateState {
+      case None => throw new GraftException(s"byte stream $scope/$name does not exist")
+      case Some(s) =>
+        val Array(h, t) = s.split(",")
+        start = t.toLong
+        val chunk = new Path(dir(scope, name), f"chunk-$start%016d")
+        val out = fs(chunk).create(chunk, false)
+        try out.write(data) finally out.close()
+        s"$h,${start + data.length}"
+    }
+    start
+  }
+
+  def head(scope: String, name: String): Long = meta(scope, name)._1
+  def tail(scope: String, name: String): Long = meta(scope, name)._2
+
+  /** Read `length` bytes starting at `offset` (short read at tail). */
+  def read(scope: String, name: String, offset: Long, length: Int): Array[Byte] = {
+    val (h, t) = meta(scope, name)
+    if (offset < h) throw new TruncatedDataException(
+      s"byte stream $scope/$name offset $offset below head $h")
+    val end = math.min(t, offset + length)
+    if (end <= offset) return Array.empty
+    val d = dir(scope, name)
+    val chunks = fs(d).listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith("chunk-"))
+      .map(p => (p.getName.stripPrefix("chunk-").toLong, p))
+      .sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    chunks.foreach { case (cStart, p) =>
+      val cLen = fs(p).getFileStatus(p).getLen
+      val cEnd = cStart + cLen
+      if (cEnd > offset && cStart < end) {
+        val from = math.max(offset, cStart) - cStart
+        val n = (math.min(end, cEnd) - math.max(offset, cStart)).toInt
+        val in = fs(p).open(p)
+        try {
+          in.seek(from)
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          out.write(buf)
+        } finally in.close()
+      }
+    }
+    out.toByteArray
+  }
+
+  /** truncateDataBefore(offset): raise the head, drop fully-dead chunks. */
+  def truncateBefore(scope: String, name: String, offset: Long): Unit = {
+    state(scope, name).updateState {
+      case None => throw new GraftException(s"byte stream $scope/$name does not exist")
+      case Some(s) =>
+        val Array(h, t) = s.split(",")
+        val newHead = math.max(h.toLong, math.min(offset, t.toLong))
+        s"$newHead,$t"
+    }
+    val (h, _) = meta(scope, name)
+    val d = dir(scope, name)
+    fs(d).listStatus(d).map(_.getPath).filter(_.getName.startsWith("chunk-")).foreach { p =>
+      val cStart = p.getName.stripPrefix("chunk-").toLong
+      val cLen = fs(p).getFileStatus(p).getLen
+      if (cStart + cLen <= h) fs(p).delete(p, false)
+    }
+  }
+}

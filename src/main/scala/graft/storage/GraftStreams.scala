@@ -82,6 +82,12 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     // Per-file commit stats (production: collected from task commit
     // messages; here a cheap footer-sized second pass).
     val staged = spark.read.parquet(batchDir.toString)
+    val oversize = staged.filter(length($"payload") > GraftStreams.MaxEventSize).limit(1).count()
+    if (oversize > 0) {
+      batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
+      throw new GraftException(
+        s"event payload exceeds MAX_EVENT_SIZE (${GraftStreams.MaxEventSize} bytes); batch rejected")
+    }
     val entries = staged
       .groupBy(input_file_name().as("path"), $"segmentId")
       .agg(count(lit(1)).as("n"), min($"offset").as("lo"), max($"offset").as("hi"),
@@ -100,15 +106,42 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       if (moved) throw new ConditionalCheckFailedException(
         s"$scope/$stream tails moved during write of $batchDir")
       val newTails = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.endOffset).max }
+      val now = System.currentTimeMillis()
+      val rowsPerSeg = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.rowCount).sum }
       m.copy(
         files = m.files ++ entries,
         segments = m.segments.map(s =>
           s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset))),
+        segmentRates = m.segmentRates ++ rowsPerSeg.map { case (sid, n) =>
+          sid -> m.segmentRates.getOrElse(sid, SegmentRates()).update(n, now) },
         writerBatches = (for (w <- writerId; b <- batchId) yield m.writerBatches + (w -> b))
           .getOrElse(m.writerBatches))
     }
     updated.tailCut
   }
+
+  // ------------------------------------------------------------- named cuts
+
+  /** Save a named StreamCut — the generateStreamCuts / initiateCheckpoint
+    * surface (ReaderGroup.java:84,215): default is the current tail.
+    * Subscriber positions use a `sub:` prefix and participate in
+    * consumption-based retention.
+    */
+  def saveStreamCut(scope: String, stream: String, name: String,
+                    cut: Option[StreamCut] = None): StreamCut = {
+    var saved: StreamCut = StreamCut.Unbounded
+    catalog.update(scope, stream) { m =>
+      saved = cut.getOrElse(m.tailCut)
+      m.copy(namedCuts = m.namedCuts + (name -> saved.positions))
+    }
+    saved
+  }
+
+  def getStreamCut(scope: String, stream: String, name: String): Option[StreamCut] =
+    catalog.getStream(scope, stream).namedCuts.get(name).map(StreamCut(_))
+
+  def deleteStreamCut(scope: String, stream: String, name: String): Unit =
+    catalog.update(scope, stream)(m => m.copy(namedCuts = m.namedCuts - name))
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new Path(p).toUri.getPath else p
@@ -442,6 +475,9 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
 object GraftStreams {
   import org.apache.spark.sql.types._
+
+  /** Max event payload (Serializer.MAX_EVENT_SIZE, Serializer.java:33). */
+  val MaxEventSize: Int = 8 * 1024 * 1024
   /** Canonical at-rest event schema (SURVEY §1.2). */
   val eventSchema: StructType = StructType(Seq(
     StructField("segmentId", LongType, nullable = false),

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core._
-import graft.storage.GraftStreams
+import graft.storage.{AutoScaler, GraftStreams, Retention}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,24 @@ object StreamDemo {
     val derived = g.readEvents("demo", "derived").count()
     val tw = g.timeWindow("demo", "derived")
     println(s"[demo] streaming: derived=$derived batches=${q.recentProgress.count(_.numInputRows > 0)} timeWindow=$tw")
+
+    // named checkpoint cut + size-based retention + auto-scale evaluation
+    g.saveStreamCut("demo", "derived", "checkpoint-A")
+    g.catalog.createStream("demo", "retained",
+      StreamConfig(initialSegments = 2, retentionMaxRows = 5000, targetRatePerSegment = 10))
+    g.writeEvents("demo", "retained", events)
+    val rcut = new Retention(g).apply("demo", "retained")
+    val kept = g.readEvents("demo", "retained").count()
+    val scaled = new AutoScaler(g, cooldownMillis = 0L).evaluate("demo", "retained",
+      now = System.currentTimeMillis() + 11 * 60 * 1000)
+    println(s"[demo] retention cut=${rcut.isDefined} kept=$kept; autoscale=${scaled.map(_.currentEpoch.epoch)}; checkpointA=${g.getStreamCut("demo", "derived", "checkpoint-A").isDefined}")
+
+    // raw byte stream
+    val bs = new graft.storage.ByteStreams(s"$work/bytes")
+    bs.create("demo", "blob")
+    bs.append("demo", "blob", "raw-bytes-".getBytes)
+    bs.append("demo", "blob", "stream".getBytes)
+    println(s"[demo] bytestream read='${new String(bs.read("demo", "blob", 0, 100))}' tail=${bs.tail("demo", "blob")}")
     println(s"[demo] OK workDir=$work")
     spark.stop()
   }

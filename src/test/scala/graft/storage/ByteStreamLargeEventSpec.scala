@@ -1,0 +1,65 @@
+package graft.storage
+
+import graft.SparkTestSession
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** ByteStreamTest + LargeEventTest analogs. */
+class ByteStreamLargeEventSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("byte stream: append/read/seek/truncate round trip") {
+    val bs = new ByteStreams(Files.createTempDirectory("graft-bs").toString)
+    bs.create("s", "raw")
+    bs.create("s", "raw") // idempotent
+    val o1 = bs.append("s", "raw", "hello ".getBytes)
+    val o2 = bs.append("s", "raw", "byte-stream world".getBytes)
+    assert(o1 == 0L && o2 == 6L)
+    assert(bs.tail("s", "raw") == 23L)
+    assert(new String(bs.read("s", "raw", 0, 100)) == "hello byte-stream world")
+    // seek mid-stream, crossing a chunk boundary
+    assert(new String(bs.read("s", "raw", 4, 8)) == "o byte-s")
+    // truncate: head rises, dead chunk dropped, old offsets fail
+    bs.truncateBefore("s", "raw", 6L)
+    assert(bs.head("s", "raw") == 6L)
+    assertThrows[TruncatedDataException](bs.read("s", "raw", 0, 4))
+    assert(new String(bs.read("s", "raw", 6, 100)) == "byte-stream world")
+    // appends continue after truncation
+    val o3 = bs.append("s", "raw", "!".getBytes)
+    assert(o3 == 23L)
+    assert(new String(bs.read("s", "raw", 6, 100)) == "byte-stream world!")
+  }
+
+  test("large events: 1KiB..7.9MiB round-trip, >8MiB rejected atomically") {
+    val g = new GraftStreams(spark, Files.createTempDirectory("graft-le").toString)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "big", StreamConfig(initialSegments = 2))
+
+    val sizes = Seq(1024, 256 * 1024, (7.9 * 1024 * 1024).toInt)
+    val big = spark.createDataFrame(sizes.zipWithIndex.map { case (n, i) =>
+      (s"rk-$i", 1704067200000L + i, Array.fill[Byte](n)((i + 1).toByte))
+    }).toDF("routingKey", "eventTime", "payload")
+    g.writeEvents("s", "big", big)
+
+    val back = g.readEvents("s", "big")
+      .select($"routingKey", length($"payload").as("len"), $"payload")
+      .collect().map(r => r.getAs[String]("routingKey") -> r.getAs[Int]("len")).toMap
+    assert(back == sizes.zipWithIndex.map { case (n, i) => s"rk-$i" -> n }.toMap)
+    // payload content integrity on the largest event
+    val largest = g.readEvents("s", "big").filter($"routingKey" === "rk-2")
+      .select($"payload").head().getAs[Array[Byte]](0)
+    assert(largest.length == sizes(2) && largest.forall(_ == 3.toByte))
+
+    // over-limit batch: rejected, nothing becomes visible
+    val over = spark.createDataFrame(Seq(
+      ("ok", 1L, Array.fill[Byte](10)(1)),
+      ("too-big", 2L, Array.fill[Byte](8 * 1024 * 1024 + 1)(1))
+    )).toDF("routingKey", "eventTime", "payload")
+    assertThrows[GraftException](g.writeEvents("s", "big", over))
+    assert(g.readEvents("s", "big").count() == 3L, "rejected batch leaked rows")
+  }
+}
