@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: outer joins, cube, pivot, percentiles,
+  * IN-subqueries, string/date scalar functions, approximate distinct.
+  * Same oracle-parity conventions as [[Relational]].
+  */
+object Relational2 {
+
+  private val TOTAL = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+  /** LEFT OUTER join preserving customers with no matching orders;
+    * null-aware aggregation.
+    */
+  private def q17LeftOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+    Tables.customer(s, dir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+           count($"o_orderkey").as("n_matched"),
+           sum(when($"o_orderkey".isNull, 1).otherwise(0)).as("n_unmatched"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q17Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched,
+      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** FULL OUTER join of two differently-keyed aggregates. */
+  private def q18FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("n_purchases"))
+    val custs = Tables.customer(s, dir).filter($"c_acctbal" > 9000.0)
+      .select($"c_custkey".as("k"), $"c_acctbal")
+    spend.join(custs, Seq("k"), "full_outer")
+      .select($"k",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"c_acctbal", lit(-1.0)).as("acctbal"))
+      .orderBy($"k")
+  }
+
+  private val q18Sql =
+    """SELECT COALESCE(a.k, b.k) AS k,
+      |  COALESCE(n_purchases, 0) AS n_purchases,
+      |  COALESCE(c_acctbal, -1.0) AS acctbal
+      |FROM (SELECT user_id AS k, COUNT(*) AS n_purchases
+      |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) a
+      |FULL JOIN (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 9000.0) b
+      |  ON a.k = b.k
+      |ORDER BY k""".stripMargin
+
+  /** CUBE over two dimensions (all 2^2 grouping sets). */
+  private def q19Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           expr(s"CAST(SUM($TOTAL) AS DOUBLE)").as("sum_total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("st"),
+              coalesce($"o_orderpriority", lit("ALL")).as("pri"),
+              $"n", $"sum_total")
+      .orderBy($"st", $"pri")
+  }
+
+  private val q19Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+       |  COALESCE(o_orderpriority, 'ALL') AS pri,
+       |  COUNT(*) AS n, CAST(SUM($TOTAL) AS DOUBLE) AS sum_total
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY st, pri""".stripMargin
+
+  /** PIVOT event types to columns (fixed category list → static schema,
+    * which is also what keeps it one pass at scale).
+    */
+  private def q20Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(($"user_id" % 5).as("ub"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"ub")
+  }
+
+  private val q20Sql =
+    """SELECT user_id % 5 AS ub,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY ub""".stripMargin
+
+  /** Exact interpolated percentiles per group. */
+  private def q21Percentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+           expr("percentile(l_quantity, 0.5)").as("p50"),
+           expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q21Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** IN-subquery (translated to a semi join by Catalyst). */
+  private def q22InSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rich = Tables.customer(s, dir).filter($"c_acctbal" > 8000.0).select($"c_custkey")
+    Tables.orders(s, dir)
+      .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q22Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String scalar functions: case, substring, concat, replace, LIKE. */
+  private def q23StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_name".like("%0001%"))
+      .select($"c_custkey",
+        upper($"c_name").as("uname"),
+        substring($"c_name", 10, 4).as("mid"),
+        concat($"c_mktsegment", lit("/"), $"c_name").as("tagged"),
+        regexp_replace($"c_name", "0", "#").as("masked"),
+        length($"c_name").as("len"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q23Sql =
+    """SELECT c_custkey, upper(c_name) AS uname,
+      |  substring(c_name, 10, 4) AS mid,
+      |  concat(c_mktsegment, '/', c_name) AS tagged,
+      |  regexp_replace(c_name, '0', '#', 'g') AS masked,
+      |  length(c_name) AS len
+      |FROM customer WHERE c_name LIKE '%0001%'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Date/time scalar functions over order dates. */
+  private def q24DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n"),
+           min(dayofmonth($"o_orderdate")).as("first_day"),
+           max(dayofmonth($"o_orderdate")).as("last_day"))
+      .orderBy($"y", $"m")
+  }
+
+  private val q24Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(day(o_orderdate)) AS INT) AS first_day,
+      |  CAST(MAX(day(o_orderdate)) AS INT) AS last_day
+      |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+
+  /** approx_count_distinct (HLL sketch) — engines use different sketch
+    * implementations, so this is rows-only checked; the exact distinct
+    * count is oracle-checked in q10.
+    */
+  private def q25ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+           countDistinct($"l_orderkey").as("exact_orders"))
+      .withColumn("rel_err",
+        abs($"approx_orders" - $"exact_orders").cast("double") / $"exact_orders")
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
+    ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
+    ("q19_cube",            q19Cube _,          Some(q19Sql)),
+    ("q20_pivot",           q20Pivot _,         Some(q20Sql)),
+    ("q21_percentile",      q21Percentile _,    Some(q21Sql)),
+    ("q22_in_subquery",     q22InSubquery _,    Some(q22Sql)),
+    ("q23_string_funcs",    q23StringFuncs _,   Some(q23Sql)),
+    ("q24_date_funcs",      q24DateFuncs _,     Some(q24Sql)),
+    ("q25_approx_distinct", q25ApproxDistinct _, None),
+  )
+}
