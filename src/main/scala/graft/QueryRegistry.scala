@@ -12,7 +12,8 @@ object QueryRegistry {
   /** (name, query, Some(oracleSql) | None — None → driver rows-only check). */
   def contributions: Seq[(String, Qf, Option[String])] =
     Q.Relational.defs ++ Q.Relational2.defs ++ Q.EventsStream.defs ++
-      Q.TextOps.defs ++ Q.DedupOps.defs ++ Q.SimilarityOps.defs
+      Q.TextOps.defs ++ Q.DedupOps.defs ++ Q.SimilarityOps.defs ++
+      Q.KvQueries.defs ++ Q.StreamQueries.defs
 
   def queries: Map[String, Qf] =
     contributions.map { case (k, q, _) => k -> q }.toMap

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import graft.kv.KeyValueTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-value table operators (SURVEY §2.6) surfaced in the driver-checked
+  * inventory: each query builds a real KV table from the `customer` table
+  * (put-all → overwrite a third → remove a seventh), then reads it back,
+  * and the DuckDB oracle recomputes the expected resolved state from
+  * `customer` directly — so versions, conditional-resolution order, range
+  * scans and the delta feed are all hash-checked end to end through the
+  * engine's own LSM path.
+  */
+object KvQueries {
+
+  /** Deterministic mutation history:
+    * commit 0: put every customer (pk = 8-digit custkey, value = acctbal);
+    * commit 1: overwrite custkey%3==0 with "upd:" prefix;
+    * commit 2: remove custkey%7==0.
+    */
+  private def build(s: SparkSession, dir: String): KeyValueTable = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kvq").toString
+    val t = new KeyValueTable(s, work, "cust", partitionCount = 8)
+    val c = Tables.customer(s, dir).select(
+      format_string("%08d", $"c_custkey").as("pk"), lit("").as("sk"),
+      $"c_custkey", $"c_acctbal")
+    t.put(c.select($"pk", $"sk", encode($"c_acctbal".cast("string"), "UTF-8").as("value")))
+    t.put(c.filter($"c_custkey" % 3 === 0)
+      .select($"pk", $"sk",
+        encode(concat(lit("upd:"), $"c_acctbal".cast("string")), "UTF-8").as("value")))
+    t.remove(c.filter($"c_custkey" % 7 === 0).select($"pk", $"sk"))
+    t
+  }
+
+  /** Resolved state: latest PUT per key, tombstones hide removed keys,
+    * version = commit version of the winning write.
+    */
+  private def kvResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    build(s, dir).entries()
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val kvResolveSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE CAST(c_acctbal AS VARCHAR) END AS val,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS version
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |ORDER BY pk""".stripMargin
+
+  /** Sorted range iteration (forRange analog). */
+  private def kvRangeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    build(s, dir).scanRange("00000020", "00000080")
+      .select($"pk", decode($"value", "UTF-8").as("val"))
+      .orderBy($"pk")
+  }
+
+  private val kvRangeScanSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE CAST(c_acctbal AS VARCHAR) END AS val
+      |FROM customer
+      |WHERE c_custkey % 7 <> 0
+      |  AND format('{:08d}', c_custkey) >= '00000020'
+      |  AND format('{:08d}', c_custkey) < '00000080'
+      |ORDER BY pk""".stripMargin
+
+  /** Changes-since (ReadTableEntriesDelta analog): everything after the
+    * initial load — the overwrites and the tombstones.
+    */
+  private def kvDeltaFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    build(s, dir).deltaSince(0L)
+      .select($"pk", $"op", $"version")
+      .orderBy($"version", $"pk")
+  }
+
+  private val kvDeltaFeedSql =
+    """SELECT pk, op, version FROM (
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'PUT' AS op, 1 AS version
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'REMOVE' AS op, 2 AS version
+      |  FROM customer WHERE c_custkey % 7 = 0) t
+      |ORDER BY version, pk""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
+    ("kv_range_scan", kvRangeScan _, Some(kvRangeScanSql)),
+    ("kv_delta_feed", kvDeltaFeed _, Some(kvDeltaFeedSql)),
+  )
+}

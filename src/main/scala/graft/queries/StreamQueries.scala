@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import graft.core.StreamConfig
+import graft.storage.GraftStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end engine round trips surfaced in the driver-checked
+  * inventory: the events table is pushed through the engine's own write
+  * path (routing-hash partitioning, offset assignment, manifest commit)
+  * and read back through manifest-planned scans; the DuckDB oracle
+  * aggregates the source table directly. A hash match therefore proves
+  * the storage engine loses nothing, duplicates nothing and preserves
+  * payloads — the ReadWriteTest invariant, checked against an external
+  * oracle.
+  */
+object StreamQueries {
+
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 8))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    g.readEvents("q", "ev")
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(decode($"payload", "UTF-8")).as("n_types"),
+           min($"eventTime").as("first_time"),
+           max($"eventTime").as("last_time"))
+      .orderBy($"routingKey")
+  }
+
+  private val roundtripSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_time,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_time
+      |FROM events GROUP BY 1 ORDER BY routingKey""".stripMargin
+
+  /** Transactional round trip: half the events go through a committed
+    * transaction, a decoy batch through an aborted one; the oracle sees
+    * only the source table — a match proves txn atomicity end to end.
+    */
+  private def txnRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rtx").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+    g.writeEvents("q", "ev", src.filter($"event_id" % 2 === 0).drop("event_id"))
+    val txn = g.beginTxn("q", "ev")
+    g.writeToTxn("q", "ev", txn, src.filter($"event_id" % 2 === 1).drop("event_id"))
+    val decoy = g.beginTxn("q", "ev")
+    g.writeToTxn("q", "ev", decoy, src.limit(500).drop("event_id"))
+    g.commitTxn("q", "ev", txn)
+    g.abortTxn("q", "ev", decoy)
+    g.readEvents("q", "ev")
+      .groupBy(decode($"payload", "UTF-8").as("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  private val txnRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
+  )
+}
