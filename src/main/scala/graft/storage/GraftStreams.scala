@@ -67,35 +67,31 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
     val batchDir = new Path(catalog.dataDir(scope, stream), s"batch-${UUID.randomUUID()}")
     val win = Window.partitionBy($"segmentId").orderBy($"arrivalSeq")
+    // MAX_EVENT_SIZE (Serializer.java:33) enforced in-flight: an oversize
+    // payload fails the write job before anything can be committed.
+    val sizeGuard = when(length($"payload") <= GraftStreams.MaxEventSize, $"payload")
+      .otherwise(raise_error(concat(lit("event payload exceeds MAX_EVENT_SIZE: "),
+        length($"payload").cast("string"))).cast("binary"))
     val routed = df
       .withColumn("arrivalSeq", monotonically_increasing_id())
       .withColumn("segmentId", segCol)
       .repartition($"segmentId")
       .withColumn("offset", baseCol + row_number().over(win) - 1)
       .withColumn("processingTime", current_timestamp())
-      .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
+      .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime",
+        sizeGuard.as("payload"))
       .withColumn("segId", $"segmentId")
       .sortWithinPartitions($"segmentId", $"offset")
 
-    routed.write.partitionBy("segId").parquet(batchDir.toString)
-
-    // Per-file commit stats (production: collected from task commit
-    // messages; here a cheap footer-sized second pass).
-    val staged = spark.read.parquet(batchDir.toString)
-    val oversize = staged.filter(length($"payload") > GraftStreams.MaxEventSize).limit(1).count()
-    if (oversize > 0) {
-      batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
-      throw new GraftException(
-        s"event payload exceeds MAX_EVENT_SIZE (${GraftStreams.MaxEventSize} bytes); batch rejected")
+    try routed.write.partitionBy("segId").parquet(batchDir.toString)
+    catch {
+      case e: Throwable =>
+        batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
+        throw new GraftException(s"write batch failed, staging dropped: ${e.getMessage}")
     }
-    val entries = staged
-      .groupBy(input_file_name().as("path"), $"segmentId")
-      .agg(count(lit(1)).as("n"), min($"offset").as("lo"), max($"offset").as("hi"),
-           min($"eventTime").as("tmin"), max($"eventTime").as("tmax"))
-      .collect()
-      .map(r => FileEntry(r.getAs[Long]("segmentId"), stripScheme(r.getAs[String]("path")),
-        r.getAs[Long]("lo"), r.getAs[Long]("n"), r.getAs[Long]("tmin"), r.getAs[Long]("tmax")))
-      .toSeq
+
+    // Per-file commit stats from parquet footers — no second data scan.
+    val entries = statsFromFooters(batchDir)
 
     val updated = catalog.update(scope, stream) { m =>
       if (m.isSealed) throw new StreamSealedException(s"$scope/$stream sealed during write")
@@ -145,6 +141,53 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new Path(p).toUri.getPath else p
+
+  /** Commit stats straight from parquet footers (rowCount + offset/
+    * eventTime min-max live in block metadata): no second data scan per
+    * write — at scale this is footer-metadata IO only, the same trick the
+    * reference plays with per-segment attributes instead of data reads.
+    */
+  private def statsFromFooters(dir: Path): Seq[FileEntry] = {
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = dir.getFileSystem(conf)
+    val it = fsys.listFiles(dir, true)
+    val out = scala.collection.mutable.ListBuffer.empty[FileEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.endsWith(".parquet")) {
+        val segId = p.getParent.getName.stripPrefix("segId=").toLong
+        val footer = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
+        var rows = 0L
+        var offLo = Long.MaxValue; var offHi = Long.MinValue
+        var tLo = Long.MaxValue; var tHi = Long.MinValue
+        footer.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            val s = c.getStatistics
+            if (s != null && !s.isEmpty) {
+              if (name == "offset") {
+                offLo = math.min(offLo, s.genericGetMin.asInstanceOf[Number].longValue)
+                offHi = math.max(offHi, s.genericGetMax.asInstanceOf[Number].longValue)
+              } else if (name == "eventTime") {
+                tLo = math.min(tLo, s.genericGetMin.asInstanceOf[Number].longValue)
+                tHi = math.max(tHi, s.genericGetMax.asInstanceOf[Number].longValue)
+              }
+            }
+          }
+        }
+        if (rows > 0)
+          out += FileEntry(segId, stripScheme(p.toString), offLo, rows,
+            if (tLo == Long.MaxValue) 0L else tLo,
+            if (tHi == Long.MinValue) 0L else tHi)
+      }
+    }
+    out.toList
+  }
 
   // ------------------------------------------------------------------- read
 
@@ -367,18 +410,9 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         .sortWithinPartitions($"segmentId", $"offset")
       toWrite.write.partitionBy("segId").parquet(commitDir.toString)
 
-      val committed = spark.read.parquet(commitDir.toString)
-      if (committed.filter($"segmentId".isin(sealedTargets.toSeq: _*)).limit(1).count() > 0
-          && sealedTargets.nonEmpty)
+      entries = statsFromFooters(commitDir)
+      if (entries.exists(e => sealedTargets.contains(e.segmentId)))
         throw new TxnFailedException(s"txn $txnId targets sealed segments (stream scaled mid-txn)")
-      entries = committed
-        .groupBy(input_file_name().as("path"), $"segmentId")
-        .agg(count(lit(1)).as("n"), min($"offset").as("lo"), max($"offset").as("hi"),
-             min($"eventTime").as("tmin"), max($"eventTime").as("tmax"))
-        .collect()
-        .map(r => FileEntry(r.getAs[Long]("segmentId"), stripScheme(r.getAs[String]("path")),
-          r.getAs[Long]("lo"), r.getAs[Long]("n"), r.getAs[Long]("tmin"), r.getAs[Long]("tmax")))
-        .toSeq
     }
 
     catalog.update(scope, stream) { m =>
