@@ -52,7 +52,20 @@ object MinHashLSH {
       .repartition(col("id"))
       .persist()
 
-    val sigs = toks.select(col("id"), signature(col("toks"), shingleSize, numHashes).as("sig"))
+    // signatures via explode + numHashes partial-aggregated mins: a
+    // vectorized aggregation over (doc, shingleHash) rows beats nested
+    // per-doc array transforms (no array allocation churn)
+    val shingles = toks.select(col("id"),
+      explode(array_distinct(
+        when(size(col("toks")) >= shingleSize,
+          transform(sequence(lit(0), size(col("toks")) - shingleSize),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(shingleSize)))))
+          .otherwise(array(concat_ws(" ", col("toks")))))).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val minCols = (0 until numHashes).map(j => min(hash(col("h"), lit(j))).as(s"m$j"))
+    val sigs = shingles.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
 
     val banded = sigs.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),

@@ -466,6 +466,49 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     expired
   }
 
+  // ------------------------------------------------------------- compaction
+
+  /** Small-file compaction (the DefragmentOperation / OPTIMIZE analog,
+    * SURVEY §4): segments accumulating one file per micro-batch are
+    * rewritten into one file per segment, swapped into the manifest
+    * atomically. Offsets are preserved in the rows, so cuts, pointers and
+    * in-flight readers of committed manifests are unaffected; a concurrent
+    * append moves the CAS and the compaction retries against fresh state.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactStream(scope: String, stream: String, minFilesPerSegment: Int = 2): (Int, Int) = {
+    val meta = catalog.getStream(scope, stream)
+    val bySeg = meta.files.groupBy(_.segmentId)
+    val targets = bySeg.filter(_._2.size >= minFilesPerSegment)
+    if (targets.isEmpty) return (meta.files.size, meta.files.size)
+
+    val head = meta.headStreamCut.positions
+    val compactDir = new Path(catalog.dataDir(scope, stream), s"compact-${UUID.randomUUID()}")
+    val oldPaths = targets.values.flatten.map(_.path).toSeq
+    spark.read.schema(GraftStreams.eventSchema).parquet(oldPaths: _*)
+      .filter(targets.keySet.map(sid =>
+        col("segmentId") === sid && col("offset") >= head.getOrElse(sid, 0L)).reduce(_ || _))
+      .withColumn("segId", col("segmentId"))
+      .repartition(col("segmentId"))
+      .sortWithinPartitions(col("segmentId"), col("offset"))
+      .write.partitionBy("segId").parquet(compactDir.toString)
+
+    val newEntries = statsFromFooters(compactDir)
+    val updated = catalog.update(scope, stream) { m =>
+      // the CAS closure revalidates: if any target segment gained a file
+      // since planning, fail (caller can rerun) rather than lose it
+      val changed = targets.exists { case (sid, fs) =>
+        m.files.filter(_.segmentId == sid).map(_.path).toSet != fs.map(_.path).toSet
+      }
+      if (changed) throw new ConditionalCheckFailedException(
+        s"$scope/$stream files changed during compaction")
+      m.copy(files = m.files.filterNot(f => targets.contains(f.segmentId)) ++ newEntries)
+    }
+    val fsys = compactDir.getFileSystem(spark.sessionState.newHadoopConf())
+    oldPaths.foreach(p => fsys.delete(new Path(p), false))
+    (meta.files.size, updated.files.size)
+  }
+
   // ------------------------------------------------------------- watermarks
 
   /** noteTime (EventStreamWriter.java:117 + Controller.java:468

@@ -102,6 +102,10 @@ object StreamDemo {
       now = System.currentTimeMillis() + 11 * 60 * 1000)
     println(s"[demo] retention cut=${rcut.isDefined} kept=$kept; autoscale=${scaled.map(_.currentEpoch.epoch)}; checkpointA=${g.getStreamCut("demo", "derived", "checkpoint-A").isDefined}")
 
+    // small-file compaction: many batch files → one per segment
+    val (cb, ca) = g.compactStream("demo", "derived")
+    println(s"[demo] compaction: files $cb → $ca; rows still ${g.readEvents("demo", "derived").count()}")
+
     // raw byte stream
     val bs = new graft.storage.ByteStreams(s"$work/bytes")
     bs.create("demo", "blob")

@@ -1,0 +1,59 @@
+package graft.storage
+
+import graft.SparkTestSession
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Stream small-file compaction: many micro-batch files fold into one per
+  * segment with identical data, preserved offsets, working cuts.
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("compaction merges files, preserves rows/offsets/cuts, survives truncation") {
+    val g = new GraftStreams(spark, Files.createTempDirectory("graft-comp").toString)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "x", StreamConfig(initialSegments = 2))
+    (0 until 6).foreach { i =>
+      g.writeEvents("s", "x", spark.range(100).select(
+        concat(lit("k"), col("id") % 5).as("routingKey"),
+        (lit(1704067200000L) + lit(i * 100L) + col("id")).as("eventTime"),
+        encode(concat(lit(s"b$i-"), col("id")), "UTF-8").as("payload")))
+    }
+    val before = g.readEvents("s", "x")
+      .select($"segmentId", $"offset", decode($"payload", "UTF-8").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val metaBefore = g.catalog.getStream("s", "x")
+    assert(metaBefore.files.size == 12, "expected 6 files per segment")
+
+    // truncate a little first: compaction must respect the head cut
+    val cut = g.nextStreamCut("s", "x", metaBefore.headStreamCut, 50)
+    g.catalog.truncateStream("s", "x", cut)
+    val expectedAfterTrunc = g.readEvents("s", "x")
+      .select($"segmentId", $"offset", decode($"payload", "UTF-8").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val (nBefore, nAfter) = g.compactStream("s", "x")
+    assert(nAfter == 2, s"2 segments should compact to 2 files, got $nAfter (from $nBefore)")
+
+    val after = g.readEvents("s", "x")
+      .select($"segmentId", $"offset", decode($"payload", "UTF-8").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == expectedAfterTrunc, "compaction changed visible data")
+    assert(expectedAfterTrunc.subsetOf(before))
+
+    // appends and bounded reads keep working on the compacted stream
+    g.writeEvents("s", "x", spark.range(10).select(
+      concat(lit("k"), col("id") % 5).as("routingKey"),
+      lit(9999999999L).as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+    assert(g.readEvents("s", "x").count() == after.size + 10L)
+    // second compaction folds the new files in again
+    val (_, n2) = g.compactStream("s", "x")
+    assert(n2 == 2)
+  }
+}
