@@ -42,8 +42,46 @@ final case class SegmentRecord(
     tailOffset: Long,
     isSealed: Boolean,
     parents: Seq[Long],
-    createdAt: Long) {
+    createdAt: Long,
+    /** Per-segment attribute map (segmentstore/contracts/.../Attributes
+      * .java:61-137): e.g. EVENT_COUNT, maintained by update-type
+      * semantics below.
+      */
+    attributes: Map[String, Long] = Map.empty) {
   def range: KeyRange = KeyRange(keyLow, keyHigh)
+}
+
+/** Attribute update with the reference's conditional types
+  * (AttributeUpdateType.java:27-60): None/Replace set, ReplaceIfGreater
+  * only moves forward, Accumulate adds, ReplaceIfEquals is a CAS against
+  * `comparisonValue`.
+  */
+final case class AttributeUpdate(
+    key: String,
+    updateType: String, // NONE | REPLACE | REPLACE_IF_GREATER | ACCUMULATE | REPLACE_IF_EQUALS
+    value: Long,
+    comparisonValue: Long = 0L) {
+
+  def apply(current: Option[Long]): Long = updateType match {
+    case "NONE" | "REPLACE" => value
+    case "ACCUMULATE" => current.getOrElse(0L) + value
+    case "REPLACE_IF_GREATER" =>
+      if (current.forall(value > _)) value
+      else throw new ConditionalCheckFailedException(
+        s"attribute $key: $value not greater than ${current.get}")
+    case "REPLACE_IF_EQUALS" =>
+      if (current.getOrElse(Attributes.NullValue) == comparisonValue) value
+      else throw new ConditionalCheckFailedException(
+        s"attribute $key: expected $comparisonValue, was ${current.getOrElse(Attributes.NullValue)}")
+    case other => throw new GraftException(s"unknown attribute update type $other")
+  }
+}
+
+object Attributes {
+  /** Missing-attribute sentinel (Attributes.NULL_ATTRIBUTE_VALUE). */
+  val NullValue: Long = Long.MinValue
+  /** Per-segment running event count (Attributes.java:66). */
+  val EventCount = "EVENT_COUNT"
 }
 
 final case class EpochRecord(epoch: Int, segmentIds: Seq[Long], createdAt: Long)

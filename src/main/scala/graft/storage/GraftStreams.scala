@@ -81,7 +81,8 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime",
         sizeGuard.as("payload"))
       .withColumn("segId", $"segmentId")
-      .sortWithinPartitions($"segmentId", $"offset")
+    // no extra sort: the ranking window already leaves each partition
+    // ordered by (segmentId, arrivalSeq) == (segmentId, offset)
 
     try routed.write.partitionBy("segId").parquet(batchDir.toString)
     catch {
@@ -106,8 +107,15 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       val rowsPerSeg = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.rowCount).sum }
       m.copy(
         files = m.files ++ entries,
-        segments = m.segments.map(s =>
-          s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset))),
+        segments = m.segments.map { s =>
+          val appended = rowsPerSeg.getOrElse(s.segmentId, 0L)
+          val attrs =
+            if (appended == 0) s.attributes
+            else s.attributes + (Attributes.EventCount ->
+              AttributeUpdate(Attributes.EventCount, "ACCUMULATE", appended)
+                .apply(s.attributes.get(Attributes.EventCount)))
+          s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset), attributes = attrs)
+        },
         segmentRates = m.segmentRates ++ rowsPerSeg.map { case (sid, n) =>
           sid -> m.segmentRates.getOrElse(sid, SegmentRates()).update(n, now) },
         writerBatches = (for (w <- writerId; b <- batchId) yield m.writerBatches + (w -> b))
@@ -115,6 +123,33 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     }
     updated.tailCut
   }
+
+  // ------------------------------------------------------- segment attributes
+
+  /** Conditional segment-attribute updates (GetSegmentAttribute /
+    * UpdateSegmentAttribute wire ops, WireCommands.java:1022,1078, with
+    * AttributeUpdateType semantics): all updates in one call commit
+    * atomically via the manifest CAS; any failed condition aborts the
+    * whole batch (ConditionalCheckFailed).
+    */
+  def updateSegmentAttributes(scope: String, stream: String, segmentId: Long,
+                              updates: Seq[AttributeUpdate]): Map[String, Long] = {
+    var result: Map[String, Long] = Map.empty
+    catalog.update(scope, stream) { m =>
+      val seg = m.segment(segmentId)
+      val attrs = updates.foldLeft(seg.attributes) { (acc, u) =>
+        acc + (u.key -> u.apply(acc.get(u.key)))
+      }
+      result = attrs
+      m.copy(segments = m.segments.map(s =>
+        if (s.segmentId == segmentId) s.copy(attributes = attrs) else s))
+    }
+    result
+  }
+
+  def getSegmentAttribute(scope: String, stream: String, segmentId: Long, key: String): Long =
+    catalog.getStream(scope, stream).segment(segmentId)
+      .attributes.getOrElse(key, Attributes.NullValue)
 
   // ------------------------------------------------------------- named cuts
 
@@ -357,7 +392,6 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .withColumn("processingTime", current_timestamp())
       .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
       .withColumn("segId", $"segmentId")
-      .sortWithinPartitions($"segmentId", $"offset")
       .write.mode("append").partitionBy("segId").parquet(part.toString)
 
     val counts = df.select(segCol.as("segmentId"))
