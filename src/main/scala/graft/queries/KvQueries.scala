@@ -21,7 +21,15 @@ object KvQueries {
     * commit 1: overwrite custkey%3==0 with "upd:" prefix;
     * commit 2: remove custkey%7==0.
     */
-  private def build(s: SparkSession, dir: String): KeyValueTable = {
+  // The three kv_* queries share one deterministic build per (session,
+  // sfDir): the mutation history is fixed, so memoizing only saves the
+  // redundant rebuilds when the driver runs the whole inventory.
+  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String), KeyValueTable]
+
+  private def build(s: SparkSession, dir: String): KeyValueTable =
+    cache.getOrElseUpdate((System.identityHashCode(s), dir), buildFresh(s, dir))
+
+  private def buildFresh(s: SparkSession, dir: String): KeyValueTable = {
     import s.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-kvq").toString
     val t = new KeyValueTable(s, work, "cust", partitionCount = 8)

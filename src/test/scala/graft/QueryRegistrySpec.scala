@@ -31,6 +31,12 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("registry names are unique (toMap must not drop a query silently)") {
+    val names = QueryRegistry.contributions.map(_._1)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
