@@ -131,7 +131,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * primitive — transactions, truncation, scale, sealing all go through
     * it.
     */
-  def update(scope: String, stream: String, maxRetries: Int = 10)
+  def update(scope: String, stream: String, maxRetries: Int = 50)
             (f: StreamMetadata => StreamMetadata): StreamMetadata = {
     var attempt = 0
     while (true) {
@@ -147,6 +147,9 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
           if (attempt > maxRetries)
             throw new ConditionalCheckFailedException(
               s"manifest CAS for $scope/$stream lost $maxRetries times")
+          // jittered backoff: contending committers otherwise re-collide
+          // in lockstep (they all reread the same fresh manifest)
+          Thread.sleep(scala.util.Random.nextInt(20 * math.min(attempt, 8)) + 1L)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -207,7 +210,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // overwrite=false → exclusive create; the CAS.
     var out: OutputStream = null
     try {
-      out = fs.create(path, false)
+      out = CasFiles.createExclusive(fs, path)
       out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
     } finally if (out != null) out.close()
   }

@@ -62,7 +62,7 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
   private def commit(m: KvManifest): KvManifest = {
     fs.mkdirs(metaDir)
-    val out = fs.create(manifestPath(m.version), false) // exclusive → CAS
+    val out = graft.catalog.CasFiles.createExclusive(fs, manifestPath(m.version)) // exclusive → CAS
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     m

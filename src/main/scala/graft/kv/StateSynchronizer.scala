@@ -50,7 +50,7 @@ class StateSynchronizer(rootDir: String, name: String,
     fs.mkdirs(dir)
     val next = expectedRevision + 1
     try {
-      val out = fs.create(revPath(next), false)
+      val out = graft.catalog.CasFiles.createExclusive(fs, revPath(next))
       try out.write(state.getBytes(StandardCharsets.UTF_8)) finally out.close()
       next
     } catch {

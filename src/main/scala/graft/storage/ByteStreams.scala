@@ -50,7 +50,7 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
         val Array(h, t) = s.split(",")
         start = t.toLong
         val chunk = new Path(dir(scope, name), f"chunk-$start%016d")
-        val out = fs(chunk).create(chunk, false)
+        val out = graft.catalog.CasFiles.createExclusive(fs(chunk), chunk)
         try out.write(data) finally out.close()
         s"$h,${start + data.length}"
     }

@@ -500,6 +500,53 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     expired
   }
 
+  /** Concurrent-writer convenience: offsets are assigned against a tail
+    * snapshot, so a racing commit fails the CAS (tails-moved check); this
+    * wrapper re-runs the batch against fresh tails — writer idempotence
+    * keys make the retry safe even if the failure was a false alarm.
+    */
+  def writeEventsWithRetry(scope: String, stream: String, df: DataFrame,
+                           writerId: Option[String] = None, batchId: Option[Long] = None,
+                           maxRetries: Int = 10): StreamCut = {
+    var attempt = 0
+    while (true) {
+      try return writeEvents(scope, stream, df, writerId, batchId)
+      catch {
+        case _: ConditionalCheckFailedException if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Orphan sweep: a writer that dies between staging its files and the
+    * manifest CAS leaves a `batch-*`/`txncommit-*`/`compact-*` dir that no
+    * committed manifest references — invisible to readers by construction,
+    * reclaimed here after a grace period (the failed-write analog of the
+    * reference's transient-segment cleanup).
+    */
+  def sweepOrphans(scope: String, stream: String,
+                   olderThanMillis: Long = 3600000L): Seq[String] = {
+    val meta = catalog.getStream(scope, stream)
+    val referenced = meta.files.map(f => new Path(f.path).getParent.getParent.toString).toSet ++
+      meta.files.map(f => new Path(f.path).getParent.toString).toSet
+    val dataDir = catalog.dataDir(scope, stream)
+    val fsys = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsys.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val removed = fsys.listStatus(dataDir).toSeq
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("batch-") ||
+         st.getPath.getName.startsWith("txncommit-") ||
+         st.getPath.getName.startsWith("compact-")) &&
+        !referenced.contains(st.getPath.toString) &&
+        !referenced.contains(stripScheme(st.getPath.toString)) &&
+        st.getModificationTime < cutoff)
+    removed.foreach(st => fsys.delete(st.getPath, true))
+    removed.map(_.getPath.toString)
+  }
+
   // ------------------------------------------------------------- compaction
 
   /** Small-file compaction (the DefragmentOperation / OPTIMIZE analog,
