@@ -193,6 +193,28 @@ object Relational2 {
       .orderBy($"l_returnflag")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): two unrelated
+    * dimensions aggregated in one pass over the fact table.
+    */
+  private def q26GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+         |  COALESCE(o_orderpriority, 'ALL') AS pri,
+         |  COUNT(*) AS n, CAST(SUM($TOTAL) AS DOUBLE) AS sum_total
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY st, pri""".stripMargin)
+  }
+
+  private val q26Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+       |  COALESCE(o_orderpriority, 'ALL') AS pri,
+       |  COUNT(*) AS n, CAST(SUM($TOTAL) AS DOUBLE) AS sum_total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+       |ORDER BY st, pri""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
     ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
@@ -203,5 +225,6 @@ object Relational2 {
     ("q23_string_funcs",    q23StringFuncs _,   Some(q23Sql)),
     ("q24_date_funcs",      q24DateFuncs _,     Some(q24Sql)),
     ("q25_approx_distinct", q25ApproxDistinct _, None),
+    ("q26_grouping_sets",   q26GroupingSets _,  Some(q26Sql)),
   )
 }
