@@ -226,8 +226,27 @@ object EventsStream {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Per-segment append rates over 2-minute windows — the batch shape of
+    * the auto-scaler's EWMA input (SegmentStatsRecorderImpl.java:246).
+    */
+  private def evRateWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("w", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 120000000"))
+      .groupBy(expr(s"$SEG").as("segment"), $"w")
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(COUNT(*) AS DOUBLE) / 120.0").as("rate_per_sec"))
+      .orderBy($"segment", $"w")
+  }
+
+  private val evRateWindowsSql =
+    s"""SELECT $SEG AS segment, epoch_us(CAST(ts AS TIMESTAMP)) // 120000000 AS w,
+       |  COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) / 120.0 AS rate_per_sec
+       |FROM events GROUP BY 1, 2 ORDER BY segment, w""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ev_count_by_type",   evCountByType _,    Some(evCountByTypeSql)),
+    ("ev_rate_windows",    evRateWindows _,    Some(evRateWindowsSql)),
     ("ev_segment_counts",  evSegmentCounts _,  Some(evSegmentCountsSql)),
     ("ev_cut_bounded_read", evCutBoundedRead _, Some(evCutBoundedReadSql)),
     ("ev_fetch_event",     evFetchEvent _,     Some(evFetchEventSql)),

@@ -138,8 +138,28 @@ object TextOps {
       |FROM (SELECT md5(lower(trim(text))) AS fp FROM documents) t
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Vocabulary analysis: corpus-wide top tokens — the explode+count shape
+    * every token-frequency / BPE-training pipeline starts with (map-side
+    * combine keeps the shuffle at vocabulary width, not corpus width).
+    */
+  private def topTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(25)
+  }
+
+  private val topTokensSql =
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |      FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
+    ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
     ("txt_lang_id",       langId _,        Some(langIdSql)),
     ("txt_fingerprint",   fingerprint _,   Some(fingerprintSql)),
