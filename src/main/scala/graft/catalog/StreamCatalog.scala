@@ -164,20 +164,29 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
 
   /** truncateStream(cut) (Controller.java:237): raise the head cut; files
-    * entirely below it leave the manifest (physical deletion is a separate
-    * best-effort sweep, object-store friendly).
+    * entirely below it leave the manifest. The CAS closure is side-effect
+    * free — it only rewrites metadata; physical deletion of the dropped
+    * files happens strictly AFTER the manifest commit succeeds, so a lost
+    * CAS or a crash mid-truncate can never leave a committed manifest
+    * pointing at deleted data (readers of the old manifest still see a
+    * complete file set; the new manifest no longer references the dead
+    * files, so deleting them afterwards is safe and idempotent).
     */
   def truncateStream(scope: String, stream: String, cut: StreamCut): StreamMetadata = {
+    var dead: Seq[FileEntry] = Nil
     val updated = update(scope, stream) { m =>
       val newHead = m.segments.map { s =>
         val cur = m.headCut.getOrElse(s.segmentId, s.startOffset)
         s.segmentId -> math.max(cur, cut.positions.getOrElse(s.segmentId, cur))
       }.toMap
-      val (dead, live) = m.files.partition(f => f.endOffset <= newHead.getOrElse(f.segmentId, 0L))
-      dead.foreach(f => fs.delete(new Path(f.path), false))
+      val (d, live) = m.files.partition(f => f.endOffset <= newHead.getOrElse(f.segmentId, 0L))
+      dead = d
       m.copy(headCut = newHead, files = live,
         segments = m.segments.map(s => s.copy(startOffset = newHead.getOrElse(s.segmentId, s.startOffset))))
     }
+    // best-effort sweep of now-unreferenced files; a failure here only
+    // leaks space (reclaimed by a later sweep), never correctness
+    dead.foreach(f => try fs.delete(new Path(f.path), false) catch { case _: Exception => () })
     updated
   }
 

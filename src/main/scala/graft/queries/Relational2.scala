@@ -24,13 +24,16 @@ object Relational2 {
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_rows"),
            count($"o_orderkey").as("n_matched"),
-           sum(when($"o_orderkey".isNull, 1).otherwise(0)).as("n_unmatched"))
+           // COUNT(*) − COUNT(col) stays BIGINT on both engines; DuckDB's
+           // SUM over integers is HUGEINT → float64 in pandas, which
+           // hash-mismatches Spark's bigint even when values are equal
+           (count(lit(1)) - count($"o_orderkey")).as("n_unmatched"))
       .orderBy($"c_mktsegment")
   }
 
   private val q17Sql =
     """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+      |  COUNT(*) - COUNT(o_orderkey) AS n_unmatched
       |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
       |  ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

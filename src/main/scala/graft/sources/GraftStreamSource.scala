@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.core._
 import graft.storage.GraftStreams
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
@@ -31,7 +32,8 @@ class GraftStreamSource(
     scope: String,
     stream: String,
     startCut: Option[StreamCut],
-    maxRowsPerTrigger: Option[Long]) extends Source {
+    maxRowsPerTrigger: Option[Long],
+    metadataPath: String) extends Source {
 
   private implicit val fmts: Formats = DefaultFormats
   private val spark: SparkSession = sqlContext.sparkSession
@@ -42,8 +44,49 @@ class GraftStreamSource(
   private def initialCut: StreamCut =
     startCut.getOrElse(g.catalog.getStream(scope, stream).headStreamCut)
 
+  // The last announced cut must survive query restarts: with every batch
+  // committed, Spark calls getOffset without any prior getBatch, and a
+  // throttled cut recomputed from `initialCut` would announce an offset
+  // BELOW the checkpointed one — re-delivering processed rows. So the
+  // highest announced cut is persisted inside the source's slice of the
+  // checkpoint (`metadataPath`), the same trick Spark's FileStreamSource
+  // plays with its own metadata log. Absent marker = genuinely fresh query.
+  private val persistPath: Option[Path] =
+    Option(metadataPath).filter(_.nonEmpty).map(p => new Path(p, "graft-last-cut"))
+
   /** Highest cut handed to Spark so far (monotonic). */
-  private var lastEnd: Option[StreamCut] = None
+  private var lastEnd: Option[StreamCut] = loadPersistedCut()
+
+  private def hfs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def loadPersistedCut(): Option[StreamCut] = persistPath.flatMap { p =>
+    val fs = hfs(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        Some(GraftSourceOffset.fromJson(txt))
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  private def persistCut(cut: StreamCut): Unit = persistPath.foreach { p =>
+    val fs = hfs(p)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(GraftSourceOffset(cut).json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  private def advanceLastEnd(cut: StreamCut): Unit = {
+    val changed = !lastEnd.contains(cut)
+    lastEnd = Some(cut)
+    if (changed) persistCut(cut)
+  }
 
   override def getOffset: Option[OffsetV1] = {
     val meta = g.catalog.getStream(scope, stream)
@@ -68,7 +111,7 @@ class GraftStreamSource(
         && lastEnd.isDefined) {
       Some(GraftSourceOffset(merged)) // unchanged; Spark skips the batch
     } else {
-      lastEnd = Some(merged)
+      advanceLastEnd(merged)
       Some(GraftSourceOffset(merged))
     }
   }
@@ -76,7 +119,12 @@ class GraftStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(GraftSourceOffset.toCut).getOrElse(initialCut)
     val to = GraftSourceOffset.toCut(end)
-    lastEnd = Some(to)
+    // keep the monotonic floor: getBatch can replay an OLD batch on
+    // restart while the persisted cut is already further ahead
+    val floor = lastEnd.getOrElse(to)
+    advanceLastEnd(StreamCut((to.positions.keySet ++ floor.positions.keySet).map { sid =>
+      sid -> math.max(to.positions.getOrElse(sid, 0L), floor.positions.getOrElse(sid, 0L))
+    }.toMap))
 
     val meta = g.catalog.getStream(scope, stream)
     val lo: Long => Long = sid => from.positions.getOrElse(sid, 0L)
@@ -130,6 +178,6 @@ class GraftStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
     val startCut = parameters.get("fromStreamCut").filter(_ != "head")
       .map(GraftSourceOffset.fromJson)
     new GraftStreamSource(ctx, req("rootDir"), req("scope"), req("stream"),
-      startCut, parameters.get("maxRowsPerTrigger").map(_.toLong))
+      startCut, parameters.get("maxRowsPerTrigger").map(_.toLong), metadataPath)
   }
 }

@@ -41,7 +41,17 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
     }
   }
 
-  /** Append bytes; returns the offset the chunk starts at. */
+  /** Append bytes; returns the offset the chunk starts at.
+    *
+    * Byte streams are single-writer, like the reference's
+    * ByteStreamWriter (client/.../byteStream/ByteStreamWriter.java:58 —
+    * "only one writer at a time"). If the state CAS loses (e.g. a
+    * concurrent truncateBefore bumped the revision) the closure re-runs
+    * at the same tail offset; any chunk already present there is
+    * necessarily this writer's own leftover from the failed attempt — the
+    * committed tail never covered it — so it is deleted and rewritten
+    * rather than wedging every future append on createExclusive.
+    */
   def append(scope: String, name: String, data: Array[Byte]): Long = {
     var start = -1L
     state(scope, name).updateState {
@@ -50,7 +60,13 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
         val Array(h, t) = s.split(",")
         start = t.toLong
         val chunk = new Path(dir(scope, name), f"chunk-$start%016d")
-        val out = graft.catalog.CasFiles.createExclusive(fs(chunk), chunk)
+        val f = fs(chunk)
+        if (f.exists(chunk)) {
+          // chunk-<start> with start == committed tail is uncommitted by
+          // definition: safe to drop (our own orphan, single-writer)
+          f.delete(chunk, false)
+        }
+        val out = graft.catalog.CasFiles.createExclusive(f, chunk)
         try out.write(data) finally out.close()
         s"$h,${start + data.length}"
     }

@@ -94,7 +94,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     // Per-file commit stats from parquet footers — no second data scan.
     val entries = statsFromFooters(batchDir)
 
-    val updated = catalog.update(scope, stream) { m =>
+    val updated = try catalog.update(scope, stream) { m =>
       if (m.isSealed) throw new StreamSealedException(s"$scope/$stream sealed during write")
       // Offsets were assigned against `meta`'s tails; if another writer
       // advanced them meanwhile, this commit would interleave offsets —
@@ -102,6 +102,14 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       val moved = open.exists(s => m.segment(s.segmentId).tailOffset != baseBySeg(s.segmentId))
       if (moved) throw new ConditionalCheckFailedException(
         s"$scope/$stream tails moved during write of $batchDir")
+      // A concurrent scale seals segments without moving tails — appending
+      // into a sealed segment would silently extend a closed epoch
+      // (mirrors commitTxn's sealed-targets check; reference rejects with
+      // SegmentIsSealed, WireCommands.java:164). Fail the CAS so the retry
+      // wrapper re-routes against the new epoch.
+      val sealedHit = entries.map(_.segmentId).distinct.filter(sid => m.segment(sid).isSealed)
+      if (sealedHit.nonEmpty) throw new ConditionalCheckFailedException(
+        s"$scope/$stream segments ${sealedHit.mkString(",")} sealed during write of $batchDir")
       val newTails = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.endOffset).max }
       val now = System.currentTimeMillis()
       val rowsPerSeg = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.rowCount).sum }
@@ -120,6 +128,11 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
           sid -> m.segmentRates.getOrElse(sid, SegmentRates()).update(n, now) },
         writerBatches = (for (w <- writerId; b <- batchId) yield m.writerBatches + (w -> b))
           .getOrElse(m.writerBatches))
+    } catch {
+      case e: ConditionalCheckFailedException =>
+        // never committed — drop the staged files so retries don't leak
+        batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
+        throw e
     }
     updated.tailCut
   }
@@ -407,65 +420,134 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
   }
 
   /** Commit (Transaction.java:88, CommitRequestHandler.java:247-367):
-    * OPEN→COMMITTING via CAS, then one merge job rewrites staged rows with
-    * real offsets appended to each parent segment (the
-    * MergeSegmentOperation analog), then a second CAS publishes the files,
-    * advances tails and marks COMMITTED. Commit order = manifest version
-    * order, so concurrent commits serialize exactly like the reference's
-    * per-epoch commit queue.
+    * OPEN→COMMITTING via CAS, then a merge job rewrites staged rows with
+    * real offsets appended to each target segment (the
+    * MergeSegmentOperation analog), then a publish CAS makes the files
+    * visible, advances tails and marks COMMITTED. Commit order = manifest
+    * version order, so concurrent commits serialize exactly like the
+    * reference's per-epoch commit queue.
+    *
+    * Recoverable by construction — the reference's CommitRequestHandler is
+    * an idempotent event-sourced handler that retries until success:
+    *  - re-calling commitTxn on a COMMITTING txn resumes the merge (crash
+    *    or lost publish CAS leaves no wedged state);
+    *  - a concurrent append/commit that moves tails only fails the publish
+    *    CAS, after which the merge re-runs against fresh tails;
+    *  - staged rows whose original target segments were sealed mid-txn
+    *    roll over to the current epoch's open segments by routing key
+    *    (the rolling-transaction analog, CommitRequestHandler.java:290);
+    *  - commit of an already-COMMITTED txn is a no-op.
     */
   def commitTxn(scope: String, stream: String, txnId: String): Unit = {
-    catalog.update(scope, stream) { m =>
+    // Phase 1: OPEN → COMMITTING. Past this point the txn MUST eventually
+    // commit; the lease stops mattering and abort is rejected.
+    val entered = catalog.update(scope, stream) { m =>
       val cur = txnStatus(m, txnId)
-      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
-      if (cur.expired(System.currentTimeMillis()))
-        throw new TxnFailedException(s"txn $txnId lease expired")
-      m.copy(transactions = m.transactions + (txnId -> cur.copy(state = TxnState.Committing)))
+      cur.state match {
+        case TxnState.Open =>
+          if (cur.expired(System.currentTimeMillis()))
+            throw new TxnFailedException(s"txn $txnId lease expired")
+          m.copy(transactions = m.transactions + (txnId -> cur.copy(state = TxnState.Committing)))
+        case TxnState.Committing => m // resume a previous attempt
+        case TxnState.Committed => m // idempotent no-op
+        case other => throw new TxnFailedException(s"cannot commit txn $txnId in $other")
+      }
     }
+    if (txnStatus(entered, txnId).state == TxnState.Committed) return
 
-    val meta = catalog.getStream(scope, stream)
     val stagingDir = catalog.txnDir(scope, stream, txnId)
     val fsys = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fsys.exists(stagingDir)
 
-    var entries: Seq[FileEntry] = Nil
-    if (hasData) {
-      val staged = spark.read.parquet(stagingDir.toString)
-      val bases = meta.segments.map(s => s.segmentId -> s.tailOffset).toMap
-      val baseCol = meta.segments.foldRight(lit(0L): Column) { (s, rest) =>
-        when(col("segmentId") === s.segmentId, lit(bases(s.segmentId))).otherwise(rest)
+    // Phase 2: merge + publish, re-planned from fresh metadata until the
+    // publish CAS lands (bounded only as a runaway guard).
+    var attempt = 0
+    val maxAttempts = 20
+    while (true) {
+      val meta = catalog.getStream(scope, stream)
+      if (txnStatus(meta, txnId).state == TxnState.Committed) return // another driver finished it
+      val metaTails = meta.segments.map(s => s.segmentId -> s.tailOffset).toMap
+
+      var entries: Seq[FileEntry] = Nil
+      var commitDir: Path = null
+      if (fsys.exists(stagingDir)) {
+        commitDir = new Path(catalog.dataDir(scope, stream),
+          s"txncommit-$txnId-${UUID.randomUUID().toString.take(8)}")
+        val open = meta.openSegments.sortBy(_.keyLow)
+        require(open.nonEmpty, "stream has no open segments")
+        val openIds = open.map(_.segmentId)
+        val h = hash_to_range(col("routingKey"))
+        val rerouted = open.init.foldRight(lit(open.last.segmentId): Column) { (s, rest) =>
+          when(h < s.keyHigh, lit(s.segmentId)).otherwise(rest)
+        }
+        val baseCol = meta.segments.foldRight(lit(0L): Column) { (s, rest) =>
+          when(col("targetSeg") === s.segmentId, lit(metaTails(s.segmentId))).otherwise(rest)
+        }
+        // Per-key order survives rerouting: within a routing key all staged
+        // rows shared one original segment, and the merge rank orders by
+        // (original segmentId, txn-local offset).
+        val win = Window.partitionBy($"targetSeg").orderBy($"segmentId", $"offset")
+        val toWrite = spark.read.parquet(stagingDir.toString)
+          .withColumn("targetSeg",
+            when(col("segmentId").isInCollection(openIds), col("segmentId")).otherwise(rerouted))
+          .repartition($"targetSeg")
+          .withColumn("offset", baseCol + row_number().over(win) - 1)
+          .select(col("targetSeg").as("segmentId"), $"offset", $"routingKey", $"eventTime",
+            $"processingTime", $"payload")
+          .withColumn("segId", $"segmentId")
+          .sortWithinPartitions($"segmentId", $"offset")
+        toWrite.write.partitionBy("segId").parquet(commitDir.toString)
+        entries = statsFromFooters(commitDir)
       }
-      val sealedTargets = meta.segments.filter(_.isSealed).map(_.segmentId).toSet
-      val commitDir = new Path(catalog.dataDir(scope, stream), s"txncommit-$txnId")
-      val toWrite = staged.withColumn("offset", baseCol + $"offset")
-        .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
-        .withColumn("segId", $"segmentId")
-        .repartition($"segmentId")
-        .sortWithinPartitions($"segmentId", $"offset")
-      toWrite.write.partitionBy("segId").parquet(commitDir.toString)
 
-      entries = statsFromFooters(commitDir)
-      if (entries.exists(e => sealedTargets.contains(e.segmentId)))
-        throw new TxnFailedException(s"txn $txnId targets sealed segments (stream scaled mid-txn)")
+      var racedDone = false
+      try {
+        catalog.update(scope, stream) { m =>
+          racedDone = false
+          val cur = txnStatus(m, txnId)
+          if (cur.state == TxnState.Committed) { racedDone = true; m }
+          else {
+            if (cur.state != TxnState.Committing)
+              throw new TxnFailedException(s"txn $txnId is ${cur.state}, expected COMMITTING")
+            val targets = entries.map(_.segmentId).distinct
+            val invalid = targets.exists { sid =>
+              val s = m.segment(sid); s.isSealed || s.tailOffset != metaTails(sid)
+            }
+            if (invalid) throw new ConditionalCheckFailedException(
+              s"tails moved or targets sealed during txn $txnId commit")
+            val newTails = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.endOffset).max }
+            val rowsPerSeg = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.rowCount).sum }
+            m.copy(
+              files = m.files ++ entries,
+              segments = m.segments.map { s =>
+                val appended = rowsPerSeg.getOrElse(s.segmentId, 0L)
+                val attrs =
+                  if (appended == 0) s.attributes
+                  else s.attributes + (Attributes.EventCount ->
+                    AttributeUpdate(Attributes.EventCount, "ACCUMULATE", appended)
+                      .apply(s.attributes.get(Attributes.EventCount)))
+                s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset), attributes = attrs)
+              },
+              transactions = m.transactions + (txnId -> cur.copy(
+                state = TxnState.Committed, committedAt = Some(System.currentTimeMillis()))))
+          }
+        }
+        if (racedDone) {
+          // another driver published first; our merge output is an orphan
+          if (commitDir != null) fsys.delete(commitDir, true)
+        } else {
+          fsys.delete(stagingDir, true)
+        }
+        return
+      } catch {
+        case _: ConditionalCheckFailedException =>
+          if (commitDir != null) fsys.delete(commitDir, true)
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new TxnFailedException(
+              s"txn $txnId commit lost the publish CAS $maxAttempts times")
+          Thread.sleep(scala.util.Random.nextInt(50 * math.min(attempt, 5)) + 1L)
+      }
     }
-
-    catalog.update(scope, stream) { m =>
-      val cur = txnStatus(m, txnId)
-      if (cur.state != TxnState.Committing)
-        throw new TxnFailedException(s"txn $txnId is ${cur.state}, expected COMMITTING")
-      val moved = entries.map(_.segmentId).distinct.exists(sid =>
-        m.segment(sid).tailOffset != meta.segment(sid).tailOffset)
-      if (moved) throw new ConditionalCheckFailedException(
-        s"tails moved during txn $txnId commit")
-      val newTails = entries.groupBy(_.segmentId).map { case (sid, fs) => sid -> fs.map(_.endOffset).max }
-      m.copy(
-        files = m.files ++ entries,
-        segments = m.segments.map(s =>
-          s.copy(tailOffset = newTails.getOrElse(s.segmentId, s.tailOffset))),
-        transactions = m.transactions + (txnId -> cur.copy(
-          state = TxnState.Committed, committedAt = Some(System.currentTimeMillis()))))
-    }
-    fsys.delete(stagingDir, true)
   }
 
   /** Abort (Transaction.java:102): mark ABORTED, drop staged files. */
@@ -490,14 +572,22 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     }
 
   /** Expired-lease sweep (controller/.../timeout/ semantics): every OPEN
-    * txn past its lease is aborted and its staging dropped.
+    * txn past its lease is aborted and its staging dropped. A COMMITTING
+    * txn past its lease is the other stuck shape — commit began (phase 1
+    * CAS landed) but the driver died before publish; commit is the only
+    * legal outcome at that point, so the sweep re-drives commitTxn (the
+    * reference retries commits until they succeed).
     */
   def sweepExpiredTxns(scope: String, stream: String): Seq[String] = {
     val now = System.currentTimeMillis()
-    val expired = catalog.getStream(scope, stream).transactions.values
-      .filter(_.expired(now)).map(_.id).toSeq
-    expired.foreach(abortTxn(scope, stream, _))
-    expired
+    val txns = catalog.getStream(scope, stream).transactions.values.toSeq
+    val expiredOpen = txns.filter(_.expired(now)).map(_.id)
+    expiredOpen.foreach(abortTxn(scope, stream, _))
+    val stuckCommitting = txns
+      .filter(t => t.state == TxnState.Committing && now > t.createdAt + t.leaseMillis)
+      .map(_.id)
+    stuckCommitting.foreach(commitTxn(scope, stream, _))
+    expiredOpen ++ stuckCommitting
   }
 
   /** Concurrent-writer convenience: offsets are assigned against a tail

@@ -93,6 +93,37 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(res.groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0)
   }
 
+  test("throttled restart: announced offsets never regress below the checkpoint") {
+    // Regression: lastEnd was in-memory only, so a restart with all
+    // batches committed re-derived the throttled cut from the stream head
+    // and re-delivered processed rows. The cut now persists under the
+    // source's metadataPath inside the checkpoint.
+    val (g, root) = mk()
+    val ckpt = Files.createTempDirectory("graft-ckpt-thr").toString
+    val out = Files.createTempDirectory("graft-out-thr").toString
+    def throttled() = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "150")
+      .load()
+
+    g.writeEvents("s", "ev", batch("first", 600))
+    val q1 = throttled().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    g.writeEvents("s", "ev", batch("second", 600))
+    val q2 = throttled().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val res = spark.read.parquet(out)
+    assert(res.count() == 1200L, "lost or duplicated rows across throttled restart")
+    assert(res.groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0,
+      "re-delivered rows below the checkpointed cut")
+  }
+
   test("stream-to-stream pipeline via exactly-once foreachBatch sink") {
     val (g, root) = mk()
     g.catalog.createStream("s", "out", StreamConfig(initialSegments = 2))

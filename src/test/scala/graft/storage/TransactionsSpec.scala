@@ -86,6 +86,56 @@ class TransactionsSpec extends AnyFunSuite {
     assert(g.readEvents("s", "l").count() == 10L)
   }
 
+  test("rolling commit: scale mid-txn re-routes staged rows to the new epoch") {
+    // CommitRequestHandler.java:290 rollTransactions analog: a txn begun
+    // against epoch 0 still commits after the stream scales — its rows
+    // land in the current epoch's open segments, per-key order preserved.
+    val g = freshStreams()
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "r", StreamConfig(initialSegments = 2))
+    val txn = g.beginTxn("s", "r")
+    g.writeToTxn("s", "r", txn, batch("tx", 300))
+    g.scaleStream("s", "r", 4) // seals epoch-0 segments
+    g.commitTxn("s", "r", txn)
+    assert(g.txnStatus("s", "r", txn).state == TxnState.Committed)
+    val all = g.readEvents("s", "r").cache()
+    assert(all.count() == 300L)
+    // every row is in an epoch-1 segment
+    assert(all.filter(shiftrightunsigned($"segmentId", 32) === 0).count() == 0L,
+      "rows committed into sealed epoch-0 segments")
+    // per-key order: offsets within a routing key replay write order
+    val byKey = all.select($"routingKey", $"offset",
+        substring(decode($"payload", "UTF-8"), 3, 10).cast("long").as("n"))
+      .collect().groupBy(_.getString(0))
+    byKey.values.foreach { rs =>
+      val ns = rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(ns == ns.sorted, s"per-key order broken after rolling commit: $ns")
+    }
+    all.unpersist()
+    // commit is idempotent: a second call is a no-op
+    g.commitTxn("s", "r", txn)
+    assert(g.readEvents("s", "r").count() == 300L)
+  }
+
+  test("sweep re-drives a stuck COMMITTING txn to COMMITTED") {
+    val g = freshStreams()
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "c", StreamConfig(initialSegments = 1))
+    val txn = g.beginTxn("s", "c", leaseMillis = 1L)
+    // open the txn before the lease runs out, then simulate a driver that
+    // entered COMMITTING and died: flip the state manually without merging
+    g.catalog.update("s", "c") { m =>
+      val cur = m.transactions(txn)
+      m.copy(transactions = m.transactions + (txn -> cur.copy(state = TxnState.Committing)))
+    }
+    Thread.sleep(20)
+    // abort must refuse — commit is the only legal outcome now
+    assertThrows[TxnFailedException](g.abortTxn("s", "c", txn))
+    val swept = g.sweepExpiredTxns("s", "c")
+    assert(swept == Seq(txn))
+    assert(g.txnStatus("s", "c", txn).state == TxnState.Committed)
+  }
+
   test("interleaved txn and direct writes serialize without offset overlap") {
     val g = freshStreams()
     g.catalog.createScope("s")

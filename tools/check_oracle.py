@@ -56,6 +56,20 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         mismatch = None
+        kind_clash = None
+        for c in s.columns:
+            # the driver's hash is dtype-sensitive: int 123 vs float 123.0
+            # mismatch there even though Python == accepts them
+            ks, kd = s[c].dtype.kind, d[c].dtype.kind
+            grp = lambda k: "int" if k in "iu" else ("float" if k == "f" else "obj")
+            if grp(ks) != grp(kd):
+                kind_clash = (c, str(s[c].dtype), str(d[c].dtype))
+                break
+        if kind_clash:
+            c, ta, tb = kind_clash
+            print(f"FAIL {name}: dtype clash col={c} spark={ta} duck={tb}")
+            n_fail += 1
+            continue
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
