@@ -146,10 +146,12 @@ final case class TxnRecord(
     createdAt: Long,
     leaseMillis: Long,
     committedAt: Option[Long] = None,
-    /** txn-local rows staged so far per segment (offset base for the next
-      * writeToTxn call).
+    /** Legacy: txn-local rows per segment (superseded by `calls`). */
+    tails: Map[Long, Long] = Map.empty,
+    /** Number of writeToTxn calls so far; each call stages offsets in its
+      * own (callSeq << 40) epoch, which the commit merge re-ranks.
       */
-    tails: Map[Long, Long] = Map.empty) {
+    calls: Long = 0L) {
   def expired(now: Long): Boolean =
     state == TxnState.Open && now > createdAt + leaseMillis
 }

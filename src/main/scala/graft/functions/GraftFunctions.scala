@@ -3,9 +3,10 @@ package graft.functions
 import graft.core.RoutingKeyHash
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `hash_to_range(key)` as a native Catalyst expression with codegen — the
@@ -47,7 +48,99 @@ case class RangeBucket(child: Expression, numBuckets: Int) extends UnaryExpressi
   override protected def withNewChildInternal(c: Expression): RangeBucket = copy(child = c)
 }
 
+/** `sorted_intersect_size(a, b)`: |A ∩ B| for two SORTED array<bigint>
+  * columns via a zero-allocation merge loop — the hot inner op of the
+  * set-similarity joins. Spark's `array_intersect` builds a hash set and
+  * an output array per row; for the millions of candidate pairs a
+  * near-dup join verifies, the merge loop is several times cheaper and
+  * stays inside whole-stage codegen.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { n += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  final long $u = $a.getLong($i);
+         |  final long $v = $b.getLong($j);
+         |  if ($u == $v) { $n++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
+/** `minhash_signature(tokenHashes, shingleSize, numHashes)`: MinHash
+  * signature (array<bigint>) of an ordered token-hash array in one native
+  * kernel call — see [[graft.core.MinHashCore]].
+  */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.MinHashCore.signature(v.asInstanceOf[ArrayData], shingleSize, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.MinHashCore.signature($c, $shingleSize, $numHashes))")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
 object GraftFunctions {
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def minhash_signature(tokenHashes: Column, shingleSize: Int, numHashes: Int): Column =
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(tokenHashes), shingleSize, numHashes))
+
   def hash_to_range(c: Column): Column =
     ColumnShim.column(HashToRange(ColumnShim.expression(c)))
 

@@ -38,36 +38,28 @@ object MinHashLSH {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.35): DataFrame = {
+    import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    // tokenization feeds signatures AND the verification joins, and the
-    // banded view self-joins — persist both so the text is tokenized once
-    // and signatures are computed once, not per join side.
-    // repartition: the corpus often arrives as few large files; signature
-    // hashing is the CPU hot spot and must spread across all cores.
-    val toks = docs.select(
-      col(idCol).as("id"),
-      array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("toks"))
+    // One map-side pass computes BOTH the verification token set (sorted
+    // 64-bit interned hashes → zero-allocation merge intersection) and the
+    // MinHash signature via the native kernel — no shuffle, no N-column
+    // codegen'd aggregate, no interpreted higher-order functions in the
+    // hot loop. The raw text is repartitioned FIRST so tokenization and
+    // hashing spread across all cores even when the corpus arrives as one
+    // file; persist because the base feeds the banding once and the
+    // verification join twice.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))
+      .select(col("id"),
+        transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)).as("th"))
+      .select(col("id"),
+        array_sort(array_distinct(col("th"))).as("toks"),
+        minhash_signature(col("th"), shingleSize, numHashes).as("sig"))
       .persist()
 
-    // signatures via explode + numHashes partial-aggregated mins: a
-    // vectorized aggregation over (doc, shingleHash) rows beats nested
-    // per-doc array transforms (no array allocation churn)
-    val shingles = toks.select(col("id"),
-      explode(array_distinct(
-        when(size(col("toks")) >= shingleSize,
-          transform(sequence(lit(0), size(col("toks")) - shingleSize),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(shingleSize)))))
-          .otherwise(array(concat_ws(" ", col("toks")))))).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-    val minCols = (0 until numHashes).map(j => min(hash(col("h"), lit(j))).as(s"m$j"))
-    val sigs = shingles.groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-
-    val banded = sigs.select(col("id"),
+    val banded = base.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), hash(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
           .as("bb"))
@@ -80,10 +72,10 @@ object MinHashLSH {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
-    val a = toks.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = toks.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
     candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
       .filter(col("jaccard") >= threshold)

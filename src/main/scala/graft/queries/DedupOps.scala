@@ -42,21 +42,24 @@ object DedupOps {
     // is several times cheaper than string arrays and collision odds are
     // ~1e-10 for this vocabulary, so Jaccard values match the raw-token
     // oracle bit-for-bit.
+    import graft.functions.GraftFunctions.sorted_intersect_size
     val t = Tables.documents(s, dir).filter($"n_chars" < 200)
       .select($"doc_id",
-        array_distinct(transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x))).as("toks"))
+        array_sort(array_distinct(
+          transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x)))).as("toks"))
     // size-ratio bound: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so pairs whose
     // token-set sizes differ too much can never reach the threshold —
     // prunes before the expensive intersection, with zero false negatives.
     // stream side repartitioned so the broadcast nested-loop pair join
     // parallelizes (the input is one parquet file = one partition);
-    // dimension side broadcast explicitly.
+    // dimension side broadcast explicitly. Sorted arrays make the
+    // intersection a codegen'd zero-allocation merge loop.
     val a = t.repartition($"doc_id").select($"doc_id".as("a_id"), $"toks".as("a_toks"))
     val b = broadcast(t.select($"doc_id".as("b_id"), $"toks".as("b_toks")))
     a.join(b, $"a_id" < $"b_id" &&
         least(size($"a_toks"), size($"b_toks")).cast("double") >=
           lit(0.35) * greatest(size($"a_toks"), size($"b_toks")).cast("double"))
-      .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
+      .withColumn("inter", sorted_intersect_size($"a_toks", $"b_toks").cast("double"))
       .withColumn("jaccard",
         $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
       .filter($"jaccard" >= 0.35)

@@ -75,7 +75,10 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     val routed = df
       .withColumn("arrivalSeq", monotonically_increasing_id())
       .withColumn("segmentId", segCol)
-      .repartition($"segmentId")
+      // explicit partition count: one task per segment (the reference's
+      // per-segment append parallelism); AQE would otherwise coalesce the
+      // tiny shuffle into a single task and serialize the sort+encode
+      .repartition(open.size, $"segmentId")
       .withColumn("offset", baseCol + row_number().over(win) - 1)
       .withColumn("processingTime", current_timestamp())
       .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime",
@@ -380,7 +383,11 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
   /** Append under an open transaction (Transaction.java:61 writeEvent):
     * rows are routed exactly like committed writes but offsets are
-    * txn-local; the real offsets are assigned at merge time.
+    * txn-local — (callSeq << 40) + rank within the call. The merge at
+    * commit re-ranks by (segmentId, txn-local offset), so txn-local
+    * offsets only need to be monotone across calls, not contiguous; that
+    * makes each writeToTxn a single Spark job (the staging write) with no
+    * separate counting pass over the input.
     */
   def writeToTxn(scope: String, stream: String, txnId: String, df: DataFrame): Unit = {
     val meta = catalog.getStream(scope, stream)
@@ -388,35 +395,33 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     if (txn.state != TxnState.Open || txn.expired(System.currentTimeMillis()))
       throw new TxnFailedException(s"txn $txnId is ${txn.state}${if (txn.expired(System.currentTimeMillis())) " (lease expired)" else ""}")
 
+    // reserve this call's offset epoch up front (also revalidates OPEN);
+    // a parallel writeToTxn on the same txn gets its own epoch
+    var callSeq = 0L
+    catalog.update(scope, stream) { m =>
+      val cur = txnStatus(m, txnId)
+      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
+      callSeq = cur.calls
+      m.copy(transactions = m.transactions + (txnId -> cur.copy(calls = cur.calls + 1)))
+    }
+
     val open = meta.openSegments.sortBy(_.keyLow)
     val h = hash_to_range(col("routingKey"))
     val segCol = open.init.foldRight(lit(open.last.segmentId): Column) { (s, rest) =>
       when(h < s.keyHigh, lit(s.segmentId)).otherwise(rest)
     }
-    val baseCol = open.foldRight(lit(0L): Column) { (s, rest) =>
-      when(col("segmentId") === s.segmentId, lit(txn.tails.getOrElse(s.segmentId, 0L))).otherwise(rest)
-    }
-    val win = Window.partitionBy($"segmentId").orderBy($"arrivalSeq")
+    // Txn-local offsets only order the merge — no shuffle, no ranking
+    // window: monotonically_increasing_id (globally unique, per-source-
+    // partition ordered, < 2^43 for ≤1024 tasks) inside this call's
+    // offset epoch. The staging write is one map-only job; the dynamic
+    // partitionBy fan-out per task mirrors a real Spark sink.
     val part = catalog.txnDir(scope, stream, txnId)
-    df.withColumn("arrivalSeq", monotonically_increasing_id())
-      .withColumn("segmentId", segCol)
-      .repartition($"segmentId")
-      .withColumn("offset", baseCol + row_number().over(win) - 1)
+    df.withColumn("segmentId", segCol)
+      .withColumn("offset", lit(callSeq << 44) + monotonically_increasing_id())
       .withColumn("processingTime", current_timestamp())
       .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
       .withColumn("segId", $"segmentId")
       .write.mode("append").partitionBy("segId").parquet(part.toString)
-
-    val counts = df.select(segCol.as("segmentId"))
-      .groupBy($"segmentId").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    catalog.update(scope, stream) { m =>
-      val cur = txnStatus(m, txnId)
-      if (cur.state != TxnState.Open) throw new TxnFailedException(s"txn $txnId is ${cur.state}")
-      val tails = (cur.tails.keySet ++ counts.keySet).map(k =>
-        k -> (cur.tails.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap
-      m.copy(transactions = m.transactions + (txnId -> cur.copy(tails = tails)))
-    }
   }
 
   /** Commit (Transaction.java:88, CommitRequestHandler.java:247-367):
@@ -489,7 +494,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         val toWrite = spark.read.parquet(stagingDir.toString)
           .withColumn("targetSeg",
             when(col("segmentId").isInCollection(openIds), col("segmentId")).otherwise(rerouted))
-          .repartition($"targetSeg")
+          .repartition(math.max(open.size, 1), $"targetSeg")
           .withColumn("offset", baseCol + row_number().over(win) - 1)
           .select(col("targetSeg").as("segmentId"), $"offset", $"routingKey", $"eventTime",
             $"processingTime", $"payload")

@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object MinhashBreakdown {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = ()
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val dur = for (a <- si.submissionTime; b <- si.completionTime) yield b - a
+        println(f"BREAK-STAGE ${si.stageId}%3d ${dur.getOrElse(-1L)}%6dms tasks=${si.numTasks}%3d ${si.name.take(80)}")
+      }
+    })
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"BREAK $label t=${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("docs.count")(docs.count())
+    val tokStr = array_distinct(split(lower(trim(col("text"))), "\\s+"))
+    val toks = time("tokenize") {
+      val d = docs.select(col("doc_id").as("id"), tokStr.as("tstr")).repartition(col("id"))
+        .select(col("id"), array_sort(array_distinct(transform(col("tstr"), x => xxhash64(x)))).as("toks"))
+      d.count(); d
+    }
+    val sigd = time("signature") {
+      val d = docs.select(col("doc_id").as("id"), tokStr.as("tstr")).repartition(col("id"))
+        .select(col("id"), MinHashLSH.signature(col("tstr"), 3, 64).as("sig"))
+      d.count(); d
+    }
+    time("signature-again") { sigd.count() }
+    time("full-nearDuplicates") {
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.35).count()
+    }
+    spark.stop()
+  }
+}
