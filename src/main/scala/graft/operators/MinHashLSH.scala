@@ -81,4 +81,120 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  // ------------------------------------------------------ oracle-checked variant
+
+  /** Cross-engine-reproducible hash family for the oracle-checked MinHash:
+    * shingle identity = first 15 hex chars of md5 (exists identically in
+    * DuckDB), permutations h_j(x) = (x·A_j + B_j) mod P — modular affine
+    * arithmetic that stays under 2^62, so DuckDB's overflow-checking
+    * BIGINT math computes the exact same values Spark's wrapping longs do.
+    */
+  val OracleP: Long = 2147483647L
+  def oracleA(j: Int): Long = (2654435761L * (j + 1)) % OracleP
+  def oracleB(j: Int): Long = (40503L * (j.toLong * j + 1) + 17) % OracleP
+
+  /** MinHash+LSH near-dups with the reproducible family — slower per doc
+    * than [[nearDuplicates]] (md5 per shingle), meant for a bounded slice
+    * where the DuckDB oracle replays the FULL pipeline: shingling,
+    * signatures, banding, candidate generation and verification all
+    * hash-checked, not just sampled recall.
+    */
+  def oracleNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    import graft.functions.GraftFunctions.sorted_intersect_size
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val as = (0 until numHashes).map(oracleA).toArray
+    val bs = (0 until numHashes).map(oracleB).toArray
+
+    val toks = split(lower(trim(col("txt"))), "\\s+")
+    val shingles = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val hs = transform(shingles,
+      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % OracleP)
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(hs,
+        h => (h * element_at(lit(as), (j + 1).cast("int"))
+          + element_at(lit(bs), (j + 1).cast("int"))) % OracleP)))
+
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(col("id"))
+      .select(col("id"),
+        array_sort(array_distinct(transform(split(lower(trim(col("txt"))), "\\s+"),
+          x => xxhash64(x)))).as("toks"),
+        sig.as("sig"))
+      .persist()
+
+    val banded = base.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .join(base.select(col("id"), col("sig")), "id")
+      .withColumn("bsig", md5(concat_ws("|",
+        (0 until rows).map(r => element_at(col("sig"), col("band") * rows + r + 1).cast("string")): _*)))
+      .select(col("id"), col("band"), col("bsig"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    candidates.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** DuckDB SQL replaying [[oracleNearDuplicates]] end to end with the
+    * same constants (generated from the same A_j/B_j arrays).
+    */
+  def oracleNearDuplicatesSql(maxDocId: Int, numHashes: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.5): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val p = OracleP
+    val minCols = (0 until numHashes).map(j =>
+      s"MIN((hm * ${oracleA(j)} + ${oracleB(j)}) % $p) AS m$j").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS bsig FROM m"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < $maxDocId),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |    ELSE [concat_ws(' ', toks)] END) AS s
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS hm
+       |  FROM sh),
+       |m AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+       |      (len(sa.ts) + len(sb.ts) - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)) AS jaccard
+       |  FROM cand JOIN sets sa ON a_id = sa.doc_id JOIN sets sb ON b_id = sb.doc_id) v
+       |WHERE jaccard >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }

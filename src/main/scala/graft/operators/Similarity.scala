@@ -42,12 +42,18 @@ object Similarity {
     * corpus is scanned once to signatures, then only bucket-local pairs
     * are scored.
     */
+  /** Fixed seeded hyperplanes shared by the Spark plan and the generated
+    * oracle SQL (the oracle embeds the same constants as literals).
+    */
+  def planes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nbits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rnd = new scala.util.Random(seed)
-    val planes: Array[Array[Double]] =
-      Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes: Array[Array[Double]] = this.planes(nbits, dim, seed)
 
     def sig(v: Column): Column =
       (0 until nbits).map { b =>
@@ -68,5 +74,43 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB SQL replaying [[lshTopK]] exactly: the same hyperplane
+    * constants are inlined as double literals (shortest round-trip repr →
+    * identical doubles), dot products accumulate in the same order, and
+    * the multi-probe/rank logic mirrors the Spark plan — so the LSH
+    * bucketing itself is hash-checked, not just its recall.
+    */
+  def lshTopKOracleSql(queryMaxVecId: Int, k: Int,
+                       nbits: Int = 12, dim: Int = 64, seed: Long = 42L): String = {
+    val ps = planes(nbits, dim, seed)
+    def planeLit(b: Int): String = ps(b).map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val sigExpr = (0 until nbits).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, ${planeLit(b)}),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+         |    THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString(" +\n    ")
+    val flips = (0L +: (0 until nbits).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    $sigExpr AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, embedding, nrm, xor(sig, f.f) AS bucket
+       |  FROM n, (SELECT unnest($flips) AS f) f
+       |  WHERE vec_id < $queryMaxVecId),
+       |scored AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+       |  FROM q JOIN n c ON q.bucket = c.sig AND q.vec_id <> c.vec_id)
+       |SELECT query_id, cand_id, rank, cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -102,10 +102,22 @@ object DedupOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Oracle-checked MinHash+LSH on a bounded slice: the reproducible hash
+    * family lets DuckDB replay shingling → signatures → banding →
+    * candidates → verification and hash-match every surviving pair.
+    */
+  private def minhashOracle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MinHashLSH.oracleNearDuplicates(
+        Tables.documents(s, dir).filter($"doc_id" < 400), "doc_id", "text")
+      .orderBy($"a_id", $"b_id")
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
-    ("dedup_exact",         exact _,        Some(exactSql)),
-    ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
-    ("dedup_simhash",       simhash _,      Some(SimHash.oracleSignatureSql(200))),
-    ("dedup_minhash_lsh",   minhashLsh _,   None),
+    ("dedup_exact",          exact _,         Some(exactSql)),
+    ("dedup_ngram_jaccard",  ngramJaccard _,  Some(ngramJaccardSql)),
+    ("dedup_simhash",        simhash _,       Some(SimHash.oracleSignatureSql(200))),
+    ("dedup_minhash_lsh",    minhashLsh _,    None),
+    ("dedup_minhash_oracle", minhashOracle _, Some(MinHashLSH.oracleNearDuplicatesSql(400))),
   )
 }

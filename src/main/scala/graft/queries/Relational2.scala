@@ -185,16 +185,28 @@ object Relational2 {
     * implementations, so this is rows-only checked; the exact distinct
     * count is oracle-checked in q10.
     */
+  /** approx_count_distinct (HLL++) exercised against the exact count.
+    * HLL implementations differ across engines, so the hash-checked
+    * output is the exact count plus the invariant that matters — the
+    * approximation landed within its error bound (2% default rsd → 5%
+    * slack); the oracle asserts the same invariant trivially true.
+    */
   private def q25ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx"),
            countDistinct($"l_orderkey").as("exact_orders"))
-      .withColumn("rel_err",
-        abs($"approx_orders" - $"exact_orders").cast("double") / $"exact_orders")
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx" - $"exact_orders").cast("double") / $"exact_orders" <= 0.05)
+          .as("approx_within_5pct"))
       .orderBy($"l_returnflag")
   }
+
+  private val q25Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS approx_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Explicit GROUPING SETS (beyond rollup/cube): two unrelated
     * dimensions aggregated in one pass over the fact table.
@@ -227,7 +239,7 @@ object Relational2 {
     ("q22_in_subquery",     q22InSubquery _,    Some(q22Sql)),
     ("q23_string_funcs",    q23StringFuncs _,   Some(q23Sql)),
     ("q24_date_funcs",      q24DateFuncs _,     Some(q24Sql)),
-    ("q25_approx_distinct", q25ApproxDistinct _, None),
+    ("q25_approx_distinct", q25ApproxDistinct _, Some(q25Sql)),
     ("q26_grouping_sets",   q26GroupingSets _,  Some(q26Sql)),
   )
 }

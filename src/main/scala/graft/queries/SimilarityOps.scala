@@ -75,7 +75,8 @@ object SimilarityOps {
       |ORDER BY query_id, rank""".stripMargin
 
   /** LSH-bucketed ANN (the 100 TB path: signatures once, bucket-local
-    * scoring) — no SQL oracle; the recall spec covers it.
+    * scoring). The oracle replays the identical hyperplanes/buckets in
+    * SQL (constants inlined), so the approximate index is hash-checked.
     */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -110,14 +111,34 @@ object SimilarityOps {
     Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
       .toDF()
+      .select($"doc_id", $"mime", $"byteLen".cast("long").as("byte_len"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"),
+        $"byteEntropyBucket".cast("long").as("entropy_bucket"))
       .orderBy($"doc_id")
   }
+
+  /** The stub decoder is pure arithmetic over the payload bytes, and the
+    * corpus is ASCII, so DuckDB recomputes identical features from the
+    * text column (byte i == ord(char i)).
+    */
+  private val mmFeaturesSql =
+    """SELECT doc_id, concat('image/stub-', source) AS mime,
+      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  CAST(ord(substring(text, 1, 1)) % 64 + 1 AS BIGINT) AS width,
+      |  CAST(CASE WHEN length(text) > 1 THEN ord(substring(text, 2, 1)) % 64 + 1
+      |            ELSE 1 END AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(list_reduce(list_transform(range(1, length(text) + 1),
+      |         i -> ord(substring(text, i, 1))), (x, y) -> xor(x, y)) % 16 AS BIGINT)
+      |    AS entropy_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
-    ("sim_ann_lsh",      annLsh _,       None),
+    ("sim_ann_lsh",      annLsh _,       Some(Similarity.lshTopKOracleSql(10, 5, nbits = 8))),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
-    ("mm_features",      mmFeatures _,   None),
+    ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
   )
 }
