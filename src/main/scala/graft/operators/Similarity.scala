@@ -76,6 +76,83 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN — the other 100 TB scale path next to LSH: a small
+    * deterministic centroid set (every `centroidMod`-th vector), corpus
+    * vectors assigned once to their nearest centroid (an inverted file),
+    * queries probe the `nprobe` nearest centroids and re-rank exactly
+    * inside those lists. At scale the assignment is one broadcast pass
+    * and searches touch ~nprobe/centroids of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidMod: Int = 40, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // inverted file: nearest centroid per corpus vector
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = corpus.as("v").join(broadcast(cents),
+        col("c_id").isNotNull)
+      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+        col("c_id"), cosine(col("v.embedding"), col("c_emb")).as("ccos"))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    // query probes: nprobe nearest centroids
+    val qw = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("c_id"))
+    val probes = queries.as("q").join(broadcast(cents), col("c_id").isNotNull)
+      .select(col("q.vec_id").as("qid"), col("q.embedding").as("q_emb"),
+        col("c_id"), cosine(col("q.embedding"), col("c_emb")).as("qcos"))
+      .withColumn("prank", row_number().over(qw)).filter(col("prank") <= nprobe)
+      .select(col("qid"), col("q_emb"), col("c_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid").as("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB SQL replaying [[ivfTopK]] (same centroid rule, assignment,
+    * probes and ranking).
+    */
+  def ivfTopKOracleSql(queryMaxVecId: Int, k: Int,
+                       centroidMod: Int = 40, nprobe: Int = 2): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id % $centroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, c_id FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(v.embedding, c.c_emb),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
+       |        c.c_id) AS arank
+       |    FROM n v CROSS JOIN cents c) t
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, q_emb, q_nrm, c_id FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS q_emb, q.nrm AS q_nrm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.c_nrm) DESC,
+       |        c.c_id) AS prank
+       |    FROM n q CROSS JOIN cents c
+       |    WHERE q.vec_id < $queryMaxVecId) t
+       |  WHERE prank <= $nprobe),
+       |scored AS (
+       |  SELECT DISTINCT p.qid AS query_id, a.vec_id AS cand_id,
+       |    list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (p.q_nrm * a.nrm) AS cos
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND p.qid <> a.vec_id)
+       |SELECT query_id, cand_id, rank, cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB SQL replaying [[lshTopK]] exactly: the same hyperplane
     * constants are inlined as double literals (shortest round-trip repr →
     * identical doubles), dot products accumulate in the same order, and

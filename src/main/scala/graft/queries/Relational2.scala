@@ -230,6 +230,82 @@ object Relational2 {
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
        |ORDER BY st, pri""".stripMargin
 
+  /** lag/lead event-time deltas per user — the gap-analysis window shape. */
+  private def q27LagLead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(s, dir).filter($"user_id" < 50)
+      .select($"user_id", $"event_id", unix_millis($"ts".cast("timestamp")).as("tus"))
+      .withColumn("gap", $"tus" - lag($"tus", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count($"gap").as("n_gaps"),
+           expr("CAST(SUM(gap) AS DOUBLE) / COUNT(gap)").as("avg_gap_ms"),
+           max($"gap").as("max_gap_ms"))
+      .orderBy($"user_id")
+  }
+
+  private val q27Sql =
+    """SELECT user_id, COUNT(gap) AS n_gaps,
+      |  CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS avg_gap_ms,
+      |  MAX(gap) AS max_gap_ms
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_ms(CAST(ts AS TIMESTAMP)) -
+      |      lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1) OVER (
+      |        PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS gap
+      |  FROM events WHERE user_id < 50) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** RANGE frame: trailing-7-day spend per customer ordered by day. */
+  private def q28RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day").rangeBetween(-7, Window.currentRow)
+    Tables.orders(s, dir).filter($"o_custkey" < 200)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lit("1992-01-01")).as("day"),
+        expr(TOTAL).as("tp"))
+      .withColumn("trail7", expr("CAST(SUM(tp) OVER (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+      .select($"o_custkey", $"o_orderkey", $"day".cast("long").as("day"), $"trail7")
+      .orderBy($"o_custkey", $"day", $"o_orderkey")
+  }
+
+  private val q28Sql =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+       |  CAST(SUM($TOTAL) OVER (PARTITION BY o_custkey
+       |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+       |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+       |FROM orders WHERE o_custkey < 200
+       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS: segments of customers having urgent
+    * orders but no failed ones (semi ∧ anti join composition).
+    */
+  private def q29Exists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val failed = orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === urgent("o_custkey"), "left_semi")
+      .join(failed, $"c_custkey" === failed("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q29Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
     ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
@@ -241,5 +317,8 @@ object Relational2 {
     ("q24_date_funcs",      q24DateFuncs _,     Some(q24Sql)),
     ("q25_approx_distinct", q25ApproxDistinct _, Some(q25Sql)),
     ("q26_grouping_sets",   q26GroupingSets _,  Some(q26Sql)),
+    ("q27_lag_lead",        q27LagLead _,       Some(q27Sql)),
+    ("q28_range_frame",     q28RangeFrame _,    Some(q28Sql)),
+    ("q29_exists",          q29Exists _,        Some(q29Sql)),
   )
 }

@@ -86,6 +86,52 @@ object SimilarityOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF ANN (deterministic centroid rule) — the inverted-file scale
+    * path; the oracle replays assignment, probes and ranking.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter($"vec_id" < 10), k = 5)
+      .select($"query_id", $"cand_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Embedding-cosine near-dup: label-blocked pairs above threshold,
+    * folded into a dedup decision (every duplicate maps to its
+    * lowest-id keeper) — the canonical embedding-dedup shape for a
+    * training pipeline.
+    */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"label", $"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    val a = e.select($"label", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"qa" < $"qb")
+      .withColumn("cos", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+      .groupBy($"qb".as("dup_id"))
+      .agg(min($"qa").as("keep_id"), max($"cos").as("best_cos"))
+      .orderBy($"dup_id")
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH n AS (
+      |  SELECT label, vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT qb AS dup_id, MIN(qa) AS keep_id, MAX(cos) AS best_cos
+      |FROM pairs WHERE cos >= 0.35
+      |GROUP BY qb ORDER BY dup_id""".stripMargin
+
   /** Multimodal metadata surface: binary payload length + content hash —
     * the opaque-blob bookkeeping every media pipeline starts with.
     */
@@ -138,6 +184,8 @@ object SimilarityOps {
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
     ("sim_ann_lsh",      annLsh _,       Some(Similarity.lshTopKOracleSql(10, 5, nbits = 8))),
+    ("sim_ann_ivf",      annIvf _,       Some(Similarity.ivfTopKOracleSql(10, 5))),
+    ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
   )

@@ -60,6 +60,62 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: two graft streams joined on key within watermark bounds") {
+    val root = Files.createTempDirectory("graft-ssj").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "left", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "right", StreamConfig(initialSegments = 2))
+    val t0 = 1704067200000L
+    g.writeEvents("s", "left", batch(40, t0))
+    // right side: same keys, shifted 30s — inside the 2-minute join window
+    g.writeEvents("s", "right", batch(40, t0 + 30000L))
+
+    def side(stream: String, pfx: String) =
+      spark.readStream.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", stream)
+        .load()
+        .select($"routingKey".as(s"${pfx}_key"),
+          timestamp_millis($"eventTime").as(s"${pfx}_ts"),
+          $"offset".as(s"${pfx}_off"))
+        .withWatermark(s"${pfx}_ts", "10 minutes")
+
+    val joined = side("left", "l").join(side("right", "r"),
+      expr("l_key = r_key AND r_ts BETWEEN l_ts AND l_ts + interval 2 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ssj")
+      // each left event matches right events of the same key within
+      // [l_ts, l_ts+2min]: keys repeat every 5 min (5 keys, 1/min), so
+      // exactly the 30s-shifted twin (+ none else) → 40 matches
+      assert(out.count() == 40L)
+      assert(out.filter($"l_key" =!= $"r_key").count() == 0L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark drops redelivered events") {
+    val (g, root) = mk()
+    val t0 = 1704067200000L
+    g.writeEvents("s", "ev", batch(30, t0))
+    // redeliver the same 30 logical events (same routingKey+eventTime,
+    // fresh offsets) — the at-least-once shape streaming dedup exists for
+    g.writeEvents("s", "ev", batch(30, t0))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .load()
+      .select($"routingKey", timestamp_millis($"eventTime").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("routingKey", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 30L,
+        "duplicate deliveries survived dropDuplicatesWithinWatermark")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running state across micro-batches") {
     val (g, root) = mk()
     val t0 = 1704067200000L
