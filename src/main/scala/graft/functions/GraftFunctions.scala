@@ -106,6 +106,80 @@ case class SortedIntersectSize(left: Expression, right: Expression) extends Bina
     copy(left = l, right = r)
 }
 
+/** `seq_dot(a, b)`: Σ aᵢ·bᵢ over two array<float> columns, accumulated
+  * left-to-right in double — numerically IDENTICAL to the
+  * aggregate(zip_with(...)) higher-order formulation (and to DuckDB's
+  * list_sum(list_transform(...)) oracle SQL), but as one codegen'd loop
+  * with no per-element boxing. The hot inner op of every similarity
+  * query.
+  */
+case class SeqDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+          ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"seq_dot expects (ARRAY<FLOAT>, ARRAY<FLOAT>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeqDotProduct =
+    copy(left = l, right = r)
+}
+
+/** `affine_minhash(hashes, n)`: n MinHash minima over the modular affine
+  * family h_j(x) = (x·A_j + B_j) mod P from [[graft.operators.MinHashLSH]]'s
+  * oracle-reproducible variant, as one kernel loop instead of n×|hashes|
+  * interpreted lambda evaluations.
+  */
+case class AffineMinHash(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"affine_minhash expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.operators.MinHashLSH.affineMins(v.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.operators.MinHashLSH.affineMins($c, $numHashes))")
+
+  override protected def withNewChildInternal(c: Expression): AffineMinHash = copy(child = c)
+}
+
 /** `minhash_signature(tokenHashes, shingleSize, numHashes)`: MinHash
   * signature (array<bigint>) of an ordered token-hash array in one native
   * kernel call — see [[graft.core.MinHashCore]].
@@ -134,7 +208,42 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** `winnowed_fingerprints(text, k, w)`: Rabin-Karp + winnowing document
+  * fingerprint set as array<bigint> — see [[graft.core.RollingHashCore]].
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnowed_fingerprints expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.RollingHashCore.winnow(v.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.RollingHashCore.winnow($c, $k, $w))")
+
+  override protected def withNewChildInternal(c: Expression): WinnowedFingerprints = copy(child = c)
+}
+
 object GraftFunctions {
+  def winnowed_fingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowedFingerprints(ColumnShim.expression(text), k, w))
+
+  def seq_dot(a: Column, b: Column): Column =
+    ColumnShim.column(SeqDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def affine_minhash(hashes: Column, numHashes: Int): Column =
+    ColumnShim.column(AffineMinHash(ColumnShim.expression(hashes), numHashes))
+
   def sorted_intersect_size(a: Column, b: Column): Column =
     ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))
 

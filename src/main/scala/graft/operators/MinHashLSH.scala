@@ -94,6 +94,33 @@ object MinHashLSH {
   def oracleA(j: Int): Long = (2654435761L * (j + 1)) % OracleP
   def oracleB(j: Int): Long = (40503L * (j.toLong * j + 1) + 17) % OracleP
 
+  /** Kernel for the `affine_minhash` expression: n minima of
+    * (x·A_j + B_j) mod P over the input hashes (all values < P, products
+    * < P² < 2^62 — the same arithmetic the generated oracle SQL inlines).
+    */
+  def affineMins(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+                 numHashes: Int): Array[Long] = {
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j0 = 0
+    while (j0 < numHashes) { as(j0) = oracleA(j0); bs(j0) = oracleB(j0); j0 += 1 }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (x * as(j) + bs(j)) % OracleP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   /** MinHash+LSH near-dups with the reproducible family — slower per doc
     * than [[nearDuplicates]] (md5 per shingle), meant for a bounded slice
     * where the DuckDB oracle replays the FULL pipeline: shingling,
@@ -103,11 +130,9 @@ object MinHashLSH {
   def oracleNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5): DataFrame = {
-    import graft.functions.GraftFunctions.sorted_intersect_size
+    import graft.functions.GraftFunctions.{affine_minhash, sorted_intersect_size}
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val as = (0 until numHashes).map(oracleA).toArray
-    val bs = (0 until numHashes).map(oracleB).toArray
 
     val toks = split(lower(trim(col("txt"))), "\\s+")
     val shingles = when(size(toks) >= 3,
@@ -116,10 +141,7 @@ object MinHashLSH {
       .otherwise(array(concat_ws(" ", toks)))
     val hs = transform(shingles,
       sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % OracleP)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(hs,
-        h => (h * element_at(lit(as), (j + 1).cast("int"))
-          + element_at(lit(bs), (j + 1).cast("int"))) % OracleP)))
+    val sig = affine_minhash(hs, numHashes)
 
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential accumulation. */
+  /** Σ aᵢ·bᵢ in double, sequential accumulation — the native `seq_dot`
+    * expression (identical arithmetic order to the HOF formulation and
+    * the DuckDB oracle, but one codegen'd loop with no boxing).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.seq_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -157,11 +157,48 @@ object TextOps {
       |      FROM documents) t
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin
 
+  /** Winnowed rolling-hash fingerprints (Rabin-Karp k-grams + w-window
+    * minima): the near-dup fingerprint set, summarized per doc. The
+    * native kernel runs one map-side pass; the oracle replays the exact
+    * modular arithmetic (ASCII: ord == byte).
+    */
+  private def rollingFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.winnowed_fingerprints
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", winnowed_fingerprints($"text", 8, 16).as("fps"))
+      .select($"doc_id",
+        size(array_distinct($"fps")).cast("long").as("n_fp"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val rollingFpSql: String = {
+    val k = 8; val w = 16
+    val pows = graft.core.RollingHashCore.powers(k)
+    val p = graft.core.RollingHashCore.P
+    val terms = (0 until k).map(j =>
+      s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - $k + 2), i -> ($terms) % $p) AS hs
+       |  FROM documents WHERE length(text) >= $k),
+       |f AS (
+       |  SELECT doc_id, CASE WHEN len(hs) > $w
+       |    THEN list_transform(range(1, len(hs) - $w + 2), i -> list_min(hs[i : i + $w - 1]))
+       |    ELSE [list_min(hs)] END AS fps
+       |  FROM g)
+       |SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+       |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
     ("txt_lang_id",       langId _,        Some(langIdSql)),
     ("txt_fingerprint",   fingerprint _,   Some(fingerprintSql)),
+    ("txt_rolling_fp",    rollingFp _,     Some(rollingFpSql)),
   )
 }
