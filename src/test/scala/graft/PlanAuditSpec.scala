@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape gates — the properties that decide whether a plan
+  * survives a 100 TB scale-up, asserted in CI rather than eyeballed:
+  * parquet predicate pushdown, column pruning, broadcast joins on dims,
+  * map-side partial aggregation and whole-stage codegen coverage.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def planOf(name: String): (DataFrame, String, String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so the executed plan is the real one
+    val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    (df, formatted, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q2_scan_pushdown: filters reach the parquet scan, schema is pruned") {
+    val (_, plan, _) = planOf("q2_scan_pushdown")
+    assert(plan.contains("PushedFilters: ["), "no predicate pushdown into the scan")
+    assert(!plan.contains("PushedFilters: []"), "pushdown list is empty")
+    // the query projects a few columns; a full-width ReadSchema means
+    // column pruning broke
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q4_join_broadcast: the dimension side broadcasts, no shuffle join") {
+    val (_, plan, _) = planOf("q4_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast hash join")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the shuffle + codegen") {
+    val (_, plan, executed) = planOf("q1_agg")
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, saw $hashAggs")
+    assert(executed.contains("*("), "aggregation fell out of whole-stage codegen")
+  }
+
+  test("engine bounded read: offset predicates ride parquet row-group stats") {
+    import org.apache.spark.sql.functions._
+    val g = new graft.storage.GraftStreams(spark,
+      java.nio.file.Files.createTempDirectory("graft-audit").toString)
+    g.catalog.createScope("a")
+    g.catalog.createStream("a", "s", graft.core.StreamConfig(2))
+    import spark.implicits._
+    g.writeEvents("a", "s", spark.range(1000).select(
+      concat(lit("k"), $"id" % 7).as("routingKey"), $"id".as("eventTime"),
+      encode($"id".cast("string"), "UTF-8").as("payload")))
+    val meta = g.catalog.getStream("a", "s")
+    val mid = graft.core.StreamCut(meta.segments.map(s => s.segmentId -> s.tailOffset / 2).toMap)
+    val df = g.readEvents("a", "s", from = mid).select($"routingKey", $"offset")
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "cut-range offset predicates not pushed to parquet")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("payload"),
+      s"projection did not prune the payload column: $readSchema")
+  }
+
+  test("dedup_exact: bounded shuffle count, codegen'd") {
+    val (df, _, executed) = planOf("dedup_exact")
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum +
+        p.subqueries.map(countShuffles).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            countShuffles(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            countShuffles(q.plan)
+          case _ => 0
+        })
+    }
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    // countDistinct is a 2-phase aggregate (expand + re-shuffle) plus the
+    // final sort: ≤4 real exchanges; more means a lost partial-agg
+    assert(shuffles <= 4, s"too many shuffles for a hash-groupBy dedup: $shuffles")
+    assert(executed.contains("*("), "dedup fell out of whole-stage codegen")
+  }
+}
