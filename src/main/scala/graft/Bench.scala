@@ -43,6 +43,9 @@ object Bench {
       val docs = spark.range(200).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 30).map(i => concat(lit(s"w$i"), col("id") % 7)): _*).as("text"))
       graft.operators.MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+      val l = spark.range(500).select(col("id"), (col("id") % 17).as("k"))
+      l.join(l.withColumnRenamed("id", "id2"), "k")
+        .groupBy("k").agg(min("id"), count(lit(1))).count()
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -107,7 +107,9 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       keyed
         .select($"bucket", $"pk", $"sk", $"value", $"op",
                 lit(commitVersion).as("version"))
-        .repartition($"bucket")
+        // explicit count: one task per bucket (AQE would coalesce the
+        // small shuffle to one task and serialize the sort+encode)
+        .repartition(partitionCount, $"bucket")
         .sortWithinPartitions($"bucket", $"pk", $"sk")
         .write.parquet(deltaDir.toString)
 
@@ -208,7 +210,7 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     resolved(m)
       .withColumn("op", lit("PUT"))
       .select($"bucket", $"pk", $"sk", $"value", $"op", $"version")
-      .repartition($"bucket")
+      .repartition(partitionCount, $"bucket")
       .sortWithinPartitions($"bucket", $"pk", $"sk")
       .write.parquet(baseDir.toString)
     try {

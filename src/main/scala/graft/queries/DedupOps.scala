@@ -38,33 +38,37 @@ object DedupOps {
     */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // token sets are interned to 64-bit hashes: |A∩B| over bigint arrays
-    // is several times cheaper than string arrays and collision odds are
-    // ~1e-10 for this vocabulary, so Jaccard values match the raw-token
-    // oracle bit-for-bit.
+    jaccardPairs(s, dir, 0.35).orderBy($"a_id", $"b_id")
+  }
+
+  /** Exact Jaccard pairs over the short-doc slice (shared by the pair
+    * query and the clustering query).
+    * Token sets are interned to 64-bit hashes: |A∩B| over bigint arrays
+    * is several times cheaper than string arrays and collision odds are
+    * ~1e-10 for this vocabulary, so Jaccard values match the raw-token
+    * oracle bit-for-bit. The size-ratio bound — J(a,b) ≤
+    * min(|a|,|b|)/max(|a|,|b|) — prunes pairs before the intersection
+    * with zero false negatives; the stream side is repartitioned so the
+    * broadcast nested-loop pair join parallelizes, and sorted arrays make
+    * the intersection a codegen'd zero-allocation merge loop.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
     val t = Tables.documents(s, dir).filter($"n_chars" < 200)
       .select($"doc_id",
         array_sort(array_distinct(
           transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x)))).as("toks"))
-    // size-ratio bound: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so pairs whose
-    // token-set sizes differ too much can never reach the threshold —
-    // prunes before the expensive intersection, with zero false negatives.
-    // stream side repartitioned so the broadcast nested-loop pair join
-    // parallelizes (the input is one parquet file = one partition);
-    // dimension side broadcast explicitly. Sorted arrays make the
-    // intersection a codegen'd zero-allocation merge loop.
     val a = t.repartition($"doc_id").select($"doc_id".as("a_id"), $"toks".as("a_toks"))
     val b = broadcast(t.select($"doc_id".as("b_id"), $"toks".as("b_toks")))
     a.join(b, $"a_id" < $"b_id" &&
         least(size($"a_toks"), size($"b_toks")).cast("double") >=
-          lit(0.35) * greatest(size($"a_toks"), size($"b_toks")).cast("double"))
+          lit(threshold) * greatest(size($"a_toks"), size($"b_toks")).cast("double"))
       .withColumn("inter", sorted_intersect_size($"a_toks", $"b_toks").cast("double"))
       .withColumn("jaccard",
         $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
-      .filter($"jaccard" >= 0.35)
+      .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
   }
 
   private val ngramJaccardSql =
@@ -102,6 +106,70 @@ object DedupOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Near-dup clusters: connected components over the Jaccard≥0.6 pair
+    * graph by iterative min-label propagation — the step that turns pair
+    * lists into keep/drop groups in a dedup pipeline. Each iteration is
+    * one join + min-aggregate (both shuffle on the node id); convergence
+    * takes O(log diameter) rounds with a driver-side empty-check — no
+    * driver-side data. The oracle computes the same fixpoint (min
+    * reachable id) with a recursive CTE.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir, 0.6).select($"a_id", $"b_id")
+    // both directions in ONE pass over the pair join (a union of the
+    // reversed projection would compute the join twice), then
+    // localCheckpoint (not persist) truncates lineage so iteration N's
+    // plan doesn't embed iterations 0..N-1 — planning stays O(1) per round
+    val edges = pairs.select(explode(array(
+        struct($"a_id".as("src"), $"b_id".as("dst")),
+        struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, $"dst" === $"id").select($"src".as("id"), $"lbl")
+      // pointer jumping: also adopt the label of one's label, so label
+      // chains halve each round — O(log diameter) rounds, not O(diameter)
+      val viaLbl = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
+      // lazy checkpoint: the convergence count below is the single job
+      // that materializes this round's labels
+      val next = labels.union(prop).union(viaLbl)
+        .groupBy($"id").agg(min($"lbl").as("lbl"))
+        .localCheckpoint(false)
+      val t0 = System.nanoTime()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter($"lbl" =!= $"old").limit(1).count() == 0
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        println(f"CLUSTER-ITER $iter conv=$converged t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      labels = next
+      iter += 1
+    }
+    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      |  FROM documents WHERE n_chars < 200),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |    AND CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) >=
+      |        0.6 * CAST(greatest(len(a.toks), len(b.toks)) AS DOUBLE)
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.6),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      |r(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id)
+      |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked MinHash+LSH on a bounded slice: the reproducible hash
     * family lets DuckDB replay shingling → signatures → banding →
     * candidates → verification and hash-match every surviving pair.
@@ -119,5 +187,6 @@ object DedupOps {
     ("dedup_simhash",        simhash _,       Some(SimHash.oracleSignatureSql(200))),
     ("dedup_minhash_lsh",    minhashLsh _,    None),
     ("dedup_minhash_oracle", minhashOracle _, Some(MinHashLSH.oracleNearDuplicatesSql(400))),
+    ("dedup_clusters",       dedupClusters _, Some(dedupClustersSql)),
   )
 }
