@@ -27,7 +27,15 @@ import java.nio.charset.StandardCharsets
   * planning step and cached by version. Retention/compaction keeps it
   * bounded; nothing here is per-row or per-executor state.
   */
+object StreamCatalog {
+  /** Default reader-grace before tombstoned files are physically deleted
+    * (long enough for any in-flight scan planned from an older manifest).
+    */
+  val DefaultDeleteGraceMillis: Long = 15 * 60 * 1000L
+}
+
 class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configuration()) {
+  import StreamCatalog.DefaultDeleteGraceMillis
   private implicit val fmts: Formats = DefaultFormats
 
   private val root = new Path(rootDir)
@@ -165,29 +173,44 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
 
   /** truncateStream(cut) (Controller.java:237): raise the head cut; files
     * entirely below it leave the manifest. The CAS closure is side-effect
-    * free — it only rewrites metadata; physical deletion of the dropped
-    * files happens strictly AFTER the manifest commit succeeds, so a lost
-    * CAS or a crash mid-truncate can never leave a committed manifest
-    * pointing at deleted data (readers of the old manifest still see a
-    * complete file set; the new manifest no longer references the dead
-    * files, so deleting them afterwards is safe and idempotent).
+    * free — it only rewrites metadata; dropped files become
+    * `pendingDeletes` tombstones with a reader-grace deadline, so (a) a
+    * lost CAS or crash mid-truncate never leaves a committed manifest
+    * pointing at deleted data, and (b) a reader that planned its scan
+    * from the previous manifest version can finish before the physical
+    * delete happens. `sweepDeletes` reclaims past-deadline tombstones.
     */
-  def truncateStream(scope: String, stream: String, cut: StreamCut): StreamMetadata = {
-    var dead: Seq[FileEntry] = Nil
-    val updated = update(scope, stream) { m =>
+  def truncateStream(scope: String, stream: String, cut: StreamCut,
+                     graceMillis: Long = DefaultDeleteGraceMillis): StreamMetadata = {
+    val deadline = System.currentTimeMillis() + graceMillis
+    update(scope, stream) { m =>
       val newHead = m.segments.map { s =>
         val cur = m.headCut.getOrElse(s.segmentId, s.startOffset)
         s.segmentId -> math.max(cur, cut.positions.getOrElse(s.segmentId, cur))
       }.toMap
-      val (d, live) = m.files.partition(f => f.endOffset <= newHead.getOrElse(f.segmentId, 0L))
-      dead = d
+      val (dead, live) = m.files.partition(f => f.endOffset <= newHead.getOrElse(f.segmentId, 0L))
       m.copy(headCut = newHead, files = live,
-        segments = m.segments.map(s => s.copy(startOffset = newHead.getOrElse(s.segmentId, s.startOffset))))
+        segments = m.segments.map(s => s.copy(startOffset = newHead.getOrElse(s.segmentId, s.startOffset))),
+        pendingDeletes = m.pendingDeletes ++ dead.map(f => PendingDelete(f.path, deadline)))
     }
-    // best-effort sweep of now-unreferenced files; a failure here only
-    // leaks space (reclaimed by a later sweep), never correctness
-    dead.foreach(f => try fs.delete(new Path(f.path), false) catch { case _: Exception => () })
-    updated
+  }
+
+  /** Physically delete tombstoned files whose reader-grace deadline has
+    * passed, and clear them from the manifest. Deletion happens BEFORE
+    * the manifest update: re-running after a crash is idempotent (a
+    * missing file just deletes as a no-op), and a tombstone is only
+    * cleared once its file is actually gone.
+    */
+  def sweepDeletes(scope: String, stream: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val due = getStream(scope, stream).pendingDeletes.filter(_.notBefore <= now)
+    if (due.isEmpty) return Nil
+    due.foreach(p => try fs.delete(new Path(p.path), false) catch { case _: Exception => () })
+    val donePaths = due.map(_.path).toSet
+    update(scope, stream) { m =>
+      m.copy(pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path)))
+    }
+    donePaths.toSeq.sorted
   }
 
   // ------------------------------------------------------------- manifests

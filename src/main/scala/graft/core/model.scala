@@ -86,6 +86,13 @@ object Attributes {
 
 final case class EpochRecord(epoch: Int, segmentIds: Seq[Long], createdAt: Long)
 
+/** A data file removed from the manifest but not yet physically deleted:
+  * readers that planned a scan from an older manifest version may still
+  * be reading it, so deletion waits out a grace period (the tombstone /
+  * vacuum pattern). `notBefore` is wall-clock millis.
+  */
+final case class PendingDelete(path: String, notBefore: Long)
+
 /** Stream configuration (client/.../stream/StreamConfiguration.java:35 +
   * ScalingPolicy.java:68-111). Auto-scale thresholds follow
   * AutoScaleProcessor.java:286-302 semantics when the scaling job runs.
@@ -219,7 +226,11 @@ final case class StreamMetadata(
       */
     namedCuts: Map[String, Map[Long, Long]] = Map.empty,
     /** Wall-clock of the last scale event (cooldown gate). */
-    lastScaleAt: Long = 0L) {
+    lastScaleAt: Long = 0L,
+    /** Files dropped from `files` (compaction/truncation) awaiting
+      * physical deletion after their reader-grace deadline.
+      */
+    pendingDeletes: Seq[PendingDelete] = Nil) {
 
   def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
 

@@ -28,8 +28,13 @@ import java.util.UUID
   * #deltas, bounded by the compaction cadence. No driver-side state.
   */
 final case class KvFile(path: String, kind: String, commitVersion: Long)
+/** A compacted-away file awaiting physical deletion after its
+  * reader-grace deadline (see StreamCatalog.sweepDeletes rationale).
+  */
+final case class KvPendingDelete(path: String, notBefore: Long)
 final case class KvManifest(name: String, partitionCount: Int, version: Long,
-                            files: Seq[KvFile])
+                            files: Seq[KvFile],
+                            pendingDeletes: Seq[KvPendingDelete] = Nil)
 
 class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
                     val partitionCount: Int = 16,
@@ -214,13 +219,37 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       .sortWithinPartitions($"bucket", $"pk", $"sk")
       .write.parquet(baseDir.toString)
     try {
+      // replaced files become tombstones with a reader-grace deadline —
+      // an in-flight read planned from the old manifest can finish;
+      // sweepDeletes() reclaims them afterwards
+      val deadline = System.currentTimeMillis() +
+        graft.catalog.StreamCatalog.DefaultDeleteGraceMillis
       commit(KvManifest(name, partitionCount, m.version + 1,
-        Seq(KvFile(baseDir.toString, "base", m.version))))
-      m.files.foreach(f => fs.delete(new Path(f.path), true))
+        Seq(KvFile(baseDir.toString, "base", m.version)),
+        m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline))))
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
         fs.delete(baseDir, true)
         throw new GraftException(s"kv $name: compaction lost CAS; rerun")
     }
+  }
+
+  /** Physically delete past-deadline tombstones and clear them from the
+    * manifest (delete-then-clear: idempotent across crashes).
+    */
+  def sweepDeletes(): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val m = latest()
+    val due = m.pendingDeletes.filter(_.notBefore <= now)
+    if (due.isEmpty) return Nil
+    due.foreach(p => try fs.delete(new Path(p.path), true) catch { case _: Exception => () })
+    val donePaths = due.map(_.path).toSet
+    try commit(m.copy(version = m.version + 1,
+      pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path))))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+        () // lost the CAS: files are gone, tombstones clear on a later sweep
+    }
+    donePaths.toSeq.sorted
   }
 }

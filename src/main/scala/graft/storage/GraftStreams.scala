@@ -624,8 +624,11 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
   def sweepOrphans(scope: String, stream: String,
                    olderThanMillis: Long = 3600000L): Seq[String] = {
     val meta = catalog.getStream(scope, stream)
-    val referenced = meta.files.map(f => new Path(f.path).getParent.getParent.toString).toSet ++
-      meta.files.map(f => new Path(f.path).getParent.toString).toSet
+    // tombstoned files are still awaiting their reader-grace deadline —
+    // their directories must survive until sweepDeletes clears them
+    val keepPaths = meta.files.map(_.path) ++ meta.pendingDeletes.map(_.path)
+    val referenced = keepPaths.map(p => new Path(p).getParent.getParent.toString).toSet ++
+      keepPaths.map(p => new Path(p).getParent.toString).toSet
     val dataDir = catalog.dataDir(scope, stream)
     val fsys = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fsys.exists(dataDir)) return Nil
@@ -670,6 +673,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .write.partitionBy("segId").parquet(compactDir.toString)
 
     val newEntries = statsFromFooters(compactDir)
+    val deadline = System.currentTimeMillis() + graft.catalog.StreamCatalog.DefaultDeleteGraceMillis
     val updated = catalog.update(scope, stream) { m =>
       // the CAS closure revalidates: if any target segment gained a file
       // since planning, fail (caller can rerun) rather than lose it
@@ -678,10 +682,12 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       }
       if (changed) throw new ConditionalCheckFailedException(
         s"$scope/$stream files changed during compaction")
-      m.copy(files = m.files.filterNot(f => targets.contains(f.segmentId)) ++ newEntries)
+      // replaced files become tombstones, NOT immediate deletes: a reader
+      // that planned from the pre-compaction manifest may still be
+      // scanning them; catalog.sweepDeletes reclaims after the grace
+      m.copy(files = m.files.filterNot(f => targets.contains(f.segmentId)) ++ newEntries,
+        pendingDeletes = m.pendingDeletes ++ oldPaths.map(p => PendingDelete(p, deadline)))
     }
-    val fsys = compactDir.getFileSystem(spark.sessionState.newHadoopConf())
-    oldPaths.foreach(p => fsys.delete(new Path(p), false))
     (meta.files.size, updated.files.size)
   }
 

@@ -14,6 +14,45 @@ class CompactionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("tombstone GC: compacted/truncated files survive the reader grace, then sweep") {
+    val g = new GraftStreams(spark, Files.createTempDirectory("graft-gc").toString)
+    val hconf = spark.sessionState.newHadoopConf()
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "gc", StreamConfig(initialSegments = 2))
+    (0 until 3).foreach { i =>
+      g.writeEvents("s", "gc", spark.range(60).select(
+        concat(lit("k"), col("id") % 5).as("routingKey"),
+        (lit(1704067200000L) + lit(i * 60L) + col("id")).as("eventTime"),
+        encode(concat(lit(s"b$i-"), col("id")), "UTF-8").as("payload")))
+    }
+    // a reader plans its scan from the pre-compaction manifest
+    val oldPlan = g.readEvents("s", "gc")
+    g.compactStream("s", "gc")
+    val meta = g.catalog.getStream("s", "gc")
+    assert(meta.pendingDeletes.nonEmpty, "compaction should tombstone, not delete")
+    // tombstoned files are still on disk → the old plan still reads fine
+    meta.pendingDeletes.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p.path)
+      assert(hp.getFileSystem(hconf).exists(hp), s"file deleted before grace: ${p.path}")
+    }
+    assert(oldPlan.count() == 180L, "pre-compaction reader broke")
+    // grace not yet reached → sweep is a no-op
+    assert(g.catalog.sweepDeletes("s", "gc").isEmpty)
+    // force the deadline into the past (test-only manifest surgery)
+    g.catalog.update("s", "gc") { m =>
+      m.copy(pendingDeletes = m.pendingDeletes.map(_.copy(notBefore = 0L)))
+    }
+    val swept = g.catalog.sweepDeletes("s", "gc")
+    assert(swept.nonEmpty)
+    swept.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      assert(!hp.getFileSystem(hconf).exists(hp), s"sweep left $p behind")
+    }
+    assert(g.catalog.getStream("s", "gc").pendingDeletes.isEmpty)
+    // current manifest still reads everything
+    assert(g.readEvents("s", "gc").count() == 180L)
+  }
+
   test("compaction merges files, preserves rows/offsets/cuts, survives truncation") {
     val g = new GraftStreams(spark, Files.createTempDirectory("graft-comp").toString)
     g.catalog.createScope("s")
