@@ -1,8 +1,7 @@
 package graft.sources
 
 import graft.storage.GraftStreams
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.DataFrame
 
 /** Exactly-once streaming sink: `writeStream.foreachBatch(writer(...))`.
   * Batches commit through the manifest CAS keyed by (queryName, batchId),
@@ -17,11 +16,9 @@ object GraftStreamSink {
   def writer(g: GraftStreams, scope: String, stream: String, queryName: String,
              autoNoteTime: Boolean = true): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
-      g.writeEvents(scope, stream, df, writerId = Some(queryName), batchId = Some(batchId))
-      if (autoNoteTime) {
-        val m = df.agg(max("eventTime")).collect().headOption
-          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        m.foreach(t => g.noteTime(scope, stream, queryName, t))
-      }
+      // the time mark rides the same manifest CAS as the data (computed
+      // from the parquet footers) — no second pass over the batch
+      g.writeEvents(scope, stream, df, writerId = Some(queryName), batchId = Some(batchId),
+        noteTimeFromBatch = autoNoteTime)
     }
 }

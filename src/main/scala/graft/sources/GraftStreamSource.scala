@@ -61,15 +61,20 @@ class GraftStreamSource(
 
   private def loadPersistedCut(): Option[StreamCut] = persistPath.flatMap { p =>
     val fs = hfs(p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        Some(GraftSourceOffset.fromJson(txt))
-      } catch { case _: Exception => None }
-      finally in.close()
-    }
+    def readCut(path: Path): Option[StreamCut] =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try {
+          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          Some(GraftSourceOffset.fromJson(txt))
+        } catch { case _: Exception => None }
+        finally in.close()
+      }
+    // persistCut writes tmp → delete main → rename; a crash between the
+    // delete and the rename leaves only the tmp, which holds the newest
+    // cut — fall back to it so the marker never silently vanishes
+    readCut(p).orElse(readCut(new Path(p.getParent, s"${p.getName}.tmp")))
   }
 
   private def persistCut(cut: StreamCut): Unit = persistPath.foreach { p =>

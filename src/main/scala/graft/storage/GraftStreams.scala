@@ -44,7 +44,8 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     * reference's writer-id event-number dedup, AppendProcessor.java:179-387).
     */
   def writeEvents(scope: String, stream: String, df: DataFrame,
-                  writerId: Option[String] = None, batchId: Option[Long] = None): StreamCut = {
+                  writerId: Option[String] = None, batchId: Option[Long] = None,
+                  noteTimeFromBatch: Boolean = false): StreamCut = {
     val meta = catalog.getStream(scope, stream)
     if (meta.isSealed) throw new StreamSealedException(s"$scope/$stream is sealed")
     for (w <- writerId; b <- batchId)
@@ -130,7 +131,15 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         segmentRates = m.segmentRates ++ rowsPerSeg.map { case (sid, n) =>
           sid -> m.segmentRates.getOrElse(sid, SegmentRates()).update(n, now) },
         writerBatches = (for (w <- writerId; b <- batchId) yield m.writerBatches + (w -> b))
-          .getOrElse(m.writerBatches))
+          .getOrElse(m.writerBatches),
+        // auto noteTime from the batch's max eventTime (already in the
+        // parquet footers — no extra pass), committed atomically with the
+        // data; marks only move forward (EventStreamWriterImpl.java:117)
+        writerMarks = (for {
+          w <- writerId if noteTimeFromBatch && entries.nonEmpty
+          t = entries.map(_.maxEventTime).max
+          if !m.writerMarks.get(w).exists(_.time >= t)
+        } yield m.writerMarks + (w -> WriterMark(w, t, now))).getOrElse(m.writerMarks))
     } catch {
       case e: ConditionalCheckFailedException =>
         // never committed — drop the staged files so retries don't leak
