@@ -129,6 +129,7 @@ object DedupOps {
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()
     var converged = false
+    var lastSum: Option[Long] = None
     var iter = 0
     while (!converged && iter < 25) {
       val prop = edges.join(labels, $"dst" === $"id").select($"src".as("id"), $"lbl")
@@ -141,11 +142,13 @@ object DedupOps {
       val next = labels.union(prop).union(viaLbl)
         .groupBy($"id").agg(min($"lbl").as("lbl"))
         .localCheckpoint(false)
-      val t0 = System.nanoTime()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter($"lbl" =!= $"old").limit(1).count() == 0
-      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-        println(f"CLUSTER-ITER $iter conv=$converged t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // labels are monotonically non-increasing per id (min over self,
+      // neighbors, label-of-label), so the label SUM is strictly
+      // decreasing until the fixpoint — an aggregate beats a join+diff
+      // as the convergence probe and doubles as the materializing action
+      val sum = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head().getLong(0)
+      converged = lastSum.contains(sum)
+      lastSum = Some(sum)
       labels = next
       iter += 1
     }
