@@ -306,6 +306,35 @@ object Relational2 {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** ntile / percent_rank / cume_dist — the statistical ranking windows
+    * over per-customer spend.
+    */
+  private def q30RankStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(expr(s"CAST(SUM($TOTAL) AS DOUBLE)").as("spend"))
+    val w = Window.orderBy($"spend".desc, $"o_custkey")
+    spend
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter($"o_custkey" < 100)
+      .orderBy($"o_custkey")
+  }
+
+  private val q30Sql =
+    s"""SELECT * FROM (
+       |  SELECT o_custkey, CAST(SUM($TOTAL) AS DOUBLE) AS spend,
+       |    NTILE(4) OVER w AS quartile,
+       |    PERCENT_RANK() OVER w AS pct_rank,
+       |    CUME_DIST() OVER w AS cume
+       |  FROM orders GROUP BY o_custkey
+       |  WINDOW w AS (ORDER BY CAST(SUM($TOTAL) AS DOUBLE) DESC, o_custkey)) t
+       |WHERE o_custkey < 100
+       |ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
     ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
@@ -320,5 +349,6 @@ object Relational2 {
     ("q27_lag_lead",        q27LagLead _,       Some(q27Sql)),
     ("q28_range_frame",     q28RangeFrame _,    Some(q28Sql)),
     ("q29_exists",          q29Exists _,        Some(q29Sql)),
+    ("q30_rank_stats",      q30RankStats _,     Some(q30Sql)),
   )
 }

@@ -1,0 +1,51 @@
+package graft.storage
+
+import graft.core.StreamConfig
+
+/** Background maintenance pass for a stream — the Spark-side analog of the
+  * controller's per-stream bucket services (controller/.../server/bucket/
+  * {BucketManager,PeriodicRetention,PeriodicWatermarking}.java) plus the
+  * segment-store housekeeping: one idempotent call that
+  *
+  *   1. sweeps expired/stuck transactions (lease timeout semantics,
+  *      controller/.../timeout/),
+  *   2. applies the retention policy (PeriodicRetention.java:51),
+  *   3. evaluates auto-scale (AutoScaleProcessor.java:286-302),
+  *   4. compacts small files (chunk defrag analog),
+  *   5. physically reclaims past-grace tombstones and orphaned staging
+  *      dirs.
+  *
+  * Every step is a manifest-CAS metadata operation or an idempotent
+  * file sweep, so concurrent/maintenance-vs-writer races only ever cost a
+  * CAS retry — never correctness. Run it from a scheduler per stream.
+  */
+class Maintenance(g: GraftStreams,
+                  compactMinFiles: Int = 4,
+                  orphanGraceMillis: Long = 3600000L) {
+
+  final case class Report(
+      sweptTxns: Seq[String],
+      truncated: Boolean,
+      scaled: Boolean,
+      filesBefore: Int,
+      filesAfter: Int,
+      reclaimedFiles: Seq[String],
+      reclaimedOrphans: Seq[String])
+
+  def run(scope: String, stream: String,
+          now: Long = System.currentTimeMillis()): Report = {
+    val sweptTxns = g.sweepExpiredTxns(scope, stream)
+    val truncated = new Retention(g).apply(scope, stream, now).isDefined
+    val scaled = new AutoScaler(g).evaluate(scope, stream, now).isDefined
+    val (before, after) =
+      try g.compactStream(scope, stream, compactMinFiles)
+      catch { case _: graft.core.ConditionalCheckFailedException => (-1, -1) }
+    val reclaimed = g.catalog.sweepDeletes(scope, stream)
+    val orphans = g.sweepOrphans(scope, stream, orphanGraceMillis)
+    Report(sweptTxns, truncated, scaled, before, after, reclaimed, orphans)
+  }
+
+  /** Maintenance across every stream of a scope. */
+  def runScope(scope: String, now: Long = System.currentTimeMillis()): Map[String, Report] =
+    g.catalog.listStreams(scope).map(st => st -> run(scope, st, now)).toMap
+}

@@ -53,6 +53,46 @@ class CompactionSpec extends AnyFunSuite {
     assert(g.readEvents("s", "gc").count() == 180L)
   }
 
+  test("maintenance pass: txn sweep + retention + compaction + GC in one idempotent run") {
+    val g = new GraftStreams(spark, Files.createTempDirectory("graft-maint").toString)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "m",
+      StreamConfig(initialSegments = 2, retentionMaxRows = 150))
+    (0 until 5).foreach { i =>
+      g.writeEvents("s", "m", spark.range(60).select(
+        concat(lit("k"), col("id") % 5).as("routingKey"),
+        (lit(1704067200000L) + lit(i * 60L) + col("id")).as("eventTime"),
+        encode(concat(lit(s"b$i-"), col("id")), "UTF-8").as("payload")))
+    }
+    val expired = g.beginTxn("s", "m", leaseMillis = 3000L)
+    g.writeToTxn("s", "m", expired, spark.range(10).select(
+      lit("kx").as("routingKey"), lit(0L).as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+    // force the lease into the past instead of sleeping it out
+    g.catalog.update("s", "m") { m =>
+      val cur = m.transactions(expired)
+      m.copy(transactions = m.transactions + (expired -> cur.copy(createdAt = 0L, leaseMillis = 1L)))
+    }
+
+    val maint = new Maintenance(g, compactMinFiles = 2)
+    val r1 = maint.run("s", "m")
+    assert(r1.sweptTxns == Seq(expired))
+    assert(r1.truncated, "size-based retention should have truncated")
+    assert(r1.filesAfter >= 0 && r1.filesAfter <= r1.filesBefore)
+    val liveRows = g.readEvents("s", "m").count()
+    assert(liveRows <= 160L && liveRows > 0L, s"retention left $liveRows rows")
+    // second run is a no-op-ish pass and must not lose data
+    val r2 = maint.run("s", "m")
+    assert(r2.sweptTxns.isEmpty)
+    assert(g.readEvents("s", "m").count() == liveRows)
+    // clear the grace and reclaim: tombstones go away, data intact
+    g.catalog.update("s", "m")(m =>
+      m.copy(pendingDeletes = m.pendingDeletes.map(_.copy(notBefore = 0L))))
+    val r3 = maint.run("s", "m")
+    assert(g.catalog.getStream("s", "m").pendingDeletes.isEmpty)
+    assert(g.readEvents("s", "m").count() == liveRows)
+  }
+
   test("compaction merges files, preserves rows/offsets/cuts, survives truncation") {
     val g = new GraftStreams(spark, Files.createTempDirectory("graft-comp").toString)
     g.catalog.createScope("s")
