@@ -33,7 +33,8 @@ class GraftStreamSource(
     stream: String,
     startCut: Option[StreamCut],
     maxRowsPerTrigger: Option[Long],
-    metadataPath: String) extends Source {
+    metadataPath: String) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private implicit val fmts: Formats = DefaultFormats
   private val spark: SparkSession = sqlContext.sparkSession
@@ -93,11 +94,49 @@ class GraftStreamSource(
     if (changed) persistCut(cut)
   }
 
-  override def getOffset: Option[OffsetV1] = {
+  // Trigger.AvailableNow: drain up to the tail captured at query start,
+  // in maxRowsPerTrigger pages, then let Spark terminate the query.
+  private var availableNowCap: Option[StreamCut] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(g.catalog.getStream(scope, stream).tailCut)
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxRowsPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  /** Admission-control offset announcement (replaces getOffset: Spark
+    * calls this for every trigger once SupportsAdmissionControl is
+    * implemented). `start` is the checkpointed previous end offset — so
+    * after a restart the throttled cut is computed from the real position
+    * even before any getBatch, independent of the persisted marker.
+    */
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
     val meta = g.catalog.getStream(scope, stream)
-    val tail = meta.tailCut
-    val from = lastEnd.getOrElse(initialCut)
-    val next = maxRowsPerTrigger match {
+    val tail0 = meta.tailCut
+    // under AvailableNow, never announce past the captured cap
+    val tail = availableNowCap.map { cap =>
+      StreamCut(tail0.positions.map { case (sid, off) =>
+        sid -> math.min(off, cap.positions.getOrElse(sid, off))
+      })
+    }.getOrElse(tail0)
+    val checkpointed = Option(start).map(GraftSourceOffset.anyToCut)
+    val from = (checkpointed, lastEnd) match {
+      case (Some(c), Some(l)) => StreamCut((c.positions.keySet ++ l.positions.keySet).map { sid =>
+        sid -> math.max(c.positions.getOrElse(sid, 0L), l.positions.getOrElse(sid, 0L))
+      }.toMap)
+      case (Some(c), None) => c
+      case (None, Some(l)) => l
+      case (None, None) => initialCut
+    }
+    val maxRows = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => Some(m.maxRows())
+      case _ => maxRowsPerTrigger
+    }
+    val next = maxRows match {
       case None => tail
       case Some(max) =>
         val segs = meta.segments.map(_.segmentId)
@@ -112,14 +151,17 @@ class GraftStreamSource(
     val merged = StreamCut((next.positions.keySet ++ from.positions.keySet).map { sid =>
       sid -> math.max(next.positions.getOrElse(sid, 0L), from.positions.getOrElse(sid, 0L))
     }.toMap)
-    if (merged.positions.forall { case (sid, off) => from.positions.getOrElse(sid, 0L) >= off }
-        && lastEnd.isDefined) {
-      Some(GraftSourceOffset(merged)) // unchanged; Spark skips the batch
-    } else {
-      advanceLastEnd(merged)
-      Some(GraftSourceOffset(merged))
-    }
+    advanceLastEnd(merged)
+    GraftSourceOffset(merged)
   }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftSourceOffset(g.catalog.getStream(scope, stream).tailCut)
+
+  override def getOffset: Option[OffsetV1] =
+    // superseded by latestOffset (admission control), kept for the Source
+    // contract: announce the unthrottled tail, monotonic by construction
+    Some(GraftSourceOffset(g.catalog.getStream(scope, stream).tailCut))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(GraftSourceOffset.toCut).getOrElse(initialCut)
@@ -161,6 +203,11 @@ object GraftSourceOffset {
   def toCut(o: OffsetV1): StreamCut = o match {
     case g: GraftSourceOffset => g.cut
     case s: SerializedOffset => fromJson(s.json)
+    case other => fromJson(other.json)
+  }
+  /** Same, for the connector-level Offset the admission-control API uses. */
+  def anyToCut(o: org.apache.spark.sql.connector.read.streaming.Offset): StreamCut = o match {
+    case g: GraftSourceOffset => g.cut
     case other => fromJson(other.json)
   }
 }

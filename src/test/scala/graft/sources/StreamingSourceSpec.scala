@@ -124,6 +124,24 @@ class StreamingSourceSpec extends AnyFunSuite {
       "re-delivered rows below the checkpointed cut")
   }
 
+  test("Trigger.AvailableNow: paged catch-up drains the backlog then stops") {
+    // the batch-client catch-up shape: process everything available in
+    // throttled pages, then terminate — no manual stop
+    val (g, root) = mk()
+    g.writeEvents("s", "ev", batch("a", 900))
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "300")
+      .load()
+      .writeStream.format("memory").queryName("avnow").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.table("avnow").count() == 900L)
+    assert(spark.table("avnow")
+      .groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0)
+  }
+
   test("stream-to-stream pipeline via exactly-once foreachBatch sink") {
     val (g, root) = mk()
     g.catalog.createStream("s", "out", StreamConfig(initialSegments = 2))
