@@ -500,7 +500,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         // rows shared one original segment, and the merge rank orders by
         // (original segmentId, txn-local offset).
         val win = Window.partitionBy($"targetSeg").orderBy($"segmentId", $"offset")
-        val toWrite = spark.read.parquet(stagingDir.toString)
+        val toWrite = spark.read.schema(GraftStreams.eventSchema).parquet(stagingDir.toString)
           .withColumn("targetSeg",
             when(col("segmentId").isInCollection(openIds), col("segmentId")).otherwise(rerouted))
           .repartition(math.max(open.size, 1), $"targetSeg")
