@@ -162,6 +162,33 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scale mid-query: the source follows the new epoch, exactly-once across epochs") {
+    val (g, root) = mk()
+    val ckpt = Files.createTempDirectory("graft-ckpt-scale").toString
+    val out = Files.createTempDirectory("graft-out-scale").toString
+    g.writeEvents("s", "ev", batch("pre", 400))
+
+    val q = readStreamDF(root).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // epoch change while the query runs: seal epoch-0, open epoch-1
+      g.scaleStream("s", "ev", 5)
+      g.writeEvents("s", "ev", batch("post", 500))
+      q.processAllAvailable()
+
+      val res = spark.read.parquet(out)
+      assert(res.count() == 900L, "rows lost or duplicated across the scale event")
+      assert(res.groupBy($"segmentId", $"offset").count().filter($"count" > 1).count() == 0)
+      // post-scale rows landed in epoch-1 segments only
+      val postEpochs = res.filter(decode($"payload", "UTF-8").startsWith("post"))
+        .select(shiftrightunsigned($"segmentId", 32).as("epoch"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(postEpochs == Set(1L), s"post-scale rows in epochs $postEpochs")
+    } finally q.stop()
+  }
+
   test("watermark bounds: idle writers drop out of the lower bound") {
     val (g, _) = mk()
     g.noteTime("s", "ev", "w1", 1000L)
