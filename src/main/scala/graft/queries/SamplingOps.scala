@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-splitting operators — the last mile
+  * of a training-data pipeline. Both are hash-based (md5, identical in
+  * DuckDB), so assignments are reproducible across engines, runs and
+  * cluster sizes: no RNG state, no driver coordination, one map-side
+  * projection plus the demo aggregation.
+  */
+object SamplingOps {
+
+  /** 80/10/10 train/val/test split by content-independent key hash:
+    * bucket = first 8 md5 hex chars of the doc id as int mod 100.
+    * Per-(source, split) counts are the checked output.
+    */
+  private def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"source", $"split")
+  }
+
+  private val trainSplitSql =
+    """SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT source,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents) t
+      |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  /** Stratified sample: the 5 smallest hash-ranked docs per (source,
+    * lang) stratum — reproducible uniform-without-replacement sampling
+    * as a ranking window over the hash order.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"source", $"lang")
+      .orderBy($"h", $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"source", $"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"source", $"lang", $"rk")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT source, lang, rk, doc_id FROM (
+      |  SELECT source, lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 5
+      |ORDER BY source, lang, rk""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_train_split",      trainSplit _,       Some(trainSplitSql)),
+    ("ds_stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
+  )
+}
