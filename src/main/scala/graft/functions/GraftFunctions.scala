@@ -180,6 +180,34 @@ case class AffineMinHash(child: Expression, numHashes: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): AffineMinHash = copy(child = c)
 }
 
+/** `md5_shingle_hashes(tokens, shingleSize)`: md5-based shingle ids of an
+  * ordered token-string array — the SQL-reproducible hash family's
+  * shingling stage as one kernel call (see
+  * [[graft.operators.MinHashLSH.md5ShingleHashes]]).
+  */
+case class Md5ShingleHashes(child: Expression, shingleSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_shingle_hashes expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.operators.MinHashLSH.md5ShingleHashes(v.asInstanceOf[ArrayData], shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.operators.MinHashLSH.md5ShingleHashes($c, $shingleSize))")
+
+  override protected def withNewChildInternal(c: Expression): Md5ShingleHashes = copy(child = c)
+}
+
 /** `minhash_signature(tokenHashes, shingleSize, numHashes)`: MinHash
   * signature (array<bigint>) of an ordered token-hash array in one native
   * kernel call — see [[graft.core.MinHashCore]].
@@ -243,6 +271,9 @@ object GraftFunctions {
 
   def affine_minhash(hashes: Column, numHashes: Int): Column =
     ColumnShim.column(AffineMinHash(ColumnShim.expression(hashes), numHashes))
+
+  def md5_shingle_hashes(tokens: Column, shingleSize: Int): Column =
+    ColumnShim.column(Md5ShingleHashes(ColumnShim.expression(tokens), shingleSize))
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))

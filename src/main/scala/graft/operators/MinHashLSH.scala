@@ -94,6 +94,41 @@ object MinHashLSH {
   def oracleA(j: Int): Long = (2654435761L * (j + 1)) % OracleP
   def oracleB(j: Int): Long = (40503L * (j.toLong * j + 1) + 17) % OracleP
 
+  /** Kernel for the `md5_shingle_hashes` expression: for every k-token
+    * shingle (tokens joined by a single space, the whole document when
+    * shorter), the first 15 hex chars of its md5 as a bigint mod P —
+    * byte-for-byte the value of DuckDB/Spark SQL's
+    * `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT) % P`, computed
+    * in one pass without per-shingle string/expression overhead.
+    */
+  def md5ShingleHashes(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+                       shingleSize: Int): Array[Long] = {
+    val n = tokens.numElements()
+    if (n == 0) return Array.empty
+    val k = math.min(shingleSize, n)
+    val out = new Array[Long](n - k + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = ' '.toByte
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      var t = 0
+      while (t < k) {
+        if (t > 0) md.update(space)
+        md.update(tokens.getUTF8String(i + t).getBytes)
+        t += 1
+      }
+      val d = md.digest()
+      // value of the first 15 hex digits = first 8 bytes big-endian >>> 4
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = (v >>> 4) % OracleP
+      i += 1
+    }
+    out
+  }
+
   /** Kernel for the `affine_minhash` expression: n minima of
     * (x·A_j + B_j) mod P over the input hashes (all values < P, products
     * < P² < 2^62 — the same arithmetic the generated oracle SQL inlines).
@@ -130,18 +165,12 @@ object MinHashLSH {
   def oracleNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5): DataFrame = {
-    import graft.functions.GraftFunctions.{affine_minhash, sorted_intersect_size}
+    import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes, sorted_intersect_size}
     require(numHashes % bands == 0)
     val rows = numHashes / bands
 
     val toks = split(lower(trim(col("txt"))), "\\s+")
-    val shingles = when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    val hs = transform(shingles,
-      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % OracleP)
-    val sig = affine_minhash(hs, numHashes)
+    val sig = affine_minhash(md5_shingle_hashes(toks, 3), numHashes)
 
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))

@@ -88,6 +88,55 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(new String(t.get("k999").get._1) == "z")
   }
 
+  test("stream -> KV materialized view via foreachBatch (latest value per key)") {
+    // the reference pairing of streams and table segments: a stream of
+    // events folded into a keyed table, exactly-once per micro-batch
+    import graft.storage.GraftStreams
+    import graft.core.StreamConfig
+    val root = Files.createTempDirectory("graft-kvmv").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 2))
+    val t = new KeyValueTable(spark, root + "/kv", "view", partitionCount = 4)
+
+    def evBatch(tag: String, n: Int) = spark.range(n).select(
+      concat(lit("u"), col("id") % 10).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), lit("#"), col("id")), "UTF-8").as("payload"))
+
+    g.writeEvents("s", "ev", evBatch("a", 100))
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // latest event per key within the batch → one atomic KV commit
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("routingKey"))
+          .orderBy(col("segmentId").desc, col("offset").desc)
+        t.put(df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("routingKey").as("pk"), lit("").as("sk"),
+            col("payload").as("value")))
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft-kvmv-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      g.writeEvents("s", "ev", evBatch("b", 50))
+      q.processAllAvailable()
+      val resolved = t.entries()
+        .select($"pk", decode($"value", "UTF-8").as("v")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(resolved.size == 10)
+      // keys u0..u9: batch b wrote ids 0..49, so the latest value per key
+      // is b#(40+k) for key u(k%10)... each key's max id in batch b
+      (0 until 10).foreach { k =>
+        assert(resolved(s"u$k") == s"b#${40 + k}", s"key u$k -> ${resolved(s"u$k")}")
+      }
+    } finally q.stop()
+  }
+
   test("StateSynchronizer: CAS revisions, lost race, update loop") {
     val root = Files.createTempDirectory("graft-state").toString
     val s1 = new StateSynchronizer(root, "rg")
