@@ -70,7 +70,11 @@ object GraftExtensions {
       "winnowed_fingerprints(text, k, w) - Rabin-Karp + winnowing fingerprint set",
       { case Seq(t, k, w) => WinnowedFingerprints(t,
           intArg(k, "winnowed_fingerprints", 1), intArg(w, "winnowed_fingerprints", 2))
-        case args => throw new IllegalArgumentException(s"winnowed_fingerprints expects 3 args, got ${args.size}") }))
+        case args => throw new IllegalArgumentException(s"winnowed_fingerprints expects 3 args, got ${args.size}") }),
+    ("md5_shingle_hashes",
+      "md5_shingle_hashes(tokens, k) - md5-based k-token shingle ids (SQL-reproducible)",
+      { case Seq(t, k) => Md5ShingleHashes(t, intArg(k, "md5_shingle_hashes", 1))
+        case args => throw new IllegalArgumentException(s"md5_shingle_hashes expects 2 args, got ${args.size}") }))
 
   /** Register into an EXISTING session (extensions only apply at session
     * construction; tests and notebooks attach to a live session).

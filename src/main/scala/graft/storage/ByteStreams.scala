@@ -89,10 +89,15 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
       .map(p => (p.getName.stripPrefix("chunk-").toLong, p))
       .sortBy(_._1)
     val out = new java.io.ByteArrayOutputStream()
+    var expected = offset
     chunks.foreach { case (cStart, p) =>
       val cLen = fs(p).getFileStatus(p).getLen
       val cEnd = cStart + cLen
       if (cEnd > offset && cStart < end) {
+        // a silent gap would concatenate bytes at the wrong offsets —
+        // fail loudly instead (chunks must tile the committed range)
+        if (cStart > expected) throw new GraftException(
+          s"byte stream $scope/$name: missing chunk covering [$expected,$cStart)")
         val from = math.max(offset, cStart) - cStart
         val n = (math.min(end, cEnd) - math.max(offset, cStart)).toInt
         val in = fs(p).open(p)
@@ -102,8 +107,11 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
           in.readFully(buf)
           out.write(buf)
         } finally in.close()
+        expected = math.min(end, cEnd)
       }
     }
+    if (expected < end) throw new GraftException(
+      s"byte stream $scope/$name: missing chunk covering [$expected,$end)")
     out.toByteArray
   }
 
