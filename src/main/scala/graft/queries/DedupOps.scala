@@ -128,24 +128,24 @@ object DedupOps {
       .localCheckpoint()
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()
+    // one propagation round: min over self, edge neighbors and
+    // label-of-label (pointer jumping — chains halve per round)
+    def step(ls: DataFrame): DataFrame = {
+      val prop = edges.join(ls, $"dst" === $"id").select($"src".as("id"), $"lbl")
+      val viaLbl = ls.as("x").join(ls.as("y"), col("x.lbl") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
+      ls.union(prop).union(viaLbl).groupBy($"id").agg(min($"lbl").as("lbl"))
+    }
     var converged = false
     var lastSum: Option[Long] = None
     var iter = 0
-    while (!converged && iter < 25) {
-      val prop = edges.join(labels, $"dst" === $"id").select($"src".as("id"), $"lbl")
-      // pointer jumping: also adopt the label of one's label, so label
-      // chains halve each round — O(log diameter) rounds, not O(diameter)
-      val viaLbl = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-      // lazy checkpoint: the convergence count below is the single job
-      // that materializes this round's labels
-      val next = labels.union(prop).union(viaLbl)
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
-        .localCheckpoint(false)
-      // labels are monotonically non-increasing per id (min over self,
-      // neighbors, label-of-label), so the label SUM is strictly
-      // decreasing until the fixpoint — an aggregate beats a join+diff
-      // as the convergence probe and doubles as the materializing action
+    while (!converged && iter < 13) {
+      // two composed rounds per materialization (lazy checkpoint): the
+      // convergence probe below is the single job per loop pass
+      val next = step(step(labels)).localCheckpoint(false)
+      // labels are monotonically non-increasing per id, so the label SUM
+      // strictly decreases until the fixpoint — an aggregate beats a
+      // join+diff as the probe and doubles as the materializing action
       val sum = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head().getLong(0)
       converged = lastSum.contains(sum)
       lastSum = Some(sum)
