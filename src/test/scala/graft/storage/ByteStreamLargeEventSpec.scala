@@ -34,6 +34,27 @@ class ByteStreamLargeEventSpec extends AnyFunSuite {
     assert(new String(bs.read("s", "raw", 6, 100)) == "byte-stream world!")
   }
 
+  test("byte-stream chunks bulk-read through spark.read.format(binaryFile)") {
+    // the SURVEY §2.1 mapping: raw byte-stream chunks are plain files, so
+    // bulk processing rides Spark's binaryFile source with no custom code
+    val root = Files.createTempDirectory("graft-binf").toString
+    val bs = new ByteStreams(root)
+    bs.create("s", "blob")
+    val chunks = Seq("alpha", "beta-beta", "gamma!")
+    chunks.foreach(c => bs.append("s", "blob", c.getBytes("UTF-8")))
+
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "chunk-*")
+      .load(s"$root/s/blob")
+    assert(df.count() == 3L)
+    val byPath = df.collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Array[Byte]]("content")))
+      .sortBy(_._1).map(p => new String(p._2, "UTF-8")).toSeq
+    assert(byPath == chunks, "chunk order by start-offset file name must replay appends")
+    // offsets embedded in names line up with the committed tail
+    assert(bs.tail("s", "blob") == chunks.map(_.length).sum.toLong)
+  }
+
   test("large events: 1KiB..7.9MiB round-trip, >8MiB rejected atomically") {
     val g = new GraftStreams(spark, Files.createTempDirectory("graft-le").toString)
     g.catalog.createScope("s")
