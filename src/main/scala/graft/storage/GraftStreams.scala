@@ -420,15 +420,19 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       when(h < s.keyHigh, lit(s.segmentId)).otherwise(rest)
     }
     // Txn-local offsets only order the merge — no shuffle, no ranking
-    // window: monotonically_increasing_id (globally unique, per-source-
-    // partition ordered, < 2^43 for ≤1024 tasks) inside this call's
-    // offset epoch. The staging write is one map-only job; the dynamic
-    // partitionBy fan-out per task mirrors a real Spark sink.
+    // window: the merge sorts by (segmentId, callSeq, offset), so the
+    // explicit callSeq column orders calls and monotonically_increasing_id
+    // (globally unique, per-source-partition ordered) orders rows within a
+    // call — valid for ANY partition count, no bit-packing assumptions.
+    // The staging write is one map-only job; the dynamic partitionBy
+    // fan-out per task mirrors a real Spark sink.
     val part = catalog.txnDir(scope, stream, txnId)
     df.withColumn("segmentId", segCol)
-      .withColumn("offset", lit(callSeq << 44) + monotonically_increasing_id())
+      .withColumn("callSeq", lit(callSeq))
+      .withColumn("offset", monotonically_increasing_id())
       .withColumn("processingTime", current_timestamp())
-      .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime", $"payload")
+      .select($"segmentId", $"callSeq", $"offset", $"routingKey", $"eventTime",
+        $"processingTime", $"payload")
       .withColumn("segId", $"segmentId")
       .write.mode("append").partitionBy("segId").parquet(part.toString)
   }
@@ -498,9 +502,13 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         }
         // Per-key order survives rerouting: within a routing key all staged
         // rows shared one original segment, and the merge rank orders by
-        // (original segmentId, txn-local offset).
-        val win = Window.partitionBy($"targetSeg").orderBy($"segmentId", $"offset")
-        val toWrite = spark.read.schema(GraftStreams.eventSchema).parquet(stagingDir.toString)
+        // (original segmentId, writeToTxn call sequence, txn-local offset).
+        val win = Window.partitionBy($"targetSeg").orderBy($"segmentId", $"callSeq", $"offset")
+        val stagedSchema = org.apache.spark.sql.types.StructType(
+          GraftStreams.eventSchema.fields.patch(1,
+            Seq(org.apache.spark.sql.types.StructField("callSeq",
+              org.apache.spark.sql.types.LongType, nullable = false)), 0))
+        val toWrite = spark.read.schema(stagedSchema).parquet(stagingDir.toString)
           .withColumn("targetSeg",
             when(col("segmentId").isInCollection(openIds), col("segmentId")).otherwise(rerouted))
           .repartition(math.max(open.size, 1), $"targetSeg")
@@ -651,7 +659,23 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         !referenced.contains(stripScheme(st.getPath.toString)) &&
         st.getModificationTime < cutoff)
     removed.foreach(st => fsys.delete(st.getPath, true))
-    removed.map(_.getPath.toString)
+
+    // txn staging dirs: normally deleted at commit/abort, but a crash
+    // right after the publish CAS leaves the dir behind with the txn
+    // already COMMITTED. Reclaim any txn-* dir whose txn is terminal (or
+    // unknown) and past the grace; OPEN/COMMITTING staging must survive.
+    val streamDir = catalog.dataDir(scope, stream).getParent
+    val active = meta.transactions.collect {
+      case (id, t) if t.state == TxnState.Open || t.state == TxnState.Committing => id
+    }.toSet
+    val txnRemoved = fsys.listStatus(streamDir).toSeq
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("txn-") &&
+          !active.contains(st.getPath.getName.stripPrefix("txn-")) &&
+          st.getModificationTime < cutoff
+      }
+    txnRemoved.foreach(st => fsys.delete(st.getPath, true))
+    (removed ++ txnRemoved).map(_.getPath.toString)
   }
 
   // ------------------------------------------------------------- compaction
