@@ -117,10 +117,12 @@ class GraftStreamSource(
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val meta = g.catalog.getStream(scope, stream)
     val tail0 = meta.tailCut
-    // under AvailableNow, never announce past the captured cap
+    // under AvailableNow, never announce past the captured cap; segments
+    // born after the capture only hold post-start data → bound 0 (the
+    // monotonic merge below still keeps anything Spark already passed)
     val tail = availableNowCap.map { cap =>
       StreamCut(tail0.positions.map { case (sid, off) =>
-        sid -> math.min(off, cap.positions.getOrElse(sid, off))
+        sid -> math.min(off, cap.positions.getOrElse(sid, 0L))
       })
     }.getOrElse(tail0)
     val checkpointed = Option(start).map(GraftSourceOffset.anyToCut)
