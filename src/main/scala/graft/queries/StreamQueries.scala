@@ -77,8 +77,57 @@ object StreamQueries {
     """SELECT event_type, COUNT(*) AS n FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-key total order, hash-checked externally across a SCALE event:
+    * events are written in event_id order (half before, half after an
+    * epoch change), read back, and each key's payload chain in engine
+    * order (epoch-major, then offset — the reader drain rule) is md5'd.
+    * The oracle chains the same ids in plain event_id order — a hash
+    * match proves routing, offset assignment, sealing, the epoch
+    * hand-off and manifest-planned reads all preserve the reference's
+    * ordering guarantee (SegmentSelector.java:87 + ReaderGroupState
+    * .java:966 SegmentCompleted).
+    */
+  private def orderChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ord").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir)
+      .filter($"user_id" < 200)
+      .select($"user_id", $"event_id")
+      .orderBy($"event_id")
+      .select(
+        $"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"),
+        $"event_id")
+    val half = src.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0)
+    g.writeEvents("q", "ev", src.filter($"event_id" <= half).drop("event_id"))
+    g.scaleStream("q", "ev", 7) // epoch change mid-stream
+    g.writeEvents("q", "ev", src.filter($"event_id" > half).drop("event_id"))
+
+    g.readEvents("q", "ev")
+      .withColumn("epoch", shiftrightunsigned($"segmentId", 32))
+      .select($"routingKey",
+        struct($"epoch", $"segmentId", $"offset").as("pos"),
+        decode($"payload", "UTF-8").as("pid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list(struct($"pos", $"pid"))),
+          x => x.getField("pid")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val orderChainSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 200
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
+    ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
   )
 }
