@@ -55,4 +55,48 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
+
+  final case class ResizedMedia(
+      doc_id: Long, mime: String, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: a real pipeline decodes + scales pixels here; the fake
+    * keeps the byte budget proportional to the target area so output
+    * sizing behaves like a resize. Deterministic in (payload, w, h);
+    * partition-parallel with per-partition "codec" amortization.
+    */
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: init scaler context once per partition
+      it.map { r =>
+        val budget = math.max(1, math.min(r.payload.length, w * h / 16))
+        ResizedMedia(r.doc_id, r.mime, w, h, r.payload.take(budget))
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frameIndex: Int, offsetBytes: Long, payload: Array[Byte])
+
+  /** STUB frame sampling: emits `n` evenly spaced "frames" per media item
+    * (byte slices standing in for decoded frames) — the 1→N explode shape
+    * of a video pipeline, flatMap'd per partition so a real demuxer can
+    * stream without materializing the whole file.
+    */
+  def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val len = r.payload.length
+        if (len == 0) Iterator.empty
+        else {
+          val k = math.min(n, len)
+          (0 until k).iterator.map { i =>
+            val off = i.toLong * len / k
+            val end = math.min(len, off.toInt + math.max(1, len / k))
+            Frame(r.doc_id, i, off, java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
+          }
+        }
+      }
+    }
+  }
 }

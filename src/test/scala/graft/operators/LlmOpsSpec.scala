@@ -81,4 +81,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq,
       "features depend on partitioning — not allowed")
   }
+
+  test("multimodal resize + frame-sample stubs: shape, determinism, bounds") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+
+    val resized = Multimodal.resizeStub(media, 32, 32).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.width == 32 && r.height == 32 &&
+      r.payload.length <= 32 * 32 / 16 && r.payload.nonEmpty))
+    val resizedAgain = Multimodal.resizeStub(media.repartition(5), 32, 32).collect()
+    assert(resized.sortBy(_.doc_id).map(_.payload.toSeq).toSeq ==
+      resizedAgain.sortBy(_.doc_id).map(_.payload.toSeq).toSeq)
+
+    val frames = Multimodal.frameSample(media, 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { fs =>
+      assert(fs.length == 4, "every doc is long enough for 4 stub frames")
+      val offs = fs.sortBy(_.frameIndex).map(_.offsetBytes).toSeq
+      assert(offs == offs.sorted && offs.distinct.length == offs.length,
+        "frame offsets must advance monotonically")
+    }
+  }
 }
