@@ -335,6 +335,27 @@ object Relational2 {
        |WHERE o_custkey < 100
        |ORDER BY o_custkey""".stripMargin
 
+  /** approx_percentile (t-digest-style sketch) checked against the exact
+    * interpolated percentile: the hash-checked output is the exact value
+    * plus the sketch-accuracy invariant (accuracy 10000 → well under 1%
+    * rank error on this data).
+    */
+  private def q31ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+      .select($"l_returnflag", $"exact_p50",
+        (abs($"approx" - $"exact_p50") / $"exact_p50" <= 0.01).as("approx_within_1pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q31Sql =
+    """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  true AS approx_within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
     ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
@@ -350,5 +371,6 @@ object Relational2 {
     ("q28_range_frame",     q28RangeFrame _,    Some(q28Sql)),
     ("q29_exists",          q29Exists _,        Some(q29Sql)),
     ("q30_rank_stats",      q30RankStats _,     Some(q30Sql)),
+    ("q31_approx_percentile", q31ApproxPercentile _, Some(q31Sql)),
   )
 }
