@@ -74,7 +74,11 @@ object GraftExtensions {
     ("md5_shingle_hashes",
       "md5_shingle_hashes(tokens, k) - md5-based k-token shingle ids (SQL-reproducible)",
       { case Seq(t, k) => Md5ShingleHashes(t, intArg(k, "md5_shingle_hashes", 1))
-        case args => throw new IllegalArgumentException(s"md5_shingle_hashes expects 2 args, got ${args.size}") }))
+        case args => throw new IllegalArgumentException(s"md5_shingle_hashes expects 2 args, got ${args.size}") }),
+    ("simhash60",
+      "simhash60(tokens) - 60-bit Charikar SimHash of a distinct-token array (SQL-reproducible)",
+      { case Seq(t) => Simhash60(t)
+        case args => throw new IllegalArgumentException(s"simhash60 expects 1 arg, got ${args.size}") }))
 
   /** Register into an EXISTING session (extensions only apply at session
     * construction; tests and notebooks attach to a live session).

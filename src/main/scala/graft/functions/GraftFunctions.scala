@@ -236,6 +236,30 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** `simhash60(tokens)`: 60-bit Charikar SimHash of a distinct-token
+  * string array in one kernel pass (md5 token hashes, reproducible by the
+  * SQL oracle) — see [[graft.operators.SimHash.signatureOf]].
+  */
+case class Simhash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash60 expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.operators.SimHash.signatureOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.SimHash.signatureOf($c)")
+
+  override protected def withNewChildInternal(c: Expression): Simhash60 = copy(child = c)
+}
+
 /** `winnowed_fingerprints(text, k, w)`: Rabin-Karp + winnowing document
   * fingerprint set as array<bigint> — see [[graft.core.RollingHashCore]].
   */
@@ -274,6 +298,9 @@ object GraftFunctions {
 
   def md5_shingle_hashes(tokens: Column, shingleSize: Int): Column =
     ColumnShim.column(Md5ShingleHashes(ColumnShim.expression(tokens), shingleSize))
+
+  def simhash60(tokens: Column): Column =
+    ColumnShim.column(Simhash60(ColumnShim.expression(tokens)))
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))

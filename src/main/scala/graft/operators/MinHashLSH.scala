@@ -4,11 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection, entirely in codegen'd
-  * array expressions (no UDFs, no driver-side state):
+  * array expressions and native kernels (no UDFs, no driver-side state):
   *
-  *   tokens → k-token shingles → xxhash64 per shingle → `numHashes`
-  *   affine min-hashes → `bands` band signatures → shuffle on
-  *   (band, signature) → candidate pairs → exact Jaccard verification.
+  *   tokens → k-token shingles → shingle hash → `numHashes` affine
+  *   min-hashes → `bands` band signatures → shuffle on (band, signature)
+  *   → candidate pairs → exact Jaccard verification.
+  *
+  * The production path [[nearDuplicates]] uses a CROSS-ENGINE-REPRODUCIBLE
+  * hash family (md5-derived shingle ids + modular affine permutations), so
+  * the DuckDB oracle can replay the FULL pipeline — shingling, signatures,
+  * banding, candidate generation and verification are all hash-checked,
+  * not just sampled for recall. [[fastNearDuplicates]] keeps the
+  * maximum-throughput xxhash64/murmur3 family for when reproducibility is
+  * not needed.
   *
   * At 100 TB the only shuffles are the band-bucket exchange (width =
   * numHashes longs per doc, not the text) and the pair verification join;
@@ -17,7 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Per-document MinHash signature as an array<bigint> column. */
+  /** Per-document MinHash signature as an array<bigint> column
+    * (fast murmur3 family — not oracle-reproducible).
+    */
   def signature(tokens: Column, shingleSize: Int, numHashes: Int): Column = {
     val shingles = array_distinct(
       when(size(tokens) >= shingleSize,
@@ -31,64 +41,13 @@ object MinHashLSH {
       j => array_min(transform(hs, h => hash(h, j))))
   }
 
-  /** Candidate near-duplicate pairs with exact-Jaccard verification.
-    * Input needs `idCol` (long) and `textCol` (string); output:
-    * (a_id, b_id, jaccard) for verified pairs ≥ threshold.
-    */
-  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.35): DataFrame = {
-    import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
+  // ---------------------------------------------------------------- hash family
 
-    // One map-side pass computes BOTH the verification token set (sorted
-    // 64-bit interned hashes → zero-allocation merge intersection) and the
-    // MinHash signature via the native kernel — no shuffle, no N-column
-    // codegen'd aggregate, no interpreted higher-order functions in the
-    // hot loop. The raw text is repartitioned FIRST so tokenization and
-    // hashing spread across all cores even when the corpus arrives as one
-    // file; persist because the base feeds the banding once and the
-    // verification join twice.
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .repartition(col("id"))
-      .select(col("id"),
-        transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)).as("th"))
-      .select(col("id"),
-        array_sort(array_distinct(col("th"))).as("toks"),
-        minhash_signature(col("th"), shingleSize, numHashes).as("sig"))
-      .persist()
-
-    val banded = base.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), hash(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
-          .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .persist()
-
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-
-    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
-
-  // ------------------------------------------------------ oracle-checked variant
-
-  /** Cross-engine-reproducible hash family for the oracle-checked MinHash:
-    * shingle identity = first 15 hex chars of md5 (exists identically in
-    * DuckDB), permutations h_j(x) = (x·A_j + B_j) mod P — modular affine
-    * arithmetic that stays under 2^62, so DuckDB's overflow-checking
-    * BIGINT math computes the exact same values Spark's wrapping longs do.
+  /** Cross-engine-reproducible hash family: shingle identity = first 15
+    * hex chars of md5 (exists identically in DuckDB), permutations
+    * h_j(x) = (x·A_j + B_j) mod P — modular affine arithmetic that stays
+    * under 2^62, so DuckDB's overflow-checking BIGINT math computes the
+    * exact same values Spark's wrapping longs do.
     */
   val OracleP: Long = 2147483647L
   def oracleA(j: Int): Long = (2654435761L * (j + 1)) % OracleP
@@ -156,35 +115,52 @@ object MinHashLSH {
     mins
   }
 
-  /** MinHash+LSH near-dups with the reproducible family — slower per doc
-    * than [[nearDuplicates]] (md5 per shingle), meant for a bounded slice
-    * where the DuckDB oracle replays the FULL pipeline: shingling,
-    * signatures, banding, candidate generation and verification all
-    * hash-checked, not just sampled recall.
+  // ------------------------------------------------------------ production path
+
+  /** Candidate near-duplicate pairs with exact-Jaccard verification, on
+    * the reproducible hash family (so a SQL oracle can replay every
+    * stage — see [[oraclePairsCtes]]). Input needs `idCol` (long) and
+    * `textCol` (string); output: (a_id, b_id, jaccard) for verified pairs
+    * ≥ threshold. Only 3-token shingles are supported (the SQL generator
+    * inlines that width).
+    *
+    * One map-side pass computes BOTH the verification token set (sorted
+    * 64-bit interned hashes → zero-allocation merge intersection; the
+    * Jaccard VALUE equals raw-token Jaccard, collisions ~1e-10) and the
+    * MinHash signature via the native md5+affine kernels — no shuffle, no
+    * interpreted higher-order functions in the hot loop. Band signatures
+    * are md5 over the '|'-joined row minima, identical to the oracle's
+    * `md5(concat_ws('|', …))`.
     */
-  def oracleNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                           numHashes: Int = 32, bands: Int = 8,
-                           threshold: Double = 0.5): DataFrame = {
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.35): DataFrame = {
     import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes, sorted_intersect_size}
-    require(numHashes % bands == 0)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
     val rows = numHashes / bands
 
-    val toks = split(lower(trim(col("txt"))), "\\s+")
-    val sig = affine_minhash(md5_shingle_hashes(toks, 3), numHashes)
-
+    // Raw text is repartitioned FIRST so tokenization and hashing spread
+    // across all cores even when the corpus arrives as one file; persist
+    // because the base feeds the banding once and the verification join
+    // twice.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))
+      .select(col("id"), split(lower(trim(col("txt"))), "\\s+").as("tk"))
       .select(col("id"),
-        array_sort(array_distinct(transform(split(lower(trim(col("txt"))), "\\s+"),
-          x => xxhash64(x)))).as("toks"),
-        sig.as("sig"))
+        array_sort(array_distinct(transform(col("tk"), x => xxhash64(x)))).as("toks"),
+        affine_minhash(md5_shingle_hashes(col("tk"), shingleSize), numHashes).as("sig"))
       .persist()
 
-    val banded = base.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .join(base.select(col("id"), col("sig")), "id")
-      .withColumn("bsig", md5(concat_ws("|",
-        (0 until rows).map(r => element_at(col("sig"), col("band") * rows + r + 1).cast("string")): _*)))
-      .select(col("id"), col("band"), col("bsig"))
+    val banded = base.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(array_join(
+              transform(slice(col("sig"), b * rows + 1, lit(rows)), v => v.cast("string")),
+              "|")).as("bsig"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .persist()
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -202,23 +178,81 @@ object MinHashLSH {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** DuckDB SQL replaying [[oracleNearDuplicates]] end to end with the
-    * same constants (generated from the same A_j/B_j arrays).
+  /** Maximum-throughput variant on the xxhash64/murmur3 family (native
+    * `minhash_signature` kernel) — same pipeline shape, NOT replayable by
+    * an external SQL engine. Use when no cross-engine check is required.
     */
-  def oracleNearDuplicatesSql(maxDocId: Int, numHashes: Int = 32, bands: Int = 8,
-                              threshold: Double = 0.5): String = {
+  def fastNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.35): DataFrame = {
+    import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(col("id"))
+      .select(col("id"),
+        transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)).as("th"))
+      .select(col("id"),
+        array_sort(array_distinct(col("th"))).as("toks"),
+        minhash_signature(col("th"), shingleSize, numHashes).as("sig"))
+      .persist()
+
+    val banded = base.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .persist()
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    candidates.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Back-compat alias: [[nearDuplicates]] with the bounded-slice default
+    * parameters the oracle twin query has always used.
+    */
+  def oracleNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame =
+    nearDuplicates(docs, idCol, textCol, shingleSize = 3,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+
+  // -------------------------------------------------------------- oracle SQL
+
+  /** CTE definitions replaying [[nearDuplicates]] end to end in DuckDB
+    * with the same A_j/B_j constants; the final relation is
+    * `pairs(a_id, b_id, jaccard)`. `docWhere` filters the `documents`
+    * scan ("" = whole table). Compose into a full query or feed the pair
+    * graph into a recursive-CTE clustering fixpoint.
+    */
+  def oraclePairsCtes(docWhere: String, numHashes: Int, bands: Int,
+                      threshold: Double): String = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val p = OracleP
+    val whereClause = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
     val minCols = (0 until numHashes).map(j =>
       s"MIN((hm * ${oracleA(j)} + ${oracleB(j)}) % $p) AS m$j").mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS bsig FROM m"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |  FROM documents WHERE doc_id < $maxDocId),
+       |  FROM documents$whereClause),
        |sh AS (
        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
        |    THEN list_transform(range(1, len(toks) - 1),
@@ -239,13 +273,29 @@ object MinHashLSH {
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t)
-       |SELECT a_id, b_id, jaccard FROM (
-       |  SELECT a_id, b_id,
-       |    CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
-       |      (len(sa.ts) + len(sb.ts) - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)) AS jaccard
-       |  FROM cand JOIN sets sa ON a_id = sa.doc_id JOIN sets sb ON b_id = sb.doc_id) v
-       |WHERE jaccard >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
+       |pairs AS (
+       |  SELECT a_id, b_id, jaccard FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+       |        (len(sa.ts) + len(sb.ts) - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)) AS jaccard
+       |    FROM cand JOIN sets sa ON a_id = sa.doc_id JOIN sets sb ON b_id = sb.doc_id) v
+       |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** Full query replaying [[nearDuplicates]] over `documents` rows
+    * matching `docWhere` ("" = all).
+    */
+  def nearDuplicatesOracleSql(docWhere: String, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.35): String =
+    s"""WITH ${oraclePairsCtes(docWhere, numHashes, bands, threshold)}
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB SQL replaying the bounded oracle twin (doc_id < maxDocId,
+    * 32 hashes / 8 bands / 0.5 — the query's historical parameters).
+    */
+  def oracleNearDuplicatesSql(maxDocId: Int, numHashes: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.5): String =
+    nearDuplicatesOracleSql(s"doc_id < $maxDocId", numHashes, bands, threshold)
 }

@@ -15,22 +15,50 @@ import org.apache.spark.sql.functions._
 object SimHash {
   val Bits = 60
 
-  /** Per-token reproducible 60-bit hash (Spark side). */
+  /** Per-token reproducible 60-bit hash (Spark side; oracle's
+    * `CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT)`).
+    */
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** (doc_id, simhash) for every document in `docs(idCol, textCol)`. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val bitSums = (0 until Bits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val sig = (0 until Bits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+  /** Kernel for the `simhash60` expression: the complete Charikar
+    * signature of a distinct-token array in one pass — md5 per token
+    * (first 15 hex chars = 60 bits, identical to [[tokenHash]]), ±1 bit
+    * counts, sign → signature. Replaces an explode → 60-column groupBy
+    * (a full shuffle of every token) with a pure map-side projection.
+    */
+  def signatureOf(tokens: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](Bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      val h = v >>> 4 // value of the first 15 hex digits
+      var bit = 0
+      while (bit < Bits) {
+        if (((h >> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < Bits) { if (counts(bit) > 0) sig |= 1L << bit; bit += 1 }
+    sig
   }
+
+  /** (doc_id, simhash) for every document in `docs(idCol, textCol)` — one
+    * codegen'd kernel call per document, no explode, no shuffle.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.simhash60(
+        array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("simhash"))
 
   /** Near-duplicate pairs: hamming(simhashA, simhashB) ≤ maxDistance,
     * blocked on 4 × 15-bit sub-bands (a pair within distance ≤ 3 shares at

@@ -90,21 +90,32 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // inverted file: nearest centroid per corpus vector
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val assigned = corpus.as("v").join(broadcast(cents),
-        col("c_id").isNotNull)
+    // inverted file: nearest centroid per corpus vector. The scored N×C
+    // cross product NEVER crosses an exchange: each corpus partition joins
+    // the broadcast centroids and partial-aggregates `max_by` map-side, so
+    // the shuffle carries one row per vector (the window/row_number
+    // formulation would sort-shuffle all N×C scored rows). Tie-break
+    // (ccos DESC, c_id ASC) is encoded as max over struct(ccos, -c_id).
+    val assigned = corpus.as("v").join(broadcast(cents), col("c_id").isNotNull)
       .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
         col("c_id"), cosine(col("v.embedding"), col("c_emb")).as("ccos"))
-      .withColumn("arank", row_number().over(aw)).filter(col("arank") === 1)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("c_id"))
       .select(col("vec_id"), col("embedding"), col("c_id"))
-    // query probes: nprobe nearest centroids
-    val qw = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("c_id"))
+    // query probes: nprobe nearest centroids — same aggregate shape
+    // (collect_list is bounded by the centroid count, which is small by
+    // construction); array_sort on struct(-qcos, c_id) replays the
+    // (qcos DESC, c_id ASC) probe order without a window sort.
     val probes = queries.as("q").join(broadcast(cents), col("c_id").isNotNull)
       .select(col("q.vec_id").as("qid"), col("q.embedding").as("q_emb"),
         col("c_id"), cosine(col("q.embedding"), col("c_emb")).as("qcos"))
-      .withColumn("prank", row_number().over(qw)).filter(col("prank") <= nprobe)
-      .select(col("qid"), col("q_emb"), col("c_id"))
+      .groupBy(col("qid"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        slice(array_sort(collect_list(struct((-col("qcos")).as("negcos"), col("c_id")))),
+          1, nprobe).as("top"))
+      .select(col("qid"), col("q_emb"), explode(col("top")).as("t"))
+      .select(col("qid"), col("q_emb"), col("t.c_id").as("c_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("qid") =!= col("vec_id"))

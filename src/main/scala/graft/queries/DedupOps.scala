@@ -41,8 +41,17 @@ object DedupOps {
     jaccardPairs(s, dir, 0.35).orderBy($"a_id", $"b_id")
   }
 
-  /** Exact Jaccard pairs over the short-doc slice (shared by the pair
-    * query and the clustering query).
+  /** Maximum documents the brute-force pair join accepts. All-pairs
+    * verification is O(N²) BY DESIGN — it exists to check the LSH path on
+    * a bounded slice, never to run over a full corpus; the guard turns a
+    * silent 100-TB cross product into a loud error at plan time.
+    */
+  val BruteForceMaxDocs: Long = 100000L
+
+  /** Exact Jaccard pairs over the short-doc slice — the BOUNDED
+    * brute-force verifier the LSH path is measured against (guarded by
+    * [[BruteForceMaxDocs]]; use [[graft.operators.MinHashLSH.nearDuplicates]]
+    * for unbounded corpora).
     * Token sets are interned to 64-bit hashes: |A∩B| over bigint arrays
     * is several times cheaper than string arrays and collision odds are
     * ~1e-10 for this vocabulary, so Jaccard values match the raw-token
@@ -55,7 +64,12 @@ object DedupOps {
   private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
-    val t = Tables.documents(s, dir).filter($"n_chars" < 200)
+    val slice = Tables.documents(s, dir).filter($"n_chars" < 200)
+    val n = slice.limit((BruteForceMaxDocs + 1).toInt).count()
+    require(n <= BruteForceMaxDocs,
+      s"brute-force Jaccard verifier is bounded to $BruteForceMaxDocs docs, got > $n; " +
+        "use MinHashLSH.nearDuplicates for unbounded corpora")
+    val t = slice
       .select($"doc_id",
         array_sort(array_distinct(
           transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x)))).as("toks"))
@@ -95,9 +109,11 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  /** MinHash+LSH near-dup candidates with exact verification — not
-    * SQL-expressible in the oracle (banded signature shuffle); correctness
-    * is covered by the recall-vs-brute-force spec.
+  /** MinHash+LSH near-dup candidates with exact verification over the FULL
+    * documents table. The production path runs the cross-engine-
+    * reproducible hash family, so the DuckDB oracle replays the whole
+    * pipeline — shingling, signatures, banding, candidates, verification —
+    * and hash-matches every surviving pair (plus the recall-vs-brute spec).
     */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -106,17 +122,27 @@ object DedupOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  private val minhashLshSql =
+    MinHashLSH.nearDuplicatesOracleSql("", numHashes = 64, bands = 16, threshold = 0.35)
+
   /** Near-dup clusters: connected components over the Jaccard≥0.6 pair
     * graph by iterative min-label propagation — the step that turns pair
-    * lists into keep/drop groups in a dedup pipeline. Each iteration is
-    * one join + min-aggregate (both shuffle on the node id); convergence
-    * takes O(log diameter) rounds with a driver-side empty-check — no
-    * driver-side data. The oracle computes the same fixpoint (min
-    * reachable id) with a recursive CTE.
+    * lists into keep/drop groups in a dedup pipeline. The pair graph comes
+    * from the PRODUCTION MinHash+LSH path (banded bucket join — no O(N²)
+    * broadcast nested-loop anywhere; the brute-force verifier stays behind
+    * the bounded `dedup_ngram_jaccard` twin). Each propagation iteration
+    * is one join + min-aggregate (both shuffle on the node id);
+    * convergence takes O(log diameter) rounds with a driver-side
+    * empty-check — no driver-side data. The oracle replays the SAME LSH
+    * pipeline (reproducible hash family) and computes the same fixpoint
+    * (min reachable id) with a recursive CTE.
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = jaccardPairs(s, dir, 0.6).select($"a_id", $"b_id")
+    val pairs = MinHashLSH.nearDuplicates(
+        Tables.documents(s, dir).filter($"n_chars" < 200), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .select($"a_id", $"b_id")
     // both directions in ONE pass over the pair join (a union of the
     // reversed projection would compute the join twice), then
     // localCheckpoint (not persist) truncates lineage so iteration N's
@@ -156,17 +182,8 @@ object DedupOps {
   }
 
   private val dedupClustersSql =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-      |  FROM documents WHERE n_chars < 200),
-      |p AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |    AND CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) >=
-      |        0.6 * CAST(greatest(len(a.toks), len(b.toks)) AS DOUBLE)
-      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |      (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.6),
-      |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+    s"""WITH RECURSIVE ${MinHashLSH.oraclePairsCtes("n_chars < 200", 64, 16, 0.6)},
+      |e AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
       |r(id, lbl) AS (
       |  SELECT DISTINCT src, src FROM e
       |  UNION
@@ -188,7 +205,7 @@ object DedupOps {
     ("dedup_exact",          exact _,         Some(exactSql)),
     ("dedup_ngram_jaccard",  ngramJaccard _,  Some(ngramJaccardSql)),
     ("dedup_simhash",        simhash _,       Some(SimHash.oracleSignatureSql(200))),
-    ("dedup_minhash_lsh",    minhashLsh _,    None),
+    ("dedup_minhash_lsh",    minhashLsh _,    Some(minhashLshSql)),
     ("dedup_minhash_oracle", minhashOracle _, Some(MinHashLSH.oracleNearDuplicatesSql(400))),
     ("dedup_clusters",       dedupClusters _, Some(dedupClustersSql)),
   )

@@ -64,6 +64,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"projection did not prune the payload column: $readSchema")
   }
 
+  test("dedup_clusters: the unbounded dedup path has no broadcast nested-loop join") {
+    // the pair graph must come from the banded LSH equi-join; a
+    // BroadcastNestedLoopJoin anywhere means the O(N²) brute-force
+    // verifier leaked back into the production path
+    val df = SparkEntry.queries("dedup_clusters")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("BroadcastNestedLoopJoin"),
+      "O(N²) nested-loop join in the production dedup path")
+  }
+
+  test("dedup_minhash_lsh: banded candidate join is an equi-join, not a cross product") {
+    val (_, _, executed) = planOf("dedup_minhash_lsh")
+    assert(!executed.contains("BroadcastNestedLoopJoin") && !executed.contains("CartesianProduct"),
+      "LSH candidate generation degenerated to an all-pairs join")
+  }
+
+  test("sim_ann_ivf: assignment is a partial max_by aggregate, not a window sort") {
+    val (df, plan, _) = planOf("sim_ann_ivf")
+    // exactly ONE WindowExec remains (the final per-query top-k rank); the
+    // N×C corpus-assignment ranking must be a map-side-combined aggregate
+    def countWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = if (p.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) 1 else 0
+      self + p.children.map(countWindows).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            countWindows(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            countWindows(q.plan)
+          case _ => 0
+        })
+    }
+    val windows = countWindows(df.queryExecution.executedPlan)
+    assert(windows <= 1, s"expected at most the final ranking window, saw $windows")
+    assert(plan.contains("max_by"), "centroid assignment lost the max_by aggregate")
+    val partials = plan.linesIterator.count(l => l.contains("partial_max_by"))
+    assert(partials >= 1, "max_by is not partially aggregated before the exchange")
+  }
+
   test("dedup_exact: bounded shuffle count, codegen'd") {
     val (df, _, executed) = planOf("dedup_exact")
     def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {

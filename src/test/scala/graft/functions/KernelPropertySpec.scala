@@ -103,6 +103,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash.signatureOf == per-bit ±1 vote over md5 token hashes") {
+    val r = rnd
+    def naive(toks: Seq[String]): Long = {
+      val hs = toks.map { t =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        ((0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL))) >>> 4
+      }
+      (0 until graft.operators.SimHash.Bits).map { i =>
+        val votes = hs.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << i else 0L
+      }.sum
+    }
+    (0 until 500).foreach { _ =>
+      val toks = Seq.fill(1 + r.nextInt(30))(r.alphanumeric.take(1 + r.nextInt(8)).mkString)
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      assert(graft.operators.SimHash.signatureOf(arr) == naive(toks), s"toks=$toks")
+    }
+  }
+
   test("SeqDotProduct == left-to-right double accumulation") {
     val r = rnd
     (0 until 500).foreach { _ =>

