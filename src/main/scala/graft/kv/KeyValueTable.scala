@@ -36,8 +36,17 @@ final case class KvManifest(name: String, partitionCount: Int, version: Long,
                             files: Seq[KvFile],
                             pendingDeletes: Seq[KvPendingDelete] = Nil)
 
+object KeyValueTable {
+  /** Conditional batches up to this many touched keys are validated with
+    * literal (bucket, pk) pushdown predicates; larger batches fall back
+    * to a broadcast semi-join below the versioning window.
+    */
+  val ConditionPruneLimit: Int = 1024
+}
+
 class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
                     val partitionCount: Int = 16,
+                    deleteGraceMillis: Long = graft.catalog.StreamCatalog.DefaultDeleteGraceMillis,
                     hadoopConf: Configuration = new Configuration()) {
   import spark.implicits._
   private implicit val fmts: Formats = DefaultFormats
@@ -56,7 +65,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
         .collect { case n if n.startsWith("manifest-") =>
           n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
       catch { case _: FileNotFoundException => Seq.empty[Long] }
-    if (versions.isEmpty) KvManifest(name, partitionCount, -1L, Nil)
+    // empty table = version 0, so the FIRST commit is version 1: entry
+    // versions stay strictly positive and can never collide with the
+    // reserved expectedVersion=0 ("must not exist") sentinel
+    if (versions.isEmpty) KvManifest(name, partitionCount, 0L, Nil)
     else {
       val in = fs.open(manifestPath(versions.max))
       try Serialization.read[KvManifest](
@@ -91,11 +103,27 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       val commitVersion = m.version + 1
       val keyed = ops.withColumn("bucket", pmod(xxhash64($"pk"), lit(partitionCount)))
 
-      // conditional checks against current resolved state of touched keys
+      // conditional checks against the current resolved state of the
+      // TOUCHED keys only: the touched (bucket, pk) set becomes literal
+      // predicates on the raw file scan (conditional batches are small —
+      // reference conditional updates are one wire-command batch), so
+      // parquet bucket/pk stats prune untouched buckets instead of
+      // resolving the whole table; oversized batches fall back to a
+      // broadcast semi-join, still applied below the window.
       val conds = keyed.filter($"expectedVersion" >= 0)
-      if (conds.limit(1).count() > 0) {
-        val cur = resolved(m).select($"pk", $"sk", $"version")
-        val bad = conds.join(cur, Seq("pk", "sk"), "left")
+      val condKeyRows = conds.select($"bucket", $"pk")
+        .limit(KeyValueTable.ConditionPruneLimit + 1).collect()
+      if (condKeyRows.nonEmpty) {
+        val cur =
+          if (condKeyRows.length <= KeyValueTable.ConditionPruneLimit) {
+            val buckets = condKeyRows.map(_.getLong(0)).distinct.toSeq
+            val pks = condKeyRows.map(_.getString(1)).distinct.toSeq
+            resolved(m, raw => raw.filter($"bucket".isin(buckets: _*) && $"pk".isin(pks: _*)))
+          } else
+            resolved(m, raw => raw.join(
+              broadcast(conds.select($"bucket", $"pk", $"sk").distinct()),
+              Seq("bucket", "pk", "sk"), "left_semi"))
+        val bad = conds.join(cur.select($"pk", $"sk", $"version"), Seq("pk", "sk"), "left")
           .filter(
             ($"expectedVersion" === 0 && $"version".isNotNull) ||
             ($"expectedVersion" > 0 && ($"version".isNull || $"version" =!= $"expectedVersion")))
@@ -155,24 +183,55 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   /** Latest live entries (pk, sk, value, version). */
   def entries(): DataFrame = resolved(latest())
 
-  private def resolved(m: KvManifest): DataFrame = {
+  /** Latest-version resolution. `prune` is applied to the RAW file scan,
+    * BELOW the versioning window — sound for any filter that keeps or
+    * drops whole (bucket, pk, sk) groups (the window's partitioning), and
+    * it is what lets literal key predicates reach the parquet stats.
+    */
+  private def resolved(m: KvManifest, prune: DataFrame => DataFrame = identity): DataFrame = {
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "bucket BIGINT, pk STRING, sk STRING, value BINARY, version BIGINT"))
-    val raw = spark.read.parquet(m.files.map(_.path): _*)
+    val raw = prune(spark.read.parquet(m.files.map(_.path): _*))
     val w = Window.partitionBy($"bucket", $"pk", $"sk").orderBy($"version".desc)
     raw.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1 && $"op" === "PUT")
       .select($"bucket", $"pk", $"sk", $"value", $"version")
   }
 
-  /** Point lookup (KeyValueTable.java:181 get/getAll): bucket + pk
-    * predicates prune to one partition's files.
+  /** Scala-side replica of the write path's `pmod(xxhash64(pk), n)`
+    * bucketing — lets point reads turn a key into its bucket WITHOUT a
+    * Spark job, so the bucket becomes a literal pushdown predicate.
+    */
+  private def bucketOf(pk: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(pk),
+      org.apache.spark.sql.types.StringType, 42L)
+    ((h % partitionCount) + partitionCount) % partitionCount
+  }
+
+  /** Batched multiget (KeyValueTable.java:181 getAll): resolve ONLY the
+    * requested keys — literal (bucket, pk) predicates on the raw scan
+    * prune every untouched bucket's files via parquet stats before the
+    * versioning window runs. Returns (pk, sk, value, version) for keys
+    * that exist.
+    */
+  def getAll(keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "getAll needs at least one key")
+    val buckets = keys.map(k => bucketOf(k._1)).distinct
+    val pks = keys.map(_._1).distinct
+    val exact = keys.map { case (p, s) => $"pk" === p && $"sk" === s }.reduce(_ || _)
+    resolved(latest(), raw =>
+      raw.filter($"bucket".isin(buckets: _*) && $"pk".isin(pks: _*)).filter(exact))
+      .select($"pk", $"sk", $"value", $"version")
+  }
+
+  /** Point lookup (KeyValueTable.java:181 get): one bucket's files via
+    * the same pruned path as [[getAll]].
     */
   def get(pk: String, sk: String = ""): Option[(Array[Byte], Long)] = {
-    val rows = entries().filter($"pk" === pk && $"sk" === sk)
-      .select($"value", $"version").collect()
+    val rows = getAll(Seq((pk, sk))).select($"value", $"version").collect()
     rows.headOption.map(r => (r.getAs[Array[Byte]]("value"), r.getAs[Long]("version")))
   }
 
@@ -209,6 +268,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     * atomically and are deleted best-effort.
     */
   def compact(): Unit = {
+    // reclaim past-grace tombstones from EARLIER compactions first —
+    // compaction is the only producer of pending deletes, so sweeping on
+    // its cadence bounds the dead-file backlog without a separate daemon
+    sweepDeletes()
     val m = latest()
     if (m.files.isEmpty) return
     val baseDir = new Path(tableDir, s"base-${m.version}-${UUID.randomUUID()}")
@@ -222,8 +285,7 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       // replaced files become tombstones with a reader-grace deadline —
       // an in-flight read planned from the old manifest can finish;
       // sweepDeletes() reclaims them afterwards
-      val deadline = System.currentTimeMillis() +
-        graft.catalog.StreamCatalog.DefaultDeleteGraceMillis
+      val deadline = System.currentTimeMillis() + deleteGraceMillis
       commit(KvManifest(name, partitionCount, m.version + 1,
         Seq(KvFile(baseDir.toString, "base", m.version)),
         m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline))))

@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
 object KvQueries {
 
   /** Deterministic mutation history:
-    * commit 0: put every customer (pk = 8-digit custkey, value = acctbal);
-    * commit 1: overwrite custkey%3==0 with "upd:" prefix;
-    * commit 2: remove custkey%7==0.
+    * commit 1: put every customer (pk = 8-digit custkey, value = acctbal);
+    * commit 2: overwrite custkey%3==0 with "upd:" prefix;
+    * commit 3: remove custkey%7==0.
     */
   // The three kv_* queries share one deterministic build per (session,
   // sfDir): the mutation history is fixed, so memoizing only saves the
@@ -58,7 +58,7 @@ object KvQueries {
     """SELECT format('{:08d}', c_custkey) AS pk,
       |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
       |       ELSE CAST(c_acctbal AS VARCHAR) END AS val,
-      |  CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS version
+      |  CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS version
       |FROM customer WHERE c_custkey % 7 <> 0
       |ORDER BY pk""".stripMargin
 
@@ -85,17 +85,17 @@ object KvQueries {
     */
   private def kvDeltaFeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    build(s, dir).deltaSince(0L)
+    build(s, dir).deltaSince(1L)
       .select($"pk", $"op", $"version")
       .orderBy($"version", $"pk")
   }
 
   private val kvDeltaFeedSql =
     """SELECT pk, op, version FROM (
-      |  SELECT format('{:08d}', c_custkey) AS pk, 'PUT' AS op, 1 AS version
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'PUT' AS op, 2 AS version
       |  FROM customer WHERE c_custkey % 3 = 0
       |  UNION ALL
-      |  SELECT format('{:08d}', c_custkey) AS pk, 'REMOVE' AS op, 2 AS version
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'REMOVE' AS op, 3 AS version
       |  FROM customer WHERE c_custkey % 7 = 0) t
       |ORDER BY version, pk""".stripMargin
 
