@@ -163,6 +163,28 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     throw new IllegalStateException("unreachable")
   }
 
+  /** updateStream (StreamManager.java:79 / Controller.java:190,
+    * UpdateStreamTask semantics): replace the scaling + retention policy
+    * of a LIVE stream through the manifest CAS. Segment count and initial
+    * layout are immutable here (that is what scale is for) — the policy
+    * change simply takes effect at the next auto-scale / retention
+    * evaluation, exactly like the reference's controller applying an
+    * updated StreamConfiguration.
+    */
+  def updateStream(scope: String, stream: String, config: StreamConfig): StreamMetadata =
+    update(scope, stream) { m =>
+      if (m.isSealed) throw new GraftException(s"stream $scope/$stream is sealed")
+      require(config.minSegments >= 1, "minSegments must be >= 1")
+      require(config.scaleFactor >= 2, "scaleFactor must be >= 2")
+      // initialSegments only describes creation-time layout; keep the
+      // original so re-reads of the config stay truthful about epoch 0
+      m.copy(config = config.copy(initialSegments = m.config.initialSegments))
+    }
+
+  /** Tag update (StreamManager.java:79 updateStream carries tags too). */
+  def updateStreamTags(scope: String, stream: String, tags: Set[String]): StreamMetadata =
+    update(scope, stream)(m => m.copy(tags = tags))
+
   /** seal: reject further appends, mark all segments sealed
     * (SealStreamTask semantics).
     */

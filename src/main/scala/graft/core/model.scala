@@ -131,7 +131,13 @@ final case class FileEntry(
     startOffset: Long,
     rowCount: Long,
     minEventTime: Long,
-    maxEventTime: Long) {
+    maxEventTime: Long,
+    /** Max `chunkCount` among rows in this file: 1 = only whole events;
+      * > 1 = contains chunks of large (> MAX_EVENT_SIZE) events, so reads
+      * covering it must reassemble (LargeEventWriter analog). Defaults to
+      * 1 for manifests written before large-event support.
+      */
+    maxChunkCount: Int = 1) {
   def endOffset: Long = startOffset + rowCount
 }
 
@@ -155,8 +161,11 @@ final case class TxnRecord(
     committedAt: Option[Long] = None,
     /** Legacy: txn-local rows per segment (superseded by `calls`). */
     tails: Map[Long, Long] = Map.empty,
-    /** Number of writeToTxn calls so far; each call stages offsets in its
-      * own (callSeq << 40) epoch, which the commit merge re-ranks.
+    /** Number of writeToTxn calls so far. Each call stages rows with an
+      * explicit `callSeq` column plus monotonically_increasing_id
+      * txn-local offsets; the commit merge re-ranks by
+      * (segmentId, callSeq, offset), so offsets only need to be monotone
+      * within a call — no bit-packing.
       */
     calls: Long = 0L) {
   def expired(now: Long): Boolean =
@@ -167,6 +176,16 @@ final case class TxnRecord(
   * input to watermark computation (PeriodicWatermarking.java:254).
   */
 final case class WriterMark(writerId: String, time: Long, notedAt: Long)
+
+/** One emitted watermark: time bounds + the stream position they were
+  * computed at (the reference's Watermark record written to the `_MARK`
+  * stream, shared/watermarks/.../Watermark.java). A bounded history of
+  * these is what lets a mid-replay reader interpolate ITS OWN TimeWindow
+  * from its position instead of seeing the live bounds
+  * (WatermarkReaderImpl.java:139-152).
+  */
+final case class WatermarkRecord(lowerTime: Long, upperTime: Long,
+                                 positions: Map[Long, Long], emittedAt: Long)
 
 /** Per-segment EWMA append rates at the reference's four horizons
   * (segmentstore/server/host/.../stat/SegmentStatsRecorderImpl.java:63,246):
@@ -230,7 +249,11 @@ final case class StreamMetadata(
     /** Files dropped from `files` (compaction/truncation) awaiting
       * physical deletion after their reader-grace deadline.
       */
-    pendingDeletes: Seq[PendingDelete] = Nil) {
+    pendingDeletes: Seq[PendingDelete] = Nil,
+    /** Bounded history of emitted watermarks (the `_MARK` stream analog),
+      * newest last — input to per-reader TimeWindow interpolation.
+      */
+    watermarks: Seq[WatermarkRecord] = Nil) {
 
   def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
 

@@ -125,9 +125,52 @@ object StreamQueries {
       |FROM events WHERE user_id < 200
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Large-event round trip (LargeEventWriter analog): payloads straddling
+    * MAX_EVENT_SIZE — 100 B, exactly 8 MiB (one chunk), 8 MiB + 1 (the
+    * reject→chunk boundary), and 12 MiB through a TRANSACTION — go through
+    * writeEvents/writeToTxn and come back from readEvents reassembled. The
+    * oracle recomputes byte length and md5 of each payload from the same
+    * deterministic generators, so a hash match proves chunking + merge +
+    * reassembly is byte-exact end to end.
+    */
+  private def largeEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lrg").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    def ev(key: String, payload: org.apache.spark.sql.Column): DataFrame =
+      s.range(1).select(lit(key).as("routingKey"), lit(1L).as("eventTime"),
+        encode(payload, "UTF-8").as("payload"))
+    g.writeEvents("q", "ev",
+      ev("k1_small", repeat(lit("s"), 100))
+        .union(ev("k2_exact", repeat(lit("abcdefgh"), 1048576)))
+        .union(ev("k3_plus1", concat(repeat(lit("abcdefgh"), 1048576), lit("x")))))
+    val txn = g.beginTxn("q", "ev")
+    g.writeToTxn("q", "ev", txn, ev("k4_txn12m", repeat(lit("0123456789abcdef"), 786432)))
+    g.commitTxn("q", "ev", txn)
+    g.readEvents("q", "ev")
+      .select($"routingKey", length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("digest"))
+      .orderBy($"routingKey")
+  }
+
+  private val largeEventSql =
+    """SELECT routingKey, n_bytes, digest FROM (
+      |  SELECT 'k1_small' AS routingKey, CAST(100 AS BIGINT) AS n_bytes,
+      |         md5(repeat('s', 100)) AS digest
+      |  UNION ALL
+      |  SELECT 'k2_exact', CAST(8388608 AS BIGINT), md5(repeat('abcdefgh', 1048576))
+      |  UNION ALL
+      |  SELECT 'k3_plus1', CAST(8388609 AS BIGINT), md5(concat(repeat('abcdefgh', 1048576), 'x'))
+      |  UNION ALL
+      |  SELECT 'k4_txn12m', CAST(12582912 AS BIGINT), md5(repeat('0123456789abcdef', 786432))
+      |) t ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
+    ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
   )
 }

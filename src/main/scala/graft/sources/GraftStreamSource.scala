@@ -25,6 +25,10 @@ import org.json4s.jackson.Serialization
   * path — no per-row custom reader, full codegen. `maxRowsPerTrigger`
   * throttles like the reference's read pacing (getNextStreamCut,
   * BatchClientFactory.java:123).
+  *
+  * Large (> MaxEventSize) events arrive as their individual chunk rows in
+  * offset order (byte-stream-style delivery); the batch API
+  * (GraftStreams.readEvents) is the reassembling surface.
   */
 class GraftStreamSource(
     sqlContext: SQLContext,
@@ -72,10 +76,20 @@ class GraftStreamSource(
         } catch { case _: Exception => None }
         finally in.close()
       }
-    // persistCut writes tmp → delete main → rename; a crash between the
-    // delete and the rename leaves only the tmp, which holds the newest
-    // cut — fall back to it so the marker never silently vanishes
-    readCut(p).orElse(readCut(new Path(p.getParent, s"${p.getName}.tmp")))
+    // persistCut writes tmp → delete main → rename. A crash after writing
+    // the tmp but BEFORE deleting the main leaves both files, with the tmp
+    // holding the newer cut; a crash between delete and rename leaves only
+    // the tmp. Cuts only ever advance, so the element-wise MAX of whatever
+    // parses is always the highest announced cut — never prefer one file.
+    val main = readCut(p)
+    val tmp = readCut(new Path(p.getParent, s"${p.getName}.tmp"))
+    (main, tmp) match {
+      case (Some(a), Some(b)) =>
+        Some(StreamCut((a.positions.keySet ++ b.positions.keySet).map { sid =>
+          sid -> math.max(a.positions.getOrElse(sid, 0L), b.positions.getOrElse(sid, 0L))
+        }.toMap))
+      case _ => main.orElse(tmp)
+    }
   }
 
   private def persistCut(cut: StreamCut): Unit = persistPath.foreach { p =>
@@ -161,9 +175,13 @@ class GraftStreamSource(
     GraftSourceOffset(g.catalog.getStream(scope, stream).tailCut)
 
   override def getOffset: Option[OffsetV1] =
-    // superseded by latestOffset (admission control), kept for the Source
-    // contract: announce the unthrottled tail, monotonic by construction
-    Some(GraftSourceOffset(g.catalog.getStream(scope, stream).tailCut))
+    // Unreachable: Spark matches SupportsAdmissionControl before the v1
+    // Source case, so every trigger goes through latestOffset (which owns
+    // throttling and the AvailableNow cap). Throw rather than return an
+    // unthrottled tail — a silent fallback here would bypass pacing.
+    throw new IllegalStateException(
+      "graft-stream: getOffset must not be called — admission control " +
+        "(latestOffset) owns offset announcement for this source")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(GraftSourceOffset.toCut).getOrElse(initialCut)
@@ -196,6 +214,18 @@ class GraftStreamSource(
 case class GraftSourceOffset(cut: StreamCut) extends OffsetV1 {
   override val json: String =
     Serialization.write(cut.positions.map { case (k, v) => k.toString -> v })(DefaultFormats)
+}
+
+object GraftStreamSource {
+  /** Per-reader getCurrentTimeWindow (EventStreamReader.java:134 /
+    * WatermarkReaderImpl.java:139-152): a streaming query's checkpointed
+    * offset JSON IS its StreamCut, so its TimeWindow interpolates from
+    * the emitted watermark history at that exact position.
+    */
+  def timeWindowFor(spark: SparkSession, rootDir: String, scope: String,
+                    stream: String, offsetJson: String): (Option[Long], Option[Long]) =
+    new GraftStreams(spark, rootDir)
+      .timeWindowAt(scope, stream, GraftSourceOffset.fromJson(offsetJson))
 }
 
 object GraftSourceOffset {

@@ -63,7 +63,16 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
         val f = fs(chunk)
         if (f.exists(chunk)) {
           // chunk-<start> with start == committed tail is uncommitted by
-          // definition: safe to drop (our own orphan, single-writer)
+          // definition: safe to drop (our own orphan, single-writer). But
+          // re-verify against the LATEST committed state first — if a
+          // concurrent writer (contract violation) advanced the tail past
+          // this chunk between our fetch and now, the chunk holds
+          // committed bytes: keep the loud failure instead of silently
+          // replacing them.
+          val (_, freshTail) = meta(scope, name)
+          if (freshTail != start) throw new GraftException(
+            s"byte stream $scope/$name: chunk-$start exists but committed tail is " +
+              s"$freshTail — concurrent writer violates the single-writer contract")
           f.delete(chunk, false)
         }
         val out = graft.catalog.CasFiles.createExclusive(f, chunk)

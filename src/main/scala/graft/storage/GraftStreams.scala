@@ -67,14 +67,15 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     }
 
     val batchDir = new Path(catalog.dataDir(scope, stream), s"batch-${UUID.randomUUID()}")
-    val win = Window.partitionBy($"segmentId").orderBy($"arrivalSeq")
-    // MAX_EVENT_SIZE (Serializer.java:33) enforced in-flight: an oversize
-    // payload fails the write job before anything can be committed.
-    val sizeGuard = when(length($"payload") <= GraftStreams.MaxEventSize, $"payload")
-      .otherwise(raise_error(concat(lit("event payload exceeds MAX_EVENT_SIZE: "),
-        length($"payload").cast("string"))).cast("binary"))
-    val routed = df
-      .withColumn("arrivalSeq", monotonically_increasing_id())
+    // MAX_EVENT_SIZE (Serializer.java:33): payloads above it do NOT fail —
+    // they are split in-plan into <= MaxEventSize chunk rows occupying
+    // CONSECUTIVE offsets of the same segment (the LargeEventWriter
+    // transient-segment + merge analog, client/.../stream/impl/
+    // LargeEventWriter.java:77,99,153); readEvents reassembles them
+    // transparently. Splitting happens BEFORE the shuffle, so no shuffled
+    // row ever exceeds the chunk size.
+    val win = Window.partitionBy($"segmentId").orderBy($"arrivalSeq", $"chunkSeq")
+    val routed = GraftStreams.chunkPayloads(df.withColumn("arrivalSeq", monotonically_increasing_id()))
       .withColumn("segmentId", segCol)
       // explicit partition count: one task per segment (the reference's
       // per-segment append parallelism); AQE would otherwise coalesce the
@@ -83,10 +84,10 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .withColumn("offset", baseCol + row_number().over(win) - 1)
       .withColumn("processingTime", current_timestamp())
       .select($"segmentId", $"offset", $"routingKey", $"eventTime", $"processingTime",
-        sizeGuard.as("payload"))
+        $"payload", $"chunkSeq", $"chunkCount")
       .withColumn("segId", $"segmentId")
     // no extra sort: the ranking window already leaves each partition
-    // ordered by (segmentId, arrivalSeq) == (segmentId, offset)
+    // ordered by (segmentId, arrivalSeq, chunkSeq) == (segmentId, offset)
 
     try routed.write.partitionBy("segId").parquet(batchDir.toString)
     catch {
@@ -224,6 +225,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         var rows = 0L
         var offLo = Long.MaxValue; var offHi = Long.MinValue
         var tLo = Long.MaxValue; var tHi = Long.MinValue
+        var ckMax = 1
         footer.getBlocks.asScala.foreach { b =>
           rows += b.getRowCount
           b.getColumns.asScala.foreach { c =>
@@ -236,6 +238,8 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
               } else if (name == "eventTime") {
                 tLo = math.min(tLo, s.genericGetMin.asInstanceOf[Number].longValue)
                 tHi = math.max(tHi, s.genericGetMax.asInstanceOf[Number].longValue)
+              } else if (name == "chunkCount" && s.genericGetMax != null) {
+                ckMax = math.max(ckMax, s.genericGetMax.asInstanceOf[Number].intValue)
               }
             }
           }
@@ -243,7 +247,8 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         if (rows > 0)
           out += FileEntry(segId, stripScheme(p.toString), offLo, rows,
             if (tLo == Long.MaxValue) 0L else tLo,
-            if (tHi == Long.MinValue) 0L else tHi)
+            if (tHi == Long.MinValue) 0L else tHi,
+            maxChunkCount = ckMax)
       }
     }
     out.toList
@@ -277,9 +282,19 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       col("segmentId") === sid && col("offset") >= lo(sid) && col("offset") < hi(sid)
     }.reduce(_ || _)
 
-    spark.read.schema(GraftStreams.eventSchema)
-      .parquet(files.map(_.path).distinct: _*)
-      .filter(cond)
+    // Fast path: no scanned file contains large-event chunks (footer-
+    // derived manifest flag), so the canonical projection never reads the
+    // chunk columns and no reassembly shuffle is planned.
+    if (files.forall(_.maxChunkCount <= 1))
+      spark.read.schema(GraftStreams.storageSchema)
+        .parquet(files.map(_.path).distinct: _*)
+        .filter(cond)
+        .select(GraftStreams.eventSchema.fieldNames.map(col): _*)
+    else
+      GraftStreams.reassembleLargeEvents(
+        spark.read.schema(GraftStreams.storageSchema)
+          .parquet(files.map(_.path).distinct: _*)
+          .filter(cond))
   }
 
   /** Ordered per-key consumption view: epoch-major, offset-minor — parents
@@ -292,14 +307,25 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .orderBy($"epoch", $"segmentId", $"offset")
       .drop("epoch")
 
-  /** fetchEvent(EventPointer) (EventStreamReader.java:82). */
+  /** fetchEvent(EventPointer) (EventStreamReader.java:82). A pointer to a
+    * large event addresses its HEAD chunk; the chunk span is bounded by
+    * the covering files' maxChunkCount, so the read stays a point lookup.
+    */
   def fetchEvent(scope: String, stream: String, p: EventPointer): DataFrame = {
     val meta = catalog.getStream(scope, stream)
-    val files = meta.files.filter(f =>
-      f.segmentId == p.segmentId && p.offset >= f.startOffset && p.offset < f.endOffset)
+    val segFiles = meta.files.filter(_.segmentId == p.segmentId)
+    val bound = segFiles.map(_.maxChunkCount.toLong).foldLeft(1L)(math.max)
+    val files = segFiles.filter(f =>
+      p.offset < f.endOffset && p.offset + bound > f.startOffset)
     if (files.isEmpty) return emptyEvents()
-    spark.read.schema(GraftStreams.eventSchema).parquet(files.map(_.path): _*)
-      .filter($"segmentId" === p.segmentId && $"offset" === p.offset)
+    val scanned = spark.read.schema(GraftStreams.storageSchema).parquet(files.map(_.path): _*)
+      .filter($"segmentId" === p.segmentId &&
+        $"offset" >= p.offset && $"offset" < p.offset + bound)
+    if (bound <= 1L)
+      scanned.filter($"offset" === p.offset)
+        .select(GraftStreams.eventSchema.fieldNames.map(col): _*)
+    else
+      GraftStreams.reassembleLargeEvents(scanned).filter($"offset" === p.offset)
   }
 
   private def emptyEvents(): DataFrame =
@@ -427,12 +453,16 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     // The staging write is one map-only job; the dynamic partitionBy
     // fan-out per task mirrors a real Spark sink.
     val part = catalog.txnDir(scope, stream, txnId)
-    df.withColumn("segmentId", segCol)
+    // chunk oversized payloads exactly like the direct write path; chunk
+    // rows get consecutive monotonic ids, and the commit merge's
+    // (segmentId, callSeq, offset) ordering keeps them adjacent
+    GraftStreams.chunkPayloads(df)
+      .withColumn("segmentId", segCol)
       .withColumn("callSeq", lit(callSeq))
       .withColumn("offset", monotonically_increasing_id())
       .withColumn("processingTime", current_timestamp())
       .select($"segmentId", $"callSeq", $"offset", $"routingKey", $"eventTime",
-        $"processingTime", $"payload")
+        $"processingTime", $"payload", $"chunkSeq", $"chunkCount")
       .withColumn("segId", $"segmentId")
       .write.mode("append").partitionBy("segId").parquet(part.toString)
   }
@@ -505,7 +535,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         // (original segmentId, writeToTxn call sequence, txn-local offset).
         val win = Window.partitionBy($"targetSeg").orderBy($"segmentId", $"callSeq", $"offset")
         val stagedSchema = org.apache.spark.sql.types.StructType(
-          GraftStreams.eventSchema.fields.patch(1,
+          GraftStreams.storageSchema.fields.patch(1,
             Seq(org.apache.spark.sql.types.StructField("callSeq",
               org.apache.spark.sql.types.LongType, nullable = false)), 0))
         val toWrite = spark.read.schema(stagedSchema).parquet(stagingDir.toString)
@@ -514,7 +544,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
           .repartition(math.max(open.size, 1), $"targetSeg")
           .withColumn("offset", baseCol + row_number().over(win) - 1)
           .select(col("targetSeg").as("segmentId"), $"offset", $"routingKey", $"eventTime",
-            $"processingTime", $"payload")
+            $"processingTime", $"payload", $"chunkSeq", $"chunkCount")
           .withColumn("segId", $"segmentId")
           .sortWithinPartitions($"segmentId", $"offset")
         toWrite.write.partitionBy("segId").parquet(commitDir.toString)
@@ -697,7 +727,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     val head = meta.headStreamCut.positions
     val compactDir = new Path(catalog.dataDir(scope, stream), s"compact-${UUID.randomUUID()}")
     val oldPaths = targets.values.flatten.map(_.path).toSeq
-    spark.read.schema(GraftStreams.eventSchema).parquet(oldPaths: _*)
+    spark.read.schema(GraftStreams.storageSchema).parquet(oldPaths: _*)
       .filter(targets.keySet.map(sid =>
         col("segmentId") === sid && col("offset") >= head.getOrElse(sid, 0L)).reduce(_ || _))
       .withColumn("segId", col("segmentId"))
@@ -757,6 +787,49 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     Some((considered.map(_.time).min, marks.map(_.time).max))
   }
 
+  /** Emit one watermark record: the current time bounds tied to the tail
+    * positions they were computed at, appended to a bounded history (the
+    * PeriodicWatermarking emit into the `_MARK` stream,
+    * controller/.../PeriodicWatermarking.java:300 + Watermark.java). Run
+    * on a cadence (Maintenance does); no-op without writer marks.
+    */
+  def emitWatermark(scope: String, stream: String,
+                    timeoutMillis: Long = 600000L,
+                    keepLast: Int = 64): Option[WatermarkRecord] =
+    timeWindow(scope, stream, timeoutMillis).map { case (lo, hi) =>
+      var rec: WatermarkRecord = null
+      catalog.update(scope, stream) { m =>
+        rec = WatermarkRecord(lo, hi, m.tailCut.positions, System.currentTimeMillis())
+        // marks only advance: drop an emission that would regress (idle
+        // writer expiry can lower the computed bound transiently)
+        if (m.watermarks.lastOption.exists(_.lowerTime >= lo)) { rec = m.watermarks.last; m }
+        else m.copy(watermarks = (m.watermarks :+ rec).takeRight(keepLast))
+      }
+      rec
+    }
+
+  /** Per-reader TimeWindow (WatermarkReaderImpl.java:139-152): interpolate
+    * (lowerTimeBound, upperTimeBound) AT A POSITION from the emitted
+    * watermark history —
+    *   lower = newest watermark the cut has fully passed,
+    *   upper = oldest watermark still fully ahead of the cut
+    * (None on either side when the history does not bracket the position,
+    * exactly like the reference's null bounds near head/tail). A reader
+    * mid-replay therefore sees its OWN window, not the live bounds.
+    */
+  def timeWindowAt(scope: String, stream: String,
+                   cut: StreamCut): (Option[Long], Option[Long]) = {
+    val wms = catalog.getStream(scope, stream).watermarks
+    def cutAtOrPast(w: WatermarkRecord): Boolean =
+      w.positions.forall { case (sid, off) => cut.positions.getOrElse(sid, 0L) >= off }
+    def cutBefore(w: WatermarkRecord): Boolean =
+      w.positions.forall { case (sid, off) => cut.positions.getOrElse(sid, 0L) <= off } &&
+        w.positions.exists { case (sid, off) => cut.positions.getOrElse(sid, 0L) < off }
+    val lower = wms.filter(cutAtOrPast).lastOption.map(_.lowerTime)
+    val upper = wms.find(cutBefore).map(_.upperTime)
+    (lower, upper)
+  }
+
   def txnStatus(scope: String, stream: String, txnId: String): TxnRecord =
     txnStatus(catalog.getStream(scope, stream), txnId)
 
@@ -768,9 +841,14 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 object GraftStreams {
   import org.apache.spark.sql.types._
 
-  /** Max event payload (Serializer.MAX_EVENT_SIZE, Serializer.java:33). */
+  /** Max event payload PER ROW (Serializer.MAX_EVENT_SIZE,
+    * Serializer.java:33). Larger events are accepted and chunked — see
+    * [[chunkPayloads]].
+    */
   val MaxEventSize: Int = 8 * 1024 * 1024
-  /** Canonical at-rest event schema (SURVEY §1.2). */
+  /** Canonical OUTWARD event schema (SURVEY §1.2) — what readEvents /
+    * fetchEvent / the streaming source produce.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("segmentId", LongType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -778,4 +856,65 @@ object GraftStreams {
     StructField("eventTime", LongType, nullable = false),
     StructField("processingTime", TimestampType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
+  /** At-rest schema: canonical columns plus the large-event chunk
+    * markers. Files written before large-event support lack the chunk
+    * columns and read as nulls (= whole events).
+    */
+  val storageSchema: StructType = StructType(eventSchema.fields ++ Seq(
+    StructField("chunkSeq", IntegerType, nullable = true),
+    StructField("chunkCount", IntegerType, nullable = true)))
+
+  import org.apache.spark.sql.functions._
+
+  /** Split oversized payloads into `<= MaxEventSize` chunk rows, in-plan
+    * (the LargeEventWriter analog, client/.../stream/impl/
+    * LargeEventWriter.java:77,99): every input row becomes `chunkCount`
+    * rows sharing routingKey/eventTime, with `chunkSeq` ordering the
+    * slices. Runs BEFORE the routing shuffle so no shuffled row ever
+    * carries more than one chunk. Small events pay one 1-element struct
+    * wrap, nothing else.
+    */
+  def chunkPayloads(df: DataFrame): DataFrame = {
+    val max = MaxEventSize
+    df.withColumn("chunkCount",
+        when(coalesce(length(col("payload")), lit(0)) <= max, lit(1))
+          .otherwise(ceil(length(col("payload")).cast("double") / max).cast("int")))
+      .withColumn("ck",
+        explode(when(col("chunkCount") === 1,
+            array(struct(lit(0).as("seq"), col("payload").as("bytes"))))
+          .otherwise(transform(sequence(lit(0), col("chunkCount") - 1),
+            i => struct(i.cast("int").as("seq"),
+              col("payload").substr(i * max + 1, lit(max)).as("bytes"))))))
+      .withColumn("chunkSeq", col("ck.seq"))
+      .withColumn("payload", col("ck.bytes"))
+      .drop("ck")
+  }
+
+  /** Reassemble chunked large events from a storage-schema scan back into
+    * canonical whole-event rows (the mergeSegments-read analog): chunks
+    * group on (segmentId, head offset = offset - chunkSeq), sort by
+    * chunkSeq and concatenate. An event sliced by a mid-event cut (some
+    * chunks outside the scanned range) is dropped whole rather than
+    * surfaced truncated. Only planned when the scanned files' footer
+    * stats say chunks exist.
+    */
+  def reassembleLargeEvents(scanned: DataFrame): DataFrame =
+    scanned
+      .withColumn("chunkSeq", coalesce(col("chunkSeq"), lit(0)))
+      .withColumn("chunkCount", coalesce(col("chunkCount"), lit(1)))
+      .withColumn("eventHead", col("offset") - col("chunkSeq"))
+      .groupBy(col("segmentId"), col("eventHead"))
+      .agg(
+        min(col("routingKey")).as("routingKey"),
+        min(col("eventTime")).as("eventTime"),
+        min(col("processingTime")).as("processingTime"),
+        max(col("chunkCount")).as("chunkCount"),
+        count(lit(1)).as("nRows"),
+        array_sort(collect_list(struct(col("chunkSeq"), col("payload")))).as("chunks"))
+      .filter(col("nRows") === col("chunkCount"))
+      .withColumn("payload",
+        aggregate(col("chunks"), lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("payload"))))
+      .select(col("segmentId"), col("eventHead").as("offset"), col("routingKey"),
+        col("eventTime"), col("processingTime"), col("payload"))
 }

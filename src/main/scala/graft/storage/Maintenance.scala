@@ -30,7 +30,8 @@ class Maintenance(g: GraftStreams,
       filesBefore: Int,
       filesAfter: Int,
       reclaimedFiles: Seq[String],
-      reclaimedOrphans: Seq[String])
+      reclaimedOrphans: Seq[String],
+      watermarkEmitted: Boolean)
 
   def run(scope: String, stream: String,
           now: Long = System.currentTimeMillis()): Report = {
@@ -42,7 +43,10 @@ class Maintenance(g: GraftStreams,
       catch { case _: graft.core.ConditionalCheckFailedException => (-1, -1) }
     val reclaimed = g.catalog.sweepDeletes(scope, stream)
     val orphans = g.sweepOrphans(scope, stream, orphanGraceMillis)
-    Report(sweptTxns, truncated, scaled, before, after, reclaimed, orphans)
+    // PeriodicWatermarking analog: one watermark record per pass, feeding
+    // per-reader TimeWindow interpolation
+    val wm = g.emitWatermark(scope, stream).isDefined
+    Report(sweptTxns, truncated, scaled, before, after, reclaimed, orphans, wm)
   }
 
   /** Maintenance across every stream of a scope. */

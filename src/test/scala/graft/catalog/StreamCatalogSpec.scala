@@ -37,6 +37,32 @@ class StreamCatalogSpec extends AnyFunSuite {
     assert(!c.scopeExists("s1"))
   }
 
+  test("updateStream: live policy update keeps layout, rejects sealed/invalid") {
+    val c = freshCatalog()
+    c.createScope("s")
+    val created = c.createStream("s", "x",
+      StreamConfig(initialSegments = 4, targetRatePerSegment = 0, retentionMaxRows = 0))
+
+    val updated = c.updateStream("s", "x",
+      created.config.copy(targetRatePerSegment = 100, retentionMaxRows = 5000, minSegments = 2))
+    assert(updated.config.targetRatePerSegment == 100)
+    assert(updated.config.retentionMaxRows == 5000)
+    assert(updated.config.minSegments == 2)
+    // creation-time layout is immutable: segment set and initialSegments stay
+    assert(updated.config.initialSegments == 4)
+    assert(updated.segments == created.segments)
+    assert(updated.version > created.version)
+
+    // tags update surface
+    assert(c.updateStreamTags("s", "x", Set("prod")).tags == Set("prod"))
+
+    assertThrows[IllegalArgumentException](
+      c.updateStream("s", "x", created.config.copy(minSegments = 0)))
+    c.sealStream("s", "x")
+    assertThrows[GraftException](
+      c.updateStream("s", "x", created.config.copy(targetRatePerSegment = 5)))
+  }
+
   test("CAS update: concurrent writers conflict and retry (ConditionalAppend analog)") {
     val c = freshCatalog()
     c.createScope("s")

@@ -55,7 +55,7 @@ class ByteStreamLargeEventSpec extends AnyFunSuite {
     assert(bs.tail("s", "blob") == chunks.map(_.length).sum.toLong)
   }
 
-  test("large events: 1KiB..7.9MiB round-trip, >8MiB rejected atomically") {
+  test("large events: 1KiB..7.9MiB round-trip unchunked, >8MiB chunks transparently") {
     val g = new GraftStreams(spark, Files.createTempDirectory("graft-le").toString)
     g.catalog.createScope("s")
     g.catalog.createStream("s", "big", StreamConfig(initialSegments = 2))
@@ -75,12 +75,18 @@ class ByteStreamLargeEventSpec extends AnyFunSuite {
       .select($"payload").head().getAs[Array[Byte]](0)
     assert(largest.length == sizes(2) && largest.forall(_ == 3.toByte))
 
-    // over-limit batch: rejected, nothing becomes visible
+    // over-limit batch: accepted via the transparent large-event chunking
+    // path (LargeEventWriter analog, see LargeEventSpec) — sub-limit rows
+    // stay single rows, the oversized one reassembles byte-exactly
     val over = spark.createDataFrame(Seq(
       ("ok", 1L, Array.fill[Byte](10)(1)),
-      ("too-big", 2L, Array.fill[Byte](8 * 1024 * 1024 + 1)(1))
+      ("too-big", 2L, Array.fill[Byte](8 * 1024 * 1024 + 1)(2))
     )).toDF("routingKey", "eventTime", "payload")
-    assertThrows[GraftException](g.writeEvents("s", "big", over))
-    assert(g.readEvents("s", "big").count() == 3L, "rejected batch leaked rows")
+    g.writeEvents("s", "big", over)
+    val after = g.readEvents("s", "big")
+    assert(after.count() == 5L, "both rows of the mixed batch must be visible as whole events")
+    val tooBig = after.filter($"routingKey" === "too-big").select($"payload")
+      .head().getAs[Array[Byte]](0)
+    assert(tooBig.length == 8 * 1024 * 1024 + 1 && tooBig.forall(_ == 2.toByte))
   }
 }

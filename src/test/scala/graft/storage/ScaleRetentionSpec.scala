@@ -94,6 +94,45 @@ class ScaleRetentionSpec extends AnyFunSuite {
     m1.openSegments.foreach(s => assert(s.parents.size == 2))
   }
 
+  test("updateStream: auto-scaler obeys the NEW target on a live stream") {
+    // start with auto-scale disabled (target 0) — evaluation is a no-op
+    val g = mk(StreamConfig(initialSegments = 2, targetRatePerSegment = 0))
+    g.writeEvents("s", "x", batch(5000))
+    val meta0 = g.catalog.getStream("s", "x")
+    val base = meta0.createdAt
+    val hot = meta0.openSegments.sortBy(_.keyLow).head.segmentId
+    g.catalog.update("s", "x") { m =>
+      m.copy(segmentRates = m.segmentRates +
+        (hot -> SegmentRates(twoMin = 500, fiveMin = 300, tenMin = 100,
+          twentyMin = 50, createdAt = base, lastUpdated = base)))
+    }
+    val scaler = new AutoScaler(g, cooldownMillis = 0L)
+    assert(scaler.evaluate("s", "x", now = base + 700000).isEmpty,
+      "target 0 = fixed policy, no scale")
+
+    // live policy update through the manifest CAS: enable target 10
+    g.catalog.updateStream("s", "x", meta0.config.copy(targetRatePerSegment = 10))
+    val after = scaler.evaluate("s", "x", now = base + 700000)
+    assert(after.isDefined, "scaler must obey the updated target")
+    assert(after.get.segment(hot).isSealed)
+
+    // updating back to a huge target stops further scaling
+    g.catalog.updateStream("s", "x", meta0.config.copy(targetRatePerSegment = 1000000))
+    assert(new AutoScaler(g, cooldownMillis = 0L)
+      .evaluate("s", "x", now = base + 1500000).isEmpty)
+  }
+
+  test("updateStream: retention policy change takes effect at next evaluation") {
+    val g = mk(StreamConfig(initialSegments = 2)) // no retention at create
+    g.writeEvents("s", "x", batch(1000))
+    assert(new Retention(g).apply("s", "x").isEmpty, "infinite retention = no truncation")
+    g.catalog.updateStream("s", "x",
+      g.catalog.getStream("s", "x").config.copy(retentionMaxRows = 300))
+    assert(new Retention(g).apply("s", "x").isDefined, "updated policy must apply")
+    val remaining = g.readEvents("s", "x").count()
+    assert(remaining <= 310 && remaining >= 290, s"kept $remaining, wanted ~300")
+  }
+
   test("retention: size-based truncation trims oldest rows") {
     val g = mk(StreamConfig(initialSegments = 2, retentionMaxRows = 300))
     g.writeEvents("s", "x", batch(1000))
