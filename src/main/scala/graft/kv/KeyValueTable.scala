@@ -245,6 +245,40 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   def scanRange(fromPk: String, toPk: String): DataFrame =
     entries().filter($"pk" >= fromPk && $"pk" < toPk).orderBy($"pk", $"sk")
 
+  /** One page of sorted iteration — the `maxIterationSize` paging of
+    * KeyValueTableIterator.java:64,123. KEYSET pagination: the page holds
+    * the first `pageSize` entries with (pk, sk) strictly after
+    * `afterKey`; the caller passes the last row back as the continuation
+    * token. Each page is an independent bounded query (limit → TakeOrdered,
+    * no global sort, no offset skip-scan), so paging cost does not grow
+    * with position — the Spark shape of the reference's
+    * continuation-token iterator.
+    */
+  def scanPage(fromPk: String, toPk: String, pageSize: Int,
+               afterKey: Option[(String, String)] = None): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    val base = entries().filter($"pk" >= fromPk && $"pk" < toPk)
+    val paged = afterKey match {
+      case Some((apk, ask)) =>
+        base.filter($"pk" > apk || ($"pk" === apk && $"sk" > ask))
+      case None => base
+    }
+    paged.orderBy($"pk", $"sk").limit(pageSize)
+  }
+
+  /** Paged prefix iteration (forPrefix + maxIterationSize). */
+  def scanPrefixPage(prefix: String, pageSize: Int,
+                     afterKey: Option[(String, String)] = None): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    val base = entries().filter($"pk".startsWith(prefix))
+    val paged = afterKey match {
+      case Some((apk, ask)) =>
+        base.filter($"pk" > apk || ($"pk" === apk && $"sk" > ask))
+      case None => base
+    }
+    paged.orderBy($"pk", $"sk").limit(pageSize)
+  }
+
   /** Changes since a commit version — the ReadTableEntriesDelta analog
     * (WireCommands.java:2718): every PUT/REMOVE with version > from.
     */

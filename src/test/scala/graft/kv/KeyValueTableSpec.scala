@@ -88,6 +88,40 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(new String(t.get("k999").get._1) == "z")
   }
 
+  test("paged iteration: keyset continuation covers the range exactly once") {
+    val t = fresh()
+    val entries = (0 until 157).map(i => f"key$i%04d" -> s"v$i")
+    t.put(kv(entries: _*))
+
+    // walk the whole [key0000, key0200) range in pages of 25
+    var after: Option[(String, String)] = None
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val page = t.scanPage("key0000", "key0200", 25, after)
+        .select($"pk", $"sk").collect()
+      pages += 1
+      if (page.isEmpty) done = true
+      else {
+        val pks = page.map(_.getString(0))
+        assert(pks.toSeq == pks.toSeq.sorted, "page must be sorted")
+        seen ++= pks
+        after = Some((page.last.getString(0), page.last.getString(1)))
+        if (page.length < 25) done = true
+      }
+    }
+    assert(seen.toList == entries.map(_._1).sorted.toList, "pages must tile the range exactly")
+    assert(pages == 7, s"157 entries / 25 per page = 7 pages, got $pages")
+
+    // prefix paging returns the same keys as the unpaged prefix scan
+    val prefixAll = t.scanPrefix("key00").select($"pk").as[String].collect().toList
+    val p1 = t.scanPrefixPage("key00", 60).select($"pk", $"sk").collect()
+    val p2 = t.scanPrefixPage("key00", 60,
+      Some((p1.last.getString(0), p1.last.getString(1)))).select($"pk", $"sk").collect()
+    assert((p1 ++ p2).map(_.getString(0)).toList == prefixAll)
+  }
+
   test("getAll multiget prunes the scan to the touched buckets") {
     val t = fresh(parts = 8)
     t.put(kv((0 until 400).map(i => s"k$i" -> s"v$i"): _*))
