@@ -871,23 +871,20 @@ object GraftStreams {
     * LargeEventWriter.java:77,99): every input row becomes `chunkCount`
     * rows sharing routingKey/eventTime, with `chunkSeq` ordering the
     * slices. Runs BEFORE the routing shuffle so no shuffled row ever
-    * carries more than one chunk. Small events pay one 1-element struct
-    * wrap, nothing else.
+    * carries more than one chunk. The explode materializes only INT
+    * chunk indices — a small event's payload passes through untouched
+    * (no extra copy on the hot path); slicing happens only on rows whose
+    * chunkCount > 1.
     */
   def chunkPayloads(df: DataFrame): DataFrame = {
     val max = MaxEventSize
     df.withColumn("chunkCount",
         when(coalesce(length(col("payload")), lit(0)) <= max, lit(1))
           .otherwise(ceil(length(col("payload")).cast("double") / max).cast("int")))
-      .withColumn("ck",
-        explode(when(col("chunkCount") === 1,
-            array(struct(lit(0).as("seq"), col("payload").as("bytes"))))
-          .otherwise(transform(sequence(lit(0), col("chunkCount") - 1),
-            i => struct(i.cast("int").as("seq"),
-              col("payload").substr(i * max + 1, lit(max)).as("bytes"))))))
-      .withColumn("chunkSeq", col("ck.seq"))
-      .withColumn("payload", col("ck.bytes"))
-      .drop("ck")
+      .withColumn("chunkSeq", explode(sequence(lit(0), col("chunkCount") - 1)))
+      .withColumn("payload",
+        when(col("chunkCount") === 1, col("payload"))
+          .otherwise(col("payload").substr(col("chunkSeq") * max + 1, lit(max))))
   }
 
   /** Reassemble chunked large events from a storage-schema scan back into
