@@ -13,7 +13,8 @@ object QueryRegistry {
   def contributions: Seq[(String, Qf, Option[String])] =
     Q.Relational.defs ++ Q.Relational2.defs ++ Q.EventsStream.defs ++
       Q.TextOps.defs ++ Q.DedupOps.defs ++ Q.SimilarityOps.defs ++
-      Q.KvQueries.defs ++ Q.StreamQueries.defs ++ Q.SamplingOps.defs
+      Q.KvQueries.defs ++ Q.StreamQueries.defs ++ Q.SamplingOps.defs ++
+      Q.PipelineOps.defs
 
   def queries: Map[String, Qf] =
     contributions.map { case (k, q, _) => k -> q }.toMap

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: each left row is matched to the single
+  * latest right row with `right.time <= left.time` on the same key — the
+  * enrich-with-most-recent-state operator behind CDC snapshot lookups,
+  * market-data alignment and feature-store reads. Pravega applications
+  * express this as "state at event time" over an indexed stream
+  * (reference: readers positioned by `getSegmentsAtTime`,
+  * `controller/../stream/records/StreamSegmentRecord.java` time-indexed
+  * epochs); SQL engines call it ASOF JOIN.
+  *
+  * Spark-first design: Catalyst executes an inequality join as a
+  * broadcast-nested-loop or a sort-merge over a range — both blow up at
+  * scale (every left row pairs with every earlier right row before the
+  * per-key max is taken). Instead we tag both sides, union them, and
+  * carry the right payload forward with `last(_, ignoreNulls)` over one
+  * (key, time, side) running window. That is a single hash shuffle on
+  * the key plus one per-partition sort — no pair materialization,
+  * O(n log n) per key — the same plan shape at 100 TB as at 60k rows.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto matched left rows
+    *                (surfaced as `asof_<name>`; null when no right row
+    *                precedes the left row). `payload.head` should be a
+    *                unique right-row id: it is the deterministic
+    *                tie-break when several right rows share one (key,
+    *                time) — ill-defined in any as-of engine, pinned here.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one right column")
+    val leftCols = left.columns.toSeq
+    val rSchema = right.schema
+
+    // Unified layout: left columns (null on right rows) ++ __k/__t/__side
+    // ++ __p_<payload> (null on left rows).
+    val lSide = left.select(
+      leftCols.map(col) ++
+        Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(rSchema(c).dataType).as(s"__p_$c")): _*)
+    val rSide = right.select(
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+
+    // side 0 sorts before side 1 at equal time, so a right row AT the
+    // left row's timestamp is visible (<= semantics, DuckDB/ASOF default).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col(s"__p_${payload.head}"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payload.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+  }
+}
