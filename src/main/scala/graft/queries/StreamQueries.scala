@@ -139,15 +139,21 @@ object StreamQueries {
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
-    def ev(key: String, payload: org.apache.spark.sql.Column): DataFrame =
+    // the repeat count rides the range's id column so ConstantFolding
+    // cannot pre-materialize the multi-MiB payload into the plan (a
+    // folded literal bloats every task binary by the payload size)
+    def ev(key: String, unit: String, n: Long, extra: String = ""): DataFrame = {
+      import org.apache.spark.sql.functions.{concat, encode, lit, repeat}
       s.range(1).select(lit(key).as("routingKey"), lit(1L).as("eventTime"),
-        encode(payload, "UTF-8").as("payload"))
+        encode(concat(repeat(lit(unit), (col("id") + n).cast("int")), lit(extra)),
+          "UTF-8").as("payload"))
+    }
     g.writeEvents("q", "ev",
-      ev("k1_small", repeat(lit("s"), 100))
-        .union(ev("k2_exact", repeat(lit("abcdefgh"), 1048576)))
-        .union(ev("k3_plus1", concat(repeat(lit("abcdefgh"), 1048576), lit("x")))))
+      ev("k1_small", "s", 100)
+        .union(ev("k2_exact", "abcdefgh", 1048576))
+        .union(ev("k3_plus1", "abcdefgh", 1048576, extra = "x")))
     val txn = g.beginTxn("q", "ev")
-    g.writeToTxn("q", "ev", txn, ev("k4_txn12m", repeat(lit("0123456789abcdef"), 786432)))
+    g.writeToTxn("q", "ev", txn, ev("k4_txn12m", "0123456789abcdef", 786432))
     g.commitTxn("q", "ev", txn)
     g.readEvents("q", "ev")
       .select($"routingKey", length($"payload").cast("long").as("n_bytes"),
