@@ -356,6 +356,31 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     }.sum
   }
 
+  /** ReaderGroupMetrics.unreadBytes analog (client/.../stream/
+    * ReaderGroupMetrics.java:29), in this engine's offset unit (rows —
+    * offsets are row sequence numbers, see core/model.scala header):
+    * total rows between a reader position and the stream tail.
+    */
+  def unreadRows(scope: String, stream: String, position: StreamCut): Long = {
+    val meta = catalog.getStream(scope, stream)
+    distance(scope, stream, position, meta.tailCut)
+  }
+
+  /** ReaderSegmentDistribution analog (client/.../stream/
+    * ReaderSegmentDistribution.java): the per-segment unread remainder
+    * behind the tail. Segment→task assignment itself is Spark's
+    * scheduler; what the reference surfaces per reader, the engine
+    * surfaces per segment (the unit tasks are assigned by).
+    */
+  def unreadBySegment(scope: String, stream: String,
+                      position: StreamCut): Map[Long, Long] = {
+    val meta = catalog.getStream(scope, stream)
+    meta.segments.map { s =>
+      val a = position.positions.getOrElse(s.segmentId, s.startOffset)
+      s.segmentId -> math.max(0L, s.tailOffset - a)
+    }.toMap
+  }
+
   /** getSegmentsAtTime (Controller.java:388): first live offset whose
     * eventTime ≥ t per segment; file-level eventTime stats prune the scan.
     */

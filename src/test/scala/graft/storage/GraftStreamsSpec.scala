@@ -104,6 +104,28 @@ class GraftStreamsSpec extends AnyFunSuite {
     assert(row.length == 1 && row.head.getAs[Long]("offset") == 5L)
   }
 
+  test("reader-group metrics: unreadRows / unreadBySegment track the remainder") {
+    val g = freshStreams()
+    g.catalog.createScope("sc")
+    g.catalog.createStream("sc", "met", StreamConfig(initialSegments = 2))
+    g.writeEvents("sc", "met", fixture(6, 100).drop("seqPerKey"))
+
+    val meta = g.catalog.getStream("sc", "met")
+    val head = meta.headStreamCut
+    assert(g.unreadRows("sc", "met", head) == 600L, "nothing consumed yet")
+
+    val mid = g.nextStreamCut("sc", "met", head, approxRows = 100)
+    val consumed = g.readEvents("sc", "met", head, mid).count()
+    val unread = g.unreadRows("sc", "met", mid)
+    assert(consumed + unread == 600L, "consumed + unread must cover the stream")
+
+    val bySeg = g.unreadBySegment("sc", "met", mid)
+    assert(bySeg.values.sum == unread, "per-segment distribution sums to the total")
+    assert(bySeg.keySet == meta.segments.map(_.segmentId).toSet)
+
+    assert(g.unreadRows("sc", "met", meta.tailCut) == 0L, "caught-up reader")
+  }
+
   test("truncation: head rises, truncated reads fail, remainder intact") {
     val g = freshStreams()
     g.catalog.createScope("sc")
