@@ -667,6 +667,16 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     expiredOpen ++ stuckCommitting
   }
 
+  /** listCompletedTransactions (StreamManager.java:232): the terminal
+    * (COMMITTED / ABORTED) txn records from the manifest, oldest first.
+    * Terminal records stay in the manifest after their staging dirs are
+    * swept, exactly so this audit surface keeps working.
+    */
+  def listCompletedTxns(scope: String, stream: String): Seq[TxnRecord] =
+    catalog.getStream(scope, stream).transactions.values.toSeq
+      .filter(t => t.state == TxnState.Committed || t.state == TxnState.Aborted)
+      .sortBy(t => (t.createdAt, t.id))
+
   /** Concurrent-writer convenience: offsets are assigned against a tail
     * snapshot, so a racing commit fails the CAS (tails-moved check); this
     * wrapper re-runs the batch against fresh tails — writer idempotence

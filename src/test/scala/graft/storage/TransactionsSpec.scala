@@ -66,6 +66,24 @@ class TransactionsSpec extends AnyFunSuite {
     assertThrows[TxnFailedException](g.commitTxn("s", "a", txn))
   }
 
+  test("listCompletedTxns: terminal records surface, open ones don't") {
+    val g = freshStreams()
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "lc", StreamConfig(initialSegments = 2))
+    val committed = g.beginTxn("s", "lc")
+    g.writeToTxn("s", "lc", committed, batch("x", 50))
+    g.commitTxn("s", "lc", committed)
+    val aborted = g.beginTxn("s", "lc")
+    g.writeToTxn("s", "lc", aborted, batch("y", 10))
+    g.abortTxn("s", "lc", aborted)
+    val open = g.beginTxn("s", "lc")
+    val done = g.listCompletedTxns("s", "lc")
+    assert(done.map(_.id).toSet == Set(committed, aborted))
+    assert(done.map(t => t.id -> t.state).toMap ==
+      Map(committed -> TxnState.Committed, aborted -> TxnState.Aborted))
+    assert(!done.exists(_.id == open))
+  }
+
   test("lease expiry: sweep aborts, commit after expiry fails") {
     val g = freshStreams()
     g.catalog.createScope("s")
