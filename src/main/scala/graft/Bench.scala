@@ -57,14 +57,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // fixed 4-decimal formatting keeps the single JSON line compact (the
-    // full-precision doubles made r2's line long enough to get truncated
-    // by the capturing harness)
-    def fmt(v: Double): String = f"$v%.4f"
+    // The harness keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that window — 2-decimal per-query times + numeric
+    // sf keep the whole line near 1700 chars so it survives intact.
+    def fmt(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = sfDir.split('/').last.stripPrefix("sf")
+    val sfJson = sfNum.toDoubleOption.map(_ => sfNum).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
     spark.stop()
   }
 }

@@ -37,27 +37,40 @@ object AsOfJoin {
     require(payload.nonEmpty, "payload must name at least one right column")
     val leftCols = left.columns.toSeq
     val rSchema = right.schema
+    val reserved = Set("__k", "__t", "__side", "__p")
+    val clashes = leftCols.filter(reserved) ++
+      leftCols.toSet.intersect(payload.map("asof_" + _).toSet)
+    require(clashes.isEmpty,
+      s"asOf reserves column names __k/__t/__side/__p and asof_<payload>; " +
+        s"rename clashing left columns: ${clashes.distinct.mkString(", ")}")
 
     // Unified layout: left columns (null on right rows) ++ __k/__t/__side
-    // ++ __p_<payload> (null on left rows).
+    // ++ one __p struct of every payload column (null on left rows). A
+    // single struct — never-null on right rows even when individual
+    // payload fields are null — makes one last(ignoreNulls) carry the
+    // whole matched row, so a null field in the matched right row stays
+    // null instead of being backfilled from an older row.
+    val pType = org.apache.spark.sql.types.StructType(payload.map(c => rSchema(c)))
     val lSide = left.select(
       leftCols.map(col) ++
-        Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(rSchema(c).dataType).as(s"__p_$c")): _*)
+        Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(pType).as("__p")): _*)
     val rSide = right.select(
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+        Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(payload.map(c => col(c).as(c)): _*).as("__p")): _*)
 
     // side 0 sorts before side 1 at equal time, so a right row AT the
     // left row's timestamp is visible (<= semantics, DuckDB/ASOF default).
+    // Tie-break among right rows sharing (key, time): highest payload.head
+    // (the unique right-row id) — pinned, engine-independent.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col(s"__p_${payload.head}"))
+      .orderBy(col("__t"), col("__side"), col("__p")(payload.head))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payload.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+    lSide.unionByName(rSide)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__p")(c).as(s"asof_$c")): _*)
   }
 }

@@ -195,10 +195,15 @@ object PipelineOps {
         floor($"x".cast("double") * lit(1000000.0)).cast("long").as("q"))
       .groupBy($"c_id", $"pos")
       .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    // norm2 accumulates in DECIMAL: sq ~ n·10⁶ per (cluster, dim), so
+    // sq² overflows Long near n ≈ 3e6 vectors/cluster — decimal(18)²
+    // → decimal(37) sums exactly to decimal(38) at any corpus size, and
+    // the one final cast to double is identical across engines.
     fp.groupBy($"c_id")
       .agg(max($"n").as("n_assigned"),
         sum(when($"pos" === 0, $"sq").otherwise(lit(0L))).as("q0"),
-        sum($"sq" * $"sq").as("norm2_fp"))
+        sum($"sq".cast("decimal(18,0)") * $"sq".cast("decimal(18,0)"))
+          .cast("double").as("norm2_fp"))
       .withColumn("mean0",
         $"q0".cast("double") / ($"n_assigned".cast("double") * lit(1000000.0)))
       .orderBy($"c_id")
@@ -230,7 +235,7 @@ object PipelineOps {
       |  GROUP BY c_id, pos)
       |SELECT c_id, CAST(MAX(n) AS BIGINT) AS n_assigned,
       |  CAST(SUM(CASE WHEN pos = 1 THEN sq ELSE 0 END) AS BIGINT) AS q0,
-      |  CAST(SUM(sq * sq) AS BIGINT) AS norm2_fp,
+      |  CAST(SUM(CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0))) AS DOUBLE) AS norm2_fp,
       |  CAST(SUM(CASE WHEN pos = 1 THEN sq ELSE 0 END) AS DOUBLE)
       |    / (CAST(MAX(n) AS DOUBLE) * 1000000.0) AS mean0
       |FROM fp GROUP BY c_id ORDER BY c_id""".stripMargin

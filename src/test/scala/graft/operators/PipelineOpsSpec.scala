@@ -34,6 +34,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("d") === -1L, "key with no right rows -> null")
   }
 
+  test("AsOfJoin returns the matched row's fields verbatim, including its NULLs") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 10L, 1L, Some(1.0)),
+      (1L, 15L, 2L, None) // the matched row: its null v must NOT be
+                          // backfilled from the older (t=10) row
+    ).toDF("k", "t", "rid", "v")
+    val row = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("rid", "v")).head()
+    assert(row.getAs[Long]("asof_rid") === 2L)
+    assert(row.isNullAt(row.fieldIndex("asof_v")),
+      "a null field in the matched right row must stay null")
+  }
+
+  test("AsOfJoin rejects reserved/colliding column names up front") {
+    val l1 = Seq((1L, 10L)).toDF("k", "__t")
+    val l2 = Seq((1L, 10L, 0L)).toDF("k", "t", "asof_rid")
+    val r = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l1, r, "k", "__t", "t", Seq("rid"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l2, r, "k", "t", "t", Seq("rid"))
+    }
+  }
+
   test("AsOfJoin ties on (key, time) break deterministically by payload head") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 10L, 7L), (1L, 10L, 3L), (1L, 10L, 9L)).toDF("k", "t", "rid")
