@@ -64,8 +64,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val sfNum = sfDir.split('/').last.stripPrefix("sf")
-    val sfJson = sfNum.toDoubleOption.map(_ => sfNum).getOrElse("\"" + sfDir + "\"")
+    // One stable shape for "sf": always the stripped last dir segment,
+    // always quoted — consumers never see a string/number duality.
+    val sfJson = "\"" + sfDir.split('/').last.stripPrefix("sf") + "\""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
     spark.stop()
   }

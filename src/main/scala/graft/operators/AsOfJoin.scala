@@ -35,6 +35,9 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right column")
+    require(payload.distinct == payload,
+      s"payload names must be distinct (duplicates would make the __p struct " +
+        s"field extraction ambiguous): ${payload.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val rSchema = right.schema
     val reserved = Set("__k", "__t", "__side", "__p")

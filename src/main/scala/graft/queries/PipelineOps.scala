@@ -199,6 +199,11 @@ object PipelineOps {
     // sq² overflows Long near n ≈ 3e6 vectors/cluster — decimal(18)²
     // → decimal(37) sums exactly to decimal(38) at any corpus size, and
     // the one final cast to double is identical across engines.
+    // Headroom caveat: in Spark's default non-ANSI mode the
+    // cast('decimal(18,0)') yields NULL (not an error) if |sq| ever
+    // reached 1e18 — i.e. beyond n ≈ 1e12 vectors in one cluster, where
+    // DuckDB's CAST would instead raise. Inside that bound both engines
+    // agree exactly.
     fp.groupBy($"c_id")
       .agg(max($"n").as("n_assigned"),
         sum(when($"pos" === 0, $"sq").otherwise(lit(0L))).as("q0"),
