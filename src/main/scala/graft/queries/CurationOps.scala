@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import graft.operators.BloomPrefilter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the selection/shaping stages between raw
+  * documents and training batches: per-domain caps, greedy sequence
+  * packing, weighted sampling, TF-IDF salient terms, and Bloom-gated
+  * decontamination.
+  *
+  * Scale notes common to the group: every operator is keyed
+  * aggregations + rank-limited windows — no all-pairs joins, no driver
+  * loops. The two rank windows (`ds_domain_cap`, `txt_tfidf_top`)
+  * filter on `row_number() <= k` directly above the window, which
+  * Catalyst rewrites into WindowGroupLimit: each map task keeps only
+  * its per-group top-k BEFORE the exchange, so a skewed domain ships
+  * k rows per task, not its whole partition.
+  */
+object CurationOps {
+
+  /** Sliding word k-grams (single-space joined); empty below k tokens.
+    * Same contract as [[PipelineOps]]' gram stage.
+    */
+  private def grams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  // ----------------------------------------------------------- domain cap
+
+  /** Per-domain document cap: keep the k=10 largest docs per `source` —
+    * the CommonCrawl-style guard against one domain dominating the mix.
+    * Deterministic order (n_chars desc, doc_id asc).
+    */
+  private def domainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  private val domainCapSql =
+    """SELECT source, rk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Greedy sequential packing (concat-and-chunk): documents in
+    * deterministic order are laid end-to-end per shard and cut into
+    * 512-token context windows; a doc's bin is where its first token
+    * lands. Output: per-(shard, bin) occupancy. This is the standard
+    * pre-training batch-shaping pass.
+    *
+    * Scale: packing is embarrassingly parallel across shards (at 100 TB
+    * the shard count is the parallelism knob); within a shard it is one
+    * running-sum window — a single hash shuffle plus sort, no state on
+    * the driver.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", (($"cum" - $"n_tok") / lit(512L)).cast("long"))
+      .groupBy($"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard", $"bin")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  // ------------------------------------------------------ weighted sample
+
+  /** Deterministic weighted Bernoulli sampling: doc kept iff
+    * u(doc_id) < weight, with u a content-independent md5 hash mapped to
+    * [0,1) (the [[SamplingOps]] family) and weight proportional to
+    * document length (capped at 1). No RNG state — reproducible across
+    * engines, runs and cluster sizes; one map-side projection plus the
+    * per-source demo aggregation.
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("u",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+      .withColumn("w", least(lit(1.0), $"n_chars".cast("double") / lit(400.0)))
+      .filter($"u" < $"w")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("kept_n"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  private val weightedSampleSql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+      |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS w
+      |  FROM documents) t
+      |WHERE u < w
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- tf-idf
+
+  /** Per-document top-3 salient terms by TF-IDF. The idf uses the ratio
+    * form (N+1)/(df+1) instead of its logarithm: the score is then two
+    * exact integer products and ONE double division — bit-identical
+    * across engines, where `ln` would not be (libm-dependent). Ranking
+    * is unaffected (log is monotone).
+    *
+    * Scale: two keyed aggregations (gram by (doc,tok), df by tok), one
+    * equi-join on tok, and a rank-limited window on doc — WindowGroupLimit
+    * keeps the per-doc top-3 map-side. N rides a 1-row broadcast.
+    */
+  private def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_toks", sum($"cnt").over(Window.partitionBy($"doc_id")))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        ($"cnt" * ($"n_docs" + lit(1L))).cast("double") /
+          ($"n_toks" * ($"df" + lit(1L))).cast("double"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tf_idf".desc, $"tok")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"tok", $"cnt", $"df", $"tf_idf")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val tfidfTopSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) u
+      |  GROUP BY doc_id, tok),
+      |tl AS (SELECT doc_id, tok, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_toks
+      |       FROM tf),
+      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tl.tok AS tok, cnt, df,
+      |    CAST(cnt * (n_docs + 1) AS DOUBLE)
+      |      / CAST(n_toks * (df + 1) AS DOUBLE) AS tf_idf
+      |  FROM tl, dfreq, n WHERE tl.tok = dfreq.tok)
+      |SELECT doc_id, rk, tok, cnt, df, tf_idf FROM (
+      |  SELECT doc_id, tok, cnt, df, tf_idf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tf_idf DESC, tok) AS BIGINT) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------- bloom contamination
+
+  /** Bloom-gated decontamination: which eval documents share any word
+    * 6-gram with the train split. Three stages — (1) build ONE Bloom
+    * sketch over the distinct train grams (distributed aggregation,
+    * map-side partial sketches, one ~1 MiB binary collected — the same
+    * driver-side value `df.stat.bloomFilter` pulls); (2) probe every
+    * eval gram against the sketch as a task-local predicate (no
+    * shuffle); (3) exact-verify only the survivors with a semi-join.
+    * No false negatives ⇒ the output is EXACT — the sketch only shrinks
+    * the verify join's probe side, which is the entire point at 100 TB:
+    * the expensive gram-keyed shuffle sees survivors, not the corpus.
+    */
+  private def bloomContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", grams(toks($"text"), 6).as("gs"))
+    val train = base.filter($"doc_id" % 10 < 8)
+      .select(explode($"gs").as("g")).distinct()
+    val evalGrams = base.filter($"doc_id" % 10 >= 8)
+      .select($"doc_id", explode(array_distinct($"gs")).as("g"))
+    val bloom = BloomPrefilter.build(train, $"g")
+    evalGrams.filter(BloomPrefilter.mightContain(bloom, $"g"))
+      .join(train, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  private val bloomContaminationSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 6
+      |      THEN list_transform(range(1, len(toks) - 4),
+      |                          i -> array_to_string(toks[i:i+5], ' '))
+      |      ELSE [] END AS gs
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |train AS (SELECT DISTINCT unnest(gs) AS g FROM t WHERE doc_id % 10 < 8),
+      |ev AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM t
+      |       WHERE doc_id % 10 >= 8)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM ev JOIN train USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_domain_cap",           domainCap _,          Some(domainCapSql)),
+    ("ds_pack_sequences",       packSequences _,      Some(packSequencesSql)),
+    ("ds_weighted_sample",      weightedSample _,     Some(weightedSampleSql)),
+    ("txt_tfidf_top",           tfidfTop _,           Some(tfidfTopSql)),
+    ("txt_bloom_contamination", bloomContamination _, Some(bloomContaminationSql)),
+  )
+}

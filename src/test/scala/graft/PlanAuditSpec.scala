@@ -103,6 +103,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(partials >= 1, "max_by is not partially aggregated before the exchange")
   }
 
+  test("rank-limited windows push a map-side group top-k (WindowGroupLimit)") {
+    // ds_domain_cap and txt_tfidf_top filter row_number() <= k directly
+    // above their window; Catalyst must turn that into WindowGroupLimit
+    // so a skewed domain ships k rows per task, not its whole partition
+    for (q <- Seq("ds_domain_cap", "txt_tfidf_top")) {
+      val (_, _, executed) = planOf(q)
+      assert(executed.contains("WindowGroupLimit"),
+        s"$q: rank limit not pushed below the window exchange")
+    }
+  }
+
   test("dedup_exact: bounded shuffle count, codegen'd") {
     val (df, _, executed) = planOf("dedup_exact")
     def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
