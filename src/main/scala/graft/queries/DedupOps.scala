@@ -143,6 +143,16 @@ object DedupOps {
         Tables.documents(s, dir).filter($"n_chars" < 200), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6)
       .select($"a_id", $"b_id")
+    clusterLabels(s, pairs)
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+  }
+
+  /** Connected-component labels `(id, lbl)` over an undirected pair graph
+    * by iterative min-label propagation with pointer jumping (shared by
+    * `dedup_clusters` and `dedup_keep_best`).
+    */
+  private def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
     // both directions in ONE pass over the pair join (a union of the
     // reversed projection would compute the join twice), then
     // localCheckpoint (not persist) truncates lineage so iteration N's
@@ -178,8 +188,55 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+    labels
   }
+
+  /** Canonical-document selection: for every near-dup cluster keep the
+    * "best" member (longest, ties to the smallest id) and account for
+    * what gets dropped — the keep/drop decision step that turns cluster
+    * labels into an actual dedup of the corpus. Pairs come from the same
+    * production banded-LSH path as `dedup_clusters` (32-hash family);
+    * the selection itself is ONE keyed aggregation with a `max(struct)`
+    * argmax — map-side partial, no window, no second shuffle.
+    */
+  private def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter($"n_chars" < 200)
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      .select($"a_id", $"b_id")
+    clusterLabels(s, pairs)
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"),
+           sum($"n_chars").as("tot_chars"))
+      .select($"cluster_id", $"n_docs",
+        (-$"best.neg_id").as("keep_doc"),
+        $"best.n_chars".as("keep_chars"),
+        ($"tot_chars" - $"best.n_chars").as("dropped_chars"))
+      .orderBy($"cluster_id")
+  }
+
+  private val keepBestSql =
+    s"""WITH RECURSIVE ${MinHashLSH.oraclePairsCtes("n_chars < 200", 32, 8, 0.6)},
+       |e AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |r(id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY id),
+       |j AS (
+       |  SELECT cluster_id, d.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+       |    CAST(SUM(d.n_chars) OVER (PARTITION BY cluster_id) AS BIGINT) AS tot
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+       |SELECT cluster_id, n_docs, doc_id AS keep_doc, n_chars AS keep_chars,
+       |  tot - n_chars AS dropped_chars
+       |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE ${MinHashLSH.oraclePairsCtes("n_chars < 200", 64, 16, 0.6)},
@@ -208,5 +265,6 @@ object DedupOps {
     ("dedup_minhash_lsh",    minhashLsh _,    Some(minhashLshSql)),
     ("dedup_minhash_oracle", minhashOracle _, Some(MinHashLSH.oracleNearDuplicatesSql(400))),
     ("dedup_clusters",       dedupClusters _, Some(dedupClustersSql)),
+    ("dedup_keep_best",      keepBest _,      Some(keepBestSql)),
   )
 }

@@ -180,6 +180,54 @@ object SimilarityOps {
       |    AS entropy_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * storage/serving compression for a 100 TB vector corpus (4× smaller
+    * than float32, 8× than float64). Per vector: absolute-max scale,
+    * `q_i = floor(x_i·127/amax + 0.5)`, saturation count and the exact
+    * reconstruction SSE. Pure map-side projection, no shuffle; every
+    * value is integer or IEEE-double arithmetic with the same expression
+    * shape on both engines, so the oracle hash-matches bit-for-bit
+    * (`floor(x+0.5)` instead of `round()` because the engines disagree on
+    * round-half semantics, not because of float error).
+    */
+  private def quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("amax", array_max(transform($"v", x => abs(x))))
+      .filter($"amax" > 0)
+      .withColumn("q", transform($"v",
+        x => floor(x * lit(127.0) / $"amax" + lit(0.5))))
+      .select($"vec_id", $"amax",
+        size(filter($"q", q => abs(q) === 127)).cast("long").as("n_sat"),
+        aggregate(
+          zip_with($"v", $"q",
+            (x, q) => (x - q.cast("double") * $"amax" / lit(127.0)) *
+                      (x - q.cast("double") * $"amax" / lit(127.0))),
+          lit(0.0), (acc, e) => acc + e).as("sse"))
+      .orderBy($"vec_id")
+  }
+
+  private val quantizeSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, amax, v,
+      |    list_transform(v, x -> floor(x * 127.0 / amax + 0.5)) AS q
+      |  FROM a WHERE amax > 0)
+      |SELECT vec_id, amax,
+      |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(v, q),
+      |        p -> (p[1] - p[2] * amax / 127.0) * (p[1] - p[2] * amax / 127.0))),
+      |    (acc, e) -> acc + e) AS sse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
@@ -188,5 +236,6 @@ object SimilarityOps {
     ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
+    ("emb_quantize",     quantize _,     Some(quantizeSql)),
   )
 }

@@ -193,6 +193,46 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Out-of-vocabulary ratio against the corpus top-100 token vocabulary —
+    * the tokenizer-coverage estimate run before committing to a vocab.
+    *
+    * Scale: token counts are one map-combined shuffle; the top-k is
+    * `orderBy(...).limit(k)` which Spark plans as TakeOrderedAndProject
+    * (per-partition top-k, merged on the driver — NEVER a single-task
+    * global sort window); the k-row vocab then broadcasts to a map-side
+    * join against the exploded corpus. Counts are integers, the ratio is
+    * one double division — oracle-exact.
+    */
+  private def oovRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(100)
+      .select($"tok", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio", $"n_oov".cast("double") / $"n_toks".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  private val oovRatioSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok AS vtok FROM (
+      |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+      |    ORDER BY cnt DESC, tok LIMIT 100) t)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+      |FROM toks LEFT JOIN vocab ON tok = vtok
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
@@ -200,5 +240,6 @@ object TextOps {
     ("txt_lang_id",       langId _,        Some(langIdSql)),
     ("txt_fingerprint",   fingerprint _,   Some(fingerprintSql)),
     ("txt_rolling_fp",    rollingFp _,     Some(rollingFpSql)),
+    ("txt_oov_ratio",     oovRatio _,      Some(oovRatioSql)),
   )
 }
