@@ -22,15 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** Sliding word k-grams (single-space joined); empty below k tokens.
-    * Same contract as [[PipelineOps]]' gram stage.
-    */
-  private def grams(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   // ----------------------------------------------------------- domain cap
@@ -207,12 +198,17 @@ object CurationOps {
     */
   private def bloomContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir)
-      .select($"doc_id", grams(toks($"text"), 6).as("gs"))
-    val train = base.filter($"doc_id" % 10 < 8)
-      .select(explode($"gs").as("g")).distinct()
-    val evalGrams = base.filter($"doc_id" % 10 >= 8)
-      .select($"doc_id", explode(array_distinct($"gs")).as("g"))
+    val docs = Tables.documents(s, dir)
+    // localCheckpoint: the distinct train-gram set is consumed TWICE
+    // (bloom build collect + verify semi-join); materializing it once
+    // beats re-running tokenize→explode→distinct per consumer. At 100 TB
+    // the same holds — the checkpoint spills to executor disk and is
+    // still one pass over the corpus instead of two.
+    val train = GramStage.explodeGrams(docs, 6)
+      .filter($"doc_id" % 10 < 8).select($"g").distinct()
+      .localCheckpoint()
+    val evalGrams = GramStage.explodeGrams(docs, 6, distinctPerDoc = true)
+      .filter($"doc_id" % 10 >= 8)
     val bloom = BloomPrefilter.build(train, $"g")
     evalGrams.filter(BloomPrefilter.mightContain(bloom, $"g"))
       .join(train, Seq("g"), "left_semi")

@@ -19,18 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
-  /** Sliding word k-grams of `toks` joined with single spaces; empty when
-    * the document is shorter than k tokens (Spark's `sequence` would
-    * otherwise descend).
-    */
-  private def grams(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-
-  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
-
   // ---------------------------------------------------------------- asof
 
   /** Each click enriched with the user's most recent prior view — the
@@ -81,12 +69,11 @@ object PipelineOps {
     */
   private def contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir)
-      .select($"doc_id", grams(toks($"text"), 5).as("gs"))
-    val train = base.filter($"doc_id" % 10 < 8)
-      .select(explode($"gs").as("g")).distinct()
-    val evalGrams = base.filter($"doc_id" % 10 >= 8)
-      .select($"doc_id", explode(array_distinct($"gs")).as("g"))
+    val docs = Tables.documents(s, dir)
+    val train = GramStage.explodeGrams(docs, 5)
+      .filter($"doc_id" % 10 < 8).select($"g").distinct()
+    val evalGrams = GramStage.explodeGrams(docs, 5, distinctPerDoc = true)
+      .filter($"doc_id" % 10 >= 8)
     evalGrams.join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -125,9 +112,9 @@ object PipelineOps {
     */
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir).select($"doc_id", toks($"text").as("tk"))
-    def counts(k: Int) = base
-      .select($"doc_id", explode(grams($"tk", k)).as("g"))
+    val base = GramStage.tokensOf(Tables.documents(s, dir))
+    def counts(k: Int) = base.filter(size($"tk") >= k)
+      .select($"doc_id", explode(GramStage.grams(k)).as("g"))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
     val a2 = counts(2).groupBy($"doc_id")
       .agg(sum($"cnt").as("n2"), max($"cnt").as("top2_n"))
