@@ -14,7 +14,8 @@ object QueryRegistry {
     Q.Relational.defs ++ Q.Relational2.defs ++ Q.EventsStream.defs ++
       Q.TextOps.defs ++ Q.DedupOps.defs ++ Q.SimilarityOps.defs ++
       Q.KvQueries.defs ++ Q.StreamQueries.defs ++ Q.SamplingOps.defs ++
-      Q.PipelineOps.defs ++ Q.CurationOps.defs ++ Q.EventAnalytics.defs
+      Q.PipelineOps.defs ++ Q.CurationOps.defs ++ Q.EventAnalytics.defs ++
+      Q.AnalyticsOps.defs ++ Q.EmbeddingOps.defs
 
   def queries: Map[String, Qf] =
     contributions.map { case (k, q, _) => k -> q }.toMap

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort / windowed / robust-statistics analytics over the `events`
+  * stream table — the product-analytics shapes a stream consumer runs
+  * against the batch tier.
+  *
+  * Oracle-parity conventions: calendar arithmetic is integer days since
+  * epoch (no engine-specific week truncation), money is exact integer
+  * cents (`value` carries 2 decimals), and the anomaly statistics are
+  * exact HISTOGRAM medians — grouped counts + one cumulative window over
+  * the histogram, never a sort of the raw rows — so every derived value
+  * is integer math plus at most one final double division.
+  *
+  * Scale notes: every operator is keyed aggregations; the only windows
+  * run over per-type HISTOGRAMS (cardinality = distinct cents values,
+  * not rows). The week/median lookup sides are a handful of rows and
+  * broadcast. The sliding window explodes each event into exactly
+  * width/slide = 4 rows — a bounded fan-out, shuffled once on
+  * (window, type).
+  */
+object AnalyticsOps {
+
+  /** Integer days since 1970-01-01 for the event timestamp. */
+  private def ddayCol = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+
+  // -------------------------------------------------- retention cohorts
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; `n_users` = how many of each cohort were active again k
+    * weeks later. Two keyed aggregations + one equi-join on user_id.
+    */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", ddayCol.cast("long").as("dday"))
+    val first = e.groupBy($"user_id").agg(min($"dday").as("d0"))
+    e.join(first, Seq("user_id"))
+      .select($"user_id", expr("d0 DIV 7").as("cohort_week"),
+        expr("(dday - d0) DIV 7").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val retentionCohortsSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dday
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(dday) AS d0 FROM e GROUP BY user_id)
+      |SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+      |  CAST((dday - d0) // 7 AS BIGINT) AS week_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---------------------------------------------------- sliding windows
+
+  /** Sliding-window event counts / revenue: 1-hour windows advancing
+    * every 15 minutes, per event type — Spark's native `window()`
+    * (each event lands in exactly 4 windows). The oracle replays the
+    * slide-aligned window starts with integer microsecond arithmetic.
+    */
+  private def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+      .select(expr("unix_micros(CAST(window.start AS TIMESTAMP))").as("ws"),
+        $"event_type", $"n_events", $"sum_cents")
+      .orderBy($"ws", $"event_type")
+  }
+
+  private val slidingWindowSql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, cents,
+      |    ((tus // 900000000) - k) * 900000000 AS ws
+      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) ks)
+      |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
+  // -------------------------------------------------------- stickiness
+
+  /** DAU / WAU stickiness per day: distinct daily actives over distinct
+    * weekly actives of the containing week. Two keyed distinct
+    * aggregations; the week side (a few rows) broadcasts.
+    */
+  private def dauStickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", ddayCol.cast("long").as("dday"))
+    val dau = e.groupBy($"dday").agg(countDistinct($"user_id").as("dau"))
+    val wau = e.groupBy(expr("dday DIV 7").as("dweek"))
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.withColumn("dweek", expr("dday DIV 7"))
+      .join(broadcast(wau), Seq("dweek"))
+      .select($"dday", $"dau", $"wau",
+        ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+      .orderBy($"dday")
+  }
+
+  private val dauStickinessSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dday
+      |  FROM events),
+      |dau AS (SELECT dday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM e GROUP BY dday),
+      |wau AS (SELECT dday // 7 AS dweek, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |        FROM e GROUP BY 1)
+      |SELECT dday, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON dau.dday // 7 = wau.dweek
+      |ORDER BY dday""".stripMargin
+
+  // ------------------------------------------------------- MAD anomaly
+
+  /** Robust anomaly counts per event type: exact lower median and MAD
+    * (median absolute deviation) of `value` in integer cents, and how
+    * many events sit beyond the 3-sigma-equivalent fence
+    * `dev > 3 * 1.4826 * mad` (integer-compared as
+    * `dev * 10000 > mad * 44478`).
+    *
+    * The medians are HISTOGRAM medians: group to (type, cents) counts,
+    * one cumulative-sum window over the histogram, pick the first bin
+    * whose running count reaches (n+1) DIV 2. The shuffle and window
+    * carry histogram width, not row count — the scale path for exact
+    * order statistics (approx_percentile remains the one-pass
+    * alternative when the value domain is unbounded).
+    */
+  private def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+
+    def histMedian(rows: DataFrame, valueCol: String): DataFrame = {
+      val hist = rows.groupBy($"event_type", col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val n = hist.groupBy($"event_type").agg(sum($"cnt").as("n"))
+      val wcum = Window.partitionBy($"event_type").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum($"cnt").over(wcum))
+        .join(broadcast(n), Seq("event_type"))
+        .filter($"cum" >= expr("(n + 1) DIV 2"))
+        .groupBy($"event_type").agg(min(col(valueCol)).as("med"), first($"n").as("n"))
+    }
+
+    val med = histMedian(ev, "cents")
+      .select($"event_type", $"med".as("med_cents"), $"n")
+    val dev = ev.join(broadcast(med.select($"event_type", $"med_cents")), Seq("event_type"))
+      .select($"event_type", abs($"cents" - $"med_cents").as("dev"))
+    val mad = histMedian(dev, "dev")
+      .select($"event_type", $"med".as("mad_cents"))
+    val devHist = dev.groupBy($"event_type", $"dev").agg(count(lit(1)).as("cnt"))
+    val outliers = devHist.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(sum(when($"dev" * 10000L > $"mad_cents" * 44478L, $"cnt")
+        .otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, Seq("event_type")).join(outliers, Seq("event_type"))
+      .select($"event_type", $"n", $"med_cents", $"mad_cents", $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  private val anomalyMadSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |hist AS (SELECT event_type, cents, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |cum AS (
+      |  SELECT event_type, cents,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM hist),
+      |med AS (
+      |  SELECT cum.event_type, MIN(cents) AS med_cents
+      |  FROM cum JOIN n ON cum.event_type = n.event_type
+      |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |dev AS (
+      |  SELECT ev.event_type, abs(cents - med_cents) AS dev
+      |  FROM ev JOIN med ON ev.event_type = med.event_type),
+      |dhist AS (SELECT event_type, dev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+      |dcum AS (
+      |  SELECT event_type, dev,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM dhist),
+      |mad AS (
+      |  SELECT dcum.event_type, MIN(dev) AS mad_cents
+      |  FROM dcum JOIN n ON dcum.event_type = n.event_type
+      |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |outl AS (
+      |  SELECT dhist.event_type,
+      |    CAST(SUM(CASE WHEN dev * 10000 > mad_cents * 44478 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM dhist JOIN mad ON dhist.event_type = mad.event_type
+      |  GROUP BY 1)
+      |SELECT n.event_type AS event_type, n, med_cents, mad_cents, n_outliers
+      |FROM n JOIN med ON n.event_type = med.event_type
+      |  JOIN mad ON n.event_type = mad.event_type
+      |  JOIN outl ON n.event_type = outl.event_type
+      |ORDER BY 1""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
+    ("ev_window_sliding",    slidingWindow _,    Some(slidingWindowSql)),
+    ("ev_dau_stickiness",    dauStickiness _,    Some(dauStickinessSql)),
+    ("ev_anomaly_mad",       anomalyMad _,       Some(anomalyMadSql)),
+  )
+}

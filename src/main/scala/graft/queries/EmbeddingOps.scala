@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.QueryRegistry.Qf
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-corpus statistics: norm profiles per label and one
+  * matrix-free PCA power-iteration step — the covariance-direction
+  * probe run before choosing projection/whitening for an embedding
+  * table.
+  *
+  * Oracle parity: per-element values quantize to fixed-point BIGINT
+  * (floor(x·10⁶)) before any cross-row sum, so every aggregate is
+  * associative integer math (same convention as `emb_kmeans_iter`);
+  * doubles appear only in per-row norms (bit-exact sequential ops, as
+  * `sim_cosine_pairs` establishes) and in single final divisions.
+  */
+object EmbeddingOps {
+
+  // -------------------------------------------------------- norm stats
+
+  /** Per-label embedding-norm profile: count, exact min/max norm, and
+    * the fixed-point mean norm. One keyed aggregation, map-side
+    * partials; min/max are selections (no cross-row float arithmetic),
+    * the mean accumulates quantized integers.
+    */
+  private def normStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"),
+        Similarity.norm($"embedding").as("nrm"))
+      .withColumn("nq", floor($"nrm" * lit(1000000.0)).cast("long"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        min($"nrm").as("min_norm"), max($"nrm").as("max_norm"),
+        sum($"nq").as("sum_fp"))
+      .select($"label", $"n", $"min_norm", $"max_norm",
+        ($"sum_fp".cast("double") / ($"n".cast("double") * lit(1000000.0)))
+          .as("avg_norm"))
+      .orderBy($"label")
+  }
+
+  private val normStatsSql =
+    """WITH n AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+      |  CAST(SUM(CAST(floor(nrm * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS BIGINT) * 1000000.0) AS avg_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // -------------------------------------------------- PCA power iterate
+
+  /** One power-iteration step toward the top principal direction:
+    * w = Σᵥ (v·1) v over the (uncentered) corpus, v₀ = the all-ones
+    * vector. Matrix-free: per-vector coefficient c = Σⱼ xqⱼ (exact
+    * integer after quantization), then a (pos)-keyed sum of c·xq —
+    * map-side partial aggregation, shuffle width = the embedding
+    * dimension. The per-(pos) products stay within long (|x| < 1 ⇒
+    * |c·xq| < d·10¹²); cross-row sums accumulate in DECIMAL, exact at
+    * any corpus size up to ~10²⁴ rows.
+    */
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xq = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        floor($"x".cast("double") * lit(1000000.0)).cast("long").as("xq"))
+    val c = xq.groupBy($"vec_id").agg(sum($"xq").as("c"))
+    xq.join(c, Seq("vec_id"))
+      .select($"pos", ($"xq" * $"c").as("q"))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"q".cast("decimal(20,0)")).cast("double").as("w_fp"))
+      .orderBy($"pos")
+  }
+
+  private val pcaPowerSql =
+    """WITH xq AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS c FROM xq GROUP BY vec_id)
+      |SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CAST(xq * c AS DECIMAL(20,0))) AS DOUBLE) AS w_fp
+      |FROM xq JOIN c USING (vec_id)
+      |GROUP BY pos ORDER BY pos""".stripMargin
+
+  val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("emb_norm_stats", normStats _, Some(normStatsSql)),
+    ("emb_pca_power",  pcaPower _,  Some(pcaPowerSql)),
+  )
+}

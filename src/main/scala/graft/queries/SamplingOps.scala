@@ -66,8 +66,41 @@ object SamplingOps {
       |WHERE rk <= 5
       |ORDER BY source, lang, rk""".stripMargin
 
+  /** Deterministic source interleave: each source's docs are hash-ranked
+    * (reproducible shuffle), then round-robined across the 20 sources —
+    * the data-mixing schedule that feeds heterogeneous sources into a
+    * training run at fixed proportions. `pos = (rank-1)·20 + src_idx`
+    * is a total order; the first 3 rounds are the checked output.
+    *
+    * Scale: one rank window per source (range-partitioned sort at real
+    * scale) and a map-side projection — no cross-source coordination.
+    */
+  private def interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("src_idx", regexp_extract($"source", "(\\d+)", 1).cast("long"))
+      .withColumn("pos", ($"rk".cast("long") - 1L) * 20L + $"src_idx")
+      .filter($"pos" < 60)
+      .select($"pos", $"doc_id", $"source")
+      .orderBy($"pos")
+  }
+
+  private val interleaveSql =
+    """SELECT pos, doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    (CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1) * 20
+      |      + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS pos
+      |  FROM documents) t
+      |WHERE pos < 60 ORDER BY pos""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ds_train_split",      trainSplit _,       Some(trainSplitSql)),
     ("ds_stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
+    ("ds_interleave",       interleave _,       Some(interleaveSql)),
   )
 }

@@ -233,6 +233,54 @@ object TextOps {
       |FROM toks LEFT JOIN vocab ON tok = vtok
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Zipf-law exponent of the corpus token distribution: least-squares
+    * slope of log(freq) against log(rank) over the top 200 tokens — the
+    * vocabulary-shape diagnostic behind tokenizer sizing.
+    *
+    * Scale: the top-k is TakeOrderedAndProject (per-partition top-k, no
+    * global sort); the rank window and regression run over 200 rows.
+    * Oracle parity: log values quantize to floor(ln·10⁴) BIGINT before
+    * the regression sums, so the slope is integer sums + one double
+    * division. (ln itself is libm-dependent in the last ulp; at 10⁻⁴
+    * granularity a boundary hit needs agreement to ~10⁻¹² — negligible,
+    * and the driver gate would surface it.)
+    */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(200)
+    // the window ranks only the 200 surviving rows — single partition by
+    // construction, not a scale hazard
+    val pts = freq
+      .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"tok")))
+      .select(floor(log($"rk".cast("double")) * lit(10000.0)).cast("long").as("lx"),
+        floor(log($"cnt".cast("double")) * lit(10000.0)).cast("long").as("ly"))
+    pts.agg(count(lit(1)).as("n"), sum($"lx").as("sx"), sum($"ly").as("sy"),
+        sum($"lx" * $"ly").as("sxy"), sum($"lx" * $"lx").as("sxx"))
+      .select($"n",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("zipf_slope"))
+  }
+
+  private val zipfSlopeSql =
+    """WITH freq AS (
+      |  SELECT tok, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents) t
+      |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 200),
+      |pts AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) * 10000.0) AS BIGINT) AS lx,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000.0) AS BIGINT) AS ly
+      |  FROM freq)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly) AS DOUBLE)
+      |    / CAST(COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx) AS DOUBLE) AS zipf_slope
+      |FROM pts""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
@@ -241,5 +289,6 @@ object TextOps {
     ("txt_fingerprint",   fingerprint _,   Some(fingerprintSql)),
     ("txt_rolling_fp",    rollingFp _,     Some(rollingFpSql)),
     ("txt_oov_ratio",     oovRatio _,      Some(oovRatioSql)),
+    ("txt_zipf_slope",    zipfSlope _,     Some(zipfSlopeSql)),
   )
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the cohort/window/robust-stats and embedding/mixing
+  * additions — the semantic invariants the oracle rows alone don't
+  * state.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ev_retention_cohorts: offset-0 cell equals cohort size; offsets never grow it") {
+    val r = SparkEntry.queries("ev_retention_cohorts")(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"week_offset" < 0L).count() === 0L)
+    // every user is active in their own cohort week, so the k=0 cell is
+    // the cohort's full size and every later offset is <= it
+    val base = r.filter($"week_offset" === 0L)
+      .select($"cohort_week", $"n_users".as("cohort_size"))
+    val bad = r.join(base, Seq("cohort_week"))
+      .filter($"n_users" > $"cohort_size")
+    assert(bad.isEmpty, s"retention cell above cohort size: ${bad.head(3).mkString}")
+    r.unpersist()
+  }
+
+  test("ev_window_sliding: every event lands in exactly 4 windows; totals add up") {
+    val w = SparkEntry.queries("ev_window_sliding")(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(w.agg(sum($"n_events")).head().getLong(0) === nEvents * 4)
+    // window starts are slide-aligned (15 min = 9e8 us)
+    assert(w.filter($"ws" % 900000000L =!= 0L).count() === 0L)
+    w.unpersist()
+  }
+
+  test("ev_dau_stickiness: 0 < dau <= wau and ratio in (0, 1]") {
+    val d = SparkEntry.queries("ev_dau_stickiness")(spark, sf).cache()
+    assert(d.count() > 0)
+    assert(d.filter($"dau" <= 0L || $"dau" > $"wau").count() === 0L)
+    assert(d.filter($"stickiness" <= 0.0 || $"stickiness" > 1.0).count() === 0L)
+    d.unpersist()
+  }
+
+  test("ev_anomaly_mad: median halves the distribution, MAD and outliers bounded") {
+    val m = SparkEntry.queries("ev_anomaly_mad")(spark, sf).cache()
+    assert(m.count() > 0)
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val chk = ev.join(m, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"),
+        sum(when($"cents" <= $"med_cents", 1L).otherwise(0L)).as("le_med"),
+        first($"n_outliers").as("n_outliers"))
+    // lower median: at least half the rows are <= it
+    assert(chk.filter($"le_med" * 2L < $"n").count() === 0L)
+    assert(m.filter($"mad_cents" < 0L || $"n_outliers" < 0L || $"n_outliers" > $"n")
+      .count() === 0L)
+    m.unpersist()
+  }
+
+  test("emb_norm_stats: min <= avg <= max per label (fixed-point floor slack)") {
+    val ns = SparkEntry.queries("emb_norm_stats")(spark, sf).cache()
+    assert(ns.count() > 0)
+    assert(ns.filter($"min_norm" > $"max_norm").count() === 0L)
+    // avg accumulates floor-quantized norms: at most 1e-6 below the true
+    // mean, never above max nor more than 1e-6 below min
+    assert(ns.filter($"avg_norm" > $"max_norm" ||
+      $"avg_norm" < $"min_norm" - 1e-6).count() === 0L)
+    ns.unpersist()
+  }
+
+  test("emb_pca_power: one row per dimension, all rows see the whole corpus") {
+    val p = SparkEntry.queries("emb_pca_power")(spark, sf).cache()
+    val dim = Tables.embeddings(spark, sf)
+      .select(size($"embedding")).head().getInt(0)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(p.count() === dim.toLong)
+    assert(p.filter($"n_vecs" =!= nVecs).count() === 0L)
+    // w is a real direction, not all-zero
+    assert(p.filter($"w_fp" =!= 0.0).count() > 0)
+    p.unpersist()
+  }
+
+  test("txt_zipf_slope: slope is negative (frequency decays with rank)") {
+    val z = SparkEntry.queries("txt_zipf_slope")(spark, sf).head()
+    assert(z.getAs[Long]("n") > 10L) // sf0.001's whole vocab is ~31 tokens
+    assert(z.getAs[Double]("zipf_slope") < 0.0)
+  }
+
+  test("ds_interleave: positions are a prefix of the round-robin schedule") {
+    val i = SparkEntry.queries("ds_interleave")(spark, sf).cache()
+    val rows = i.collect()
+    assert(rows.nonEmpty)
+    // no duplicate positions, every source index < 20, and positions
+    // within a source step by exactly 20
+    assert(rows.map(_.getAs[Long]("pos")).distinct.length === rows.length)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    for ((_, rs) <- bySrc) {
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps.zip(ps.tail).forall { case (a, b) => b - a == 20L },
+        s"non-round-robin stride within a source: ${ps.mkString(",")}")
+    }
+    i.unpersist()
+  }
+}
