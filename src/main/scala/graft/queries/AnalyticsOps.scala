@@ -145,9 +145,10 @@ object AnalyticsOps {
     val ev = Tables.events(s, dir)
       .select($"event_type", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
 
-    def histMedian(rows: DataFrame, valueCol: String): DataFrame = {
-      val hist = rows.groupBy($"event_type", col(valueCol))
-        .agg(count(lit(1)).as("cnt"))
+    // lower median from a prebuilt (event_type, <value>, cnt) histogram —
+    // the histogram is built ONCE per round and shared (Catalyst reuses
+    // the identical exchange subplans within the query)
+    def medianOfHist(hist: DataFrame, valueCol: String): DataFrame = {
       val n = hist.groupBy($"event_type").agg(sum($"cnt").as("n"))
       val wcum = Window.partitionBy($"event_type").orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -157,13 +158,17 @@ object AnalyticsOps {
         .groupBy($"event_type").agg(min(col(valueCol)).as("med"), first($"n").as("n"))
     }
 
-    val med = histMedian(ev, "cents")
+    val hist = ev.groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+    val med = medianOfHist(hist, "cents")
       .select($"event_type", $"med".as("med_cents"), $"n")
-    val dev = ev.join(broadcast(med.select($"event_type", $"med_cents")), Seq("event_type"))
-      .select($"event_type", abs($"cents" - $"med_cents").as("dev"))
-    val mad = histMedian(dev, "dev")
+    // deviation histogram folds the VALUE histogram (carries cnt), not
+    // the raw rows — the second median round never rescans events
+    val devHist = hist
+      .join(broadcast(med.select($"event_type", $"med_cents")), Seq("event_type"))
+      .groupBy($"event_type", abs($"cents" - $"med_cents").as("dev"))
+      .agg(sum($"cnt").as("cnt"))
+    val mad = medianOfHist(devHist, "dev")
       .select($"event_type", $"med".as("mad_cents"))
-    val devHist = dev.groupBy($"event_type", $"dev").agg(count(lit(1)).as("cnt"))
     val outliers = devHist.join(broadcast(mad), Seq("event_type"))
       .groupBy($"event_type")
       .agg(sum(when($"dev" * 10000L > $"mad_cents" * 44478L, $"cnt")

@@ -99,9 +99,35 @@ object KvQueries {
       |  FROM customer WHERE c_custkey % 7 = 0) t
       |ORDER BY version, pk""".stripMargin
 
+  /** Batched point lookup (getAll analog): a fixed 12-key batch spanning
+    * present keys, an overwritten key, a removed key and a never-written
+    * key — the multiget path whose bucket/pk literal pushdown prunes the
+    * scan to the touched buckets (CI-gated in KeyValueTableSpec).
+    * Missing keys simply produce no row, like getAll.
+    */
+  private def kvMultiget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(3L, 6L, 7L, 14L, 20L, 21L, 33L, 42L, 55L, 90L, 91L, 99999999L)
+      .map(k => (f"$k%08d", ""))
+    build(s, dir).getAll(keys)
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val kvMultigetSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE CAST(c_acctbal AS VARCHAR) END AS val,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS version
+      |FROM customer
+      |WHERE c_custkey % 7 <> 0
+      |  AND c_custkey IN (3, 6, 7, 14, 20, 21, 33, 42, 55, 90, 91, 99999999)
+      |ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_range_scan", kvRangeScan _, Some(kvRangeScanSql)),
     ("kv_delta_feed", kvDeltaFeed _, Some(kvDeltaFeedSql)),
+    ("kv_multiget",   kvMultiget _,  Some(kvMultigetSql)),
   )
 }
