@@ -217,7 +217,45 @@ object AnalyticsOps {
       |  JOIN outl ON n.event_type = outl.event_type
       |ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------- event transitions
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count and probability of each (from_type → to_type) step. One lead
+    * window per user (single key shuffle), a keyed aggregation, and a
+    * broadcast row-total join — the sequence-model feature extraction
+    * shape.
+    */
+  private def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    val cnt = pairs.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    cnt.join(broadcast(tot), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        ($"n".cast("double") / $"n_from".cast("double")).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type AS from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM c JOIN t ON c.from_type = t.from_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     ("ev_window_sliding",    slidingWindow _,    Some(slidingWindowSql)),
     ("ev_dau_stickiness",    dauStickiness _,    Some(dauStickinessSql)),

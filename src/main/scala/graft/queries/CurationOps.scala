@@ -232,7 +232,45 @@ object CurationOps {
       |FROM ev JOIN train USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source token budget: documents, tokens, corpus share, and the
+    * cumulative share in descending-token order — the mixing-weight
+    * table a data-budget pass produces before sampling. One keyed
+    * aggregation; the running share is a window over the SOURCE list
+    * (20 rows), not the corpus, and the corpus total rides a 1-row
+    * broadcast.
+    */
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total"))
+    val w = Window.orderBy($"n_tokens".desc, $"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"total".cast("double")).as("share"),
+        ($"cum_tokens".cast("double") / $"total".cast("double")).as("cum_share"))
+      .orderBy($"n_tokens".desc, $"source")
+  }
+
+  private val tokenBudgetSql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+      |FROM per, tot
+      |ORDER BY n_tokens DESC, source""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_token_budget",         tokenBudget _,        Some(tokenBudgetSql)),
     ("ds_domain_cap",           domainCap _,          Some(domainCapSql)),
     ("ds_pack_sequences",       packSequences _,      Some(packSequencesSql)),
     ("ds_weighted_sample",      weightedSample _,     Some(weightedSampleSql)),

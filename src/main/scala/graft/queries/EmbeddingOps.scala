@@ -92,8 +92,65 @@ object EmbeddingOps {
       |FROM xq JOIN c USING (vec_id)
       |GROUP BY pos ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------- centroid similarity
+
+  /** Inter-label centroid cosine matrix: how close the per-label mean
+    * embeddings are — the class-separability probe behind label audits
+    * and cluster merging.
+    *
+    * The centroid is kept UNNORMALIZED (the per-(label, pos) sum of
+    * quantized elements): cosine is scale-invariant, so dividing by the
+    * count would only introduce a non-associative division. All dot /
+    * norm terms multiply as DECIMAL(18)² and sum exactly; headroom:
+    * |sq| < n·10⁶ means overflow needs ~10¹² vectors per label, and the
+    * DECIMAL(38) sums hold to d·(10¹⁸)² ≈ 10³⁸ — documented bound, same
+    * convention as `emb_kmeans_iter`. The label-pair join carries
+    * k·d rows (k labels, d dims) — broadcast-sized for any real k.
+    */
+  private def centroidDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xq = Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"), posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"label", $"pos", floor($"x".cast("double") * lit(1000000.0)).cast("long").as("xq"))
+    val cent = xq.groupBy($"label", $"pos").agg(sum($"xq").as("sq"))
+    val dots = cent.select($"label".as("la"), $"pos", $"sq".as("sa"))
+      .join(cent.select($"label".as("lb"), $"pos", $"sq".as("sb")), Seq("pos"))
+      .filter($"la" < $"lb")
+      .groupBy($"la", $"lb")
+      .agg(sum($"sa".cast("decimal(18,0)") * $"sb".cast("decimal(18,0)")).as("dot"))
+    val norms = cent.groupBy($"label")
+      .agg(sum($"sq".cast("decimal(18,0)") * $"sq".cast("decimal(18,0)")).as("nn"))
+    dots
+      .join(norms.select($"label".as("la"), $"nn".as("na")), Seq("la"))
+      .join(norms.select($"label".as("lb"), $"nn".as("nb")), Seq("lb"))
+      .select($"la", $"lb",
+        ($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double"))).as("cos"))
+      .orderBy($"la", $"lb")
+  }
+
+  private val centroidDistSql =
+    """WITH xq AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings),
+      |cent AS (SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS sq
+      |         FROM xq GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    SUM(CAST(a.sq AS DECIMAL(18,0)) * CAST(b.sq AS DECIMAL(18,0))) AS dot
+      |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |norms AS (SELECT label, SUM(CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0))) AS nn
+      |          FROM cent GROUP BY 1)
+      |SELECT la, lb,
+      |  CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+      |FROM dots JOIN norms na ON la = na.label JOIN norms nb ON lb = nb.label
+      |ORDER BY la, lb""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
-    ("emb_norm_stats", normStats _, Some(normStatsSql)),
-    ("emb_pca_power",  pcaPower _,  Some(pcaPowerSql)),
+    ("emb_norm_stats",    normStats _,    Some(normStatsSql)),
+    ("emb_pca_power",     pcaPower _,     Some(pcaPowerSql)),
+    ("emb_centroid_dist", centroidDist _, Some(centroidDistSql)),
   )
 }

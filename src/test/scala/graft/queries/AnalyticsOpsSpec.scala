@@ -90,6 +90,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(z.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("ev_markov_transitions: rows per from_type sum to 1 in probability") {
+    val m = SparkEntry.queries("ev_markov_transitions")(spark, sf).cache()
+    assert(m.count() > 0)
+    val sums = m.groupBy($"from_type").agg(sum($"p").as("sp"), sum($"n").as("sn"))
+    assert(sums.filter(abs($"sp" - 1.0) > 1e-9).count() === 0L)
+    // total transitions = total events - distinct users (each user's last
+    // event has no successor)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(m.agg(sum($"n")).head().getLong(0) === expected)
+    m.unpersist()
+  }
+
+  test("ds_token_budget: shares sum to 1 and cum_share is monotone to 1") {
+    val b = SparkEntry.queries("ds_token_budget")(spark, sf).collect()
+    assert(b.nonEmpty)
+    assert(math.abs(b.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val cums = b.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, c) => c >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+  }
+
+  test("emb_centroid_dist: full strict-upper-triangle, cosines in [-1, 1]") {
+    val c = SparkEntry.queries("emb_centroid_dist")(spark, sf).cache()
+    val k = Tables.embeddings(spark, sf).select($"label").distinct().count()
+    assert(c.count() === k * (k - 1) / 2)
+    assert(c.filter($"cos" < -1.0 || $"cos" > 1.0).count() === 0L)
+    assert(c.filter($"la" >= $"lb").count() === 0L)
+    c.unpersist()
+  }
+
   test("ds_interleave: positions are a prefix of the round-robin schedule") {
     val i = SparkEntry.queries("ds_interleave")(spark, sf).cache()
     val rows = i.collect()
