@@ -217,6 +217,45 @@ object AnalyticsOps {
       |  JOIN outl ON n.event_type = outl.event_type
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ native session window
+
+  /** Per-user sessions via Spark's NATIVE `session_window` (30-minute
+    * gap) — the declarative dual of `ev_sessionize`'s manual lag+cumsum
+    * islands. The oracle recomputes the same sessions with the islands
+    * technique: a new session starts when the gap reaches the timeout
+    * (session_window merges only strictly-overlapping [ts, ts+gap)
+    * intervals). One keyed shuffle; merging is map-side per group.
+    */
+  private def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        expr("unix_micros(CAST(session_window.start AS TIMESTAMP))").as("start_us"),
+        expr("unix_micros(CAST(session_window.end AS TIMESTAMP))").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val sessionWindowSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+      |m AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL
+      |           OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tus
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(tus) AS start_us, MAX(tus) + 1800000000 AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   // -------------------------------------------------- event transitions
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -255,6 +294,7 @@ object AnalyticsOps {
       |ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_session_window",    sessionWindow _,     Some(sessionWindowSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     ("ev_window_sliding",    slidingWindow _,    Some(slidingWindowSql)),

@@ -90,6 +90,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(z.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("ev_session_window: events conserved, sessions disjoint with >= gap between them") {
+    val sw = SparkEntry.queries("ev_session_window")(spark, sf).cache()
+    assert(sw.agg(sum($"n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    // consecutive sessions of a user are separated by at least the gap:
+    // next.start_us >= prev.end_us (end already includes the 30-min gap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"start_us")
+    val bad = sw.withColumn("prev_end", lag($"end_us", 1).over(w))
+      .filter($"prev_end".isNotNull && $"start_us" < $"prev_end")
+    assert(bad.isEmpty, s"overlapping sessions: ${bad.head(3).mkString}")
+    sw.unpersist()
+  }
+
   test("ev_markov_transitions: rows per from_type sum to 1 in probability") {
     val m = SparkEntry.queries("ev_markov_transitions")(spark, sf).cache()
     assert(m.count() > 0)
