@@ -232,10 +232,77 @@ object PipelineOps {
       |    / (CAST(MAX(n) AS DOUBLE) * 1000000.0) AS mean0
       |FROM fp GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  // ----------------------------------------------------- bigram LM score
+
+  /** Bigram language-model scoring of the eval split against a model
+    * trained on the train split (add-1 smoothing over the context
+    * vocabulary): per document, the summed and per-bigram negative log
+    * likelihood — the perplexity-style quality filter every pretraining
+    * pipeline runs.
+    *
+    * Scale: counts are two keyed aggregations over train bigrams; the
+    * scorer is two equi-joins (bigram, context) + a 1-row broadcast
+    * vocabulary size. Log-likelihoods quantize to floor(ln·10⁴) BIGINT
+    * per bigram BEFORE the per-doc sum, so the aggregate is associative
+    * integer math (ln's last-ulp libm variance is ~10⁻¹¹ away from any
+    * floor boundary — same accepted risk as `txt_zipf_slope`).
+    */
+  private def bigramScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val trainB = GramStage.explodeGrams(docs, 2).filter($"doc_id" % 10 < 8)
+    val c12 = trainB.groupBy($"g").agg(count(lit(1)).as("c12"))
+    val c1 = c12.withColumn("w1", split($"g", " ").getItem(0))
+      .groupBy($"w1").agg(sum($"c12").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val evalB = GramStage.explodeGrams(docs, 2).filter($"doc_id" % 10 >= 8)
+      .withColumn("w1", split($"g", " ").getItem(0))
+    evalB
+      .join(c12, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        floor(log((coalesce($"c12", lit(0L)) + 1L).cast("double") /
+                  (coalesce($"c1", lit(0L)) + $"v").cast("double")) * lit(10000.0))
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("sum_lp"))
+      .withColumn("nll",
+        -$"sum_lp".cast("double") / ($"n_bigrams".cast("double") * lit(10000.0)))
+      .orderBy($"doc_id")
+  }
+
+  private val bigramScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)),
+      |      i -> array_to_string(tk[i:i+1], ' '))) AS g
+      |  FROM t WHERE len(tk) >= 2),
+      |c12 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM b
+      |        WHERE doc_id % 10 < 8 GROUP BY g),
+      |c1 AS (SELECT string_split(g, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+      |ev AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM b
+      |       WHERE doc_id % 10 >= 8),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(floor(ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE) /
+      |                  CAST(COALESCE(c1, 0) + v AS DOUBLE)) * 10000.0) AS BIGINT) AS lp
+      |  FROM ev LEFT JOIN c12 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp) AS BIGINT) AS sum_lp,
+      |  -CAST(SUM(lp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS nll
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ev_asof_join",      asofJoin _,      Some(asofJoinSql)),
     ("txt_contamination", contamination _, Some(contaminationSql)),
     ("txt_rep_ngrams",    repetition _,    Some(repetitionSql)),
     ("emb_kmeans_iter",   kmeansIter _,    Some(kmeansIterSql)),
+    ("txt_bigram_nll",    bigramScore _,   Some(bigramScoreSql)),
   )
 }

@@ -135,6 +135,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("txt_bigram_nll: nll positive, bounded by the smoothing floor") {
+    val b = SparkEntry.queries("txt_bigram_nll")(spark, sf).cache()
+    assert(b.count() > 0)
+    // every log-prob is in (-ln(c1_max + V), 0) => nll strictly positive
+    assert(b.filter($"nll" <= 0.0).count() === 0L)
+    // an unseen bigram scores ln(1/(0+V)) at worst: nll <= ln(maxDen)
+    // with maxDen = total train bigrams + vocab (loose upper bound)
+    val trainB = GramStage.explodeGrams(Tables.documents(spark, sf), 2)
+      .filter($"doc_id" % 10 < 8)
+    val maxDen = trainB.count().toDouble + 1e6
+    assert(b.filter($"nll" > math.log(maxDen)).count() === 0L)
+    b.unpersist()
+  }
+
   test("ds_interleave: positions are a prefix of the round-robin schedule") {
     val i = SparkEntry.queries("ds_interleave")(spark, sf).cache()
     val rows = i.collect()
