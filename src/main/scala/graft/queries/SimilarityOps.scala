@@ -180,6 +180,33 @@ object SimilarityOps {
       |    AS entropy_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling (the 1→N video-demux explode shape): 4 evenly spaced
+    * byte-slice "frames" per media item through the partition-parallel
+    * stub demuxer. Offsets/lengths are pure integer arithmetic over the
+    * payload length, so the oracle replays them from the text column.
+    */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)), 4)
+      .toDF()
+      .select($"doc_id", $"frameIndex".cast("long").as("frame_index"),
+        $"offsetBytes".as("offset_bytes"),
+        length($"payload").cast("long").as("frame_len"))
+      .orderBy($"doc_id", $"frame_index")
+  }
+
+  private val mmFramesSql =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS len, least(4, length(text)) AS k
+      |  FROM documents WHERE length(text) > 0),
+      |f AS (SELECT doc_id, len, k, unnest(range(k)) AS i FROM d)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+      |  CAST(i * len // k AS BIGINT) AS offset_bytes,
+      |  CAST(least(len, i * len // k + greatest(1, len // k)) - i * len // k
+      |    AS BIGINT) AS frame_len
+      |FROM f ORDER BY doc_id, frame_index""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * storage/serving compression for a 100 TB vector corpus (4× smaller
     * than float32, 8× than float64). Per vector: absolute-max scale,
@@ -236,6 +263,7 @@ object SimilarityOps {
     ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
+    ("mm_frames",        mmFrames _,     Some(mmFramesSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
   )
 }
