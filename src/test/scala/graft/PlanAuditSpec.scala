@@ -114,6 +114,56 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 analytics: equi-joins only, no nested loop or cartesian anywhere") {
+    for (q <- Seq("ev_session_window", "ev_markov_transitions", "ev_retention_cohorts",
+                  "ev_dau_stickiness", "ev_anomaly_mad", "ev_window_sliding",
+                  "emb_centroid_dist", "txt_bigram_nll")) {
+      val (_, _, executed) = planOf(q)
+      // txt_bigram_nll carries one 1-row scalar broadcast (the vocab
+      // size), which Spark plans as a BroadcastNestedLoopJoin Cross —
+      // constant fan-out, the sanctioned scalar pattern. Everything else
+      // must be pure equi-joins.
+      if (q != "txt_bigram_nll")
+        assert(!executed.contains("BroadcastNestedLoopJoin"),
+          s"$q planned a broadcast nested-loop join")
+      assert(!executed.contains("CartesianProduct"),
+        s"$q planned a cartesian product")
+    }
+  }
+
+  test("ev_anomaly_mad: windows run over histograms, never over raw events") {
+    // every Window node's child chain must contain an aggregate below it
+    // (the histogram); a Sort+Window directly over the scan would be the
+    // O(rows log rows) shape this query exists to avoid
+    val (_, plan, _) = planOf("ev_anomaly_mad")
+    val windows = plan.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(windows >= 1, "expected at least one Window over the histogram")
+    val df = SparkEntry.queries("ev_anomaly_mad")(spark, sf)
+    df.collect()
+    def check(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        def hasAgg(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          q.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+            q.children.exists(hasAgg) ||
+            (q match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => hasAgg(a.executedPlan)
+              case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => hasAgg(s.plan)
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+              case _ => false
+            })
+        assert(hasAgg(w.child), s"Window over non-aggregated input:\n${w.child}")
+        w.children.foreach(check)
+      case other =>
+        other.children.foreach(check)
+        other match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => check(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => check(s.plan)
+          case _ =>
+        }
+    }
+    check(df.queryExecution.executedPlan)
+  }
+
   test("dedup_exact: bounded shuffle count, codegen'd") {
     val (df, _, executed) = planOf("dedup_exact")
     def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
