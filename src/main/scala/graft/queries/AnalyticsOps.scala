@@ -256,6 +256,64 @@ object AnalyticsOps {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ------------------------------------------------------- RFM scoring
+
+  /** RFM quartile scoring of purchasers: recency (days since last
+    * purchase at the corpus horizon), frequency (purchase count),
+    * monetary (exact cents), each ntile(4)-scored with a deterministic
+    * user_id tiebreak, combined as rfm = r·100 + f·10 + m.
+    *
+    * Scale note: ntile is a global rank — Spark executes it as one
+    * range-partitioned sort of the USER aggregate (not the raw events),
+    * which is the exact-scoring cost; the one-pass alternative at
+    * unbounded user counts is approx-quantile cutoffs. The horizon
+    * rides a 1-row broadcast.
+    */
+  private def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .select($"user_id", ddayCol.cast("long").as("dday"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val per = p.groupBy($"user_id")
+      .agg(max($"dday").as("last_day"), count(lit(1)).as("freq"),
+        sum($"cents").as("monetary"))
+    val horizon = per.agg(max($"last_day").as("h"))
+    def score(c: org.apache.spark.sql.Column, asc: Boolean) =
+      ntile(4).over(if (asc) Window.orderBy(c.asc, $"user_id")
+                    else Window.orderBy(c.desc, $"user_id"))
+    per.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", $"h" - $"last_day")
+      // small recency = good → rank descending so quartile 4 = most recent
+      .withColumn("r_score", score($"recency_days", asc = false).cast("long"))
+      .withColumn("f_score", score($"freq", asc = true).cast("long"))
+      .withColumn("m_score", score($"monetary", asc = true).cast("long"))
+      .select($"user_id", $"recency_days", $"freq", $"monetary",
+        $"r_score", $"f_score", $"m_score",
+        ($"r_score" * 100L + $"f_score" * 10L + $"m_score").as("rfm"))
+      .orderBy($"user_id")
+  }
+
+  private val rfmScoresSql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dday,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |per AS (
+      |  SELECT user_id, MAX(dday) AS last_day, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(cents) AS BIGINT) AS monetary
+      |  FROM p GROUP BY user_id),
+      |h AS (SELECT MAX(last_day) AS h FROM per),
+      |sc AS (
+      |  SELECT user_id, h - last_day AS recency_days, freq, monetary,
+      |    CAST(NTILE(4) OVER (ORDER BY (h - last_day) DESC, user_id) AS BIGINT) AS r_score,
+      |    CAST(NTILE(4) OVER (ORDER BY freq ASC, user_id) AS BIGINT) AS f_score,
+      |    CAST(NTILE(4) OVER (ORDER BY monetary ASC, user_id) AS BIGINT) AS m_score
+      |  FROM per, h)
+      |SELECT user_id, recency_days, freq, monetary, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM sc ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------- event transitions
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -294,6 +352,7 @@ object AnalyticsOps {
       |ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_rfm_scores",        rfmScores _,         Some(rfmScoresSql)),
     ("ev_session_window",    sessionWindow _,     Some(sessionWindowSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),

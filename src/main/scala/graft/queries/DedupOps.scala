@@ -258,8 +258,54 @@ object DedupOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** One-sided token-set CONTAINMENT pairs over the short-doc slice:
+    * C(a→b) = |A∩B| / |A| ≥ 0.8 — the asymmetric near-dup relation that
+    * catches quote-inclusion / subset documents which Jaccard misses
+    * (a small doc fully contained in a large one has low Jaccard but
+    * containment 1). Same bounded-verifier contract as
+    * `dedup_ngram_jaccard` (the [[BruteForceMaxDocs]] guard applies;
+    * unbounded corpora go through the LSH path first); the |B| ≥ 0.8|A|
+    * size bound prunes pairs with zero false negatives since
+    * |A∩B| ≤ min(|A|,|B|).
+    */
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.sorted_intersect_size
+    val slice = Tables.documents(s, dir).filter($"n_chars" < 200)
+    val n = slice.limit((BruteForceMaxDocs + 1).toInt).count()
+    require(n <= BruteForceMaxDocs,
+      s"brute-force containment verifier is bounded to $BruteForceMaxDocs docs, got > $n; " +
+        "use MinHashLSH.nearDuplicates for unbounded corpora")
+    val t = slice.select($"doc_id",
+      array_sort(array_distinct(
+        transform(split(lower(trim($"text")), "\\s+"), x => xxhash64(x)))).as("toks"))
+    val a = t.repartition($"doc_id").select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = broadcast(t.select($"doc_id".as("b_id"), $"toks".as("b_toks")))
+    a.join(b, $"a_id" =!= $"b_id" &&
+        size($"b_toks").cast("double") >= lit(0.8) * size($"a_toks").cast("double"))
+      .withColumn("inter", sorted_intersect_size($"a_toks", $"b_toks").cast("double"))
+      .withColumn("containment", $"inter" / size($"a_toks").cast("double"))
+      .filter($"containment" >= 0.8)
+      .select($"a_id", $"b_id", $"containment")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val containmentSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      |  FROM documents WHERE n_chars < 200)
+      |SELECT a_id, b_id, containment FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / CAST(len(a.toks) AS DOUBLE) AS containment
+      |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+      |    AND CAST(len(b.toks) AS DOUBLE) >= 0.8 * CAST(len(a.toks) AS DOUBLE)) p
+      |WHERE containment >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("dedup_exact",          exact _,         Some(exactSql)),
+    ("dedup_containment",    containment _,   Some(containmentSql)),
     ("dedup_ngram_jaccard",  ngramJaccard _,  Some(ngramJaccardSql)),
     ("dedup_simhash",        simhash _,       Some(SimHash.oracleSignatureSql(200))),
     ("dedup_minhash_lsh",    minhashLsh _,    Some(minhashLshSql)),

@@ -135,6 +135,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("ev_rfm_scores: quartiles balanced (ntile invariant), rfm digits consistent") {
+    val r = SparkEntry.queries("ev_rfm_scores")(spark, sf).cache()
+    val n = r.count()
+    assert(n > 0)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      assert(r.filter(col(c) < 1L || col(c) > 4L).count() === 0L, s"$c out of 1..4")
+      val sizes = r.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(sizes.max - sizes.min <= 1L, s"$c quartiles unbalanced: ${sizes.mkString(",")}")
+    }
+    assert(r.filter($"rfm" =!=
+      $"r_score" * 100L + $"f_score" * 10L + $"m_score").count() === 0L)
+    r.unpersist()
+  }
+
+  test("dedup_containment: asymmetric relation, bounds hold, supersets score 1") {
+    val c = SparkEntry.queries("dedup_containment")(spark, sf).cache()
+    assert(c.count() > 0)
+    assert(c.filter($"containment" < 0.8 || $"containment" > 1.0).count() === 0L)
+    assert(c.filter($"a_id" === $"b_id").count() === 0L)
+    // containment must dominate Jaccard on the same (unordered) pair:
+    // J = |A∩B|/|A∪B| <= |A∩B|/|A| = C(a→b)
+    val j = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select($"a_id", $"b_id", $"jaccard")
+    val both = c.join(j, Seq("a_id", "b_id"))
+    assert(both.filter($"containment" < $"jaccard" - 1e-12).count() === 0L)
+    c.unpersist()
+  }
+
   test("txt_bigram_nll: nll positive, bounded by the smoothing floor") {
     val b = SparkEntry.queries("txt_bigram_nll")(spark, sf).cache()
     assert(b.count() > 0)
