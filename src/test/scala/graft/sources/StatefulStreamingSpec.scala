@@ -60,6 +60,43 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window sessions close under the watermark over the graft source") {
+    val (g, root) = mk()
+    val t0 = 1704067200000L
+    // per key: a burst of 10 events 1 min apart, a 2-hour gap, then a
+    // second burst of 5 — two sessions per key under a 30-min gap
+    val burst1 = spark.range(50).select(
+      concat(lit("u"), col("id") % 5).as("routingKey"),
+      (lit(t0) + expr("(id DIV 5) * 60000")).as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload"))
+    val burst2 = spark.range(25).select(
+      concat(lit("u"), col("id") % 5).as("routingKey"),
+      (lit(t0 + 2 * 3600 * 1000L) + expr("(id DIV 5) * 60000")).as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("s", "ev", burst1)
+    g.writeEvents("s", "ev", burst2)
+
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .load()
+      .withColumn("ts", timestamp_millis($"eventTime"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"routingKey")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sesswin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel far ahead closes the second session for every key
+      g.writeEvents("s", "ev", batch(1, t0 + 8 * 3600 * 1000L))
+      q.processAllAvailable()
+      val out = spark.table("sesswin")
+      // 5 keys × 2 sessions
+      assert(out.count() == 10L)
+      assert(out.agg(sum($"n")).head().getLong(0) == 75L)
+      assert(out.select($"n").distinct().collect().map(_.getLong(0)).toSet == Set(10L, 5L))
+    } finally q.stop()
+  }
+
   test("stream-stream join: two graft streams joined on key within watermark bounds") {
     val root = Files.createTempDirectory("graft-ssj").toString
     val g = new GraftStreams(spark, root)
