@@ -281,6 +281,61 @@ object TextOps {
       |    / CAST(COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx) AS DOUBLE) AS zipf_slope
       |FROM pts""".stripMargin
 
+  /** Winnowing-based document-overlap candidates (the MOSS shape): docs
+    * sharing ≥ 3 winnowed rolling-hash fingerprints, with ubiquitous
+    * fingerprints (doc frequency > 50) dropped as stop-fingerprints.
+    * This is the THIRD near-dup candidate family next to MinHash-LSH and
+    * SimHash — it keys on raw character k-grams, so it survives token
+    * boundary shifts that word-shingle methods miss.
+    *
+    * Scale: one map-side kernel pass per doc, an equi-join on the
+    * fingerprint (shuffle = fingerprint postings), and the stop-
+    * fingerprint cap bounds the worst posting list — the same
+    * hot-bucket guard banded LSH uses. Never an all-pairs product.
+    */
+  private def winnowOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.winnowed_fingerprints
+    import s.implicits._
+    val fps = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(winnowed_fingerprints($"text", 8, 16))).as("fp"))
+    val keep = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 50)
+    val pruned = fps.join(keep.select($"fp"), Seq("fp"))
+    pruned.as("a").join(pruned.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val winnowOverlapSql: String = {
+    val k = 8; val w = 16
+    val pows = graft.core.RollingHashCore.powers(k)
+    val p = graft.core.RollingHashCore.P
+    val terms = (0 until k).map(j =>
+      s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - $k + 2), i -> ($terms) % $p) AS hs
+       |  FROM documents WHERE length(text) >= $k),
+       |f AS (
+       |  SELECT doc_id, CASE WHEN len(hs) > $w
+       |    THEN list_transform(range(1, len(hs) - $w + 2), i -> list_min(hs[i : i + $w - 1]))
+       |    ELSE [list_min(hs)] END AS fps
+       |  FROM g),
+       |e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f),
+       |keep AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM e GROUP BY fp)
+       |         WHERE df <= 50),
+       |pr AS (SELECT doc_id, e.fp FROM e JOIN keep ON e.fp = keep.fp)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
@@ -290,5 +345,6 @@ object TextOps {
     ("txt_rolling_fp",    rollingFp _,     Some(rollingFpSql)),
     ("txt_oov_ratio",     oovRatio _,      Some(oovRatioSql)),
     ("txt_zipf_slope",    zipfSlope _,     Some(zipfSlopeSql)),
+    ("txt_winnow_overlap", winnowOverlap _, Some(winnowOverlapSql)),
   )
 }

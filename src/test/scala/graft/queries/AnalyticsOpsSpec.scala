@@ -163,6 +163,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("txt_winnow_overlap: ordered pairs, threshold respected, overlap is real") {
+    import graft.functions.GraftFunctions.winnowed_fingerprints
+    val o = SparkEntry.queries("txt_winnow_overlap")(spark, sf).cache()
+    assert(o.count() > 0)
+    assert(o.filter($"a_id" >= $"b_id" || $"shared_fps" < 3L).count() === 0L)
+    // spot-check one reported pair: its docs genuinely share >= 3
+    // distinct fingerprints (recompute via the kernel, no df pruning —
+    // pruning can only reduce the shared count)
+    val r = o.head()
+    val fps = Tables.documents(spark, sf)
+      .filter($"doc_id" === r.getLong(0) || $"doc_id" === r.getLong(1))
+      .select($"doc_id", explode(array_distinct(winnowed_fingerprints($"text", 8, 16))).as("fp"))
+    val shared = fps.groupBy($"fp").count().filter($"count" === 2L).count()
+    assert(shared >= r.getLong(2),
+      s"pair (${r.getLong(0)},${r.getLong(1)}) reports ${r.getLong(2)} shared fps, found only $shared")
+    o.unpersist()
+  }
+
   test("txt_bigram_nll: nll positive, bounded by the smoothing floor") {
     val b = SparkEntry.queries("txt_bigram_nll")(spark, sf).cache()
     assert(b.count() > 0)
