@@ -50,6 +50,10 @@ object Bench {
       val l = spark.range(500).select(col("id"), (col("id") % 17).as("k"))
       l.join(l.withColumnRenamed("id", "id2"), "k")
         .groupBy("k").agg(min("id"), count(lit(1))).count()
+      // the engine-write queries build a fresh stream per invocation, so
+      // one full warm run only compiles their (AQE-sized) plan shapes —
+      // r4/r5 showed ±4s first-run codegen swings on exactly these
+      SparkEntry.queries("stream_txn_roundtrip")(spark, sfDir).count()
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -58,16 +62,34 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The harness keeps only the LAST 2000 chars of output and parses the
-    // JSON line out of that window — 2-decimal per-query times + numeric
-    // sf keep the whole line near 1700 chars so it survives intact.
+    // JSON line out of that window. At 103 queries the full per-query map
+    // no longer fits (2400+ chars — r3's line was cut exactly this way),
+    // so TWO lines go out: the complete map first (for logs/humans), then
+    // a LAST line guaranteed under the window: total + the slowest
+    // queries that fit a fixed char budget + "_rest" summing the tail.
+    // The window always cuts the first line's "{"metric" prefix away, so
+    // the only complete match in the tail is the compact line.
     def fmt(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // One stable shape for "sf": always the stripped last dir segment,
     // always quoted — consumers never see a string/number duality.
     val sfJson = "\"" + sfDir.split('/').last.stripPrefix("sf") + "\""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
+    def line(entries: Seq[(String, String)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfJson}"""
+    }
+    println(line(results.map { case (k, v) => k -> fmt(v) }))
+    val byTime = results.sortBy(-_._2)
+    val budget = 1500
+    var used = 0
+    val kept = byTime.takeWhile { case (k, v) =>
+      used += k.length + fmt(v).length + 4; used <= budget
+    }
+    val rest = byTime.drop(kept.size).map(_._2).sum
+    val compact = kept.map { case (k, v) => k -> fmt(v) } :+
+      ("_rest" -> fmt(rest))
+    println(line(compact.sortBy(_._1)))
     spark.stop()
   }
 }
