@@ -98,9 +98,38 @@ object SamplingOps {
       |  FROM documents) t
       |WHERE pos < 60 ORDER BY pos""".stripMargin
 
+
+
+  /** Power-of-two token-length histogram per source — the batch-shaping
+    * statistic behind context-length planning (how much of each source
+    * fits a given window). `bucket` = floor(log2(n_tok)) computed as
+    * minimal-binary-digit count minus one: pure integer arithmetic, no
+    * libm log whose last-ulp could flip a floor at exact powers of two.
+    */
+  private def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("bucket", (length(bin($"n_tok")) - 1).cast("long"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"bucket")
+  }
+
+  private val lengthBucketsSql =
+    """SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents) t
+      |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ds_train_split",      trainSplit _,       Some(trainSplitSql)),
     ("ds_stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("ds_interleave",       interleave _,       Some(interleaveSql)),
+    ("ds_length_buckets",   lengthBuckets _,    Some(lengthBucketsSql)),
   )
 }

@@ -336,6 +336,33 @@ object TextOps {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** BPE-style adjacent-character-pair statistics: the counts behind the
+    * FIRST merge of byte-pair-encoding tokenizer training (corpus-
+    * weighted, per word occurrence). Top-20 merge candidates by count.
+    * The pair lambda reads the exploded `tok` attribute (cheap substring
+    * per element — no re-evaluated regex; see GramStage's HOF notes).
+    */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"tok") - 1),
+        i => $"tok".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
+  private val bpePairsSql =
+    """SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(1, length(tok)),
+      |    i -> substring(tok, i, 2))) AS pair
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents) t
+      |  WHERE length(tok) >= 2) p
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
@@ -346,5 +373,6 @@ object TextOps {
     ("txt_oov_ratio",     oovRatio _,      Some(oovRatioSql)),
     ("txt_zipf_slope",    zipfSlope _,     Some(zipfSlopeSql)),
     ("txt_winnow_overlap", winnowOverlap _, Some(winnowOverlapSql)),
+    ("txt_bpe_pairs",     bpePairs _,      Some(bpePairsSql)),
   )
 }

@@ -163,6 +163,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("ds_length_buckets: bucket is floor(log2), tokens conserved") {
+    val b = SparkEntry.queries("ds_length_buckets")(spark, sf).cache()
+    assert(b.count() > 0)
+    // n_tokens of a (source, bucket) cell must fit the bucket's range:
+    // n_docs * 2^bucket <= n_tokens < n_docs * 2^(bucket+1)
+    val bad = b.filter($"n_tokens" < $"n_docs" * expr("CAST(1 AS BIGINT) << bucket") ||
+      $"n_tokens" >= $"n_docs" * expr("CAST(2 AS BIGINT) << bucket"))
+    assert(bad.isEmpty, s"bucket range violated: ${bad.head(3).mkString}")
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(trim($"text"), "\\s+")))).head().getLong(0)
+    assert(b.agg(sum($"n_tokens")).head().getLong(0) === total)
+    b.unpersist()
+  }
+
+  test("txt_bpe_pairs: 20 two-char pairs, counts descending") {
+    val p = SparkEntry.queries("txt_bpe_pairs")(spark, sf).collect()
+    assert(p.length === 20)
+    assert(p.forall(_.getAs[String]("pair").length == 2))
+    val cnts = p.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("txt_winnow_overlap: ordered pairs, threshold respected, overlap is real") {
     import graft.functions.GraftFunctions.winnowed_fingerprints
     val o = SparkEntry.queries("txt_winnow_overlap")(spark, sf).cache()
