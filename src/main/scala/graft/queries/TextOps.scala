@@ -363,6 +363,49 @@ object TextOps {
       |  WHERE length(tok) >= 2) p
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Character-distribution Shannon entropy per document (nats) — the
+    * gibberish / encoded-blob detector in a quality-filter stack.
+    * H = Σ (cnt/len)·ln(len/cnt) over the per-doc character histogram;
+    * each histogram term quantizes to floor(ln·10⁴)·cnt BIGINT before
+    * the per-doc sum (associative; ln's last ulp sits ~10⁻¹¹ from any
+    * floor boundary). The window runs over the HISTOGRAM (≤ charset
+    * width per doc), never the raw characters.
+    */
+  private def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("len", sum($"cnt").over(Window.partitionBy($"doc_id")))
+      .withColumn("term",
+        $"cnt" * floor(log($"len".cast("double") / $"cnt".cast("double")) * lit(10000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"), first($"len").as("len"),
+        sum($"term").as("h_fp"))
+      .select($"doc_id", $"n_distinct_chars", $"len",
+        ($"h_fp".cast("double") / ($"len".cast("double") * lit(10000.0))).as("entropy_nats"))
+      .orderBy($"doc_id")
+  }
+
+  private val charEntropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |hist AS (
+      |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ch WHERE c <> '' GROUP BY doc_id, c),
+      |h AS (
+      |  SELECT doc_id, c, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS len
+      |  FROM hist)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+      |  CAST(MAX(len) AS BIGINT) AS len,
+      |  CAST(SUM(cnt * CAST(floor(ln(CAST(len AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000.0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(MAX(len) AS BIGINT) * 10000.0) AS entropy_nats
+      |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
@@ -374,5 +417,6 @@ object TextOps {
     ("txt_zipf_slope",    zipfSlope _,     Some(zipfSlopeSql)),
     ("txt_winnow_overlap", winnowOverlap _, Some(winnowOverlapSql)),
     ("txt_bpe_pairs",     bpePairs _,      Some(bpePairsSql)),
+    ("txt_char_entropy",  charEntropy _,   Some(charEntropySql)),
   )
 }

@@ -177,6 +177,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("txt_char_entropy: 0 <= H <= ln(n_distinct_chars), len conserved") {
+    val e = SparkEntry.queries("txt_char_entropy")(spark, sf).cache()
+    assert(e.count() === Tables.documents(spark, sf).count())
+    assert(e.filter($"entropy_nats" < 0.0).count() === 0L)
+    // max entropy is ln(alphabet size); allow the 1e-4 quantization slack
+    assert(e.filter($"entropy_nats" >
+      log($"n_distinct_chars".cast("double")) + 1e-4).count() === 0L)
+    assert(e.join(Tables.documents(spark, sf), Seq("doc_id"))
+      .filter($"len" =!= length($"text").cast("long")).count() === 0L)
+    e.unpersist()
+  }
+
   test("txt_bpe_pairs: 20 two-char pairs, counts descending") {
     val p = SparkEntry.queries("txt_bpe_pairs")(spark, sf).collect()
     assert(p.length === 20)
