@@ -86,6 +86,41 @@ object SimilarityOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** In-engine ANN quality measurement: recall@5 of the LSH index
+    * against the brute-force ground truth, per query point — the
+    * evaluation every approximate index ships with. Both sides are the
+    * production paths above; the metric is one equi-join + keyed
+    * aggregation, and the oracle replays BOTH pipelines (brute + the
+    * exact hyperplane constants) before computing the same join.
+    */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 10), k = 5)
+      .select($"query_id", $"cand_id")
+    val approx = Similarity.lshTopK(e, e.filter($"vec_id" < 10), k = 5, nbits = 8)
+      .select($"query_id", $"cand_id", lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), coalesce(sum($"hit"), lit(0L)).as("n_hit"))
+      .select($"query_id", $"k", $"n_hit",
+        ($"n_hit".cast("double") / $"k".cast("double")).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  private lazy val annRecallSql =
+    s"""WITH truth AS (
+       |  SELECT query_id, cand_id FROM ($topkBruteSql) tq),
+       |appr AS (
+       |  SELECT query_id, cand_id FROM (${Similarity.lshTopKOracleSql(10, 5, nbits = 8)}) aq)
+       |SELECT t.query_id AS query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN appr a
+       |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+
   /** IVF ANN (deterministic centroid rule) — the inverted-file scale
     * path; the oracle replays assignment, probes and ranking.
     */
@@ -259,6 +294,7 @@ object SimilarityOps {
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
     ("sim_ann_lsh",      annLsh _,       Some(Similarity.lshTopKOracleSql(10, 5, nbits = 8))),
+    ("sim_ann_recall",   annRecall _,    Some(annRecallSql)),
     ("sim_ann_ivf",      annIvf _,       Some(Similarity.ivfTopKOracleSql(10, 5))),
     ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
