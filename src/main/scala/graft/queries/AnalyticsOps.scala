@@ -256,6 +256,36 @@ object AnalyticsOps {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ------------------------------------------------- hourly seasonality
+
+  /** Hour-of-day activity profile per event type: counts and the share
+    * of the type's daily cycle — the seasonality fingerprint behind
+    * traffic-aware scheduling. One keyed aggregation + broadcast type
+    * totals.
+    */
+  private def hourlySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", hour($"ts").cast("long").as("hod"))
+    val cnt = e.groupBy($"event_type", $"hod").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"event_type").agg(sum($"n").as("n_type"))
+    cnt.join(broadcast(tot), Seq("event_type"))
+      .select($"event_type", $"hod", $"n",
+        ($"n".cast("double") / $"n_type".cast("double")).as("share"))
+      .orderBy($"event_type", $"hod")
+  }
+
+  private val hourlySeasonalitySql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM c GROUP BY 1)
+      |SELECT c.event_type AS event_type, hod, n,
+      |  CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE) AS share
+      |FROM c JOIN t ON c.event_type = t.event_type
+      |ORDER BY event_type, hod""".stripMargin
+
   // ------------------------------------------------------- RFM scoring
 
   /** RFM quartile scoring of purchasers: recency (days since last
@@ -352,6 +382,7 @@ object AnalyticsOps {
       |ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_hourly_seasonality", hourlySeasonality _, Some(hourlySeasonalitySql)),
     ("ev_rfm_scores",        rfmScores _,         Some(rfmScoresSql)),
     ("ev_session_window",    sessionWindow _,     Some(sessionWindowSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),

@@ -356,8 +356,36 @@ object Relational2 {
       |  true AS approx_within_1pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Distribution-position window functions not yet in the inventory:
+    * percent_rank and cume_dist over supplier balances per nation
+    * (deterministic via the unique suppkey tiebreak).
+    */
+  private def q32PercentRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal", $"s_suppkey")
+    Tables.supplier(s, dir)
+      .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter($"pr" >= 0.9)
+      .orderBy($"s_nationkey", $"s_suppkey")
+  }
+
+  private val q32Sql =
+    """SELECT s_nationkey, s_suppkey, s_acctbal, pr, cd FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |    PERCENT_RANK() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal, s_suppkey) AS pr,
+      |    CUME_DIST() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal, s_suppkey) AS cd
+      |  FROM supplier) t
+      |WHERE pr >= 0.9
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("q17_left_outer",      q17LeftOuter _,     Some(q17Sql)),
+    ("q32_percent_rank",    q32PercentRank _,   Some(q32Sql)),
     ("q18_full_outer",      q18FullOuter _,     Some(q18Sql)),
     ("q19_cube",            q19Cube _,          Some(q19Sql)),
     ("q20_pivot",           q20Pivot _,         Some(q20Sql)),
