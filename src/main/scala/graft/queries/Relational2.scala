@@ -368,7 +368,6 @@ object Relational2 {
       .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
       .withColumn("pr", percent_rank().over(w))
       .withColumn("cd", cume_dist().over(w))
-      .filter($"pr" >= 0.9)
       .orderBy($"s_nationkey", $"s_suppkey")
   }
 
@@ -380,7 +379,6 @@ object Relational2 {
       |    CUME_DIST() OVER (PARTITION BY s_nationkey
       |      ORDER BY s_acctbal, s_suppkey) AS cd
       |  FROM supplier) t
-      |WHERE pr >= 0.9
       |ORDER BY s_nationkey, s_suppkey""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
