@@ -256,6 +256,64 @@ object AnalyticsOps {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ------------------------------------------------------ A/B cohort lift
+
+  /** A/B experiment readout: users deterministically split by md5 parity
+    * (the [[SamplingOps]] hash family — no RNG), per-type mean purchase
+    * value and relative lift of B over A, with sample variances. All
+    * sums are exact integer cents / cents² (map-side combinable); means
+    * and variances are single closed-form double expressions of those
+    * exact integers — identical formula text on both engines.
+    */
+  private def abLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("cohort",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    val agg = e.groupBy($"event_type", $"cohort")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"cents" * $"cents").as("ss"))
+      .withColumn("mean", $"s".cast("double") / $"n".cast("double"))
+      .withColumn("variance",
+        ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double")
+          / $"n".cast("double")) / ($"n".cast("double") - 1.0))
+    val a = agg.filter($"cohort" === 0)
+      .select($"event_type", $"n".as("n_a"), $"mean".as("mean_a"), $"variance".as("var_a"))
+    val b = agg.filter($"cohort" === 1)
+      .select($"event_type", $"n".as("n_b"), $"mean".as("mean_b"), $"variance".as("var_b"))
+    a.join(b, Seq("event_type"))
+      .withColumn("lift", $"mean_b" / $"mean_a" - 1.0)
+      .orderBy($"event_type")
+  }
+
+  private val abLiftSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS cohort,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(SUM(cents * cents) AS BIGINT) AS ss
+      |  FROM e GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, cohort, n,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS variance
+      |  FROM agg)
+      |SELECT a.event_type AS event_type,
+      |  a.n AS n_a, a.mean AS mean_a, a.variance AS var_a,
+      |  b.n AS n_b, b.mean AS mean_b, b.variance AS var_b,
+      |  b.mean / a.mean - 1.0 AS lift
+      |FROM m a JOIN m b ON a.event_type = b.event_type
+      |  AND a.cohort = 0 AND b.cohort = 1
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- hourly seasonality
 
   /** Hour-of-day activity profile per event type: counts and the share
@@ -382,6 +440,7 @@ object AnalyticsOps {
       |ORDER BY from_type, to_type""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_ab_lift",           abLift _,            Some(abLiftSql)),
     ("ev_hourly_seasonality", hourlySeasonality _, Some(hourlySeasonalitySql)),
     ("ev_rfm_scores",        rfmScores _,         Some(rfmScoresSql)),
     ("ev_session_window",    sessionWindow _,     Some(sessionWindowSql)),

@@ -135,6 +135,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("ev_ab_lift: cohorts partition users, variances non-negative") {
+    val l = SparkEntry.queries("ev_ab_lift")(spark, sf).cache()
+    assert(l.count() > 0)
+    assert(l.filter($"var_a" < 0.0 || $"var_b" < 0.0).count() === 0L)
+    // cohort counts cover every event of the type
+    val totals = Tables.events(spark, sf).groupBy($"event_type").count()
+    val bad = l.join(totals, Seq("event_type"))
+      .filter($"n_a" + $"n_b" =!= $"count")
+    assert(bad.isEmpty, s"cohorts lost events: ${bad.head(3).mkString}")
+    l.unpersist()
+  }
+
   test("ev_rfm_scores: quartiles balanced (ntile invariant), rfm digits consistent") {
     val r = SparkEntry.queries("ev_rfm_scores")(spark, sf).cache()
     val n = r.count()
