@@ -121,6 +121,63 @@ object SimilarityOps {
        |  ON t.query_id = a.query_id AND t.cand_id = a.cand_id
        |GROUP BY 1 ORDER BY query_id""".stripMargin
 
+  /** k-NN label classification accuracy — the standard embedding-quality
+    * probe: predict each probe vector's label by majority vote of its 5
+    * nearest neighbors (cosine, self excluded; ties → highest count then
+    * smallest label via one `max_by(struct)` argmax) and score against
+    * the true label, per class. Neighbor search is the brute-force path;
+    * the vote and scoring are keyed aggregations.
+    */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val labels = e.select($"vec_id", $"label".cast("long").as("label"))
+    val top = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 50), k = 5)
+      .select($"query_id", $"cand_id")
+    val votes = top.join(labels.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .groupBy($"query_id", $"label").agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy($"query_id")
+      .agg(max_by($"label", struct($"cnt", -$"label")).as("pred"))
+    pred.join(labels.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", $"n_correct".cast("double") / $"n".cast("double"))
+      .orderBy($"label")
+  }
+
+  private val knnClassifySql =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |top AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      |    FROM sc) t
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS cnt
+      |  FROM top JOIN embeddings e ON cand_id = e.vec_id GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, label AS pred FROM (
+      |    SELECT query_id, label,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS r
+      |    FROM votes) v
+      |  WHERE r = 1)
+      |SELECT CAST(t.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN pred = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN pred = t.label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      |FROM pred JOIN embeddings t ON query_id = t.vec_id
+      |GROUP BY 1 ORDER BY label""".stripMargin
+
   /** IVF ANN (deterministic centroid rule) — the inverted-file scale
     * path; the oracle replays assignment, probes and ranking.
     */
@@ -295,6 +352,7 @@ object SimilarityOps {
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
     ("sim_ann_lsh",      annLsh _,       Some(Similarity.lshTopKOracleSql(10, 5, nbits = 8))),
     ("sim_ann_recall",   annRecall _,    Some(annRecallSql)),
+    ("sim_knn_classify", knnClassify _,  Some(knnClassifySql)),
     ("sim_ann_ivf",      annIvf _,       Some(Similarity.ivfTopKOracleSql(10, 5))),
     ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
