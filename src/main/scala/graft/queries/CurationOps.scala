@@ -269,7 +269,61 @@ object CurationOps {
       |FROM per, tot
       |ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** Source-vs-corpus distribution drift: KL(source ‖ corpus) over the
+    * corpus top-200 token vocabulary — the domain-shift readout behind
+    * mixing-weight and dedup decisions. Terms quantize to
+    * ca·floor(ln(ca·Tq/(cq·Ta))·10⁴) BIGINT (the ln argument is one
+    * double built from four exact integers, so both engines evaluate
+    * the identical value) and the per-source sum is associative;
+    * absent tokens contribute 0 (the 0·ln 0 limit). Vocab and corpus
+    * totals broadcast; everything else is keyed aggregation.
+    */
+  private def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokRows = Tables.documents(s, dir)
+      .select($"source", explode(toks($"text")).as("tok"))
+    val corpus = tokRows.groupBy($"tok").agg(count(lit(1)).as("cq"))
+    val vocab = corpus.orderBy($"cq".desc, $"tok").limit(200)
+    val tq = vocab.agg(sum($"cq").as("tq"))
+    val src = tokRows.join(broadcast(vocab.select($"tok")), Seq("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("ca"))
+    val ta = src.groupBy($"source").agg(sum($"ca").as("ta"))
+    src.join(broadcast(vocab), Seq("tok"))
+      .join(broadcast(ta), Seq("source"))
+      .crossJoin(broadcast(tq))
+      .withColumn("term", $"ca" *
+        floor(log(($"ca" * $"tq").cast("double") / ($"cq" * $"ta").cast("double"))
+          * lit(10000.0)).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_vocab_toks"), first($"ta").as("ta"),
+        sum($"term").as("kl_fp"))
+      .select($"source", $"n_vocab_toks",
+        ($"kl_fp".cast("double") / ($"ta".cast("double") * lit(10000.0))).as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  private val sourceKlSql =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |corpus AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM t GROUP BY tok),
+      |vocab AS (SELECT tok, cq FROM corpus ORDER BY cq DESC, tok LIMIT 200),
+      |tq AS (SELECT CAST(SUM(cq) AS BIGINT) AS tq FROM vocab),
+      |src AS (
+      |  SELECT source, t.tok AS tok, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM t JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2),
+      |ta AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS ta FROM src GROUP BY 1)
+      |SELECT src.source AS source, CAST(COUNT(*) AS BIGINT) AS n_vocab_toks,
+      |  CAST(SUM(ca * CAST(floor(ln(CAST(ca * tq AS DOUBLE) / CAST(cq * ta AS DOUBLE))
+      |    * 10000.0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(MAX(ta) AS BIGINT) * 10000.0) AS kl_nats
+      |FROM src JOIN vocab v ON src.tok = v.tok
+      |  JOIN ta ON src.source = ta.source
+      |  CROSS JOIN tq
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_source_kl",           sourceKl _,           Some(sourceKlSql)),
     ("ds_token_budget",         tokenBudget _,        Some(tokenBudgetSql)),
     ("ds_domain_cap",           domainCap _,          Some(domainCapSql)),
     ("ds_pack_sequences",       packSequences _,      Some(packSequencesSql)),

@@ -201,6 +201,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("txt_source_kl: KL non-negative (up to quantization slack), all sources present") {
+    val k = SparkEntry.queries("txt_source_kl")(spark, sf).cache()
+    assert(k.count() ===
+      Tables.documents(spark, sf).select($"source").distinct().count())
+    // Gibbs: KL >= 0; the 1e-4 log quantization can dip a term by at
+    // most 1e-4 nats
+    assert(k.filter($"kl_nats" < -1e-4).count() === 0L)
+    k.unpersist()
+  }
+
   test("txt_bpe_pairs: 20 two-char pairs, counts descending") {
     val p = SparkEntry.queries("txt_bpe_pairs")(spark, sf).collect()
     assert(p.length === 20)
