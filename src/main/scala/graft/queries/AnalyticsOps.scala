@@ -273,9 +273,14 @@ object AnalyticsOps {
       .withColumn("cohort",
         conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
           .cast("long") % 2)
+    // cents and cents-squared accumulate in DECIMAL: a long sum of
+    // cents-squared overflows silently (non-ANSI) near 4e9 rows per
+    // cohort - well inside 100-TB territory. DECIMAL(38) sums exactly;
+    // the one cast to double at the end is identical across engines.
     val agg = e.groupBy($"event_type", $"cohort")
-      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
-        sum($"cents" * $"cents").as("ss"))
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(18,0)")).as("s"),
+        sum(($"cents" * $"cents").cast("decimal(20,0)")).as("ss"))
       .withColumn("mean", $"s".cast("double") / $"n".cast("double"))
       .withColumn("variance",
         ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double")
@@ -297,8 +302,8 @@ object AnalyticsOps {
       |  FROM events),
       |agg AS (
       |  SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(cents) AS BIGINT) AS s,
-      |    CAST(SUM(cents * cents) AS BIGINT) AS ss
+      |    SUM(CAST(cents AS DECIMAL(18,0))) AS s,
+      |    SUM(CAST(cents * cents AS DECIMAL(20,0))) AS ss
       |  FROM e GROUP BY 1, 2),
       |m AS (
       |  SELECT event_type, cohort, n,
