@@ -322,7 +322,56 @@ object CurationOps {
       |  CROSS JOIN tq
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** End-to-end curation pipeline as ONE declarative plan: exact dedup
+    * (keep the smallest doc_id per content fingerprint) → token-count
+    * quality band → deterministic hash split → per-split yield report.
+    * The composition query: every stage is an operator from this
+    * inventory, chained without materialization, so Catalyst optimizes
+    * across stage boundaries (the dedup shuffle is the only wide
+    * exchange; filter and split are map-side).
+    */
+  private def pipelineSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        md5(lower(trim($"text"))).as("fp"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+    val keep = d.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    d.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .filter($"n_tok".between(30L, 100L))
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split")
+  }
+
+  private val pipelineSurvivorsSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY fp),
+      |surv AS (
+      |  SELECT d.doc_id, d.source, d.n_tok FROM d
+      |  JOIN keep ON d.fp = keep.fp AND d.doc_id = keep.doc_id
+      |  WHERE d.n_tok BETWEEN 30 AND 100)
+      |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM (
+      |  SELECT source, n_tok,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM surv) t
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_pipeline_yield",       pipelineSurvivors _,  Some(pipelineSurvivorsSql)),
     ("txt_source_kl",           sourceKl _,           Some(sourceKlSql)),
     ("ds_token_budget",         tokenBudget _,        Some(tokenBudgetSql)),
     ("ds_domain_cap",           domainCap _,          Some(domainCapSql)),
