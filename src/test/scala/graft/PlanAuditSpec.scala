@@ -115,15 +115,23 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("round-5 analytics: equi-joins only, no nested loop or cartesian anywhere") {
+    // queries carrying ONE 1-row scalar broadcast (vocab size / corpus
+    // total / horizon), which Spark plans as a BroadcastNestedLoopJoin
+    // Cross — constant fan-out, the sanctioned scalar pattern. Everything
+    // else must be pure equi-joins.
+    // sim_knn_classify rides bruteForceTopK: a BOUNDED broadcast probe
+    // set against the corpus scan (the documented exact baseline — the
+    // non-equi self-exclusion predicate makes it an NLJ by construction,
+    // with fan-out |probes|, not |corpus|).
+    val scalarBroadcast = Set("txt_bigram_nll", "txt_source_kl", "ev_rfm_scores",
+      "sim_knn_classify")
     for (q <- Seq("ev_session_window", "ev_markov_transitions", "ev_retention_cohorts",
                   "ev_dau_stickiness", "ev_anomaly_mad", "ev_window_sliding",
-                  "emb_centroid_dist", "txt_bigram_nll")) {
+                  "ev_hourly_seasonality", "ev_ab_lift", "emb_centroid_dist",
+                  "sim_knn_classify", "ds_pipeline_yield",
+                  "txt_bigram_nll", "txt_source_kl", "ev_rfm_scores")) {
       val (_, _, executed) = planOf(q)
-      // txt_bigram_nll carries one 1-row scalar broadcast (the vocab
-      // size), which Spark plans as a BroadcastNestedLoopJoin Cross —
-      // constant fan-out, the sanctioned scalar pattern. Everything else
-      // must be pure equi-joins.
-      if (q != "txt_bigram_nll")
+      if (!scalarBroadcast(q))
         assert(!executed.contains("BroadcastNestedLoopJoin"),
           s"$q planned a broadcast nested-loop join")
       assert(!executed.contains("CartesianProduct"),
