@@ -273,14 +273,16 @@ object AnalyticsOps {
       .withColumn("cohort",
         conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
           .cast("long") % 2)
-    // cents and cents-squared accumulate in DECIMAL: a long sum of
-    // cents-squared overflows silently (non-ANSI) near 4e9 rows per
-    // cohort - well inside 100-TB territory. DECIMAL(38) sums exactly;
-    // the one cast to double at the end is identical across engines.
+    // cents and cents-squared accumulate in DECIMAL, and the cast
+    // happens BEFORE the multiply: a LONG cents*cents wraps per-row
+    // (non-ANSI, silently) above ~3e9 cents, while decimal(18)² is
+    // exact for any plausible amount and its DECIMAL sum never
+    // overflows. The one cast to double at the end is identical
+    // across engines.
     val agg = e.groupBy($"event_type", $"cohort")
       .agg(count(lit(1)).as("n"),
         sum($"cents".cast("decimal(18,0)")).as("s"),
-        sum(($"cents" * $"cents").cast("decimal(20,0)")).as("ss"))
+        sum($"cents".cast("decimal(18,0)") * $"cents".cast("decimal(18,0)")).as("ss"))
       .withColumn("mean", $"s".cast("double") / $"n".cast("double"))
       .withColumn("variance",
         ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double")
@@ -356,11 +358,15 @@ object AnalyticsOps {
     * monetary (exact cents), each ntile(4)-scored with a deterministic
     * user_id tiebreak, combined as rfm = r·100 + f·10 + m.
     *
-    * Scale note: ntile is a global rank — Spark executes it as one
-    * range-partitioned sort of the USER aggregate (not the raw events),
-    * which is the exact-scoring cost; the one-pass alternative at
-    * unbounded user counts is approx-quantile cutoffs. The horizon
-    * rides a 1-row broadcast.
+    * Scale note: ntile over an unpartitioned Window is a SINGLE-
+    * PARTITION global sort — Spark funnels every user-aggregate row
+    * (not the raw events, but still one row per purchaser) through one
+    * task. That is the honest cost of exact quartiles and it caps out
+    * around ~10⁸ users on one executor; beyond that the documented
+    * scale path is approx-quantile cutoffs (approxQuantile(p=[.25,.5,
+    * .75]) broadcast + a map-side bucket lookup), which trades exact
+    * tile boundaries for a fully parallel plan. The horizon rides a
+    * 1-row broadcast.
     */
   private def rfmScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

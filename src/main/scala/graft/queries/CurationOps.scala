@@ -199,14 +199,16 @@ object CurationOps {
   private def bloomContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // localCheckpoint: the distinct train-gram set is consumed TWICE
-    // (bloom build collect + verify semi-join); materializing it once
-    // beats re-running tokenize→explode→distinct per consumer. At 100 TB
-    // the same holds — the checkpoint spills to executor disk and is
-    // still one pass over the corpus instead of two.
+    // localCheckpoint(eager = false): the distinct train-gram set is
+    // consumed TWICE (bloom build collect + verify semi-join);
+    // materializing it once beats re-running tokenize→explode→distinct
+    // per consumer. Lazy, so plan-only audits that never run an action
+    // don't pay the tokenize job; the blocks pin on first action only.
+    // At 100 TB the same holds — the checkpoint spills to executor
+    // disk and is still one pass over the corpus instead of two.
     val train = GramStage.explodeGrams(docs, 6)
       .filter($"doc_id" % 10 < 8).select($"g").distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val evalGrams = GramStage.explodeGrams(docs, 6, distinctPerDoc = true)
       .filter($"doc_id" % 10 >= 8)
     val bloom = BloomPrefilter.build(train, $"g")

@@ -151,7 +151,7 @@ object DedupOps {
     * by iterative min-label propagation with pointer jumping (shared by
     * `dedup_clusters` and `dedup_keep_best`).
     */
-  private def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[queries] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     // both directions in ONE pass over the pair join (a union of the
     // reversed projection would compute the join twice), then
@@ -274,7 +274,7 @@ object DedupOps {
     val slice = Tables.documents(s, dir).filter($"n_chars" < 200)
     val n = slice.limit((BruteForceMaxDocs + 1).toInt).count()
     require(n <= BruteForceMaxDocs,
-      s"brute-force containment verifier is bounded to $BruteForceMaxDocs docs, got > $n; " +
+      s"brute-force containment verifier is bounded to $BruteForceMaxDocs docs, found at least $n; " +
         "use MinHashLSH.nearDuplicates for unbounded corpora")
     val t = slice.select($"doc_id",
       array_sort(array_distinct(

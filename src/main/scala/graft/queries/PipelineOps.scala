@@ -183,18 +183,14 @@ object PipelineOps {
       .groupBy($"c_id", $"pos")
       .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
     // norm2 accumulates in DECIMAL: sq ~ n·10⁶ per (cluster, dim), so
-    // sq² overflows Long near n ≈ 3e6 vectors/cluster — decimal(18)²
-    // → decimal(37) sums exactly to decimal(38) at any corpus size, and
-    // the one final cast to double is identical across engines.
-    // Headroom caveat: in Spark's default non-ANSI mode the
-    // cast('decimal(18,0)') yields NULL (not an error) if |sq| ever
-    // reached 1e18 — i.e. beyond n ≈ 1e12 vectors in one cluster, where
-    // DuckDB's CAST would instead raise. Inside that bound both engines
-    // agree exactly.
+    // sq² overflows Long near n ≈ 3e6 vectors/cluster. decimal(19,0)
+    // holds EVERY Long exactly (|Long| < 9.3e18 < 1e19) so the per-row
+    // cast can never NULL in non-ANSI mode; the product tops out at
+    // ~8.5e37 < 1e38, inside decimal(38,0), and the sum stays exact.
     fp.groupBy($"c_id")
       .agg(max($"n").as("n_assigned"),
         sum(when($"pos" === 0, $"sq").otherwise(lit(0L))).as("q0"),
-        sum($"sq".cast("decimal(18,0)") * $"sq".cast("decimal(18,0)"))
+        sum($"sq".cast("decimal(19,0)") * $"sq".cast("decimal(19,0)"))
           .cast("double").as("norm2_fp"))
       .withColumn("mean0",
         $"q0".cast("double") / ($"n_assigned".cast("double") * lit(1000000.0)))

@@ -266,4 +266,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     i.unpersist()
   }
+
+  test("ds_interleave: source -> src_idx name parse is total and injective") {
+    // interleave derives its lane index by parsing a digit run out of
+    // the source name. A digit-less source would regexp_extract -> ""
+    // -> null (silent row drop vs a DuckDB CAST error); two sources
+    // sharing one index would collide positions. Pin both properties
+    // over the actual corpus so a testdata/source-naming change fails
+    // loudly here instead of as a silent oracle drift.
+    val m = Tables.documents(spark, sf)
+      .select($"source").distinct()
+      .withColumn("src_idx",
+        regexp_extract($"source", "(\\d+)", 1).cast("long"))
+      .collect()
+    assert(m.nonEmpty)
+    val bad = m.filter(_.isNullAt(1)).map(_.getString(0))
+    assert(bad.isEmpty, s"digit-less source names break interleave: ${bad.mkString(",")}")
+    val idx = m.map(_.getLong(1))
+    assert(idx.distinct.length === idx.length,
+      s"source indices collide: ${idx.sorted.mkString(",")}")
+    assert(idx.forall(i => i >= 0 && i < 20),
+      s"source index outside the 20-lane stride: ${idx.sorted.mkString(",")}")
+  }
 }
