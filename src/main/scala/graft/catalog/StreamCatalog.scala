@@ -27,6 +27,14 @@ import java.nio.charset.StandardCharsets
   * planning step and cached by version. Retention/compaction keeps it
   * bounded; nothing here is per-row or per-executor state.
   */
+/** KeyValueTableConfiguration analog (client/.../tables/
+  * KeyValueTableConfiguration.java:39). Only partitionCount carries over:
+  * the reference's fixed primary/secondary key byte-lengths exist to make
+  * its hand-rolled sorted table segments work; here parquet + string keys
+  * subsume the layout (SURVEY §2.6 fixed-key row).
+  */
+final case class KvTableConfig(partitionCount: Int = 16)
+
 object StreamCatalog {
   /** Default reader-grace before tombstoned files are physically deleted
     * (long enough for any in-flight scan planned from an older manifest).
@@ -233,6 +241,77 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       m.copy(pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path)))
     }
     donePaths.toSeq.sorted
+  }
+
+  // ------------------------------------------------- key-value table admin
+  //
+  // KeyValueTableManager analog (client/.../admin/KeyValueTableManager.java:
+  // 60 createKeyValueTable, 70 deleteKeyValueTable, 79 listKeyValueTables).
+  // KV tables live in a per-scope `_kvt/` namespace so they can never be
+  // listed as streams (listStreams keys on `<scope>/<name>/_meta`; the
+  // extra `_kvt` level keeps the two namespaces disjoint, mirroring the
+  // reference's separate stream/KVT scoping). Create persists the
+  // KeyValueTableConfiguration analog (partitionCount) as an
+  // exclusive-create config file, so later opens don't have to repeat —
+  // and can never contradict — the creation-time layout.
+
+  private def kvtRoot(scope: String) = new Path(scopePath(scope), "_kvt")
+  private def kvtConfigPath(scope: String, name: String) =
+    new Path(new Path(kvtRoot(scope), name), "_kvtconfig.json")
+
+  /** createKeyValueTable: true if created, false if it already existed
+    * (KeyValueTableManager.java:60 returns boolean the same way).
+    */
+  def createKeyValueTable(scope: String, name: String,
+                          config: KvTableConfig = KvTableConfig()): Boolean = {
+    require(scopeExists(scope), s"scope $scope does not exist")
+    require(config.partitionCount > 0, "partitionCount must be a positive integer")
+    if (keyValueTableExists(scope, name)) return false
+    val out = CasFiles.createExclusive(fs, kvtConfigPath(scope, name))
+    try { out.write(Serialization.write(config).getBytes(StandardCharsets.UTF_8)); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException => false // lost the create race
+    } finally out.close()
+  }
+
+  def keyValueTableExists(scope: String, name: String): Boolean =
+    fs.exists(kvtConfigPath(scope, name))
+
+  /** listKeyValueTables(scope) (KeyValueTableManager.java:79). */
+  def listKeyValueTables(scope: String): Seq[String] = {
+    val p = kvtRoot(scope)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_kvtconfig.json")))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  def getKeyValueTableConfig(scope: String, name: String): KvTableConfig = {
+    if (!keyValueTableExists(scope, name))
+      throw new NoSuchStreamException(s"key-value table $scope/$name does not exist")
+    val in = fs.open(kvtConfigPath(scope, name))
+    try Serialization.read[KvTableConfig](
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** deleteKeyValueTable: true if it existed (KeyValueTableManager.java:70).
+    * Unconditional like the reference — no seal step exists for KVTs.
+    */
+  def deleteKeyValueTable(scope: String, name: String): Boolean = {
+    if (!keyValueTableExists(scope, name)) false
+    else fs.delete(new Path(kvtRoot(scope), name), true)
+  }
+
+  /** Open a created table with its persisted creation-time layout —
+    * the `KeyValueTableFactory.forKeyValueTable` analog.
+    */
+  def openKeyValueTable(spark: org.apache.spark.sql.SparkSession, scope: String,
+                        name: String): graft.kv.KeyValueTable = {
+    val cfg = getKeyValueTableConfig(scope, name)
+    new graft.kv.KeyValueTable(spark, kvtRoot(scope).toString, name,
+      partitionCount = cfg.partitionCount, hadoopConf = hadoopConf)
   }
 
   // ------------------------------------------------------------- manifests

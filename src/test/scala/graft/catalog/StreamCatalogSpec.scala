@@ -91,4 +91,52 @@ class StreamCatalogSpec extends AnyFunSuite {
     c.createScope("s")
     assertThrows[NoSuchStreamException](c.getStream("s", "nope"))
   }
+
+  test("key-value table manager: create/list/exists/delete round trip") {
+    val c = freshCatalog()
+    c.createScope("s")
+    assert(c.listKeyValueTables("s").isEmpty)
+    assertThrows[IllegalArgumentException](c.createKeyValueTable("nope", "t"))
+
+    assert(c.createKeyValueTable("s", "t1", KvTableConfig(partitionCount = 4)))
+    assert(c.createKeyValueTable("s", "t2"))
+    // second create of the same table: false, config untouched
+    assert(!c.createKeyValueTable("s", "t1", KvTableConfig(partitionCount = 99)))
+    assert(c.getKeyValueTableConfig("s", "t1") == KvTableConfig(4))
+    assert(c.getKeyValueTableConfig("s", "t2") == KvTableConfig(16))
+
+    assert(c.listKeyValueTables("s") == Seq("t1", "t2"))
+    assert(c.keyValueTableExists("s", "t1") && !c.keyValueTableExists("s", "zz"))
+
+    // KVT namespace is disjoint from the stream namespace
+    c.createStream("s", "st")
+    assert(c.listStreams("s") == Seq("st"))
+    assert(c.listKeyValueTables("s") == Seq("t1", "t2"))
+
+    assert(c.deleteKeyValueTable("s", "t1"))
+    assert(!c.deleteKeyValueTable("s", "t1"))
+    assert(c.listKeyValueTables("s") == Seq("t2"))
+    assertThrows[NoSuchStreamException](c.getKeyValueTableConfig("s", "t1"))
+    assertThrows[IllegalArgumentException](
+      c.createKeyValueTable("s", "bad", KvTableConfig(partitionCount = 0)))
+  }
+
+  test("key-value table manager: open uses the persisted creation-time layout") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c = freshCatalog()
+    c.createScope("s")
+    c.createKeyValueTable("s", "t", KvTableConfig(partitionCount = 4))
+    val t = c.openKeyValueTable(spark, "s", "t")
+    assert(t.partitionCount == 4)
+    t.insert(Seq("a" -> "1", "b" -> "2").toDF("pk", "v")
+      .select($"pk", lit("").as("sk"), encode($"v", "UTF-8").as("value")))
+    // a re-open sees the same table state without re-stating the layout
+    val t2 = c.openKeyValueTable(spark, "s", "t")
+    assert(t2.partitionCount == 4)
+    assert(t2.get("a").map(p => new String(p._1)).contains("1"))
+    assert(c.deleteKeyValueTable("s", "t"))
+    assert(!c.keyValueTableExists("s", "t"))
+  }
 }
