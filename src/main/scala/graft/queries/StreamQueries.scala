@@ -173,10 +173,101 @@ object StreamQueries {
       |  SELECT 'k4_txn12m', CAST(12582912 AS BIGINT), md5(repeat('0123456789abcdef', 786432))
       |) t ORDER BY routingKey""".stripMargin
 
+  /** getNextStreamCut iteration (BatchClientFactory.java:123): a real
+    * stream is loaded through the write path, then the cut is advanced
+    * from the head in fixed approxRows steps until it clamps at the
+    * tail; each step also reports unreadRows (ReaderGroupMetrics
+    * analog). Single segment so the advance/clamp arithmetic — the same
+    * code path any segment count takes per segment — is replayable by
+    * the oracle as pure COUNT(*) arithmetic (the multi-segment split is
+    * murmur3-routed, deliberately not oracle-replayable; multi-segment
+    * behavior is spec-covered in GraftStreamsSpec).
+    */
+  private def nextCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cut").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 1))
+    val src = Tables.events(s, dir).filter($"user_id" < 50).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    var cut = g.catalog.getStream("q", "ev").headStreamCut
+    val steps = (1 to 12).map { k =>
+      cut = g.nextStreamCut("q", "ev", cut, approxRows = 500L)
+      (k.toLong, cut.positions.values.sum, g.unreadRows("q", "ev", cut))
+    }
+    s.createDataFrame(steps).toDF("k", "position", "unread").orderBy($"k")
+  }
+
+  private val nextCutSql =
+    """WITH n AS (SELECT COUNT(*) AS cnt FROM events WHERE user_id < 50),
+      |k AS (SELECT UNNEST(generate_series(1, 12)) AS k)
+      |SELECT k, LEAST(cnt, k * 500) AS position,
+      |  cnt - LEAST(cnt, k * 500) AS unread
+      |FROM k, n ORDER BY k""".stripMargin
+
+  /** ByteStream seek/read/truncate round trip (ByteStreamReader.java:
+    * 34-149 onSeek/read, ByteStreamWriter.java:58): 200 fixed-width
+    * ASCII records append one at a time (single-writer contract), then
+    * offset windows — including a chunk-straddling range, a seek to near
+    * the tail, and a post-truncation read from the new head — come back
+    * md5'd. The oracle rebuilds the identical byte string with
+    * string_agg and slices the same windows, so a hash match proves
+    * append offsets, chunk-boundary reads, seek and truncateBefore are
+    * byte-exact.
+    */
+  private def byteStreamRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bs").toString
+    val bs = new graft.storage.ByteStreams(work)
+    bs.create("q", "b")
+    // 200 events * 8 ASCII bytes, appended in event_id order — bounded
+    // driver loop by design: the reference's byte-stream API is a raw
+    // single-writer OutputStream, not a relational surface
+    val ids = Tables.events(s, dir).filter($"event_id" < 200)
+      .select($"event_id").orderBy($"event_id").as[Long].collect()
+    ids.foreach(id => bs.append("q", "b", f"$id%08d".getBytes("UTF-8")))
+    val tail = bs.tail("q", "b")
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    def win(label: String, off: Long, len: Int) =
+      (label, off, len.toLong, md5hex(bs.read("q", "b", off, len)))
+    val pre = Seq(
+      win("r1_head", 0L, 100),
+      win("r2_mid", 123L, 457),
+      win("r3_chunk_straddle", 795L, 10),
+      win("r4_seek_tail", tail - 96L, 96))
+    bs.truncateBefore("q", "b", 640L)
+    val post = Seq(win("r5_after_truncate", bs.head("q", "b"), 160))
+    (pre ++ post).toDF("label", "off", "n_bytes", "digest").orderBy($"label")
+  }
+
+  private val byteStreamRoundtripSql =
+    """WITH f AS (
+      |  SELECT string_agg(lpad(CAST(event_id AS VARCHAR), 8, '0'), ''
+      |           ORDER BY event_id) AS s
+      |  FROM events WHERE event_id < 200),
+      |t AS (SELECT CAST(length(s) AS BIGINT) AS tail FROM f),
+      |w AS (SELECT * FROM (VALUES
+      |  ('r1_head', CAST(0 AS BIGINT), 100),
+      |  ('r2_mid', CAST(123 AS BIGINT), 457),
+      |  ('r3_chunk_straddle', CAST(795 AS BIGINT), 10),
+      |  ('r4_seek_tail', CAST(NULL AS BIGINT), 96),
+      |  ('r5_after_truncate', CAST(640 AS BIGINT), 160)) AS v(label, off0, len))
+      |SELECT label, COALESCE(off0, tail - 96) AS off, CAST(len AS BIGINT) AS n_bytes,
+      |  md5(substr(s, CAST(COALESCE(off0, tail - 96) AS INT) + 1, len)) AS digest
+      |FROM w, f, t ORDER BY label""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
+    ("ev_next_cut",          nextCut _,      Some(nextCutSql)),
+    ("bs_roundtrip",         byteStreamRoundtrip _, Some(byteStreamRoundtripSql)),
   )
 }
