@@ -262,8 +262,54 @@ object StreamQueries {
       |  md5(substr(s, CAST(COALESCE(off0, tail - 96) AS INT) + 1, len)) AS digest
       |FROM w, f, t ORDER BY label""".stripMargin
 
+  /** Multi-stream reader group end to end (ReaderGroupConfig.java:49-108):
+    * the events table splits across TWO engine streams (even event_ids →
+    * x with 2 segments, odd → y with 3), then ONE streaming query
+    * subscribes to both (`streams` = "q/x,q/y"), drains them with
+    * Trigger.AvailableNow in maxRowsPerTrigger pages through the DSv2
+    * source, and the memory-sink result is aggregated per (stream,
+    * event_type). The oracle recomputes the same split from the source
+    * table — a hash match proves the composite offset advanced each
+    * stream independently, pages were exactly-once, and the `stream`
+    * identity column is correct.
+    */
+  private def multiStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-msq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "x", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("q", "y", StreamConfig(initialSegments = 3))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+    g.writeEvents("q", "x", src.filter($"event_id" % 2 === 0).drop("event_id"))
+    g.writeEvents("q", "y", src.filter($"event_id" % 2 === 1).drop("event_id"))
+    val sink = s"msq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("streams", "x,y")
+      .option("maxRowsPerTrigger", "2000")
+      .load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy($"stream", decode($"payload", "UTF-8").as("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"stream", $"event_type")
+  }
+
+  private val multiStreamSql =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'q/x' ELSE 'q/y' END AS stream,
+      |  event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY stream, event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),

@@ -3,217 +3,366 @@ package graft.sources
 import graft.core._
 import graft.storage.GraftStreams
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.graftshim.StreamingShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
-import org.json4s.{DefaultFormats, Formats}
-import org.json4s.jackson.Serialization
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.graftshim.ParquetShim
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{DefaultFormats, Formats, JInt, JObject}
+import org.json4s.jackson.{JsonMethods, Serialization}
 
-/** Structured Streaming source over a graft stream (SURVEY §2.8/§3.2): one
-  * streaming query plays the role of a reader group — Spark's offset log
-  * replaces reader-group checkpoints, task scheduling replaces segment
-  * rebalancing (ReaderGroupStateManager), and restart-from-checkpoint is
-  * resetReaderGroup. Offsets ARE StreamCuts (JSON), so positions
+/** Structured Streaming over graft streams as a DataSource V2
+  * `TableProvider` + `MicroBatchStream` (SURVEY §2.8/§3.2, §7 step 4):
+  * one streaming query plays the role of a reader group — Spark's offset
+  * log replaces reader-group checkpoints, task scheduling replaces
+  * segment rebalancing (ReaderGroupStateManager), restart-from-checkpoint
+  * is resetReaderGroup. Offsets ARE StreamCuts (JSON), so positions
   * interoperate with the batch API.
   *
-  * Each micro-batch plans only the manifest files overlapping
-  * (lastCut, nextCut] and reads them through the normal vectorized parquet
-  * path — no per-row custom reader, full codegen. `maxRowsPerTrigger`
-  * throttles like the reference's read pacing (getNextStreamCut,
-  * BatchClientFactory.java:123).
+  * Reader-group shape (ReaderGroupConfig.java:49-108): ONE source
+  * subscribes to N streams — `streams` = comma list of `name` or
+  * `scope/name` — each with its own optional start/end cut
+  * (`fromStreamCut.<name>` / `toStreamCut.<name>`), checkpointing one
+  * composite offset; rows carry a `stream` identity column in
+  * multi-stream mode. The single-stream surface (`stream`,
+  * `fromStreamCut`) and its flat offset JSON are unchanged from the V1
+  * source, so existing checkpoints resume.
   *
-  * Large (> MaxEventSize) events arrive as their individual chunk rows in
-  * offset order (byte-stream-style delivery); the batch API
+  * Each micro-batch plans manifest files overlapping (lastCut, nextCut]
+  * directly into FilePartitions read by Spark's own vectorized parquet
+  * reader factory; when every planned file lies fully inside the cut
+  * bounds (the steady state — cuts come from file-aligned manifests or
+  * pacing over whole backlogs) batches stay COLUMNAR end to end, and
+  * only cut-straddling boundary files fall back to row-filtered reads.
+  * `maxRowsPerTrigger` paces triggers like the reference's
+  * getNextStreamCut read throttling (BatchClientFactory.java:123), split
+  * evenly across subscribed streams, then segments.
+  *
+  * Large (> MaxEventSize) events arrive as their individual chunk rows
+  * in offset order (byte-stream-style delivery); the batch API
   * (GraftStreams.readEvents) is the reassembling surface.
   */
-class GraftStreamSource(
-    sqlContext: SQLContext,
-    rootDir: String,
-    scope: String,
-    stream: String,
-    startCut: Option[StreamCut],
-    maxRowsPerTrigger: Option[Long],
-    metadataPath: String) extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+final case class StreamSub(scope: String, stream: String,
+                           from: Option[StreamCut], to: Option[StreamCut]) {
+  def key: String = s"$scope/$stream"
+}
 
-  private implicit val fmts: Formats = DefaultFormats
-  private val spark: SparkSession = sqlContext.sparkSession
-  private val g = new GraftStreams(spark, rootDir)
+final case class GraftSourceConfig(rootDir: String, subs: Seq[StreamSub],
+                                   maxRowsPerTrigger: Option[Long]) {
+  require(subs.nonEmpty, "graft-stream source requires 'stream' or 'streams'")
+  require(subs.map(_.key).distinct.size == subs.size,
+    s"duplicate stream subscription: ${subs.map(_.key).mkString(", ")}")
+  def multi: Boolean = subs.size > 1
+  def schema: StructType =
+    if (multi) StructType(GraftStreams.eventSchema.fields :+
+      StructField("stream", StringType, nullable = false))
+    else GraftStreams.eventSchema
+  def describe: String = subs.map(_.key).mkString(",")
+}
 
-  override def schema: StructType = GraftStreams.eventSchema
-
-  private def initialCut: StreamCut =
-    startCut.getOrElse(g.catalog.getStream(scope, stream).headStreamCut)
-
-  // The last announced cut must survive query restarts: with every batch
-  // committed, Spark calls getOffset without any prior getBatch, and a
-  // throttled cut recomputed from `initialCut` would announce an offset
-  // BELOW the checkpointed one — re-delivering processed rows. So the
-  // highest announced cut is persisted inside the source's slice of the
-  // checkpoint (`metadataPath`), the same trick Spark's FileStreamSource
-  // plays with its own metadata log. Absent marker = genuinely fresh query.
-  private val persistPath: Option[Path] =
-    Option(metadataPath).filter(_.nonEmpty).map(p => new Path(p, "graft-last-cut"))
-
-  /** Highest cut handed to Spark so far (monotonic). */
-  private var lastEnd: Option[StreamCut] = loadPersistedCut()
-
-  private def hfs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def loadPersistedCut(): Option[StreamCut] = persistPath.flatMap { p =>
-    val fs = hfs(p)
-    def readCut(path: Path): Option[StreamCut] =
-      if (!fs.exists(path)) None
-      else {
-        val in = fs.open(path)
-        try {
-          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          Some(GraftSourceOffset.fromJson(txt))
-        } catch { case _: Exception => None }
-        finally in.close()
-      }
-    // persistCut writes tmp → delete main → rename. A crash after writing
-    // the tmp but BEFORE deleting the main leaves both files, with the tmp
-    // holding the newer cut; a crash between delete and rename leaves only
-    // the tmp. Cuts only ever advance, so the element-wise MAX of whatever
-    // parses is always the highest announced cut — never prefer one file.
-    val main = readCut(p)
-    val tmp = readCut(new Path(p.getParent, s"${p.getName}.tmp"))
-    (main, tmp) match {
-      case (Some(a), Some(b)) =>
-        Some(StreamCut((a.positions.keySet ++ b.positions.keySet).map { sid =>
-          sid -> math.max(a.positions.getOrElse(sid, 0L), b.positions.getOrElse(sid, 0L))
-        }.toMap))
-      case _ => main.orElse(tmp)
+object GraftSourceConfig {
+  def from(o: CaseInsensitiveStringMap): GraftSourceConfig = {
+    def req(k: String) = Option(o.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graft-stream source requires option '$k'"))
+    def cut(k: String): Option[StreamCut] =
+      Option(o.get(k)).filter(s => s.nonEmpty && s != "head" && s != "unbounded")
+        .map(GraftSourceOffset.fromJson)
+    val rootDir = req("rootDir")
+    val subs = Option(o.get("streams")) match {
+      case Some(list) =>
+        list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { name =>
+          val (scope, stream) = name.split('/') match {
+            case Array(sc, st) => (sc, st)
+            case Array(st) => (req("scope"), st)
+            case _ => throw new IllegalArgumentException(
+              s"stream name '$name' must be 'stream' or 'scope/stream'")
+          }
+          StreamSub(scope, stream, cut(s"fromStreamCut.$name"), cut(s"toStreamCut.$name"))
+        }
+      case None =>
+        Seq(StreamSub(req("scope"), req("stream"),
+          cut("fromStreamCut"), cut("toStreamCut")))
     }
+    GraftSourceConfig(rootDir, subs, Option(o.get("maxRowsPerTrigger")).map(_.toLong))
+  }
+}
+
+/** Composite offset: one StreamCut per subscribed stream. Single-stream
+  * queries serialize the bare cut (`{"segmentId": offset}`) — byte-
+  * compatible with the V1 source's offsets, so pre-migration checkpoints
+  * resume; multi-stream queries nest (`{"scope/stream": {...}}`). JSON is
+  * key-sorted so equal offsets compare equal as strings.
+  */
+final case class GraftStreamOffset(cuts: Map[String, StreamCut], flat: Boolean)
+    extends Offset {
+  private def cutJson(c: StreamCut): String =
+    c.positions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  override val json: String =
+    if (flat) cutJson(cuts.head._2)
+    else cuts.toSeq.sortBy(_._1)
+      .map { case (k, c) => s""""$k":${cutJson(c)}""" }.mkString("{", ",", "}")
+}
+
+object GraftStreamOffset {
+  /** Flat (single-cut) vs nested (per-stream) by value shape; `keys` maps
+    * a flat offset onto the query's one subscription.
+    */
+  def parse(json: String, singleKey: String): Map[String, StreamCut] =
+    JsonMethods.parse(json) match {
+      case JObject(fields) if fields.nonEmpty && fields.forall(_._2.isInstanceOf[JObject]) =>
+        fields.map { case (k, v) =>
+          k -> StreamCut(v.asInstanceOf[JObject].obj.map {
+            case (sid, JInt(off)) => sid.toLong -> off.toLong
+            case (sid, other) => throw new IllegalArgumentException(
+              s"bad offset for segment $sid: $other")
+          }.toMap)
+        }.toMap
+      case _ => Map(singleKey -> GraftSourceOffset.fromJson(json))
+    }
+}
+
+/** `format("graft-stream")` — DSv2 provider. Options: rootDir, scope,
+  * stream | streams, fromStreamCut[.<name>] (JSON | "head"),
+  * toStreamCut[.<name>] (JSON | "unbounded"), maxRowsPerTrigger.
+  */
+class GraftStreamSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSourceConfig.from(options).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftStreamTable(GraftSourceConfig.from(new CaseInsensitiveStringMap(properties)))
+}
+
+class GraftStreamTable(conf: GraftSourceConfig) extends Table with SupportsRead {
+  override def name(): String = s"graft-stream:${conf.describe}"
+  override def schema(): StructType = conf.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftScan(conf)
+    }
+}
+
+class GraftScan(conf: GraftSourceConfig) extends Scan {
+  override def readSchema(): StructType = conf.schema
+  override def description(): String = s"GraftStreamSource[${conf.describe}]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(SparkSession.active, conf)
+}
+
+class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val g = new GraftStreams(spark, conf.rootDir)
+  private def flat = !conf.multi
+  private def singleKey = conf.subs.head.key
+
+  /** Progress events surface this as the source description — the
+    * notification listener keys on it (GraftStreamListener).
+    */
+  override def toString: String = s"GraftStreamSource[${conf.describe}]"
+
+  private def headCuts: Map[String, StreamCut] = conf.subs.map { sub =>
+    sub.key -> sub.from.getOrElse(g.catalog.getStream(sub.scope, sub.stream).headStreamCut)
+  }.toMap
+
+  override def initialOffset(): Offset = GraftStreamOffset(headCuts, flat)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(GraftStreamOffset.parse(json, singleKey), flat)
+
+  private def toCuts(o: Offset): Map[String, StreamCut] = o match {
+    case g: GraftStreamOffset => g.cuts
+    case other => GraftStreamOffset.parse(other.json(), singleKey)
   }
 
-  private def persistCut(cut: StreamCut): Unit = persistPath.foreach { p =>
-    val fs = hfs(p)
-    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(GraftSourceOffset(cut).json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
-  }
+  /** Highest cut announced so far (monotonic floor — offsets never
+    * regress even if a caller hands a stale start).
+    */
+  @volatile private var lastEnd: Map[String, StreamCut] = Map.empty
 
-  private def advanceLastEnd(cut: StreamCut): Unit = {
-    val changed = !lastEnd.contains(cut)
-    lastEnd = Some(cut)
-    if (changed) persistCut(cut)
-  }
+  private def mergeMax(a: StreamCut, b: StreamCut): StreamCut =
+    StreamCut((a.positions.keySet ++ b.positions.keySet).map { sid =>
+      sid -> math.max(a.positions.getOrElse(sid, 0L), b.positions.getOrElse(sid, 0L))
+    }.toMap)
 
-  // Trigger.AvailableNow: drain up to the tail captured at query start,
+  // Trigger.AvailableNow: drain up to the tails captured at query start,
   // in maxRowsPerTrigger pages, then let Spark terminate the query.
-  private var availableNowCap: Option[StreamCut] = None
+  @volatile private var availableNowCap: Map[String, StreamCut] = Map.empty
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(g.catalog.getStream(scope, stream).tailCut)
+    availableNowCap = conf.subs.map { sub =>
+      sub.key -> g.catalog.getStream(sub.scope, sub.stream).tailCut
+    }.toMap
 
-  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxRowsPerTrigger
-      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n))
-      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  /** Admission-control offset announcement (replaces getOffset: Spark
-    * calls this for every trigger once SupportsAdmissionControl is
-    * implemented). `start` is the checkpointed previous end offset — so
-    * after a restart the throttled cut is computed from the real position
-    * even before any getBatch, independent of the persisted marker.
-    */
-  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
-                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val meta = g.catalog.getStream(scope, stream)
-    val tail0 = meta.tailCut
-    // under AvailableNow, never announce past the captured cap; segments
-    // born after the capture only hold post-start data → bound 0 (the
-    // monotonic merge below still keeps anything Spark already passed)
-    val tail = availableNowCap.map { cap =>
-      StreamCut(tail0.positions.map { case (sid, off) =>
-        sid -> math.min(off, cap.positions.getOrElse(sid, 0L))
-      })
-    }.getOrElse(tail0)
-    val checkpointed = Option(start).map(GraftSourceOffset.anyToCut)
-    val from = (checkpointed, lastEnd) match {
-      case (Some(c), Some(l)) => StreamCut((c.positions.keySet ++ l.positions.keySet).map { sid =>
-        sid -> math.max(c.positions.getOrElse(sid, 0L), l.positions.getOrElse(sid, 0L))
-      }.toMap)
-      case (Some(c), None) => c
-      case (None, Some(l)) => l
-      case (None, None) => initialCut
-    }
-    val maxRows = limit match {
-      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => Some(m.maxRows())
-      case _ => maxRowsPerTrigger
-    }
-    val next = maxRows match {
-      case None => tail
-      case Some(max) =>
-        val segs = meta.segments.map(_.segmentId)
-        val per = math.max(1L, max / math.max(1, segs.size))
-        StreamCut(segs.map { sid =>
-          val cur = from.positions.getOrElse(sid, 0L)
-          val t = tail.positions.getOrElse(sid, cur)
-          sid -> math.min(t, cur + per)
-        }.toMap)
-    }
-    // monotonic merge: never regress below what we already announced
-    val merged = StreamCut((next.positions.keySet ++ from.positions.keySet).map { sid =>
-      sid -> math.max(next.positions.getOrElse(sid, 0L), from.positions.getOrElse(sid, 0L))
-    }.toMap)
-    advanceLastEnd(merged)
-    GraftSourceOffset(merged)
-  }
-
-  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
-    GraftSourceOffset(g.catalog.getStream(scope, stream).tailCut)
-
-  override def getOffset: Option[OffsetV1] =
-    // Unreachable: Spark matches SupportsAdmissionControl before the v1
-    // Source case, so every trigger goes through latestOffset (which owns
-    // throttling and the AvailableNow cap). Throw rather than return an
-    // unthrottled tail — a silent fallback here would bypass pacing.
+  override def latestOffset(): Offset =
     throw new IllegalStateException(
-      "graft-stream: getOffset must not be called — admission control " +
-        "(latestOffset) owns offset announcement for this source")
+      "graft-stream: admission control (latestOffset(start, limit)) owns " +
+        "offset announcement for this source")
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(GraftSourceOffset.toCut).getOrElse(initialCut)
-    val to = GraftSourceOffset.toCut(end)
-    // keep the monotonic floor: getBatch can replay an OLD batch on
-    // restart while the persisted cut is already further ahead
-    val floor = lastEnd.getOrElse(to)
-    advanceLastEnd(StreamCut((to.positions.keySet ++ floor.positions.keySet).map { sid =>
-      sid -> math.max(to.positions.getOrElse(sid, 0L), floor.positions.getOrElse(sid, 0L))
-    }.toMap))
-
-    val meta = g.catalog.getStream(scope, stream)
-    val lo: Long => Long = sid => from.positions.getOrElse(sid, 0L)
-    val hi: Long => Long = sid => to.positions.getOrElse(sid, 0L)
-    val files = meta.files.filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
-    if (files.isEmpty) return StreamingShim.emptyStreamingBatch(spark, schema)
-
-    val cond = files.map(_.segmentId).distinct.map { sid =>
-      col("segmentId") === sid && col("offset") >= lo(sid) && col("offset") < hi(sid)
-    }.reduce(_ || _)
-    StreamingShim.streamingParquet(spark, schema, files.map(_.path).distinct)
-      .filter(cond)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startCuts = Option(start).map(toCuts).getOrElse(headCuts)
+    val maxRows = limit match {
+      case m: ReadMaxRows => Some(m.maxRows())
+      case _ => conf.maxRowsPerTrigger
+    }
+    // reader-group fairness: the row budget splits evenly across
+    // subscribed streams, then across each stream's segments
+    val perStream = maxRows.map(m => math.max(1L, m / conf.subs.size))
+    val next = conf.subs.map { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val tail0 = meta.tailCut
+      // never past the AvailableNow capture or the subscription end cut;
+      // segments absent from either bound contribute nothing (they were
+      // born after the capture / past the subscription end)
+      val caps = availableNowCap.get(sub.key).toSeq ++ sub.to.toSeq
+      val tail = caps.foldLeft(tail0) { (t, cap) =>
+        StreamCut(t.positions.map { case (sid, off) =>
+          sid -> math.min(off, cap.positions.getOrElse(sid, 0L))
+        })
+      }
+      val from = (startCuts.get(sub.key).toSeq ++ lastEnd.get(sub.key).toSeq ++
+        Seq(headCuts(sub.key))).reduce(mergeMax)
+      val advanced = perStream match {
+        case None => tail
+        case Some(budget) =>
+          val segs = meta.segments.map(_.segmentId)
+          val per = math.max(1L, budget / math.max(1, segs.size))
+          StreamCut(segs.map { sid =>
+            val cur = from.positions.getOrElse(sid, 0L)
+            val t = tail.positions.getOrElse(sid, cur)
+            sid -> math.min(t, cur + per)
+          }.toMap)
+      }
+      sub.key -> mergeMax(advanced, from)
+    }.toMap
+    lastEnd = next.map { case (k, c) =>
+      k -> lastEnd.get(k).map(mergeMax(c, _)).getOrElse(c)
+    }
+    GraftStreamOffset(next, flat)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(conf.subs.map { sub =>
+      sub.key -> g.catalog.getStream(sub.scope, sub.stream).tailCut
+    }.toMap, flat)
+
+  // ------------------------------------------------------------- planning
+
+  private val dataSchema = GraftStreams.eventSchema
+  private val partitionSchema =
+    if (conf.multi) StructType(Seq(StructField("stream", StringType, nullable = false)))
+    else new StructType()
+  private val segOrd = dataSchema.fieldIndex("segmentId")
+  private val offOrd = dataSchema.fieldIndex("offset")
+  private val streamOrd = if (conf.multi) Some(dataSchema.size) else None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromC = toCuts(start)
+    val toC = toCuts(end)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var anyStraddle = false
+    val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
+    val pfs = conf.subs.flatMap { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      val files = meta.files
+        .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
+        .distinctBy(_.path)
+      anyStraddle ||= files.exists(f =>
+        f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
+      boundsB += sub.key -> meta.segments.map(s => s.segmentId ->
+        (lo(s.segmentId), hi(s.segmentId))).toMap
+      val pv: InternalRow = streamOrd match {
+        case Some(_) => new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
+        case None => InternalRow.empty
+      }
+      files.map { f =>
+        val p = new Path(f.path)
+        ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p))
+      }
+    }
+    val bounds = if (anyStraddle) Some(boundsB.result()) else None
+    ParquetShim.pack(spark, pfs)
+      .map(fp => GraftInputPartition(fp, bounds)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(
+      ParquetShim.parquetReaderFactory(spark, dataSchema, partitionSchema),
+      segOrd, offOrd, streamOrd, singleKey)
+
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Offset = StreamCut JSON ({"segmentId": offset, ...}). */
-case class GraftSourceOffset(cut: StreamCut) extends OffsetV1 {
-  override val json: String =
-    Serialization.write(cut.positions.map { case (k, v) => k.toString -> v })(DefaultFormats)
+/** One planned slice of a micro-batch: packed parquet files plus, when
+  * any planned file straddles a cut bound, the per-(stream, segment)
+  * [lo, hi) row bounds the reader must enforce (None = every file lies
+  * fully inside the cut range — read columnar, no per-row work).
+  */
+final case class GraftInputPartition(files: InputPartition,
+    bounds: Option[Map[String, Map[Long, (Long, Long)]]]) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Delegates to Spark's parquet reader factory; batches with no
+  * straddling files pass through COLUMNAR, boundary batches read as rows
+  * filtered by the exact (stream, segment) offset bounds.
+  */
+final class GraftReaderFactory(delegate: PartitionReaderFactory, segOrd: Int,
+    offOrd: Int, streamOrd: Option[Int], singleKey: String)
+    extends PartitionReaderFactory {
+
+  private def unwrap(p: InputPartition) = p.asInstanceOf[GraftInputPartition]
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val gp = unwrap(p)
+    gp.bounds.isEmpty && delegate.supportColumnarReads(gp.files)
+  }
+
+  override def createColumnarReader(p: InputPartition) =
+    delegate.createColumnarReader(unwrap(p).files)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = unwrap(p)
+    val r = delegate.createReader(gp.files)
+    gp.bounds match {
+      case None => r
+      case Some(b) => new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (r.next()) {
+            val row = r.get()
+            val sid = row.getLong(segOrd)
+            val off = row.getLong(offOrd)
+            val key = streamOrd.map(i => row.getUTF8String(i).toString).getOrElse(singleKey)
+            val ok = b.get(key).flatMap(_.get(sid))
+              .exists { case (lo, hi) => off >= lo && off < hi }
+            if (ok) { cur = row; return true }
+          }
+          false
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = r.close()
+      }
+    }
+  }
 }
 
 object GraftStreamSource {
@@ -230,38 +379,10 @@ object GraftStreamSource {
 
 object GraftSourceOffset {
   private implicit val fmts: Formats = DefaultFormats
+  /** Parse a bare StreamCut (`{"segmentId": offset}`). */
   def fromJson(s: String): StreamCut =
     StreamCut(Serialization.read[Map[String, Long]](s).map { case (k, v) => k.toLong -> v })
-  def toCut(o: OffsetV1): StreamCut = o match {
-    case g: GraftSourceOffset => g.cut
-    case s: SerializedOffset => fromJson(s.json)
-    case other => fromJson(other.json)
-  }
-  /** Same, for the connector-level Offset the admission-control API uses. */
-  def anyToCut(o: org.apache.spark.sql.connector.read.streaming.Offset): StreamCut = o match {
-    case g: GraftSourceOffset => g.cut
-    case other => fromJson(other.json)
-  }
-}
-
-/** format("graft-stream") provider. Options: rootDir, scope, stream,
-  * fromStreamCut (JSON | "head"), maxRowsPerTrigger.
-  */
-class GraftStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
-  override def shortName(): String = "graft-stream"
-
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-                            providerName: String, parameters: Map[String, String]) =
-    (shortName(), GraftStreams.eventSchema)
-
-  override def createSource(ctx: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    def req(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(s"graft-stream source requires option '$k'"))
-    val startCut = parameters.get("fromStreamCut").filter(_ != "head")
-      .map(GraftSourceOffset.fromJson)
-    new GraftStreamSource(ctx, req("rootDir"), req("scope"), req("stream"),
-      startCut, parameters.get("maxRowsPerTrigger").map(_.toLong), metadataPath)
-  }
+  /** Segment count across a flat OR nested (multi-stream) offset JSON. */
+  def countSegments(json: String): Int =
+    GraftStreamOffset.parse(json, "_").values.map(_.positions.size).sum
 }

@@ -8,13 +8,178 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 
-/** Reader groups over multiple streams (ReaderGroupConfig with several
-  * stream cuts): in Spark, one query unioning several graft sources —
-  * offsets checkpoint independently per source.
+/** Reader groups over multiple streams (ReaderGroupConfig.java:49-108 —
+  * one group, N streams, per-stream start/end cuts): natively via the
+  * source's `streams` option (one composite checkpointed offset, rows
+  * tagged with a `stream` identity column), and the hand-union fallback
+  * (offsets checkpoint independently per source).
   */
 class MultiStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
+
+  private def cutJson(c: StreamCut): String =
+    c.positions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  test("native reader group: one source, two streams, stream identity column") {
+    val root = Files.createTempDirectory("graft-msn").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 3))
+    def batch(tag: String, n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id") + base), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 300))
+    g.writeEvents("s", "b", batch("b", 500))
+
+    val df = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b").load()
+    assert(df.schema.fieldNames.endsWith(Array("stream")),
+      "multi-stream subscription must append the stream identity column")
+    val q = df.writeStream.format("memory").queryName("msn").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-msn-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def counts() = spark.table("msn").groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts() == Map("s/a" -> 300L, "s/b" -> 500L))
+      // one stream advances alone; no redelivery on the idle one and the
+      // payload set stays exact (composite offset advanced per stream)
+      g.writeEvents("s", "b", batch("b", 100, base = 500))
+      q.processAllAvailable()
+      assert(counts() == Map("s/a" -> 300L, "s/b" -> 600L))
+      val nDistinct = spark.table("msn")
+        .select(decode($"payload", "UTF-8")).distinct().count()
+      assert(nDistinct === 900L, "payloads must be exactly-once across both streams")
+    } finally q.stop()
+  }
+
+  test("per-stream start and end cuts bound the subscription (ReaderGroupConfig cuts)") {
+    val root = Files.createTempDirectory("graft-msc").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 2))
+    def batch(tag: String, n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id") + base), "UTF-8").as("payload"))
+
+    // a: skip the first 200 via a start cut; b: stop at 500 via an end cut
+    g.writeEvents("s", "a", batch("a", 200))
+    val fromA = g.catalog.getStream("s", "a").tailCut
+    g.writeEvents("s", "a", batch("a", 150, base = 200))
+    g.writeEvents("s", "b", batch("b", 500))
+    val toB = g.catalog.getStream("s", "b").tailCut
+    g.writeEvents("s", "b", batch("b", 300, base = 500))
+
+    val df = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b")
+      .option("fromStreamCut.a", cutJson(fromA))
+      .option("toStreamCut.b", cutJson(toB))
+      .load()
+    val q = df.writeStream.format("memory").queryName("msc").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-msc-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("msc").groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("s/a" -> 150L, "s/b" -> 500L))
+      // the end-cut stream never advances past its bound, even with data behind it
+      g.writeEvents("s", "b", batch("b", 100, base = 800))
+      q.processAllAvailable()
+      val counts2 = spark.table("msc").groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts2 == Map("s/a" -> 150L, "s/b" -> 500L))
+    } finally q.stop()
+  }
+
+  test("native group: checkpoint-resume restores the composite cut exactly") {
+    val root = Files.createTempDirectory("graft-msr").toString
+    val out = Files.createTempDirectory("graft-msr-out").toString
+    val ckpt = Files.createTempDirectory("graft-msr-ck").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 3))
+    def batch(tag: String, n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id") + base), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 250))
+    g.writeEvents("s", "b", batch("b", 400))
+
+    def start() = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    g.writeEvents("s", "a", batch("a", 50, base = 250))
+    g.writeEvents("s", "b", batch("b", 75, base = 400))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 775L)
+    assert(rows.select(decode($"payload", "UTF-8")).distinct().count() === 775L,
+      "restart must deliver the exact remainder — no loss, no redelivery")
+    val byStream = rows.groupBy($"stream").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStream == Map("s/a" -> 300L, "s/b" -> 475L))
+  }
+
+  test("native group: AvailableNow drains both streams in pages, then end-of-data") {
+    val root = Files.createTempDirectory("graft-msa").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createScope("s2")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s2", "c", StreamConfig(initialSegments = 2))
+    def batch(tag: String, n: Int) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id")), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 300))
+    g.writeEvents("s2", "c", batch("c", 200))
+
+    val ended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new GraftStreamListener(onEndOfData = () => ended.set(true))
+    spark.streams.addListener(listener)
+    try {
+      // cross-scope subscription: bare name resolves against `scope`,
+      // qualified name overrides it
+      val q = spark.readStream.format("graft-stream")
+        .option("rootDir", root).option("scope", "s")
+        .option("streams", "a,s2/c")
+        .option("maxRowsPerTrigger", "120")
+        .load()
+        .writeStream.format("memory").queryName("msa").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      val counts = spark.table("msa").groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("s/a" -> 300L, "s2/c" -> 200L))
+      // paged drain: 500 rows at ~120/trigger needs several batches
+      assert(spark.table("msa").select($"stream").inputFiles.nonEmpty ||
+        counts.values.sum == 500L)
+      spark.streams.active.foreach(_.processAllAvailable())
+      // listener end-of-data fires on clean termination of the drain
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(30, org.scalatest.time.Seconds))) {
+        assert(ended.get, "end-of-data notification after AvailableNow drain")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
 
   test("one query consumes two streams; per-source offsets checkpoint independently") {
     val root = Files.createTempDirectory("graft-ms").toString
