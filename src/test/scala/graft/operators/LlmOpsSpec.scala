@@ -114,4 +114,54 @@ class LlmOpsSpec extends AnyFunSuite {
         "frame offsets must advance monotonically")
     }
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def bmpBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  test("real image decode: PNG/BMP payloads yield exact dims, channels, entropy") {
+    import Multimodal.MediaRecord
+    val media = Seq(
+      MediaRecord(1L, "image/png", pngBytes(37, 21, 0x3366cc)),
+      MediaRecord(2L, "image/bmp", bmpBytes(64, 48, 0xff0000)),
+      MediaRecord(3L, "text/plain", "not an image at all".getBytes("UTF-8"))
+    ).toDS().repartition(3)
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    // real decode: exact pixel dimensions, 3 RGB channels, and a solid
+    // color has zero luminance entropy -> bucket 0
+    assert(feats(1L).width === 37 && feats(1L).height === 21)
+    assert(feats(1L).channels === 3 && feats(1L).byteEntropyBucket === 0)
+    assert(feats(2L).width === 64 && feats(2L).height === 48)
+    assert(feats(2L).channels === 3 && feats(2L).byteEntropyBucket === 0)
+    // non-image payloads keep the documented stub fallback
+    val stub = Multimodal.decodeStub(MediaRecord(3L, "text/plain",
+      "not an image at all".getBytes("UTF-8")))
+    assert(feats(3L) === stub)
+  }
+
+  test("real image resize: pixels are actually scaled, re-decodable at target dims") {
+    import Multimodal.MediaRecord
+    val media = Seq(MediaRecord(7L, "image/png", pngBytes(40, 40, 0x00ff00))).toDS()
+    val resized = Multimodal.resize(media, 8, 6).collect()
+    assert(resized.length === 1)
+    val r = resized.head
+    assert(r.width === 8 && r.height === 6 && r.mime === "image/png")
+    // round-trip the resized payload through a decoder: exact target
+    // dims and the solid color must survive bilinear scaling exactly
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth === 8 && back.getHeight === 6)
+    assert((back.getRGB(4, 3) & 0xffffff) === 0x00ff00)
+  }
 }
