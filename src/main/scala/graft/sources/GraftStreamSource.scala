@@ -146,7 +146,7 @@ class GraftStreamTable(conf: GraftSourceConfig) extends Table with SupportsRead 
   override def name(): String = s"graft-stream:${conf.describe}"
   override def schema(): StructType = conf.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftScan(conf)
@@ -158,6 +158,82 @@ class GraftScan(conf: GraftSourceConfig) extends Scan {
   override def description(): String = s"GraftStreamSource[${conf.describe}]"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, conf)
+
+  /** Bounded batch read (`spark.read.format("graft-stream")`) — the
+    * BatchClientFactory.getSegments(from, to) analog through the
+    * DataFrame reader: every subscribed stream scans (fromStreamCut,
+    * toStreamCut], defaulting to head → the tail captured at planning.
+    * Chunked large events arrive as chunk rows, like the stream surface.
+    */
+  override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      private val spark = SparkSession.active
+      private val g = new GraftStreams(spark, conf.rootDir)
+      override def planInputPartitions(): Array[InputPartition] = {
+        val fromC = conf.subs.map { sub =>
+          sub.key -> sub.from.getOrElse(g.catalog.getStream(sub.scope, sub.stream).headStreamCut)
+        }.toMap
+        val toC = conf.subs.map { sub =>
+          val tail = g.catalog.getStream(sub.scope, sub.stream).tailCut
+          sub.key -> sub.to.map(t => StreamCut(tail.positions.map { case (sid, off) =>
+            sid -> math.min(off, t.positions.getOrElse(sid, 0L))
+          })).getOrElse(tail)
+        }.toMap
+        GraftReadPlanner.plan(spark, g, conf, fromC, toC)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        GraftReadPlanner.factory(spark, conf)
+    }
+}
+
+/** Shared micro-batch/batch planning: manifest files overlapping the
+  * (from, to] cuts become packed FilePartitions; when any planned file
+  * straddles a cut bound the whole batch carries exact row bounds (and
+  * reads row-filtered), otherwise it reads columnar.
+  */
+private[sources] object GraftReadPlanner {
+  private val dataSchema = GraftStreams.eventSchema
+  val segOrd: Int = dataSchema.fieldIndex("segmentId")
+  val offOrd: Int = dataSchema.fieldIndex("offset")
+  def streamOrd(conf: GraftSourceConfig): Option[Int] =
+    if (conf.multi) Some(dataSchema.size) else None
+  private def partitionSchema(conf: GraftSourceConfig): StructType =
+    if (conf.multi) StructType(Seq(StructField("stream", StringType, nullable = false)))
+    else new StructType()
+
+  def plan(spark: SparkSession, g: GraftStreams, conf: GraftSourceConfig,
+           fromC: Map[String, StreamCut], toC: Map[String, StreamCut]): Array[InputPartition] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var anyStraddle = false
+    val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
+    val pfs = conf.subs.flatMap { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      val files = meta.files
+        .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
+        .distinctBy(_.path)
+      anyStraddle ||= files.exists(f =>
+        f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
+      boundsB += sub.key -> meta.segments.map(s => s.segmentId ->
+        (lo(s.segmentId), hi(s.segmentId))).toMap
+      val pv: InternalRow =
+        if (conf.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
+        else InternalRow.empty
+      files.map { f =>
+        val p = new Path(f.path)
+        ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p))
+      }
+    }
+    val bounds = if (anyStraddle) Some(boundsB.result()) else None
+    ParquetShim.pack(spark, pfs)
+      .map(fp => GraftInputPartition(fp, bounds)).toArray
+  }
+
+  def factory(spark: SparkSession, conf: GraftSourceConfig): PartitionReaderFactory =
+    new GraftReaderFactory(
+      ParquetShim.parquetReaderFactory(spark, dataSchema, partitionSchema(conf)),
+      segOrd, offOrd, streamOrd(conf), conf.subs.head.key)
 }
 
 class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
@@ -263,49 +339,11 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
 
   // ------------------------------------------------------------- planning
 
-  private val dataSchema = GraftStreams.eventSchema
-  private val partitionSchema =
-    if (conf.multi) StructType(Seq(StructField("stream", StringType, nullable = false)))
-    else new StructType()
-  private val segOrd = dataSchema.fieldIndex("segmentId")
-  private val offOrd = dataSchema.fieldIndex("offset")
-  private val streamOrd = if (conf.multi) Some(dataSchema.size) else None
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val fromC = toCuts(start)
-    val toC = toCuts(end)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    var anyStraddle = false
-    val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
-    val pfs = conf.subs.flatMap { sub =>
-      val meta = g.catalog.getStream(sub.scope, sub.stream)
-      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
-      val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
-      val files = meta.files
-        .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
-        .distinctBy(_.path)
-      anyStraddle ||= files.exists(f =>
-        f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
-      boundsB += sub.key -> meta.segments.map(s => s.segmentId ->
-        (lo(s.segmentId), hi(s.segmentId))).toMap
-      val pv: InternalRow = streamOrd match {
-        case Some(_) => new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
-        case None => InternalRow.empty
-      }
-      files.map { f =>
-        val p = new Path(f.path)
-        ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p))
-      }
-    }
-    val bounds = if (anyStraddle) Some(boundsB.result()) else None
-    ParquetShim.pack(spark, pfs)
-      .map(fp => GraftInputPartition(fp, bounds)).toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftReadPlanner.plan(spark, g, conf, toCuts(start), toCuts(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(
-      ParquetShim.parquetReaderFactory(spark, dataSchema, partitionSchema),
-      segOrd, offOrd, streamOrd, singleKey)
+    GraftReadPlanner.factory(spark, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -181,6 +181,91 @@ class MultiStreamSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("DSv2 plan gate: unpaced micro-batches read COLUMNAR; paced boundary batches row-filter") {
+    val root = Files.createTempDirectory("graft-mscol").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.writeEvents("s", "a", spark.range(600).select(
+      concat(lit("k"), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        if (qe.executedPlan.toString.contains("GraftStreamSource") ||
+            qe.logical.toString.contains("graft")) plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def run(name: String, pace: Option[String]): Unit = {
+        val r = spark.readStream.format("graft-stream")
+          .option("rootDir", root).option("scope", "s").option("stream", "a")
+        val q = pace.fold(r)(p => r.option("maxRowsPerTrigger", p)).load()
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        assert(spark.table(name).count() === 600L)
+      }
+      plans.clear()
+      run("colgate1", pace = None)
+      // listener delivery is async — poll briefly for the batch plans
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(20, org.scalatest.time.Seconds))) {
+        val unpaced = plans.toArray(Array.empty[String]).filter(_.contains("BatchScan"))
+        assert(unpaced.nonEmpty, "micro-batch plans must be captured")
+        assert(unpaced.exists(_.contains("ColumnarToRow")),
+          "an unpaced drain reads whole manifest files -> the scan must stay " +
+            "columnar (vectorized parquet), not fall back to row-based reads")
+      }
+
+      // paced: 250-row pages slice inside files -> row-filtered reads are
+      // expected (and exactness over straddled files is what's asserted
+      // by the count + StreamingSourceSpec pacing tests)
+      plans.clear()
+      run("colgate2", pace = Some("250"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("DSv2 batch read: spark.read over streams honors cuts and stream identity") {
+    val root = Files.createTempDirectory("graft-msb").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 3))
+    def batch(tag: String, n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id") + base), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 200))
+    val fromA = g.catalog.getStream("s", "a").tailCut
+    g.writeEvents("s", "a", batch("a", 150, base = 200))
+    g.writeEvents("s", "b", batch("b", 400))
+
+    // single-stream bounded read: (fromStreamCut, tail]
+    val one = spark.read.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "a")
+      .option("fromStreamCut", cutJson(fromA))
+      .load()
+    assert(one.count() === 150L)
+    assert(!one.columns.contains("stream"))
+    // matches the engine's own batch surface over the same bounds
+    assert(one.count() === g.readEvents("s", "a", from = fromA).count())
+
+    // multi-stream batch read with identity column
+    val both = spark.read.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b")
+      .load()
+    val counts = both.groupBy($"stream").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s/a" -> 350L, "s/b" -> 400L))
+    assert(both.select(decode($"payload", "UTF-8")).distinct().count() === 750L)
+  }
+
   test("one query consumes two streams; per-source offsets checkpoint independently") {
     val root = Files.createTempDirectory("graft-ms").toString
     val g = new GraftStreams(spark, root)
