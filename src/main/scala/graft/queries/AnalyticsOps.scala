@@ -362,11 +362,10 @@ object AnalyticsOps {
     * PARTITION global sort — Spark funnels every user-aggregate row
     * (not the raw events, but still one row per purchaser) through one
     * task. That is the honest cost of exact quartiles and it caps out
-    * around ~10⁸ users on one executor; beyond that the documented
-    * scale path is approx-quantile cutoffs (approxQuantile(p=[.25,.5,
-    * .75]) broadcast + a map-side bucket lookup), which trades exact
-    * tile boundaries for a fully parallel plan. The horizon rides a
-    * 1-row broadcast.
+    * around ~10⁸ users on one executor; beyond that the scale path is
+    * `ev_rfm_cutoffs` below — histogram-derived quartile cutoffs
+    * broadcast to a map-side bucket lookup, fully parallel at any user
+    * count. The horizon rides a 1-row broadcast.
     */
   private def rfmScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -413,6 +412,99 @@ object AnalyticsOps {
       |  r_score * 100 + f_score * 10 + m_score AS rfm
       |FROM sc ORDER BY user_id""".stripMargin
 
+  /** RFM quartile scoring, SCALE PATH (the documented alternative to
+    * `ev_rfm_scores`' exact single-partition ntile): quartile CUTOFFS
+    * come from per-metric VALUE histograms — the running sum rides a
+    * window over distinct values, never over users — with pure-integer
+    * ceil-rank arithmetic ((N+3) div 4 etc., no float quantile
+    * convention to disagree on), then every user scores against the
+    * 1-row broadcast cutoffs map-side. Fully parallel at any user
+    * count; tie handling differs from ntile by design (ties share a
+    * bucket instead of splitting to equalize bucket sizes).
+    */
+  private def rfmCutoffs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .select($"user_id", ddayCol.cast("long").as("dday"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val per0 = p.groupBy($"user_id")
+      .agg(max($"dday").as("last_day"), count(lit(1)).as("freq"),
+        sum($"cents").as("monetary"))
+    val horizon = per0.agg(max($"last_day").as("h"))
+    val per = per0.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", $"h" - $"last_day")
+      .select($"user_id", $"recency_days", $"freq", $"monetary")
+    val vals = per.select(lit("r").as("m"), $"recency_days".as("v"))
+      .union(per.select(lit("f").as("m"), $"freq".as("v")))
+      .union(per.select(lit("mo").as("m"), $"monetary".as("v")))
+    val w = Window.partitionBy($"m").orderBy($"v")
+    val hist = vals.groupBy($"m", $"v").agg(count(lit(1)).as("n"))
+      .withColumn("c", sum($"n").over(w))
+    val n = per.agg(count(lit(1)).as("nn"))
+    val cuts = hist.crossJoin(broadcast(n)).groupBy($"m").agg(
+      min(when($"c" >= expr("(nn + 3) div 4"), $"v")).as("q1"),
+      min(when($"c" >= expr("(nn + 1) div 2"), $"v")).as("q2"),
+      min(when($"c" >= expr("(3 * nn + 3) div 4"), $"v")).as("q3"))
+    val cutRow = cuts.agg(
+      max(when($"m" === "r", struct($"q1", $"q2", $"q3"))).as("rc"),
+      max(when($"m" === "f", struct($"q1", $"q2", $"q3"))).as("fc"),
+      max(when($"m" === "mo", struct($"q1", $"q2", $"q3"))).as("mc"))
+    def asc(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      lit(1L) + (v > c.getField("q1")).cast("long") +
+        (v > c.getField("q2")).cast("long") + (v > c.getField("q3")).cast("long")
+    per.crossJoin(broadcast(cutRow))
+      .select($"user_id", $"recency_days", $"freq", $"monetary",
+        (lit(5L) - asc($"recency_days", $"rc")).as("r_score"),
+        asc($"freq", $"fc").as("f_score"),
+        asc($"monetary", $"mc").as("m_score"))
+      .withColumn("rfm", $"r_score" * 100L + $"f_score" * 10L + $"m_score")
+      .orderBy($"user_id")
+  }
+
+  private val rfmCutoffsSql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dday,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |per0 AS (
+      |  SELECT user_id, MAX(dday) AS last_day, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(cents) AS BIGINT) AS monetary
+      |  FROM p GROUP BY user_id),
+      |h AS (SELECT MAX(last_day) AS h FROM per0),
+      |per AS (SELECT user_id, h - last_day AS recency_days, freq, monetary FROM per0, h),
+      |vals AS (
+      |  SELECT 'r' AS m, recency_days AS v FROM per
+      |  UNION ALL SELECT 'f', freq FROM per
+      |  UNION ALL SELECT 'mo', monetary FROM per),
+      |hist AS (SELECT m, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+      |cum AS (SELECT m, v, SUM(n) OVER (PARTITION BY m ORDER BY v) AS c FROM hist),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM per),
+      |cuts AS (
+      |  SELECT m,
+      |    MIN(CASE WHEN c >= (nn + 3) // 4 THEN v END) AS q1,
+      |    MIN(CASE WHEN c >= (nn + 1) // 2 THEN v END) AS q2,
+      |    MIN(CASE WHEN c >= (3 * nn + 3) // 4 THEN v END) AS q3
+      |  FROM cum, nn GROUP BY m)
+      |SELECT user_id, recency_days, freq, monetary,
+      |  5 - (1 + CAST(recency_days > r.q1 AS BIGINT) + CAST(recency_days > r.q2 AS BIGINT)
+      |         + CAST(recency_days > r.q3 AS BIGINT)) AS r_score,
+      |  1 + CAST(freq > f.q1 AS BIGINT) + CAST(freq > f.q2 AS BIGINT)
+      |    + CAST(freq > f.q3 AS BIGINT) AS f_score,
+      |  1 + CAST(monetary > mo.q1 AS BIGINT) + CAST(monetary > mo.q2 AS BIGINT)
+      |    + CAST(monetary > mo.q3 AS BIGINT) AS m_score,
+      |  (5 - (1 + CAST(recency_days > r.q1 AS BIGINT) + CAST(recency_days > r.q2 AS BIGINT)
+      |          + CAST(recency_days > r.q3 AS BIGINT))) * 100
+      |    + (1 + CAST(freq > f.q1 AS BIGINT) + CAST(freq > f.q2 AS BIGINT)
+      |         + CAST(freq > f.q3 AS BIGINT)) * 10
+      |    + (1 + CAST(monetary > mo.q1 AS BIGINT) + CAST(monetary > mo.q2 AS BIGINT)
+      |         + CAST(monetary > mo.q3 AS BIGINT)) AS rfm
+      |FROM per,
+      |  (SELECT * FROM cuts WHERE m = 'r') r,
+      |  (SELECT * FROM cuts WHERE m = 'f') f,
+      |  (SELECT * FROM cuts WHERE m = 'mo') mo
+      |ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------- event transitions
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -454,6 +546,7 @@ object AnalyticsOps {
     ("ev_ab_lift",           abLift _,            Some(abLiftSql)),
     ("ev_hourly_seasonality", hourlySeasonality _, Some(hourlySeasonalitySql)),
     ("ev_rfm_scores",        rfmScores _,         Some(rfmScoresSql)),
+    ("ev_rfm_cutoffs",       rfmCutoffs _,        Some(rfmCutoffsSql)),
     ("ev_session_window",    sessionWindow _,     Some(sessionWindowSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
