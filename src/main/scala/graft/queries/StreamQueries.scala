@@ -287,10 +287,16 @@ object StreamQueries {
       $"event_id")
     g.writeEvents("q", "x", src.filter($"event_id" % 2 === 0).drop("event_id"))
     g.writeEvents("q", "y", src.filter($"event_id" % 2 === 1).drop("event_id"))
+    // page size scales with the corpus so the drain is ~5 pages at any
+    // sf — paging semantics stay exercised without 50 micro-batches of
+    // fixed trigger overhead dominating the wall time at bench scale
+    val pace = math.max(2000L,
+      g.unreadRows("q", "x", graft.core.StreamCut(Map.empty)) +
+        g.unreadRows("q", "y", graft.core.StreamCut(Map.empty))) / 5L
     val sink = s"msq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = s.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("streams", "x,y")
-      .option("maxRowsPerTrigger", "2000")
+      .option("maxRowsPerTrigger", pace.toString)
       .load()
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
