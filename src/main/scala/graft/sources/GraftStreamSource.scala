@@ -153,7 +153,8 @@ class GraftStreamTable(conf: GraftSourceConfig) extends Table with SupportsRead 
     }
 }
 
-class GraftScan(conf: GraftSourceConfig) extends Scan {
+class GraftScan(conf: GraftSourceConfig) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = conf.schema
   override def description(): String = s"GraftStreamSource[${conf.describe}]"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -165,6 +166,32 @@ class GraftScan(conf: GraftSourceConfig) extends Scan {
     * toStreamCut], defaulting to head → the tail captured at planning.
     * Chunked large events arrive as chunk rows, like the stream surface.
     */
+  /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
+    * Catalyst auto-broadcast a small bounded stream read in joins — the
+    * stream-table enrichment shape — without a manual broadcast() hint.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val g = new GraftStreams(spark, conf.rootDir)
+    var rows = 0L
+    var bytes = 0L
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    conf.subs.foreach { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      meta.files.distinctBy(_.path).foreach { f =>
+        rows += f.rowCount
+        val p = new Path(f.path)
+        bytes += (try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+                  catch { case _: Exception => 0L })
+      }
+    }
+    val (r, b) = (rows, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
+
   override def toBatch(): org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       private val spark = SparkSession.active
@@ -208,7 +235,22 @@ private[sources] object GraftReadPlanner {
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
     val pfs = conf.subs.flatMap { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
-      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      // head-cut enforcement, exactly like the batch surface
+      // (GraftStreams.readEvents): a position EXPLICITLY below the head
+      // means the data was truncated away under this reader — fail loudly
+      // (TruncatedDataException analog) instead of silently skipping;
+      // segments absent from the cut (born later) default to the head so
+      // a head-straddling file row-filters rather than leaking sub-head
+      // rows
+      val head = meta.headStreamCut.positions
+      fromC.get(sub.key).foreach(_.positions.foreach { case (sid, off) =>
+        val h = head.getOrElse(sid, 0L)
+        if (off < h) throw new TruncatedDataException(
+          s"${sub.key} segment $sid position $off is below head cut $h " +
+            "(truncated while this reader was at an older position)")
+      })
+      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid))
+        .getOrElse(head.getOrElse(sid, 0L))
       val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
       val files = meta.files
         .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))

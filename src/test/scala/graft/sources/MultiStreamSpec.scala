@@ -266,6 +266,73 @@ class MultiStreamSpec extends AnyFunSuite {
     assert(both.select(decode($"payload", "UTF-8")).distinct().count() === 750L)
   }
 
+  test("DSv2 stats: Catalyst auto-broadcasts a small bounded stream read in a join") {
+    val root = Files.createTempDirectory("graft-msst").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "dim", StreamConfig(initialSegments = 1))
+    g.writeEvents("s", "dim", spark.range(50).select(
+      col("id").cast("string").as("routingKey"), col("id").as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+    val dim = spark.read.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "dim").load()
+      .select($"routingKey", $"eventTime")
+    val fact = spark.range(100000).select(($"id" % 50).cast("string").as("routingKey"), $"id")
+    val joined = fact.join(dim, "routingKey")
+    // manifest-derived SupportsReportStatistics must make the 50-row
+    // stream read broadcastable WITHOUT a manual broadcast() hint
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small stream side should auto-broadcast from reported stats:\n$plan")
+    assert(joined.count() === 100000L)
+  }
+
+  test("truncation under a stopped reader fails loudly on resume (TruncatedDataException)") {
+    val root = Files.createTempDirectory("graft-mstr").toString
+    val out = Files.createTempDirectory("graft-mstr-out").toString
+    val ckpt = Files.createTempDirectory("graft-mstr-ck").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    def batch(n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit("k"), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id") + base).as("eventTime"),
+      encode((col("id") + base).cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch(300))
+
+    def start() = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "a")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // truncate PAST the checkpointed position while the reader is down
+    g.writeEvents("s", "a", batch(300, base = 300))
+    val cut = g.catalog.getStream("s", "a").tailCut
+    g.catalog.truncateStream("s", "a", cut, graceMillis = 0L)
+    g.catalog.sweepDeletes("s", "a")
+
+    val q2 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[graft.core.TruncatedDataException]),
+      s"resume below the head cut must raise TruncatedDataException, got: $ex")
+
+    // batch surface agrees: explicit from below head throws too
+    assertThrows[graft.core.TruncatedDataException] {
+      spark.read.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", "a")
+        .option("fromStreamCut", """{"0":0,"1":0}""")
+        .load().count()
+    }
+  }
+
   test("one query consumes two streams; per-source offsets checkpoint independently") {
     val root = Files.createTempDirectory("graft-ms").toString
     val g = new GraftStreams(spark, root)
