@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.catalog.StreamCatalog
+import graft.core.{NoSuchStreamException, StreamConfig}
+import graft.storage.GraftStreams
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Column, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL surface for the stream control plane (SURVEY §2.9 through DSv2
+  * `TableCatalog`): register with
+  *
+  *   spark.sql.catalog.graft         = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.rootDir = <engine root>
+  *
+  * and scopes become namespaces, streams become tables —
+  * `CREATE NAMESPACE graft.s` = createScope, `SHOW TABLES IN graft.s` =
+  * listStreams, `SELECT ... FROM graft.s.ev` = a bounded batch read
+  * through the manifest planner, `spark.readStream.table("graft.s.ev")`
+  * = a reader group, `DROP TABLE` = seal + delete (the reference's
+  * two-step delete contract). Per-read cut/pacing options still apply
+  * via `.option(...)` — they overlay the scan, never the table identity.
+  *
+  * (StreamManager analog: client/.../admin/StreamManager.java:71-232 —
+  * create/list/seal/delete surfaced as SQL DDL instead of an RPC admin
+  * client.)
+  */
+class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootDir: String = _
+  private def cat: StreamCatalog = new StreamCatalog(rootDir)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootDir = Option(options.get("rootDir")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.rootDir"))
+  }
+
+  override def name(): String = catalogName
+
+  private def scopeOf(ns: Array[String]): String = ns match {
+    case Array(scope) => scope
+    case other => throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      other.toSeq)
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val scope = scopeOf(namespace)
+    if (!cat.scopeExists(scope))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+    cat.listStreams(scope).map(st => Identifier.of(namespace, st)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val scope = scopeOf(ident.namespace())
+    if (!cat.streamExists(scope, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val props = new java.util.HashMap[String, String]()
+    props.put("rootDir", rootDir)
+    props.put("scope", scope)
+    props.put("stream", ident.name())
+    new GraftStreamTable(props)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && cat.streamExists(ident.namespace()(0), ident.name())
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val scope = scopeOf(ident.namespace())
+    // the event schema is the engine's contract — a CREATE TABLE either
+    // declares it verbatim or omits columns entirely
+    if (schema.nonEmpty && schema != GraftStreams.eventSchema)
+      throw new IllegalArgumentException(
+        s"graft streams have the fixed event schema ${GraftStreams.eventSchema.simpleString}; " +
+          s"got ${schema.simpleString}")
+    val segments = Option(properties.get("initialSegments")).map(_.toInt).getOrElse(4)
+    cat.createStream(scope, ident.name(), StreamConfig(initialSegments = segments))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft streams: use updateStream/updateStreamTags on the catalog API")
+
+  /** DROP TABLE = seal, then delete — the reference's delete contract
+    * (a live stream must be sealed first; SQL DROP does both).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val scope = scopeOf(ident.namespace())
+    try {
+      cat.sealStream(scope, ident.name())
+      cat.deleteStream(scope, ident.name())
+      true
+    } catch { case _: NoSuchStreamException => false }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft streams cannot be renamed")
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listScopes().map(s => Array(s)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (cat.scopeExists(scopeOf(namespace))) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && cat.scopeExists(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    cat.createScope(scopeOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft scopes carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val scope = scopeOf(namespace)
+    if (!cat.scopeExists(scope)) false
+    else {
+      if (cascade) cat.listStreams(scope).foreach { st =>
+        cat.sealStream(scope, st); cat.deleteStream(scope, st)
+      }
+      cat.deleteScope(scope, recursive = cascade)
+    }
+  }
+}

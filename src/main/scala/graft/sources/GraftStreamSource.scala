@@ -139,18 +139,30 @@ class GraftStreamSourceProvider extends TableProvider with DataSourceRegister {
     GraftSourceConfig.from(options).schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GraftStreamTable(GraftSourceConfig.from(new CaseInsensitiveStringMap(properties)))
+    new GraftStreamTable(properties)
 }
 
-class GraftStreamTable(conf: GraftSourceConfig) extends Table with SupportsRead {
+class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table with SupportsRead {
+  private val conf = GraftSourceConfig.from(new CaseInsensitiveStringMap(baseProps))
   override def name(): String = s"graft-stream:${conf.describe}"
   override def schema(): StructType = conf.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftScan(conf)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // per-read options (cuts, pacing — never identity/schema keys)
+    // overlay the table's own: catalog tables get
+    // `.option("fromStreamCut", ...)` for free
+    val merged = new java.util.HashMap[String, String](baseProps)
+    options.entrySet().forEach { e =>
+      val k = e.getKey.toLowerCase(java.util.Locale.ROOT)
+      if (k.startsWith("fromstreamcut") || k.startsWith("tostreamcut") ||
+          k == "maxrowspertrigger") merged.put(e.getKey, e.getValue)
     }
+    val scanConf = GraftSourceConfig.from(new CaseInsensitiveStringMap(merged))
+    new ScanBuilder {
+      override def build(): Scan = new GraftScan(scanConf)
+    }
+  }
 }
 
 class GraftScan(conf: GraftSourceConfig) extends Scan
