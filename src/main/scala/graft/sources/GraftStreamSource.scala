@@ -45,9 +45,10 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * getNextStreamCut read throttling (BatchClientFactory.java:123), split
   * evenly across subscribed streams, then segments.
   *
-  * Large (> MaxEventSize) events arrive as their individual chunk rows
-  * in offset order (byte-stream-style delivery); the batch API
-  * (GraftStreams.readEvents) is the reassembling surface.
+  * Large (> MaxEventSize) events arrive WHOLE: pacing cuts snap around
+  * chunk-group files and batches containing them route through a
+  * reassembling row reader (GraftReaderFactory), so the streaming and
+  * batch (GraftStreams.readEvents) surfaces agree on event granularity.
   */
 final case class StreamSub(scope: String, stream: String,
                            from: Option[StreamCut], to: Option[StreamCut]) {
@@ -176,7 +177,8 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
     * BatchClientFactory.getSegments(from, to) analog through the
     * DataFrame reader: every subscribed stream scans (fromStreamCut,
     * toStreamCut], defaulting to head → the tail captured at planning.
-    * Chunked large events arrive as chunk rows, like the stream surface.
+    * Chunked large events reassemble to whole rows, like every other
+    * read surface.
     */
   /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
     * Catalyst auto-broadcast a small bounded stream read in joins — the
@@ -244,6 +246,7 @@ private[sources] object GraftReadPlanner {
            fromC: Map[String, StreamCut], toC: Map[String, StreamCut]): Array[InputPartition] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     var anyStraddle = false
+    var anyChunked = false
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
     val pfs = conf.subs.flatMap { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
@@ -269,6 +272,7 @@ private[sources] object GraftReadPlanner {
         .distinctBy(_.path)
       anyStraddle ||= files.exists(f =>
         f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
+      anyChunked ||= files.exists(_.maxChunkCount > 1)
       boundsB += sub.key -> meta.segments.map(s => s.segmentId ->
         (lo(s.segmentId), hi(s.segmentId))).toMap
       val pv: InternalRow =
@@ -281,13 +285,14 @@ private[sources] object GraftReadPlanner {
     }
     val bounds = if (anyStraddle) Some(boundsB.result()) else None
     ParquetShim.pack(spark, pfs)
-      .map(fp => GraftInputPartition(fp, bounds)).toArray
+      .map(fp => GraftInputPartition(fp, bounds, anyChunked)).toArray
   }
 
   def factory(spark: SparkSession, conf: GraftSourceConfig): PartitionReaderFactory =
     new GraftReaderFactory(
       ParquetShim.parquetReaderFactory(spark, dataSchema, partitionSchema(conf)),
-      segOrd, offOrd, streamOrd(conf), conf.subs.head.key)
+      ParquetShim.parquetReaderFactory(spark, GraftStreams.storageSchema, partitionSchema(conf)),
+      segOrd, offOrd, streamOrd(conf), conf.subs.head.key, conf.multi)
 }
 
 class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
@@ -375,7 +380,18 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
           StreamCut(segs.map { sid =>
             val cur = from.positions.getOrElse(sid, 0L)
             val t = tail.positions.getOrElse(sid, cur)
-            sid -> math.min(t, cur + per)
+            // chunk-safe pacing: a cut must never slice inside a file
+            // holding multi-chunk (large) events, or the event's chunks
+            // would split across micro-batches and be unreassemblable.
+            // Swallow the chunked file whole when it fits under the
+            // bound, else stall at its start until the bound lifts.
+            val p = math.min(t, cur + per)
+            val snapped = meta.files.find(f => f.segmentId == sid &&
+                f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
+              case Some(f) => if (f.endOffset <= t) f.endOffset else f.startOffset
+              case None => p
+            }
+            sid -> snapped
           }.toMap)
       }
       sub.key -> mergeMax(advanced, from)
@@ -406,47 +422,63 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
 /** One planned slice of a micro-batch: packed parquet files plus, when
   * any planned file straddles a cut bound, the per-(stream, segment)
   * [lo, hi) row bounds the reader must enforce (None = every file lies
-  * fully inside the cut range — read columnar, no per-row work).
+  * fully inside the cut range — read columnar, no per-row work), plus
+  * whether any planned file holds multi-chunk (large) events, which
+  * routes the whole batch through the reassembling row reader.
   */
 final case class GraftInputPartition(files: InputPartition,
-    bounds: Option[Map[String, Map[Long, (Long, Long)]]]) extends InputPartition {
+    bounds: Option[Map[String, Map[Long, (Long, Long)]]],
+    reassemble: Boolean = false) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
-/** Delegates to Spark's parquet reader factory; batches with no
-  * straddling files pass through COLUMNAR, boundary batches read as rows
-  * filtered by the exact (stream, segment) offset bounds.
+/** Delegates to Spark's parquet reader factory. Batches with no
+  * straddling and no chunked files pass through COLUMNAR; boundary
+  * batches read as rows filtered by the exact (stream, segment) offset
+  * bounds; batches containing large-event chunk rows read the at-rest
+  * storage schema and reassemble each chunk group into one whole event
+  * (the streaming analog of GraftStreams.reassembleLargeEvents —
+  * chunk-safe pacing in latestOffset guarantees groups never split
+  * across micro-batches, and groups never span files by construction).
   */
-final class GraftReaderFactory(delegate: PartitionReaderFactory, segOrd: Int,
-    offOrd: Int, streamOrd: Option[Int], singleKey: String)
+final class GraftReaderFactory(delegate: PartitionReaderFactory,
+    storageDelegate: PartitionReaderFactory, segOrd: Int,
+    offOrd: Int, streamOrd: Option[Int], singleKey: String, multi: Boolean)
     extends PartitionReaderFactory {
 
   private def unwrap(p: InputPartition) = p.asInstanceOf[GraftInputPartition]
 
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val gp = unwrap(p)
-    gp.bounds.isEmpty && delegate.supportColumnarReads(gp.files)
+    gp.bounds.isEmpty && !gp.reassemble && delegate.supportColumnarReads(gp.files)
   }
 
   override def createColumnarReader(p: InputPartition) =
     delegate.createColumnarReader(unwrap(p).files)
 
+  private def inBounds(b: Option[Map[String, Map[Long, (Long, Long)]]],
+                       key: String, sid: Long, off: Long): Boolean = b match {
+    case None => true
+    case Some(m) => m.get(key).flatMap(_.get(sid))
+      .exists { case (lo, hi) => off >= lo && off < hi }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = unwrap(p)
+    if (gp.reassemble)
+      return new ReassemblingReader(storageDelegate.createReader(gp.files), gp.bounds)
     val r = delegate.createReader(gp.files)
     gp.bounds match {
       case None => r
-      case Some(b) => new PartitionReader[InternalRow] {
+      case Some(_) => new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean = {
           while (r.next()) {
             val row = r.get()
-            val sid = row.getLong(segOrd)
-            val off = row.getLong(offOrd)
             val key = streamOrd.map(i => row.getUTF8String(i).toString).getOrElse(singleKey)
-            val ok = b.get(key).flatMap(_.get(sid))
-              .exists { case (lo, hi) => off >= lo && off < hi }
-            if (ok) { cur = row; return true }
+            if (inBounds(gp.bounds, key, row.getLong(segOrd), row.getLong(offOrd))) {
+              cur = row; return true
+            }
           }
           false
         }
@@ -454,6 +486,85 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory, segOrd: Int,
         override def close(): Unit = r.close()
       }
     }
+  }
+
+  /** Rows arrive offset-ordered per file (and chunk groups are
+    * file-contiguous), so reassembly is a streaming merge: buffer the
+    * chunkCount consecutive rows of a group, emit one event row with
+    * the concatenated payload at the group's head offset. Incomplete
+    * groups (cut/truncation edges — possible only with non-chunk-safe
+    * external cuts) are dropped, exactly like the batch reassembler's
+    * nRows === chunkCount filter.
+    */
+  private final class ReassemblingReader(r: PartitionReader[InternalRow],
+      bounds: Option[Map[String, Map[Long, (Long, Long)]]])
+      extends PartitionReader[InternalRow] {
+    // storage-schema ordinals: eventSchema fields, then the chunk markers,
+    // then (multi) the stream partition column
+    private val csOrd = GraftStreams.eventSchema.size
+    private val ccOrd = csOrd + 1
+    private val stOrd = ccOrd + 1
+    private val ptOrd = GraftStreams.eventSchema.fieldIndex("processingTime")
+    private val rkOrd = GraftStreams.eventSchema.fieldIndex("routingKey")
+    private val etOrd = GraftStreams.eventSchema.fieldIndex("eventTime")
+    private val payOrd = GraftStreams.eventSchema.fieldIndex("payload")
+    private var cur: InternalRow = _
+
+    private def key(row: InternalRow): String =
+      if (multi) row.getUTF8String(stOrd).toString else singleKey
+
+    private def emit(seg: Long, off: Long, rk: UTF8String, et: Long,
+                     pt: Any, payload: Array[Byte], st: UTF8String): Boolean = {
+      val vals = Array[Any](seg, off, rk, et, pt, payload) ++
+        (if (multi) Array[Any](st) else Array.empty[Any])
+      cur = new GenericInternalRow(vals)
+      true
+    }
+
+    override def next(): Boolean = {
+      while (r.next()) {
+        val row = r.get()
+        val cc = if (row.isNullAt(ccOrd)) 1 else row.getInt(ccOrd)
+        val seg = row.getLong(segOrd)
+        val off = row.getLong(offOrd)
+        if (cc <= 1) {
+          if (inBounds(bounds, key(row), seg, off)) { cur = row; return true }
+        } else {
+          val seq = if (row.isNullAt(csOrd)) 0 else row.getInt(csOrd)
+          // groups start at chunkSeq 0; a nonzero head is the tail of a
+          // group sliced off below the read range — skip its rows
+          if (seq == 0) {
+            val rk = row.getUTF8String(rkOrd).clone()
+            val et = row.getLong(etOrd)
+            val pt: Any = if (row.isNullAt(ptOrd)) null else row.getLong(ptOrd)
+            val st = if (multi) row.getUTF8String(stOrd).clone() else null
+            val k = if (multi) st.toString else singleKey
+            val parts = scala.collection.mutable.ArrayBuffer(row.getBinary(payOrd))
+            var got = 1
+            var intact = true
+            while (intact && got < cc && r.next()) {
+              val nr = r.get()
+              val ncc = if (nr.isNullAt(ccOrd)) 1 else nr.getInt(ccOrd)
+              val nseq = if (nr.isNullAt(csOrd)) 0 else nr.getInt(csOrd)
+              if (ncc == cc && nseq == got && nr.getLong(segOrd) == seg &&
+                  nr.getLong(offOrd) == off + got) {
+                parts += nr.getBinary(payOrd); got += 1
+              } else intact = false
+            }
+            if (intact && got == cc && inBounds(bounds, k, seg, off)) {
+              val out = new Array[Byte](parts.map(_.length).sum)
+              var pos = 0
+              parts.foreach { b => System.arraycopy(b, 0, out, pos, b.length); pos += b.length }
+              return emit(seg, off, rk, et, pt, out, st)
+            }
+            // incomplete group at a slice edge: dropped (batch parity)
+          }
+        }
+      }
+      false
+    }
+    override def get(): InternalRow = cur
+    override def close(): Unit = r.close()
   }
 }
 

@@ -204,4 +204,39 @@ class StreamingSourceSpec extends AnyFunSuite {
     g.removeWriter("s", "ev", "w2")
     assert(g.timeWindow("s", "ev") == Some((9000L, 9000L)))
   }
+
+  test("streaming delivers large (>MaxEventSize) events WHOLE, even under pacing") {
+    val (g, root) = mk()
+    // 300 small events around one 9.5 MiB event (2 chunks at rest)
+    g.writeEvents("s", "ev", batch("pre", 150))
+    val unit = "0123456789abcdef" // 16 B
+    val reps = (9.5 * 1024 * 1024 / 16).toInt
+    g.writeEvents("s", "ev", spark.range(1).select(
+      lit("big-key").as("routingKey"), lit(42L).as("eventTime"),
+      encode(repeat(lit(unit), (col("id") + reps).cast("int")), "UTF-8").as("payload")))
+    g.writeEvents("s", "ev", batch("post", 150))
+
+    // pace far below the chunked file's row-neighborhood: the cut must
+    // snap around the chunk group instead of splitting it
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "40")
+      .load()
+      .writeStream.format("memory").queryName("bigev").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-big-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("bigev")
+      assert(t.count() === 301L, "150 + 150 small + ONE reassembled large event")
+      val big = t.filter($"routingKey" === "big-key")
+        .select(length($"payload").as("len"), md5($"payload").as("digest")).head()
+      assert(big.getInt(0) === reps * 16, "large event must arrive whole")
+      val expected = spark.range(1).select(
+        md5(encode(repeat(lit(unit), reps), "UTF-8"))).head().getString(0)
+      assert(big.getString(1) === expected, "payload must be byte-exact")
+      // exactly-once for the small neighbors too
+      assert(t.select($"routingKey", $"eventTime").distinct().count() === 301L)
+    } finally q.stop()
+  }
 }
