@@ -313,9 +313,52 @@ object StreamQueries {
       |  event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY stream, event_type""".stripMargin
 
+  /** Compaction equivalence vs the EXTERNAL oracle (TableCompactor /
+    * chunk-defrag analog): the events table loads in FIVE separate
+    * batches (5 files per segment), `compactStream` folds them to one
+    * per segment, more data lands after, and a second compaction runs.
+    * The read-back per-key payload chain in engine order must still
+    * match the oracle's event_id-ordered chain — compaction preserved
+    * every row, every payload and the per-key order, not just counts.
+    */
+  private def compactedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cpq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir)
+      .filter($"user_id" < 150)
+      .orderBy($"event_id")
+      .select(
+        $"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"),
+        $"event_id")
+    for (i <- 0 until 4)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 5 === i).drop("event_id"))
+    g.compactStream("q", "ev", minFilesPerSegment = 2)
+    g.writeEvents("q", "ev", src.filter($"event_id" % 5 === 4).drop("event_id"))
+    g.compactStream("q", "ev", minFilesPerSegment = 2)
+    g.readEvents("q", "ev")
+      .select($"routingKey", decode($"payload", "UTF-8").as("pid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"pid".cast("long"))),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val compactedRoundtripSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
+    ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),

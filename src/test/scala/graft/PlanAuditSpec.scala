@@ -195,4 +195,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"too many shuffles for a hash-groupBy dedup: $shuffles")
     assert(executed.contains("*("), "dedup fell out of whole-stage codegen")
   }
+
+  test("ev_rfm_cutoffs: every window is partitioned and runs over an aggregate") {
+    // the scale-path RFM must never fall back to ev_rfm_scores' shape:
+    // a global (unpartitioned) ntile window over the per-user rows. Its
+    // only windows are the per-metric running sums over value HISTOGRAMS
+    // — partitioned by metric, fed by an aggregate.
+    val df = SparkEntry.queries("ev_rfm_cutoffs")(spark, sf)
+    df.collect()
+    def check(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned (single-task) window in the RFM scale path:\n$w")
+        def hasAgg(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          q.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+            q.children.exists(hasAgg) ||
+            (q match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => hasAgg(a.executedPlan)
+              case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => hasAgg(s.plan)
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+              case _ => false
+            })
+        assert(hasAgg(w.child), s"window over raw (non-histogram) rows:\n${w.child}")
+        w.children.foreach(check)
+      case other =>
+        other.children.foreach(check)
+        other match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => check(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => check(s.plan)
+          case _ =>
+        }
+    }
+    check(df.queryExecution.executedPlan)
+  }
 }
