@@ -347,6 +347,71 @@ object SimilarityOps {
       |    (acc, e) -> acc + e) AS sse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** REAL image decode through the driver gate (not just specs): a
+    * deterministic set of PNG/BMP images — solid colors over varying
+    * dims, a black/white checkerboard (luminance entropy exactly 1 bit),
+    * and a bilinear 40×40→8×6 resize round trip — is generated, encoded
+    * and decoded PARTITION-PARALLEL on executors via javax.imageio
+    * (`Multimodal.decode`/`resizeImage`). The oracle re-derives the
+    * expected (dims, channels, entropy bucket) from the generation
+    * parameters, the same external-recompute pattern as
+    * `stream_large_event`.
+    */
+  private def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val solids = (0 until 8).map(i =>
+      (i.toLong, "png_solid", 16 + 3 * i, 9 + 2 * i, 0x1000 * i + 0x3366cc))
+    val cases = solids ++ Seq(
+      (100L, "png_checker", 32, 32, 0),
+      (101L, "bmp_solid", 20, 10, 0x00cc88),
+      (102L, "png_resized", 40, 40, 0x00ff00))
+    s.createDataset(cases).repartition(4).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def img(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgbAt(x, y))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "png", out)
+        out.toByteArray
+      }
+      def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgb)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, "bmp", out)
+        out.toByteArray
+      }
+      it.map { case (id, kind, w, h, rgb) =>
+        val payload = kind match {
+          case "png_solid" => img(w, h, (_, _) => rgb)
+          case "png_checker" => img(w, h, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+          case "bmp_solid" => bmp(w, h, rgb)
+          case "png_resized" =>
+            Multimodal.resizeImage(
+              Multimodal.MediaRecord(id, "image/png", img(w, h, (_, _) => rgb)), 8, 6)
+              .get.payload
+        }
+        val f = Multimodal.decodeImage(Multimodal.MediaRecord(id, "image/x", payload))
+          .getOrElse(throw new IllegalStateException(s"real decode failed for $kind"))
+        (id, kind, f.width.toLong, f.height.toLong,
+          f.channels.toLong, f.byteEntropyBucket.toLong)
+      }
+    }.toDF("case_id", "kind", "width", "height", "channels", "entropy_bucket")
+      .orderBy($"case_id")
+  }
+
+  private val mmDecodeRealSql =
+    """SELECT CAST(i AS BIGINT) AS case_id, 'png_solid' AS kind,
+      |  CAST(16 + 3 * i AS BIGINT) AS width, CAST(9 + 2 * i AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS entropy_bucket
+      |FROM (SELECT unnest(range(8)) AS i)
+      |UNION ALL SELECT 100, 'png_checker', 32, 32, 3, 2
+      |UNION ALL SELECT 101, 'bmp_solid', 20, 10, 3, 0
+      |UNION ALL SELECT 102, 'png_resized', 8, 6, 3, 0
+      |ORDER BY case_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
@@ -358,6 +423,7 @@ object SimilarityOps {
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
     ("mm_frames",        mmFrames _,     Some(mmFramesSql)),
+    ("mm_decode_real",   mmDecodeReal _, Some(mmDecodeRealSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
   )
 }
