@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.QueryRegistry.Qf
-import graft.core.StreamConfig
+import graft.core.{SegmentId, SegmentRates, StreamConfig}
 import graft.storage.GraftStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -355,10 +355,71 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Auto-scale policy arithmetic through the driver gate
+    * (AutoScaleProcessor.java:286-302 thresholds + the epoch/lineage
+    * model): a 6-segment stream gets hand-injected EWMA rates covering
+    * every decision branch — a 6× hot segment (2-min rule), a 2× warm
+    * one (5-min rule), an adjacent cold pair (merge), a busy survivor
+    * and a lone cold segment (no adjacent partner) — then one
+    * `AutoScaler.evaluate` pass runs. The output is the new epoch's
+    * open layout in key order: id epoch (0 = carried, 1 = replaced) and
+    * parent count per slot. The oracle is the hand-derived layout —
+    * constants, like `ev_next_cut`'s arithmetic check.
+    */
+  private def autoscalePolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-asq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    val t0 = 1700000000000L
+    g.catalog.createStream("q", "ev",
+      StreamConfig(initialSegments = 6, targetRatePerSegment = 100L, minSegments = 2))
+    g.catalog.update("q", "ev") { m =>
+      val ids = m.openSegments.sortBy(_.keyLow).map(_.segmentId)
+      m.copy(
+        createdAt = t0,
+        segments = m.segments.map(_.copy(createdAt = t0)),
+        epochs = m.epochs.map(_.copy(createdAt = t0)),
+        segmentRates = Map(
+          ids(0) -> SegmentRates(twoMin = 600.0, fiveMin = 80.0, tenMin = 80.0, twentyMin = 80.0),
+          ids(1) -> SegmentRates(twoMin = 80.0, fiveMin = 250.0, tenMin = 80.0, twentyMin = 80.0),
+          ids(2) -> SegmentRates(twoMin = 40.0, fiveMin = 40.0, tenMin = 40.0, twentyMin = 30.0),
+          ids(3) -> SegmentRates(twoMin = 40.0, fiveMin = 40.0, tenMin = 40.0, twentyMin = 30.0),
+          ids(4) -> SegmentRates(twoMin = 120.0, fiveMin = 150.0, tenMin = 90.0, twentyMin = 90.0),
+          ids(5) -> SegmentRates(twoMin = 40.0, fiveMin = 40.0, tenMin = 40.0, twentyMin = 30.0)))
+    }
+    val scaler = new graft.storage.AutoScaler(g)
+    val now = t0 + 21 * 60 * 1000L
+    val scaled = scaler.evaluate("q", "ev", now)
+    require(scaled.isDefined, "the injected rates must trigger a scale")
+    // cooldown: an immediate second pass must be a no-op
+    require(scaler.evaluate("q", "ev", now + 1000L).isEmpty, "cooldown ignored")
+    val meta = g.catalog.getStream("q", "ev")
+    val rows = meta.openSegments.sortBy(_.keyLow).zipWithIndex.map { case (seg, i) =>
+      (i.toLong, SegmentId.epoch(seg.segmentId).toLong, seg.parents.size.toLong)
+    }
+    s.createDataFrame(rows).toDF("pos", "id_epoch", "n_parents").orderBy($"pos")
+  }
+
+  // seg0 (6x hot) -> 6 children; seg1 (2.5x on the 5-min rule) -> 2;
+  // seg2+seg3 (adjacent cold) -> 1 merged child with 2 parents;
+  // seg4 busy -> carried; seg5 cold but partnerless -> carried
+  private val autoscalePolicySql =
+    """SELECT CAST(pos AS BIGINT) AS pos, CAST(id_epoch AS BIGINT) AS id_epoch,
+      |  CAST(n_parents AS BIGINT) AS n_parents
+      |FROM (VALUES
+      |  (0, 1, 1), (1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1), (5, 1, 1),
+      |  (6, 1, 1), (7, 1, 1),
+      |  (8, 1, 2),
+      |  (9, 0, 0),
+      |  (10, 0, 0)) AS v(pos, id_epoch, n_parents)
+      |ORDER BY pos""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
+    ("ev_autoscale_policy",  autoscalePolicy _, Some(autoscalePolicySql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
