@@ -124,10 +124,27 @@ object KvQueries {
       |  AND c_custkey IN (3, 6, 7, 14, 20, 21, 33, 42, 55, 90, 91, 99999999)
       |ORDER BY pk""".stripMargin
 
+  /** Compaction equivalence vs the EXTERNAL oracle (TableCompactor
+    * analog): a fresh table with the same three-commit history folds its
+    * deltas to a new base, and the resolved state — values, tombstones
+    * AND per-entry commit versions — must still match the oracle's
+    * recomputation. Same contract as `stream_compacted_roundtrip`, for
+    * the KV LSM.
+    */
+  private def kvCompactedResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = buildFresh(s, dir)
+    t.compact()
+    t.entries()
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_range_scan", kvRangeScan _, Some(kvRangeScanSql)),
     ("kv_delta_feed", kvDeltaFeed _, Some(kvDeltaFeedSql)),
     ("kv_multiget",   kvMultiget _,  Some(kvMultigetSql)),
+    ("kv_compacted_resolve", kvCompactedResolve _, Some(kvResolveSql)),
   )
 }
