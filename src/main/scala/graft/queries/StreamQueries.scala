@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.QueryRegistry.Qf
-import graft.core.{SegmentId, SegmentRates, StreamConfig}
+import graft.core.{SegmentId, SegmentRates, StreamConfig, StreamCut}
 import graft.storage.GraftStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -291,8 +291,8 @@ object StreamQueries {
     // sf — paging semantics stay exercised without 50 micro-batches of
     // fixed trigger overhead dominating the wall time at bench scale
     val pace = math.max(2000L,
-      g.unreadRows("q", "x", graft.core.StreamCut(Map.empty)) +
-        g.unreadRows("q", "y", graft.core.StreamCut(Map.empty))) / 5L
+      g.unreadRows("q", "x", StreamCut(Map.empty)) +
+        g.unreadRows("q", "y", StreamCut(Map.empty))) / 5L
     val sink = s"msq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = s.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("streams", "x,y")
@@ -415,11 +415,58 @@ object StreamQueries {
       |  (10, 0, 0)) AS v(pos, id_epoch, n_parents)
       |ORDER BY pos""".stripMargin
 
+  /** Retention-policy arithmetic through the driver gate
+    * (StreamMetadataTasks.java:968-1154 + PeriodicRetention.java:51):
+    * one ordered single-segment stream (so positions are
+    * oracle-replayable row ranks, like `ev_next_cut`), THREE competing
+    * policies in one pass — a time cut at eventTime 3000, a size cap of
+    * 1000 live rows, and a slowest-subscriber named `sub:` cut at 70% —
+    * and the applied truncation must leave exactly the oracle's
+    * surviving id range: head = min(max(timeCut, sizeCut), subscriber).
+    */
+  private def retentionPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    val now0 = 10000000L
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 1,
+      retentionMillis = now0 - 3000L, retentionMaxRows = 1000L))
+    val src = Tables.events(s, dir).filter($"user_id" < 80)
+      .orderBy($"event_id")
+      .select($"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    val meta = g.catalog.getStream("q", "ev")
+    val sid = meta.segments.head.segmentId
+    val n = meta.tailCut.positions(sid)
+    g.saveStreamCut("q", "ev", "sub:grp", Some(StreamCut(Map(sid -> n * 7L / 10L))))
+    new graft.storage.Retention(g).apply("q", "ev", now0)
+    g.readEvents("q", "ev")
+      .select(decode($"payload", "UTF-8").cast("long").as("id"))
+      .agg(count(lit(1)).as("n_live"), min($"id").as("min_id"), max($"id").as("max_id"))
+  }
+
+  private val retentionPolicySql =
+    """WITH e AS (SELECT event_id FROM events WHERE user_id < 80),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(COUNT(*) FILTER (WHERE event_id < 3000) AS BIGINT) AS tcut
+      |      FROM e),
+      |h AS (SELECT n, LEAST(GREATEST(tcut, GREATEST(n - 1000, 0)), (n * 7) // 10) AS head
+      |      FROM c),
+      |r AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS pos FROM e)
+      |SELECT CAST(n - head AS BIGINT) AS n_live,
+      |  CAST(MIN(CASE WHEN pos >= head THEN event_id END) AS BIGINT) AS min_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_id
+      |FROM r, h GROUP BY n, head""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
     ("ev_autoscale_policy",  autoscalePolicy _, Some(autoscalePolicySql)),
+    ("ev_retention_policy",  retentionPolicy _, Some(retentionPolicySql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
