@@ -528,7 +528,16 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
         val seg = row.getLong(segOrd)
         val off = row.getLong(offOrd)
         if (cc <= 1) {
-          if (inBounds(bounds, key(row), seg, off)) { cur = row; return true }
+          // project storage-schema fields to the OUTPUT schema — the raw
+          // row has chunkSeq/chunkCount between payload and the stream
+          // partition column, so passing it through verbatim would read
+          // chunkSeq where `stream` belongs in multi-stream mode
+          if (inBounds(bounds, key(row), seg, off)) {
+            return emit(seg, off, row.getUTF8String(rkOrd), row.getLong(etOrd),
+              if (row.isNullAt(ptOrd)) null else row.getLong(ptOrd),
+              row.getBinary(payOrd),
+              if (multi) row.getUTF8String(stOrd) else null)
+          }
         } else {
           val seq = if (row.isNullAt(csOrd)) 0 else row.getInt(csOrd)
           // groups start at chunkSeq 0; a nonzero head is the tail of a

@@ -333,6 +333,47 @@ class MultiStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-stream group with a chunked large event: whole payload, correct stream column") {
+    val root = Files.createTempDirectory("graft-msbig").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 2))
+    def batch(tag: String, n: Int) = spark.range(n).select(
+      concat(lit(tag), col("id") % 4).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id")), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 120))
+    val unit = "0123456789abcdef"
+    val reps = (9 * 1024 * 1024 / 16) + 7
+    g.writeEvents("s", "a", spark.range(1).select(
+      lit("big").as("routingKey"), lit(5L).as("eventTime"),
+      encode(repeat(lit(unit), (col("id") + reps).cast("int")), "UTF-8").as("payload")))
+    g.writeEvents("s", "b", batch("b", 80))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b")
+      .load()
+      .writeStream.format("memory").queryName("msbig").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-msbig-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("msbig")
+      assert(t.count() === 201L, "120 + 80 small + ONE reassembled large event")
+      // stream identity survives the reassembling reader for EVERY row
+      val byStream = t.groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStream == Map("s/a" -> 121L, "s/b" -> 80L))
+      val big = t.filter($"routingKey" === "big")
+        .select(length($"payload"), $"stream").head()
+      assert(big.getInt(0) === reps * 16 && big.getString(1) === "s/a")
+      // small pass-through rows keep exact payloads (no schema skew)
+      assert(t.filter($"stream" === "s/b")
+        .select(decode($"payload", "UTF-8")).distinct().count() === 80L)
+    } finally q.stop()
+  }
+
   test("one query consumes two streams; per-source offsets checkpoint independently") {
     val root = Files.createTempDirectory("graft-ms").toString
     val g = new GraftStreams(spark, root)
