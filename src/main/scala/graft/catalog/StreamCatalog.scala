@@ -69,9 +69,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
 
-  /** deleteScope; `recursive=true` maps deleteScopeRecursive (StreamManager.java:172). */
+  /** deleteScope; `recursive=true` maps deleteScopeRecursive
+    * (StreamManager.java:172). Non-recursive refuses while ANY child —
+    * stream or key-value table — exists, like the reference's
+    * non-empty-scope rejection.
+    */
   def deleteScope(scope: String, recursive: Boolean = false): Boolean = {
-    if (!recursive && listStreams(scope).nonEmpty)
+    if (!recursive && (listStreams(scope).nonEmpty || listKeyValueTables(scope).nonEmpty))
       throw new GraftException(s"scope $scope not empty")
     fs.delete(scopePath(scope), true)
   }
@@ -267,12 +271,15 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     require(scopeExists(scope), s"scope $scope does not exist")
     require(config.partitionCount > 0, "partitionCount must be a positive integer")
     if (keyValueTableExists(scope, name)) return false
-    val out = CasFiles.createExclusive(fs, kvtConfigPath(scope, name))
-    try { out.write(Serialization.write(config).getBytes(StandardCharsets.UTF_8)); true }
-    catch {
+    try {
+      val out = CasFiles.createExclusive(fs, kvtConfigPath(scope, name))
+      try out.write(Serialization.write(config).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException => false // lost the create race
-    } finally out.close()
+    }
   }
 
   def keyValueTableExists(scope: String, name: String): Boolean =

@@ -119,6 +119,22 @@ class StreamCatalogSpec extends AnyFunSuite {
     assertThrows[NoSuchStreamException](c.getKeyValueTableConfig("s", "t1"))
     assertThrows[IllegalArgumentException](
       c.createKeyValueTable("s", "bad", KvTableConfig(partitionCount = 0)))
+
+    // a scope holding only KV tables is NOT empty — non-recursive delete
+    // must refuse (non-empty-scope rejection covers both child kinds)
+    val c2 = freshCatalog()
+    c2.createScope("kv-only")
+    c2.createKeyValueTable("kv-only", "t")
+    assertThrows[GraftException](c2.deleteScope("kv-only"))
+    assert(c2.deleteScope("kv-only", recursive = true))
+
+    // losing the create race surfaces as created=false, never an exception
+    val racers = (1 to 8).map { _ =>
+      new Thread { var won = false; override def run(): Unit =
+        won = c.createKeyValueTable("s", "raced") }
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(racers.count(_.won) == 1, "exactly one racer must win the create")
   }
 
   test("key-value table manager: open uses the persisted creation-time layout") {
