@@ -93,6 +93,50 @@ object CurationOps {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  // ---------------------------------------------------- chunk windowing
+
+  /** Overlapping fixed-size context windows (the RAG/pre-training
+    * chunking pass, sibling of `ds_pack_sequences`): each document's
+    * whitespace tokens are cut into 50-token windows at stride 40 (10
+    * tokens of overlap), one window per stride step whose start lies
+    * inside the doc, trailing partial window kept. Output: per chunk,
+    * its size, first token and content fingerprint.
+    *
+    * Scale: tokens materialize ONCE per doc in a projection (the
+    * GramStage lesson — never re-split under an exploded column), then
+    * one generator explode per doc and zero shuffles before the final
+    * order; chunk count ≈ n_tok/stride keeps output linear in corpus
+    * tokens.
+    */
+  private def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), expr("(n - 1) div 40"))))
+      .withColumn("chunk", slice($"toks", ($"chunk_idx" * 40L + 1L).cast("int"), lit(50)))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").cast("long").as("n_tok"),
+        element_at($"chunk", 1).as("first_tok"),
+        md5(concat_ws(" ", $"chunk")).as("fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val chunkWindowsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      |      FROM t WHERE len(toks) > 0),
+      |i AS (SELECT doc_id, toks, n, unnest(range((n - 1) // 40 + 1)) AS idx FROM n),
+      |c AS (SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+      |        list_slice(toks, idx * 40 + 1, least(idx * 40 + 50, n)) AS chunk
+      |      FROM i)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tok,
+      |  chunk[1] AS first_tok, md5(array_to_string(chunk, ' ')) AS fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------ weighted sample
 
   /** Deterministic weighted Bernoulli sampling: doc kept iff
@@ -378,6 +422,7 @@ object CurationOps {
     ("ds_token_budget",         tokenBudget _,        Some(tokenBudgetSql)),
     ("ds_domain_cap",           domainCap _,          Some(domainCapSql)),
     ("ds_pack_sequences",       packSequences _,      Some(packSequencesSql)),
+    ("ds_chunk_windows",        chunkWindows _,       Some(chunkWindowsSql)),
     ("ds_weighted_sample",      weightedSample _,     Some(weightedSampleSql)),
     ("txt_tfidf_top",           tfidfTop _,           Some(tfidfTopSql)),
     ("txt_bloom_contamination", bloomContamination _, Some(bloomContaminationSql)),
