@@ -196,6 +196,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(executed.contains("*("), "dedup fell out of whole-stage codegen")
   }
 
+  test("ds_chunk_windows: tokens split once, no shuffle before the final order") {
+    // the GramStage lesson as a gate: the token array must materialize
+    // in a projection (one split per doc), with the only exchanges being
+    // the final global sort — a re-split under the exploded chunk column
+    // or a stray aggregation would show up as extra shuffles
+    val (df, _, executed) = planOf("ds_chunk_windows")
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            countShuffles(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            countShuffles(q.plan)
+          case _ => 0
+        })
+    }
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    assert(shuffles <= 1, s"chunking must not shuffle before the final sort: $shuffles")
+    assert(executed.contains("Generate"), "expected one generator explode per doc")
+  }
+
   test("ev_rfm_cutoffs: every window is partitioned and runs over an aggregate") {
     // the scale-path RFM must never fall back to ev_rfm_scores' shape:
     // a global (unpartitioned) ntile window over the per-user rows. Its
