@@ -374,6 +374,46 @@ class MultiStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scale on ONE group member mid-query: its cut grows segments, the other is untouched") {
+    val root = Files.createTempDirectory("graft-mssc").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("s", "b", StreamConfig(initialSegments = 2))
+    def batch(tag: String, n: Int, base: Int = 0) = spark.range(n).select(
+      concat(lit(tag), col("id") % 8).as("routingKey"),
+      (lit(1704067200000L) + col("id")).as("eventTime"),
+      encode(concat(lit(tag), col("id") + base), "UTF-8").as("payload"))
+    g.writeEvents("s", "a", batch("a", 200))
+    g.writeEvents("s", "b", batch("b", 200))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("streams", "a,b")
+      .load()
+      .writeStream.format("memory").queryName("mssc").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-mssc-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // epoch change on b only, then data lands on BOTH post-scale
+      g.scaleStream("s", "b", 5)
+      g.writeEvents("s", "a", batch("a", 100, base = 200))
+      g.writeEvents("s", "b", batch("b", 150, base = 200))
+      q.processAllAvailable()
+      val t = spark.table("mssc")
+      val byStream = t.groupBy($"stream").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStream == Map("s/a" -> 300L, "s/b" -> 350L))
+      assert(t.select(decode($"payload", "UTF-8")).distinct().count() === 650L,
+        "exactly-once across the epoch hand-off on one group member")
+      // the checkpointed composite offset carries b's new epoch segments
+      val last = q.lastProgress.sources.head.endOffset
+      val cuts = GraftStreamOffset.parse(last, "s/a")
+      assert(cuts("s/b").positions.size > cuts("s/a").positions.size,
+        s"b's cut must include post-scale segments: $last")
+    } finally q.stop()
+  }
+
   test("one query consumes two streams; per-source offsets checkpoint independently") {
     val root = Files.createTempDirectory("graft-ms").toString
     val g = new GraftStreams(spark, root)
