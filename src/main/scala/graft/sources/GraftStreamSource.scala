@@ -183,6 +183,9 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
   /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
     * Catalyst auto-broadcast a small bounded stream read in joins — the
     * stream-table enrichment shape — without a manual broadcast() hint.
+    * Estimates cover the WHOLE stream, not the cut range — an
+    * overestimate for bounded reads, which errs toward not broadcasting
+    * (the safe direction).
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
@@ -412,8 +415,11 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftReadPlanner.plan(spark, g, conf, toCuts(start), toCuts(end))
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftReadPlanner.factory(spark, conf)
+  // one factory for the query's lifetime: building it per micro-batch
+  // would broadcast two fresh Hadoop confs every trigger and accumulate
+  // them on the driver for as long as the query runs
+  private lazy val readerFactory = GraftReadPlanner.factory(spark, conf)
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
