@@ -380,21 +380,37 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
         case Some(budget) =>
           val segs = meta.segments.map(_.segmentId)
           val per = math.max(1L, budget / math.max(1, segs.size))
+          // lineage gate (SegmentCompleted analog, ReaderGroupState.java:
+          // 966 — SURVEY §7's per-key-order-across-scale hard part): a
+          // post-scale segment must not enter a batch BEFORE its parents'
+          // final rows, or per-key epoch order breaks ACROSS micro-batches
+          // where no consumer sort can repair it. A child only advances
+          // once every parent's announced cut has reached its sealed tail.
+          val sealedTail = meta.segments.filter(_.isSealed)
+            .map(s => s.segmentId -> s.tailOffset).toMap
+          val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
+          def parentsDrained(sid: Long): Boolean =
+            parentsOf.getOrElse(sid, Nil).forall { p =>
+              from.positions.getOrElse(p, 0L) >= sealedTail.getOrElse(p, 0L)
+            }
           StreamCut(segs.map { sid =>
             val cur = from.positions.getOrElse(sid, 0L)
             val t = tail.positions.getOrElse(sid, cur)
-            // chunk-safe pacing: a cut must never slice inside a file
-            // holding multi-chunk (large) events, or the event's chunks
-            // would split across micro-batches and be unreassemblable.
-            // Swallow the chunked file whole when it fits under the
-            // bound, else stall at its start until the bound lifts.
-            val p = math.min(t, cur + per)
-            val snapped = meta.files.find(f => f.segmentId == sid &&
-                f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
-              case Some(f) => if (f.endOffset <= t) f.endOffset else f.startOffset
-              case None => p
+            if (!parentsDrained(sid)) sid -> cur
+            else {
+              // chunk-safe pacing: a cut must never slice inside a file
+              // holding multi-chunk (large) events, or the event's chunks
+              // would split across micro-batches and be unreassemblable.
+              // Swallow the chunked file whole when it fits under the
+              // bound, else stall at its start until the bound lifts.
+              val p = math.min(t, cur + per)
+              val snapped = meta.files.find(f => f.segmentId == sid &&
+                  f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
+                case Some(f) => if (f.endOffset <= t) f.endOffset else f.startOffset
+                case None => p
+              }
+              sid -> snapped
             }
-            sid -> snapped
           }.toMap)
       }
       sub.key -> mergeMax(advanced, from)

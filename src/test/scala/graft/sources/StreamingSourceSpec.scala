@@ -205,6 +205,44 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(g.timeWindow("s", "ev") == Some((9000L, 9000L)))
   }
 
+  test("paced drain respects segment lineage: children never precede their parents' last batch") {
+    // the SegmentCompleted analog (ReaderGroupState.java:966): under
+    // pacing, post-scale segments must not enter an EARLIER micro-batch
+    // than the final rows of their parents — cross-batch epoch disorder
+    // cannot be repaired by any consumer sort
+    val (g, root) = mk()
+    g.writeEvents("s", "ev", batch("pre", 600))
+    g.scaleStream("s", "ev", 5)
+    g.writeEvents("s", "ev", batch("post", 400, t0 = 1704067300000L))
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]() // (batchId, segmentId)
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "120")
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-lin-ck").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.select($"segmentId").distinct().collect()
+          .foreach(r => seen.add(id -> r.getLong(0)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val meta = g.catalog.getStream("s", "ev")
+      val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
+      val pairs = seen.toArray(Array.empty[(Long, Long)])
+      assert(pairs.nonEmpty && pairs.map(_._1).distinct.length > 3, "expected a multi-batch drain")
+      val firstBatch = pairs.groupBy(_._2).map { case (sid, xs) => sid -> xs.map(_._1).min }
+      val lastBatch = pairs.groupBy(_._2).map { case (sid, xs) => sid -> xs.map(_._1).max }
+      for ((sid, parents) <- parentsOf; p <- parents; if firstBatch.contains(sid)) {
+        assert(lastBatch.contains(p), s"child $sid delivered but parent $p never was")
+        assert(firstBatch(sid) > lastBatch(p),
+          s"child segment $sid entered batch ${firstBatch(sid)} before parent $p finished (${lastBatch(p)})")
+      }
+    } finally q.stop()
+  }
+
   test("streaming delivers large (>MaxEventSize) events WHOLE, even under pacing") {
     val (g, root) = mk()
     // 300 small events around one 9.5 MiB event (2 chunks at rest)
