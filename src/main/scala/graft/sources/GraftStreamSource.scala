@@ -173,13 +173,6 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, conf)
 
-  /** Bounded batch read (`spark.read.format("graft-stream")`) — the
-    * BatchClientFactory.getSegments(from, to) analog through the
-    * DataFrame reader: every subscribed stream scans (fromStreamCut,
-    * toStreamCut], defaulting to head → the tail captured at planning.
-    * Chunked large events reassemble to whole rows, like every other
-    * read surface.
-    */
   /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
     * Catalyst auto-broadcast a small bounded stream read in joins — the
     * stream-table enrichment shape — without a manual broadcast() hint.
@@ -209,6 +202,13 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
     }
   }
 
+  /** Bounded batch read (`spark.read.format("graft-stream")`) — the
+    * BatchClientFactory.getSegments(from, to) analog through the
+    * DataFrame reader: every subscribed stream scans (fromStreamCut,
+    * toStreamCut], defaulting to head → the tail captured at planning.
+    * Chunked large events reassemble to whole rows, like every other
+    * read surface.
+    */
   override def toBatch(): org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       private val spark = SparkSession.active
