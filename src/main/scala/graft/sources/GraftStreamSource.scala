@@ -606,9 +606,15 @@ object GraftStreamSource {
     * the emitted watermark history at that exact position.
     */
   def timeWindowFor(spark: SparkSession, rootDir: String, scope: String,
-                    stream: String, offsetJson: String): (Option[Long], Option[Long]) =
-    new GraftStreams(spark, rootDir)
-      .timeWindowAt(scope, stream, GraftSourceOffset.fromJson(offsetJson))
+                    stream: String, offsetJson: String): (Option[Long], Option[Long]) = {
+    // accepts both offset shapes: a flat single-stream cut, or a
+    // multi-stream composite keyed by "scope/stream"
+    val key = s"$scope/$stream"
+    val cut = GraftStreamOffset.parse(offsetJson, key).getOrElse(key,
+      throw new IllegalArgumentException(
+        s"offset carries no cut for $key: $offsetJson"))
+    new GraftStreams(spark, rootDir).timeWindowAt(scope, stream, cut)
+  }
 }
 
 object GraftSourceOffset {

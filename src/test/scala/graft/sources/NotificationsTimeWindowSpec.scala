@@ -115,5 +115,11 @@ class NotificationsTimeWindowSpec extends AnyFunSuite {
       cutAfter1.positions.map { case (k, v) => k.toString -> v })(org.json4s.DefaultFormats)
     val (slo, shi) = GraftStreamSource.timeWindowFor(spark, root, "s", "ev", json)
     assert(slo == lo1 && shi == hi1)
+
+    // ...and the multi-stream composite shape resolves the same window
+    // through its per-stream key
+    val nested = s"""{"s/ev":$json,"s/other":{"0":0}}"""
+    val (nlo, nhi) = GraftStreamSource.timeWindowFor(spark, root, "s", "ev", nested)
+    assert(nlo == lo1 && nhi == hi1)
   }
 }
