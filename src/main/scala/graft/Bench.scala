@@ -69,7 +69,8 @@ object Bench {
     val warmTimed = Set(
       "txt_lang_id", "kv_delta_feed", "txt_rep_ngrams", "txt_contamination",
       "q27_lag_lead",
-      "stream_roundtrip_agg", "stream_txn_roundtrip", "stream_order_chain",
+      "stream_roundtrip_agg", "ev_sql_insert_roundtrip",
+      "stream_txn_roundtrip", "stream_order_chain",
       "stream_large_event", "stream_compacted_roundtrip", "ev_next_cut",
       "ev_autoscale_policy", "ev_retention_policy", "ev_multistream",
       "bs_roundtrip", "kv_resolve", "kv_range_scan", "kv_multiget",

@@ -461,8 +461,50 @@ object StreamQueries {
       |  CAST(MAX(event_id) AS BIGINT) AS max_id
       |FROM r, h GROUP BY n, head""".stripMargin
 
+  /** The SQL write surface end to end: stream DDL + INSERT INTO through
+    * the DSv2 TableCatalog (GraftCatalog + GraftWriteBuilder), read back
+    * as a SQL table scan. The catalog plugin is cached per session, so
+    * the engine root is fixed per JVM and each invocation gets a fresh
+    * scope (the bench re-runs this).
+    */
+  private lazy val sqlRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-sqlw").toString
+
+  private def sqlInsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gsql.rootDir", sqlRoot)
+    val scope = "q" + java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
+    s.sql(s"CREATE NAMESPACE gsql.$scope")
+    s.sql(s"CREATE TABLE gsql.$scope.ev TBLPROPERTIES ('initialSegments' = '4')")
+    Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+      .createOrReplaceTempView("sql_rt_src")
+    // two appends: by-name and positional — both DSv2 write shapes
+    s.sql(s"INSERT INTO gsql.$scope.ev SELECT routingKey, eventTime, payload " +
+      "FROM sql_rt_src WHERE event_id % 2 = 0")
+    s.sql(s"INSERT INTO gsql.$scope.ev SELECT routingKey, eventTime, payload " +
+      "FROM sql_rt_src WHERE event_id % 2 = 1")
+    s.sql(
+      s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n,
+         |  count(DISTINCT routingKey) AS n_users,
+         |  min(eventTime) AS min_time, max(eventTime) AS max_time
+         |FROM gsql.$scope.ev GROUP BY 1 ORDER BY event_type""".stripMargin)
+  }
+
+  private val sqlInsertRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_users,
+      |  epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS min_time,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS max_time
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
     ("ev_autoscale_policy",  autoscalePolicy _, Some(autoscalePolicySql)),

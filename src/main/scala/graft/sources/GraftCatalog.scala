@@ -93,9 +93,66 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft streams: use updateStream/updateStreamTags on the catalog API")
+  /** `ALTER TABLE ... SET TBLPROPERTIES` = updateStream / tag update
+    * (StreamManager.java:130 update path; controller
+    * UpdateStreamTask.java): `'tags'` is a comma list; the scaling /
+    * retention policy keys mirror StreamConfig. All changes in one
+    * statement commit through a single manifest CAS; the policy change
+    * takes effect at the next auto-scale / retention evaluation, like
+    * the reference's controller applying an updated StreamConfiguration.
+    * `UNSET TBLPROPERTIES` resets a key to its StreamConfig default
+    * (tags: empty).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val scope = scopeOf(ident.namespace())
+    val stream = ident.name()
+    if (!cat.streamExists(scope, stream))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val edits: Seq[(String, Option[String])] = changes.map {
+      case s: TableChange.SetProperty => s.property() -> Some(s.value())
+      case r: TableChange.RemoveProperty => r.property() -> None
+      case other => throw new UnsupportedOperationException(
+        s"graft streams support only SET/UNSET TBLPROPERTIES, got $other " +
+          "(the event schema and segment layout are engine-managed)")
+    }
+    val defaults = StreamConfig()
+    cat.update(scope, stream) { m =>
+      if (m.isSealed) throw new graft.core.GraftException(
+        s"stream $scope/$stream is sealed")
+      var c = m.config
+      var tags = m.tags
+      edits.foreach { case (key, value) =>
+        def asLong = value.map(_.toLong)
+        def asInt = value.map(_.toInt)
+        key.toLowerCase(java.util.Locale.ROOT) match {
+          case "tags" => tags = value
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty)
+          case "targetratepersegment" =>
+            c = c.copy(targetRatePerSegment = asLong.getOrElse(defaults.targetRatePerSegment))
+          case "scalefactor" =>
+            c = c.copy(scaleFactor = asInt.getOrElse(defaults.scaleFactor))
+          case "minsegments" =>
+            c = c.copy(minSegments = asInt.getOrElse(defaults.minSegments))
+          case "retentionmillis" =>
+            c = c.copy(retentionMillis = asLong.getOrElse(defaults.retentionMillis))
+          case "retentionmaxrows" =>
+            c = c.copy(retentionMaxRows = asLong.getOrElse(defaults.retentionMaxRows))
+          case "initialsegments" => throw new UnsupportedOperationException(
+            "initialSegments describes creation-time layout and is immutable " +
+              "(scaling changes the live segment count)")
+          case other => throw new UnsupportedOperationException(
+            s"unknown graft stream property '$other' — settable: tags, " +
+              "targetRatePerSegment, scaleFactor, minSegments, " +
+              "retentionMillis, retentionMaxRows")
+        }
+      }
+      require(c.minSegments >= 1, "minSegments must be >= 1")
+      require(c.scaleFactor >= 2, "scaleFactor must be >= 2")
+      m.copy(config = c, tags = tags)
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE = seal, then delete — the reference's delete contract
     * (a live stream must be sealed first; SQL DROP does both).
@@ -143,6 +200,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     val scope = scopeOf(namespace)
     if (!cat.scopeExists(scope)) false
     else {
+      // surface the standard SQL error, not the engine's GraftException,
+      // so DROP NAMESPACE behaves like any other Spark catalog
+      if (!cascade &&
+          (cat.listStreams(scope).nonEmpty || cat.listKeyValueTables(scope).nonEmpty))
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace, s"scope $scope contains streams or key-value tables")
       if (cascade) cat.listStreams(scope).foreach { st =>
         cat.sealStream(scope, st); cat.deleteStream(scope, st)
       }

@@ -143,12 +143,51 @@ class GraftStreamSourceProvider extends TableProvider with DataSourceRegister {
     new GraftStreamTable(properties)
 }
 
-class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table with SupportsRead {
+class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   private val conf = GraftSourceConfig.from(new CaseInsensitiveStringMap(baseProps))
   override def name(): String = s"graft-stream:${conf.describe}"
   override def schema(): StructType = conf.schema
+  // V1_BATCH_WRITE: appends ride the V1 fallback (AppendDataExecV1 — the
+  // physical strategy dispatches on the Write being a V1Write) so the
+  // whole DataFrame reaches the engine write path unmaterialized.
+  // BATCH_WRITE is declared TOO because DataFrameWriter.save() gates the
+  // relation path on that capability literally before planning ever sees
+  // the V1Write. ACCEPT_ANY_SCHEMA because the write shape (routingKey,
+  // eventTime, payload) is narrower than the read schema —
+  // GraftWriteMapping validates it at plan time.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // per-write options (autoNoteTime) overlay table identity, mirroring
+    // newScanBuilder's read-option overlay
+    val merged = new java.util.HashMap[String, String](baseProps)
+    info.options().entrySet().forEach { e =>
+      merged.put(e.getKey, e.getValue)
+    }
+    new GraftWriteBuilder(GraftSourceConfig.from(new CaseInsensitiveStringMap(merged)), info)
+  }
+
+  /** TRUNCATE TABLE: raise the head cut to the current tail — the
+    * reference's truncate(StreamCut) at the tail; files tombstone with
+    * reader grace, never sync-delete.
+    */
+  override def truncateTable(): Boolean = {
+    require(conf.subs.size == 1,
+      s"graft-stream truncate targets exactly one stream, got ${conf.describe}")
+    val sub = conf.subs.head
+    val g = new GraftStreams(SparkSession.active, conf.rootDir)
+    val tail = g.catalog.getStream(sub.scope, sub.stream).tailCut
+    g.catalog.truncateStream(sub.scope, sub.stream, tail)
+    true
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // per-read options (cuts, pacing — never identity/schema keys)
     // overlay the table's own: catalog tables get

@@ -684,10 +684,11 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     */
   def writeEventsWithRetry(scope: String, stream: String, df: DataFrame,
                            writerId: Option[String] = None, batchId: Option[Long] = None,
-                           maxRetries: Int = 10): StreamCut = {
+                           maxRetries: Int = 10,
+                           noteTimeFromBatch: Boolean = false): StreamCut = {
     var attempt = 0
     while (true) {
-      try return writeEvents(scope, stream, df, writerId, batchId)
+      try return writeEvents(scope, stream, df, writerId, batchId, noteTimeFromBatch)
       catch {
         case _: ConditionalCheckFailedException if attempt < maxRetries =>
           attempt += 1
