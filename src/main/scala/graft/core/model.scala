@@ -137,7 +137,12 @@ final case class FileEntry(
       * covering it must reassemble (LargeEventWriter analog). Defaults to
       * 1 for manifests written before large-event support.
       */
-    maxChunkCount: Int = 1) {
+    maxChunkCount: Int = 1,
+    /** On-disk file length, recorded at commit so planning statistics are
+      * manifest-only — never a per-file getFileStatus RPC. 0 = manifest
+      * written before sizes were recorded.
+      */
+    byteSize: Long = 0L) {
   def endOffset: Long = startOffset + rowCount
 }
 

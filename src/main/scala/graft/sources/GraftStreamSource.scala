@@ -215,23 +215,47 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
   /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
     * Catalyst auto-broadcast a small bounded stream read in joins — the
     * stream-table enrichment shape — without a manual broadcast() hint.
-    * Estimates cover the WHOLE stream, not the cut range — an
-    * overestimate for bounded reads, which errs toward not broadcasting
-    * (the safe direction).
+    *
+    * Manifest-only: file lengths are recorded at commit
+    * (FileEntry.byteSize), so planning never issues a per-file
+    * getFileStatus RPC — at the SCALING.md design point (~10^5 files)
+    * the old per-file stat was O(files) object-store HEADs per planned
+    * scan. Cut-aware: a bounded read counts only the row range between
+    * its cuts (files straddling a cut pro-rate bytes by row overlap), so
+    * a narrow slice of a huge stream still auto-broadcasts. Cached for
+    * the Scan's lifetime — Catalyst may ask repeatedly while planning.
+    * Legacy entries without a recorded size (byteSize = 0) fall back to
+    * one stat per file, the pre-size behavior.
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = cachedStats
+  private lazy val cachedStats: org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
     val g = new GraftStreams(spark, conf.rootDir)
     var rows = 0L
     var bytes = 0L
-    val hadoopConf = spark.sessionState.newHadoopConf()
+    lazy val hadoopConf = spark.sessionState.newHadoopConf()
     conf.subs.foreach { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val head = meta.headStreamCut.positions
+      val lo: Long => Long = sid =>
+        sub.from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
+      val hi: Long => Long = sid =>
+        sub.to.flatMap(_.offsetOf(sid)).getOrElse(Long.MaxValue)
       meta.files.distinctBy(_.path).foreach { f =>
-        rows += f.rowCount
-        val p = new Path(f.path)
-        bytes += (try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
-                  catch { case _: Exception => 0L })
+        val overlap = math.max(0L,
+          math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))
+        if (overlap > 0) {
+          rows += overlap
+          val len =
+            if (f.byteSize > 0) f.byteSize
+            else {
+              val p = new Path(f.path)
+              try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+              catch { case _: Exception => 0L }
+            }
+          bytes += (if (overlap == f.rowCount) len
+                    else math.max(1L, len * overlap / math.max(1L, f.rowCount)))
+        }
       }
     }
     val (r, b) = (rows, bytes)
@@ -440,12 +464,16 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
               // chunk-safe pacing: a cut must never slice inside a file
               // holding multi-chunk (large) events, or the event's chunks
               // would split across micro-batches and be unreassemblable.
-              // Swallow the chunked file whole when it fits under the
-              // bound, else stall at its start until the bound lifts.
+              // Swallow the chunked file whole — even past `t`: tails land
+              // on committed-file boundaries, so a bound slicing inside a
+              // chunk file is always FINAL (sub.to / AvailableNow capture)
+              // and would otherwise stall the segment forever; overrunning
+              // it by a partial file matches the bounded batch path, which
+              // emits the whole group whose head is below the bound.
               val p = math.min(t, cur + per)
               val snapped = meta.files.find(f => f.segmentId == sid &&
                   f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
-                case Some(f) => if (f.endOffset <= t) f.endOffset else f.startOffset
+                case Some(f) => f.endOffset
                 case None => p
               }
               sid -> snapped
@@ -570,6 +598,15 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
     private val etOrd = GraftStreams.eventSchema.fieldIndex("eventTime")
     private val payOrd = GraftStreams.eventSchema.fieldIndex("payload")
     private var cur: InternalRow = _
+    // a row that ended a broken chunk group (corrupt file/manifest): it
+    // may itself be a valid event or the next group's head, so it is
+    // re-examined instead of silently dropped with the group
+    private var pending: InternalRow = _
+
+    private def nextRow(): InternalRow =
+      if (pending != null) { val p = pending; pending = null; p }
+      else if (r.next()) r.get()
+      else null
 
     private def key(row: InternalRow): String =
       if (multi) row.getUTF8String(stOrd).toString else singleKey
@@ -583,8 +620,8 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
     }
 
     override def next(): Boolean = {
-      while (r.next()) {
-        val row = r.get()
+      var row = nextRow()
+      while (row != null) {
         val cc = if (row.isNullAt(ccOrd)) 1 else row.getInt(ccOrd)
         val seg = row.getLong(segOrd)
         val off = row.getLong(offOrd)
@@ -612,14 +649,21 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
             val parts = scala.collection.mutable.ArrayBuffer(row.getBinary(payOrd))
             var got = 1
             var intact = true
-            while (intact && got < cc && r.next()) {
-              val nr = r.get()
-              val ncc = if (nr.isNullAt(ccOrd)) 1 else nr.getInt(ccOrd)
-              val nseq = if (nr.isNullAt(csOrd)) 0 else nr.getInt(csOrd)
-              if (ncc == cc && nseq == got && nr.getLong(segOrd) == seg &&
-                  nr.getLong(offOrd) == off + got) {
-                parts += nr.getBinary(payOrd); got += 1
-              } else intact = false
+            while (intact && got < cc) {
+              val nr = nextRow()
+              if (nr == null) intact = false
+              else {
+                val ncc = if (nr.isNullAt(ccOrd)) 1 else nr.getInt(ccOrd)
+                val nseq = if (nr.isNullAt(csOrd)) 0 else nr.getInt(csOrd)
+                if (ncc == cc && nseq == got && nr.getLong(segOrd) == seg &&
+                    nr.getLong(offOrd) == off + got) {
+                  parts += nr.getBinary(payOrd); got += 1
+                } else {
+                  // buffer (copy — reader rows are reused) and re-examine
+                  pending = nr.copy()
+                  intact = false
+                }
+              }
             }
             if (intact && got == cc && inBounds(bounds, k, seg, off)) {
               val out = new Array[Byte](parts.map(_.length).sum)
@@ -630,6 +674,7 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
             // incomplete group at a slice edge: dropped (batch parity)
           }
         }
+        row = nextRow()
       }
       false
     }

@@ -248,7 +248,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
           out += FileEntry(segId, stripScheme(p.toString), offLo, rows,
             if (tLo == Long.MaxValue) 0L else tLo,
             if (tHi == Long.MinValue) 0L else tHi,
-            maxChunkCount = ckMax)
+            maxChunkCount = ckMax, byteSize = st.getLen)
       }
     }
     out.toList

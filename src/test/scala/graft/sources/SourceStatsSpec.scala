@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.StreamConfig
+import graft.storage.GraftStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Planning statistics are manifest-only and cut-aware: file byte sizes
+  * are recorded at commit (FileEntry.byteSize), so estimateStatistics
+  * issues zero per-file getFileStatus RPCs, and a bounded read reports
+  * a proportionally small sizeInBytes (still auto-broadcastable —
+  * MultiStreamSpec gates the join shape).
+  */
+class SourceStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(scope: String): (GraftStreams, String) = {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope(scope)
+    g.catalog.createStream(scope, "ev", StreamConfig(initialSegments = 2))
+    g.writeEvents(scope, "ev", spark.range(0, 4000).select(
+      concat(lit("k"), col("id") % 7).as("routingKey"),
+      col("id").as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+    (g, root)
+  }
+
+  private def stats(root: String, sub: StreamSub) =
+    new GraftScan(GraftSourceConfig(root, Seq(sub), None)).estimateStatistics()
+
+  test("commit records byte sizes; estimates need no live data files") {
+    val (g, root) = mk("st1")
+    val meta = g.catalog.getStream("st1", "ev")
+    assert(meta.files.nonEmpty)
+    meta.files.foreach(f => assert(f.byteSize > 0L, s"unsized entry ${f.path}"))
+    val manifestBytes = meta.files.distinctBy(_.path).map(_.byteSize).sum
+
+    // Deleting every data file proves the estimate is manifest-only: the
+    // old implementation stat'ed each file (and would report 0 here).
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    meta.files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.path), false))
+
+    val s = stats(root, StreamSub("st1", "ev", None, None))
+    assert(s.numRows().getAsLong === 4000L)
+    assert(s.sizeInBytes().getAsLong === manifestBytes)
+  }
+
+  test("bounded reads report the cut range, pro-rated inside straddled files") {
+    val (g, root) = mk("st2")
+    val whole = stats(root, StreamSub("st2", "ev", None, None))
+    assert(whole.numRows().getAsLong === 4000L)
+
+    val head = g.catalog.getStream("st2", "ev").headStreamCut
+    val from = g.nextStreamCut("st2", "ev", head, approxRows = 1000L)
+    val to = g.nextStreamCut("st2", "ev", from, approxRows = 400L)
+    val nRows = to.positions.values.sum - from.positions.values.sum
+    val bounded = stats(root, StreamSub("st2", "ev", Some(from), Some(to)))
+    assert(bounded.numRows().getAsLong === nRows)
+    assert(bounded.sizeInBytes().getAsLong > 0L)
+    // bytes shrink with the row fraction (generous slack for row-size skew)
+    val frac = nRows.toDouble / 4000.0
+    assert(bounded.sizeInBytes().getAsLong <=
+      (whole.sizeInBytes().getAsLong * frac * 2).toLong + 1,
+      s"bounded=${bounded.sizeInBytes().getAsLong} whole=${whole.sizeInBytes().getAsLong} frac=$frac")
+
+    // an empty range is zero-sized
+    val empty = stats(root, StreamSub("st2", "ev", Some(from), Some(from)))
+    assert(empty.numRows().getAsLong === 0L)
+    assert(empty.sizeInBytes().getAsLong === 0L)
+  }
+}

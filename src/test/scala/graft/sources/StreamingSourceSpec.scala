@@ -277,4 +277,93 @@ class StreamingSourceSpec extends AnyFunSuite {
       assert(t.select($"routingKey", $"eventTime").distinct().count() === 301L)
     } finally q.stop()
   }
+
+  test("a toStreamCut slicing inside a chunk file drains (whole file), never stalls") {
+    val (g, root) = mk()
+    g.catalog.createStream("s", "one", StreamConfig(initialSegments = 1))
+    def small(tag: String, n: Int) = spark.range(n).select(
+      lit(tag).as("routingKey"), col("id").as("eventTime"),
+      encode(concat(lit(tag), col("id")), "UTF-8").as("payload"))
+    g.writeEvents("s", "one", small("pre", 30))
+    val unit = "0123456789abcdef"
+    val reps = (9.5 * 1024 * 1024 / 16).toInt
+    g.writeEvents("s", "one", spark.range(1).select(
+      lit("big-key").as("routingKey"), lit(42L).as("eventTime"),
+      encode(repeat(lit(unit), (col("id") + reps).cast("int")), "UTF-8").as("payload")))
+    g.writeEvents("s", "one", small("post", 30))
+
+    val sid = g.catalog.getStream("s", "one").segments.head.segmentId
+    // offsets: pre [0,30), big chunks [30,32), post [32,62) — the end
+    // bound at 31 slices INSIDE the chunk group's file
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "one")
+      .option("toStreamCut", s"""{"$sid":31}""")
+      .option("maxRowsPerTrigger", "10")
+      .load()
+      .writeStream.format("memory").queryName("slicecut").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-slc-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("slicecut")
+      // the bound is final, so the chunk file is swallowed whole (batch
+      // parity: the whole group whose head is below the bound) — the 30
+      // pre events plus ONE whole big event, none of the post events
+      assert(t.count() === 31L, "expected pre + whole big event")
+      assert(t.filter($"routingKey" === "big-key").count() === 1L)
+      assert(t.filter($"routingKey" === "post").count() === 0L)
+    } finally q.stop()
+  }
+
+  test("a broken chunk group drops, but the row that broke it is re-examined") {
+    val (g, root) = mk()
+    g.catalog.createStream("s", "brk", StreamConfig(initialSegments = 1))
+    def small(tag: String, n: Int) = spark.range(n).select(
+      lit(tag).as("routingKey"), col("id").as("eventTime"),
+      encode(concat(lit(tag), col("id")), "UTF-8").as("payload"))
+    g.writeEvents("s", "brk", small("pre", 3))
+    val unit = "0123456789abcdef"
+    val reps = (9.5 * 1024 * 1024 / 16).toInt
+    g.writeEvents("s", "brk", spark.range(1).select(
+      lit("big-key").as("routingKey"), lit(42L).as("eventTime"),
+      encode(repeat(lit(unit), (col("id") + reps).cast("int")), "UTF-8").as("payload")))
+    g.writeEvents("s", "brk", small("post", 3))
+
+    // corrupt the chunk file at rest: keep the group head (chunkSeq 0 of
+    // 2) but replace the second chunk with a VALID single event — the
+    // silent-loss shape from the round-6 advice (the mismatched row that
+    // ends a broken group could itself be a real event)
+    val meta = g.catalog.getStream("s", "brk")
+    val chunkFile = meta.files.find(_.maxChunkCount > 1).get
+    val df = spark.read.schema(GraftStreams.storageSchema).parquet(chunkFile.path)
+    val head = df.filter($"chunkSeq" === 0)
+    val rescued = head.select($"segmentId", ($"offset" + 1).as("offset"),
+      lit("rescue-key").as("routingKey"), lit(7L).as("eventTime"),
+      $"processingTime", encode(lit("rescued"), "UTF-8").as("payload"),
+      lit(null).cast("int").as("chunkSeq"), lit(null).cast("int").as("chunkCount"))
+    val tmp = Files.createTempDirectory("graft-brk").toString + "/out"
+    head.union(rescued).orderBy($"offset").coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new org.apache.hadoop.fs.Path(chunkFile.path), false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(chunkFile.path), false, fs.getConf)
+
+    val q = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "brk")
+      .load()
+      .writeStream.format("memory").queryName("brkgrp").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-brk-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("brkgrp")
+      // incomplete group dropped; its breaking row delivered, not lost
+      assert(t.filter($"routingKey" === "big-key").count() === 0L)
+      assert(t.filter($"routingKey" === "rescue-key").count() === 1L)
+      assert(t.count() === 7L, "3 pre + 3 post + the rescued row")
+    } finally q.stop()
+  }
 }
