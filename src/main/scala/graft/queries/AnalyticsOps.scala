@@ -353,25 +353,38 @@ object AnalyticsOps {
 
   // ------------------------------------------------------- RFM scoring
 
+  /** Maximum purchasers the EXACT ntile path accepts. Its unpartitioned
+    * windows funnel one row per purchaser through a single task's sort —
+    * exact quartiles cost a global order BY DESIGN (the `BruteForceMaxDocs`
+    * pattern: a bounded verifier, not the production path). Beyond the
+    * bound, the guard fails loudly and points at `ev_rfm_cutoffs`.
+    */
+  val ExactRfmMaxUsers: Long = 10000000L
+
   /** RFM quartile scoring of purchasers: recency (days since last
     * purchase at the corpus horizon), frequency (purchase count),
     * monetary (exact cents), each ntile(4)-scored with a deterministic
     * user_id tiebreak, combined as rfm = r·100 + f·10 + m.
     *
-    * Scale note: ntile over an unpartitioned Window is a SINGLE-
-    * PARTITION global sort — Spark funnels every user-aggregate row
-    * (not the raw events, but still one row per purchaser) through one
-    * task. That is the honest cost of exact quartiles and it caps out
-    * around ~10⁸ users on one executor; beyond that the scale path is
-    * `ev_rfm_cutoffs` below — histogram-derived quartile cutoffs
-    * broadcast to a map-side bucket lookup, fully parallel at any user
-    * count. The horizon rides a 1-row broadcast.
+    * Scale note: this is the DOCUMENTED-EXACT path, bounded by
+    * [[ExactRfmMaxUsers]] — ntile over an unpartitioned Window is a
+    * SINGLE-PARTITION global sort over one row per purchaser. The
+    * unbounded production path is `ev_rfm_cutoffs` below —
+    * histogram-derived quartile cutoffs broadcast to a map-side bucket
+    * lookup, fully parallel at any user count. The horizon rides a 1-row
+    * broadcast.
     */
   private def rfmScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = Tables.events(s, dir).filter($"event_type" === "purchase")
       .select($"user_id", ddayCol.cast("long").as("dday"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val purchasers = p.select($"user_id").distinct()
+      .limit((ExactRfmMaxUsers + 1).toInt).count()
+    require(purchasers <= ExactRfmMaxUsers,
+      s"exact RFM ntile scoring is bounded to $ExactRfmMaxUsers purchasers " +
+        s"(single-task global sort), got > $ExactRfmMaxUsers; " +
+        "use ev_rfm_cutoffs (histogram quartile cutoffs) for unbounded corpora")
     val per = p.groupBy($"user_id")
       .agg(max($"dday").as("last_day"), count(lit(1)).as("freq"),
         sum($"cents").as("monetary"))

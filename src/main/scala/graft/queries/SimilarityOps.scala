@@ -348,7 +348,7 @@ object SimilarityOps {
       |FROM q ORDER BY vec_id""".stripMargin
 
   /** REAL image decode through the driver gate (not just specs): a
-    * deterministic set of PNG/BMP images — solid colors over varying
+    * deterministic set of PNG/BMP/JPEG images — solid colors over varying
     * dims, a black/white checkerboard (luminance entropy exactly 1 bit),
     * and a bilinear 40×40→8×6 resize round trip — is generated, encoded
     * and decoded PARTITION-PARALLEL on executors via javax.imageio
@@ -364,7 +364,8 @@ object SimilarityOps {
     val cases = solids ++ Seq(
       (100L, "png_checker", 32, 32, 0),
       (101L, "bmp_solid", 20, 10, 0x00cc88),
-      (102L, "png_resized", 40, 40, 0x00ff00))
+      (102L, "png_resized", 40, 40, 0x00ff00),
+      (103L, "jpeg_solid", 24, 12, 0x336699))
     s.createDataset(cases).repartition(4).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       def img(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
@@ -375,19 +376,22 @@ object SimilarityOps {
         javax.imageio.ImageIO.write(b, "png", out)
         out.toByteArray
       }
-      def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      def enc(fmt: String)(w: Int, h: Int, rgb: Int): Array[Byte] = {
         val b = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgb)
         val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(b, "bmp", out)
+        javax.imageio.ImageIO.write(b, fmt, out)
         out.toByteArray
       }
+      val bmp = enc("bmp") _
+      val jpg = enc("jpg") _
       it.map { case (id, kind, w, h, rgb) =>
         val payload = kind match {
           case "png_solid" => img(w, h, (_, _) => rgb)
           case "png_checker" => img(w, h, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
           case "bmp_solid" => bmp(w, h, rgb)
+          case "jpeg_solid" => jpg(w, h, rgb)
           case "png_resized" =>
             Multimodal.resizeImage(
               Multimodal.MediaRecord(id, "image/png", img(w, h, (_, _) => rgb)), 8, 6)
@@ -395,8 +399,11 @@ object SimilarityOps {
         }
         val f = Multimodal.decodeImage(Multimodal.MediaRecord(id, "image/x", payload))
           .getOrElse(throw new IllegalStateException(s"real decode failed for $kind"))
-        (id, kind, f.width.toLong, f.height.toLong,
-          f.channels.toLong, f.byteEntropyBucket.toLong)
+        // JPEG is lossy: dims/channels are exact, pixel entropy is
+        // codec-dependent — pinned to -1 so the hash compares only what
+        // the format guarantees
+        val entropy = if (kind == "jpeg_solid") -1L else f.byteEntropyBucket.toLong
+        (id, kind, f.width.toLong, f.height.toLong, f.channels.toLong, entropy)
       }
     }.toDF("case_id", "kind", "width", "height", "channels", "entropy_bucket")
       .orderBy($"case_id")
@@ -410,6 +417,7 @@ object SimilarityOps {
       |UNION ALL SELECT 100, 'png_checker', 32, 32, 3, 2
       |UNION ALL SELECT 101, 'bmp_solid', 20, 10, 3, 0
       |UNION ALL SELECT 102, 'png_resized', 8, 6, 3, 0
+      |UNION ALL SELECT 103, 'jpeg_solid', 24, 12, 3, -1
       |ORDER BY case_id""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(

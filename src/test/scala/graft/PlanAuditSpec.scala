@@ -253,4 +253,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     check(df.queryExecution.executedPlan)
   }
+
+  test("no registered query plans an unpartitioned window over unbounded input") {
+    // the global-sort audit as a gate: an unpartitioned Window funnels its
+    // whole input through ONE task's sort, so every registered query must
+    // keep such windows either (a) fed by an Aggregate — bounded by a
+    // value domain (histogram / vocabulary), the ev_anomaly_mad pattern —
+    // or (b) on the loudly-bounded allowlist, where a driver-side guard
+    // caps the row count and names the scale path in its error.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val engineBacked =
+      (queries.StreamQueries.defs.map(_._1) ++ queries.KvQueries.defs.map(_._1)).toSet
+    val loudlyBounded = Set(
+      "ev_rfm_scores") // ExactRfmMaxUsers guard -> ev_rfm_cutoffs
+    def hasAggBelow(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.Aggregate => true
+      case other => other.children.exists(hasAggBelow)
+    }
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !engineBacked(name) && !loudlyBounded(name)) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+      }
+      assert(offenders.isEmpty,
+        s"$name: unpartitioned window over non-aggregated input — a single-task " +
+          s"global sort at scale:\n${offenders.headOption.getOrElse("")}")
+    }
+  }
 }
