@@ -72,6 +72,7 @@ object Bench {
       "stream_roundtrip_agg", "ev_sql_insert_roundtrip",
       "stream_txn_roundtrip", "stream_order_chain",
       "stream_large_event", "stream_compacted_roundtrip", "ev_next_cut",
+      "state_sync_fold", "ev_maintenance_pass",
       "ev_autoscale_policy", "ev_retention_policy", "ev_multistream",
       "bs_roundtrip", "kv_resolve", "kv_range_scan", "kv_multiget",
       "kv_compacted_resolve")

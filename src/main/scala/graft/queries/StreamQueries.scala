@@ -502,6 +502,103 @@ object StreamQueries {
       |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS max_time
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** StateSynchronizer contention replay (StateSynchronizer.java:44 /
+    * RevisionedStreamClient.java:78): 4 threads race 80 conditional
+    * updates through the CAS-revision loop — losers refetch and retry —
+    * folding (count, sum) over the first 80 event ids. The oracle
+    * recomputes the fold from the source table: a match proves every
+    * update landed exactly once (revision count == update count) and the
+    * fold is order-independent, i.e. optimistic concurrency lost nothing.
+    * Compaction then drops all but the last revision without changing
+    * the observable state.
+    */
+  private def stateSyncFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ssf").toString
+    val ids = Tables.events(s, dir).orderBy($"event_id").limit(80)
+      .select($"event_id".cast("long")).as[Long].collect()
+    val sync = new graft.kv.StateSynchronizer(work, "fold",
+      s.sessionState.newHadoopConf())
+    def apply(v: Long): Unit = sync.updateState({ cur =>
+      val (n, sum) = cur.map(_.split(':')).map(a => (a(0).toLong, a(1).toLong))
+        .getOrElse((0L, 0L))
+      s"${n + 1}:${sum + v}"
+    }, maxRetries = 1000)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => ids.slice(t * 20, (t + 1) * 20).foreach(apply))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    sync.compact(keep = 1)
+    val (rev, state) = sync.fetch()
+    val Array(n, sum) = state.get.split(':').map(_.toLong)
+    s.createDataFrame(Seq((rev + 1, n, sum)))
+      .toDF("n_revisions", "n_applied", "sum_ids")
+  }
+
+  private val stateSyncFoldSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_revisions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_applied,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      |FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 80)""".stripMargin
+
+  /** One Maintenance.run pass over a prepared stream, its Report
+    * arithmetic oracle-replayed (PeriodicRetention.java:51 +
+    * AutoScaleProcessor + the txn lease sweep in one idempotent call):
+    * 5 single-segment files of 200 ordered rows, one expired transaction,
+    * a 600-row size-retention cap. The pass must sweep exactly that txn,
+    * truncate to head = 400 (tombstoning the two fully-covered files),
+    * compact the 3 surviving files to 1, and emit a watermark — and the
+    * surviving rows must be exactly ranks (400, 1000] of the source.
+    */
+  private def maintenancePass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev",
+      StreamConfig(initialSegments = 1, retentionMaxRows = 600L))
+    val ids = Tables.events(s, dir).orderBy($"event_id").limit(1000)
+      .select($"event_id".cast("long")).as[Long].collect()
+    val ev = Tables.events(s, dir)
+      .select($"user_id".cast("string").as("routingKey"),
+        $"event_id".cast("long").as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"))
+    // 5 files of 200 offset-ordered rows (one file per write on the
+    // single segment), so the retention cut lands on a file boundary
+    (0 until 5).foreach { k =>
+      g.writeEvents("q", "ev", ev
+        .filter($"eventTime".between(ids(k * 200), ids(k * 200 + 199)))
+        .orderBy($"eventTime"))
+    }
+    // an open txn whose lease has expired by the time the pass runs
+    val txn = g.beginTxn("q", "ev", leaseMillis = 250L)
+    g.writeToTxn("q", "ev", txn, ev.filter($"eventTime" === ids(0)))
+    g.noteTime("q", "ev", "w0", ids.last)
+    Thread.sleep(500L)
+    val rep = new graft.storage.Maintenance(g, compactMinFiles = 2).run("q", "ev")
+    g.readEvents("q", "ev")
+      .select(decode($"payload", "UTF-8").cast("long").as("id"))
+      .agg(count(lit(1)).as("n_live"), min($"id").as("min_id"), max($"id").as("max_id"))
+      .select(lit(rep.sweptTxns.size.toLong).as("swept_txns"),
+        lit(if (rep.truncated) 1L else 0L).as("truncated"),
+        $"n_live", $"min_id", $"max_id",
+        lit(rep.filesBefore.toLong).as("files_before"),
+        lit(rep.filesAfter.toLong).as("files_after"),
+        lit(if (rep.watermarkEmitted) 1L else 0L).as("wm"))
+  }
+
+  private val maintenancePassSql =
+    """WITH e AS (
+      |  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+      |  FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 1000))
+      |SELECT CAST(1 AS BIGINT) AS swept_txns, CAST(1 AS BIGINT) AS truncated,
+      |  CAST(COUNT(*) FILTER (WHERE rn > 400) AS BIGINT) AS n_live,
+      |  CAST(MIN(CASE WHEN rn > 400 THEN event_id END) AS BIGINT) AS min_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_id,
+      |  CAST(3 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+      |  CAST(1 AS BIGINT) AS wm
+      |FROM e""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
@@ -514,5 +611,7 @@ object StreamQueries {
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
     ("ev_next_cut",          nextCut _,      Some(nextCutSql)),
     ("bs_roundtrip",         byteStreamRoundtrip _, Some(byteStreamRoundtripSql)),
+    ("state_sync_fold",      stateSyncFold _, Some(stateSyncFoldSql)),
+    ("ev_maintenance_pass",  maintenancePass _, Some(maintenancePassSql)),
   )
 }
