@@ -574,7 +574,9 @@ object StreamQueries {
     val txn = g.beginTxn("q", "ev", leaseMillis = 250L)
     g.writeToTxn("q", "ev", txn, ev.filter($"eventTime" === ids(0)))
     g.noteTime("q", "ev", "w0", ids.last)
-    Thread.sleep(500L)
+    // the staging job above already consumed most of the 250 ms lease;
+    // the short sleep guarantees expiry without padding the benchmark
+    Thread.sleep(300L)
     val rep = new graft.storage.Maintenance(g, compactMinFiles = 2).run("q", "ev")
     g.readEvents("q", "ev")
       .select(decode($"payload", "UTF-8").cast("long").as("id"))

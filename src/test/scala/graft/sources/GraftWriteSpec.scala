@@ -134,6 +134,22 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"staging leftovers: ${leftover.map(_.getPath).mkString(",")}")
   }
 
+  test("writeStream.toTable routes through the catalog's STREAMING_WRITE") {
+    val g = mkStream("w8", "src")
+    mkStream("w8", "dst")
+    g.writeEvents("w8", "src", events(120))
+    val ckpt = Files.createTempDirectory("graft-wtt").toString
+    val q = spark.readStream.table("gw.w8.src")
+      .select("routingKey", "eventTime", "payload")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gw.w8.dst")
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM gw.w8.dst").head().getLong(0) === 120L)
+    assert(g.readEvents("w8", "dst").count() === 120L)
+  }
+
   test("redelivered epoch commits exactly once") {
     val g = mkStream("w6", "ev")
     val conf = GraftSourceConfig(root, Seq(StreamSub("w6", "ev", None, None)), None)
