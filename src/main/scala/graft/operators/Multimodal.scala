@@ -18,8 +18,14 @@ import javax.imageio.ImageIO
   * magic bytes, never by mime string). Payloads that aren't a decodable
   * image (e.g. the documents table's UTF-8 stand-in blobs) fall back to
   * [[decodeStub]], a clearly-marked deterministic FAKE, so the plumbing
-  * stays exercisable on corpora without media bytes. Video frame
-  * sampling stays a stub (no JVM demuxer).
+  * stays exercisable on corpora without media bytes.
+  *
+  * Audio decode is REAL for WAV/PCM16 through the JDK's own
+  * `javax.sound.sampled` ([[decodeWav]]), and video frame sampling is
+  * REAL for MJPEG-in-AVI — AVI is a plain RIFF container, walked by
+  * [[demuxAvi]], whose frames are JPEGs the image path already decodes.
+  * Other audio/video codecs have no pure-JVM decoder and keep the
+  * documented stub fallback.
   */
 object Multimodal {
 
@@ -159,27 +165,262 @@ object Multimodal {
   def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] =
     resize(media, w, h)
 
+  // ------------------------------------------------------------- audio
+
+  final case class AudioFeatures(
+      doc_id: Long, sampleRate: Int, channels: Int, nFrames: Long,
+      sumSq: Long, zeroCrossings: Long)
+
+  /** RIFF/WAVE magic: `RIFF....WAVE`. */
+  def looksWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+  /** REAL audio decode for WAV payloads through the JDK's own codec
+    * (`javax.sound.sampled.AudioSystem` — no external library): exact
+    * frame count, sample rate and channel count from the stream format,
+    * plus two integer-exact signal features every audio-curation pipeline
+    * filters on — the energy `Σ s²` over ALL samples (all channels) and
+    * the zero-crossing count of channel 0 (`s_i · s_{i-1} < 0`). 16-bit
+    * PCM only (the interchange format); other encodings return None and
+    * fall to the stub path.
+    */
+  def decodeWav(r: MediaRecord): Option[AudioFeatures] =
+    if (!looksWav(r.payload)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val ch = fmt.getChannels
+          val bytes = in.readAllBytes()
+          val frameSize = fmt.getFrameSize // = 2 * ch for PCM16
+          val nFrames = bytes.length.toLong / frameSize
+          val big = fmt.isBigEndian
+          def sampleAt(off: Int): Int = {
+            val (b0, b1) = (bytes(off) & 0xff, bytes(off + 1) & 0xff)
+            (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+          }
+          var sumSq = 0L
+          var zc = 0L
+          var prev0 = 0
+          var f = 0
+          while (f < nFrames) {
+            val base = f * frameSize
+            var c = 0
+            while (c < ch) {
+              val s = sampleAt(base.toInt + 2 * c)
+              sumSq += s.toLong * s
+              if (c == 0) {
+                if (f > 0 && s.toLong * prev0 < 0) zc += 1
+                prev0 = s
+              }
+              c += 1
+            }
+            f += 1
+          }
+          Some(AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, ch, nFrames, sumSq, zc))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** PCM16 → WAV bytes through the SAME JDK codec (round-trip partner of
+    * [[decodeWav]]); `samples` is frame-interleaved when `channels` > 1.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, samples.length.toLong / channels)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Batch audio features: real for WAV payloads, stub-shaped zeros are
+    * NOT silently substituted — non-audio payloads are dropped (a real
+    * pipeline routes them to the image/stub branch instead).
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeWav))
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Demuxed MJPEG video: container metadata plus each frame's byte
+    * offset (of the chunk payload inside the AVI file) and JPEG bytes.
+    */
+  final case class VideoInfo(
+      width: Int, height: Int, microSecPerFrame: Long,
+      frames: IndexedSeq[(Long, Array[Byte])])
+
+  /** RIFF/AVI magic: `RIFF....AVI `. */
+  def looksAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' '
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video demux for MJPEG-in-AVI — AVI is a plain RIFF container
+    * (chunk = fourCC + LE32 size + data, word-aligned; `LIST` chunks
+    * nest), so a ~40-line walker recovers the stream without any native
+    * demuxer: `avih` in `LIST hdrl` carries dims and frame timing
+    * (dwMicroSecPerFrame at +0, dwWidth/dwHeight at +32/+36), and every
+    * `??dc`/`??db` chunk inside `LIST movi` is one complete JPEG frame
+    * that `javax.imageio` decodes like any other image. Codecs other than
+    * MJPEG would need a real decoder — those payloads return None and
+    * keep the stub path.
+    */
+  def demuxAvi(payload: Array[Byte]): Option[VideoInfo] =
+    if (!looksAvi(payload)) None
+    else try {
+      var width, height = 0
+      var usPerFrame = 0L
+      val frames = IndexedSeq.newBuilder[(Long, Array[Byte])]
+      // walk [from, to) as a sequence of chunks, descending into LISTs
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourCC(payload, p)
+          val sz = le32(payload, p + 4).toInt
+          val dataOff = p + 8
+          val dataEnd = math.min(to, dataOff + sz)
+          if (id == "LIST" && sz >= 4) {
+            val listType = fourCC(payload, dataOff)
+            walk(dataOff + 4, dataEnd, inMovi || listType == "movi")
+          } else if (id == "avih" && sz >= 40) {
+            usPerFrame = le32(payload, dataOff)
+            width = le32(payload, dataOff + 32).toInt
+            height = le32(payload, dataOff + 36).toInt
+          } else if (inMovi && sz > 0 && id.length == 4 &&
+                     (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((dataOff.toLong,
+              java.util.Arrays.copyOfRange(payload, dataOff, dataEnd)))
+          }
+          p = dataOff + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(payload.length, 8 + le32(payload, 4).toInt), inMovi = false)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(VideoInfo(width, height, usPerFrame, fs))
+    } catch { case _: Exception => None }
+
+  /** Minimal MJPEG/AVI muxer (the round-trip partner of [[demuxAvi]] for
+    * tests and executor-generated fixtures): RIFF(`AVI `) → LIST hdrl
+    * (avih + LIST strl(strh + strf)) → LIST movi (`00dc` JPEG chunks).
+    */
+  def muxAviMjpeg(width: Int, height: Int, microSecPerFrame: Long,
+                  frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def struct(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(bb); bb.array()
+    }
+    val avih = struct(56) { bb =>
+      bb.putInt(microSecPerFrame.toInt) // dwMicroSecPerFrame
+      bb.putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, flags(HASINDEX off)
+      bb.putInt(frames.size) // dwTotalFrames
+      bb.putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBuf
+      bb.putInt(width).putInt(height)
+    }
+    val strh = struct(56) { bb =>
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(0).putInt(0).putInt(0) // flags, prio+lang, initialFrames
+      bb.putInt(microSecPerFrame.toInt).putInt(1000000) // scale, rate → fps
+      bb.putInt(0).putInt(frames.size) // start, length
+    }
+    val strf = struct(40) { bb => // BITMAPINFOHEADER
+      bb.putInt(40).putInt(width).putInt(height)
+      bb.putShort(1).putShort(24)
+      bb.put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(width * height * 3)
+    }
+    def subChunk(b: ByteArrayOutputStream, id: String, body: Array[Byte]): Unit = {
+      b.write(id.getBytes("US-ASCII"))
+      val len = body.length
+      b.write(len & 0xff); b.write((len >> 8) & 0xff)
+      b.write((len >> 16) & 0xff); b.write((len >> 24) & 0xff)
+      b.write(body)
+      if ((len & 1) == 1) b.write(0)
+    }
+    // a LIST chunk's body is its list-type fourCC followed by sub-chunks
+    def list(listType: String)(body: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(listType.getBytes("US-ASCII"))
+      body(b)
+      b.toByteArray
+    }
+    val strl = list("strl") { b => subChunk(b, "strh", strh); subChunk(b, "strf", strf) }
+    val hdrl = list("hdrl") { b =>
+      subChunk(b, "avih", avih)
+      subChunk(b, "LIST", strl)
+    }
+    val movi = list("movi") { b => frames.foreach(f => subChunk(b, "00dc", f)) }
+    val riffBody = new ByteArrayOutputStream()
+    riffBody.write("AVI ".getBytes("US-ASCII"))
+    subChunk(riffBody, "LIST", hdrl)
+    subChunk(riffBody, "LIST", movi)
+    val body = riffBody.toByteArray
+    tag("RIFF"); w32(body.length); out.write(body)
+    out.toByteArray
+  }
+
   final case class Frame(doc_id: Long, frameIndex: Int, offsetBytes: Long, payload: Array[Byte])
 
-  /** STUB frame sampling: emits `n` evenly spaced "frames" per media item
-    * (byte slices standing in for decoded frames) — the 1→N explode shape
-    * of a video pipeline, flatMap'd per partition so a real demuxer can
-    * stream without materializing the whole file. Stays a stub: the JVM
-    * ships no video demuxer.
+  /** Frame sampling: REAL for MJPEG-in-AVI payloads — [[demuxAvi]] walks
+    * the container and `n` evenly spaced DECODED-DECODABLE JPEG frames
+    * come back with their true byte offsets (`offsetBytes` = the chunk
+    * payload's position in the file). Non-AVI payloads keep the
+    * deterministic byte-slice STUB (the 1→N explode shape without a
+    * codec), flatMap'd per partition either way so a demuxer streams
+    * without materializing the corpus.
     */
   def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val len = r.payload.length
-        if (len == 0) Iterator.empty
-        else {
-          val k = math.min(n, len)
-          (0 until k).iterator.map { i =>
-            val off = i.toLong * len / k
-            val end = math.min(len, off.toInt + math.max(1, len / k))
-            Frame(r.doc_id, i, off, java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
-          }
+        demuxAvi(r.payload) match {
+          case Some(v) =>
+            val k = math.min(n, v.frames.size)
+            (0 until k).iterator.map { i =>
+              val src = i * v.frames.size / k
+              val (off, bytes) = v.frames(src)
+              Frame(r.doc_id, i, off, bytes)
+            }
+          case None =>
+            val len = r.payload.length
+            if (len == 0) Iterator.empty
+            else {
+              val k = math.min(n, len)
+              (0 until k).iterator.map { i =>
+                val off = i.toLong * len / k
+                val end = math.min(len, off.toInt + math.max(1, len / k))
+                Frame(r.doc_id, i, off, java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
+              }
+            }
         }
       }
     }

@@ -420,6 +420,120 @@ object SimilarityOps {
       |UNION ALL SELECT 103, 'jpeg_solid', 24, 12, 3, -1
       |ORDER BY case_id""".stripMargin
 
+  /** REAL audio decode through the driver gate: square waves with known
+    * (amplitude, half-period, frame count, rate, channels) are PCM16-
+    * encoded to WAV and decoded back PARTITION-PARALLEL on executors —
+    * both directions through the JDK's own `javax.sound.sampled` codec
+    * (`Multimodal.encodeWavPcm16`/`decodeWav`). Every output is integer-
+    * exact, so the oracle re-derives them in closed form: `Σs² =
+    * n·amp²·channels` (the wave never decays) and channel-0 zero
+    * crossings = `(n-1) DIV half` (one sign flip at every multiple of the
+    * half-period). Reference: audio/video ride Pravega streams as opaque
+    * events (client/src/main/java/io/pravega/client/stream/EventStreamWriter.java:75);
+    * the decode stage is the training-pipeline extension SURVEY §5 adds.
+    */
+  private def mmAudioReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (case_id, amp, halfPeriod, nFrames, sampleRate, channels)
+    val cases = (0 until 6).map { i =>
+      (i.toLong, 1000 * (i + 1), 3 + i, 240 * (i + 1), 8000 * (1 + i % 3), 1)
+    } ++ Seq((100L, 9000, 5, 1000, 44100, 2), (101L, 12000, 7, 630, 16000, 2))
+    s.createDataset(cases).repartition(4).mapPartitions { it =>
+      it.map { case (id, amp, half, n, rate, ch) =>
+        val samples = new Array[Short](n * ch)
+        var f = 0
+        while (f < n) {
+          val v = (if ((f / half) % 2 == 0) amp else -amp).toShort
+          var c = 0
+          while (c < ch) { samples(f * ch + c) = v; c += 1 }
+          f += 1
+        }
+        val wav = Multimodal.encodeWavPcm16(rate, ch, samples)
+        val feats = Multimodal
+          .decodeWav(Multimodal.MediaRecord(id, "audio/wav", wav))
+          .getOrElse(throw new IllegalStateException(s"real WAV decode failed for case $id"))
+        (id, feats.sampleRate.toLong, feats.channels.toLong, feats.nFrames,
+          feats.sumSq, feats.zeroCrossings)
+      }
+    }.toDF("case_id", "sample_rate", "channels", "n_frames", "sum_sq", "zero_crossings")
+      .orderBy($"case_id")
+  }
+
+  private val mmAudioRealSql =
+    """WITH c(case_id, amp, half, n, rate, ch) AS (VALUES
+      |  (0, 1000, 3, 240, 8000, 1), (1, 2000, 4, 480, 16000, 1),
+      |  (2, 3000, 5, 720, 24000, 1), (3, 4000, 6, 960, 8000, 1),
+      |  (4, 5000, 7, 1200, 16000, 1), (5, 6000, 8, 1440, 24000, 1),
+      |  (100, 9000, 5, 1000, 44100, 2), (101, 12000, 7, 630, 16000, 2))
+      |SELECT CAST(case_id AS BIGINT) AS case_id,
+      |  CAST(rate AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(n AS BIGINT) * amp * amp * ch AS sum_sq,
+      |  CAST((n - 1) // half AS BIGINT) AS zero_crossings
+      |FROM c ORDER BY case_id""".stripMargin
+
+  /** REAL video frame sampling through the driver gate: MJPEG AVIs are
+    * muxed executor-side (`Multimodal.muxAviMjpeg` — JPEG frames from the
+    * same `javax.imageio` encoder `mm_decode_real` uses), then
+    * `frameSample` demuxes the RIFF container and decodes the sampled
+    * frames. The oracle re-derives the sample indices (`i·K DIV n`) and
+    * the decoded dims/channels from the generation parameters; JPEG dims
+    * survive lossy coding exactly. `is_jpeg` pins the demuxed bytes'
+    * magic, proving real container offsets — not byte slices.
+    */
+  private def mmVideoReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampleN = 4
+    // (case_id, width, height, totalFrames) — case 2 has fewer frames
+    // than the sample count, exercising the k = min(n, total) clamp
+    val cases = Seq((0L, 48, 32, 12), (1L, 64, 48, 9), (2L, 32, 24, 3))
+    val media = s.createDataset(cases).repartition(3).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, w, h, k) =>
+        val frames = (0 until k).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(20 * f % 256, 80, 160)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", out)
+          out.toByteArray
+        }
+        Multimodal.MediaRecord(id, "video/x-msvideo",
+          Multimodal.muxAviMjpeg(w, h, 40000L, frames))
+      }
+    }
+    val totals = cases.map { case (id, _, _, k) => id -> k }.toMap
+    Multimodal.frameSample(media, sampleN)
+      .map { fr =>
+        val total = totals(fr.doc_id)
+        val k = math.min(sampleN, total)
+        val f = Multimodal.decodeImage(
+          Multimodal.MediaRecord(fr.doc_id, "image/jpeg", fr.payload))
+          .getOrElse(throw new IllegalStateException("frame decode failed"))
+        val isJpeg = fr.payload.length > 2 &&
+          (fr.payload(0) & 0xff) == 0xff && (fr.payload(1) & 0xff) == 0xd8
+        (fr.doc_id, fr.frameIndex.toLong, (fr.frameIndex * total / k).toLong,
+          f.width.toLong, f.height.toLong, f.channels.toLong,
+          if (isJpeg) 1L else 0L)
+      }
+      .toDF("case_id", "sample_index", "src_frame", "width", "height", "channels", "is_jpeg")
+      .orderBy($"case_id", $"sample_index")
+  }
+
+  private val mmVideoRealSql =
+    """WITH c(case_id, w, h, k) AS (VALUES
+      |  (0, 48, 32, 12), (1, 64, 48, 9), (2, 32, 24, 3)),
+      |s AS (
+      |  SELECT case_id, w, h, k, least(4, k) AS kk, unnest(range(least(4, k))) AS i
+      |  FROM c)
+      |SELECT CAST(case_id AS BIGINT) AS case_id, CAST(i AS BIGINT) AS sample_index,
+      |  CAST(i * k // kk AS BIGINT) AS src_frame,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS is_jpeg
+      |FROM s ORDER BY case_id, sample_index""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
@@ -432,6 +546,8 @@ object SimilarityOps {
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
     ("mm_frames",        mmFrames _,     Some(mmFramesSql)),
     ("mm_decode_real",   mmDecodeReal _, Some(mmDecodeRealSql)),
+    ("mm_audio_real",    mmAudioReal _,  Some(mmAudioRealSql)),
+    ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
   )
 }

@@ -164,4 +164,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(back.getWidth === 8 && back.getHeight === 6)
     assert((back.getRGB(4, 3) & 0xffffff) === 0x00ff00)
   }
+
+  test("real WAV decode: JDK codec round trip with closed-form features") {
+    import Multimodal.MediaRecord
+    // 600-frame square wave, amp 5000, half-period 6, mono 8 kHz
+    val samples = Array.tabulate(600)(f => (if ((f / 6) % 2 == 0) 5000 else -5000).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, 1, samples)
+    assert(Multimodal.looksWav(wav))
+    val f = Multimodal.decodeWav(MediaRecord(1L, "audio/wav", wav)).get
+    assert(f.sampleRate === 8000 && f.channels === 1 && f.nFrames === 600L)
+    assert(f.sumSq === 600L * 5000 * 5000)
+    assert(f.zeroCrossings === 599 / 6)
+    // stereo doubles the energy, channel-0 crossings unchanged
+    val st = Array.tabulate(1200)(i => samples(i / 2))
+    val f2 = Multimodal.decodeWav(
+      MediaRecord(2L, "audio/wav", Multimodal.encodeWavPcm16(16000, 2, st))).get
+    assert(f2.channels === 2 && f2.nFrames === 600L)
+    assert(f2.sumSq === 2L * 600 * 5000 * 5000 && f2.zeroCrossings === f.zeroCrossings)
+    // non-WAV payloads are dropped, not faked
+    val feats = Multimodal.extractAudioFeatures(Seq(
+      MediaRecord(1L, "audio/wav", wav),
+      MediaRecord(3L, "text/plain", "not audio".getBytes("UTF-8"))).toDS().repartition(2))
+      .collect()
+    assert(feats.map(_.doc_id).toSeq === Seq(1L))
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("real AVI demux: mux round trip, true offsets, decodable JPEG frames") {
+    import Multimodal.MediaRecord
+    val frames = (0 until 10).map(i => jpegBytes(40, 30, 0x101010 * (i % 16)))
+    val avi = Multimodal.muxAviMjpeg(40, 30, 33333L, frames)
+    assert(Multimodal.looksAvi(avi))
+    val v = Multimodal.demuxAvi(avi).get
+    assert(v.width === 40 && v.height === 30 && v.microSecPerFrame === 33333L)
+    assert(v.frames.size === 10)
+    // demuxed bytes are the EXACT muxed frames at true file offsets
+    v.frames.zipWithIndex.foreach { case ((off, bytes), i) =>
+      assert(bytes.toSeq === frames(i).toSeq, s"frame $i bytes differ")
+      assert(avi.slice(off.toInt, off.toInt + bytes.length).toSeq === bytes.toSeq,
+        s"frame $i offset $off does not point at the frame in the container")
+    }
+    assert(v.frames.map(_._1) === v.frames.map(_._1).sorted, "offsets advance")
+
+    // frameSample: real path picks evenly spaced decodable frames
+    val sampled = Multimodal.frameSample(
+      Seq(MediaRecord(9L, "video/x-msvideo", avi)).toDS(), 4).collect().sortBy(_.frameIndex)
+    assert(sampled.length === 4)
+    assert(sampled.map(f => f.payload.toSeq) ===
+      Seq(0, 2, 5, 7).map(i => frames(i).toSeq), "sampled src indices i*10/4")
+    sampled.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+      assert(img.getWidth === 40 && img.getHeight === 30)
+    }
+    // a truncated container falls back to None → stub slices, not a crash
+    val broken = java.util.Arrays.copyOfRange(avi, 0, 64)
+    assert(Multimodal.demuxAvi(broken).isEmpty)
+  }
 }
