@@ -140,8 +140,53 @@ object KvQueries {
       .orderBy($"pk")
   }
 
+  /** Full keyset-paged iteration through the driver gate (forRange +
+    * maxIterationSize, KeyValueTableIterator.java:64): the range is
+    * drained page by page, each page an independent limit-N query whose
+    * continuation token is the previous page's last key — the shape that
+    * keeps per-page cost flat at any corpus size. The driver-side loop is
+    * BOUNDED by construction (range ≤ 60 keys / 12 per page + a hard
+    * 64-page cap) and each iteration collects ≤ pageSize rows — the same
+    * bounded-iterator contract as the reference's client-side iterator.
+    * A hash match proves pages tile the range exactly: no overlap, no
+    * gap, order preserved across page boundaries.
+    */
+  private def kvPagedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = build(s, dir)
+    val pageSize = 12
+    val rows = Seq.newBuilder[(Long, String, String)]
+    var after: Option[(String, String)] = None
+    var pageNo = 0L
+    var done = false
+    while (!done && pageNo < 64) {
+      val page = t.scanPage("00000020", "00000080", pageSize, after)
+        .select($"pk", $"sk", decode($"value", "UTF-8").as("val"))
+        .collect()
+      page.foreach(r => rows += ((pageNo, r.getString(0), r.getString(2))))
+      if (page.length < pageSize) done = true
+      else after = Some((page.last.getString(0), page.last.getString(1)))
+      pageNo += 1
+    }
+    s.createDataset(rows.result()).toDF("page_no", "pk", "val").orderBy($"pk")
+  }
+
+  private val kvPagedScanSql =
+    """WITH r AS (
+      |  SELECT format('{:08d}', c_custkey) AS pk,
+      |    CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |         ELSE CAST(c_acctbal AS VARCHAR) END AS val
+      |  FROM customer
+      |  WHERE c_custkey % 7 <> 0
+      |    AND format('{:08d}', c_custkey) >= '00000020'
+      |    AND format('{:08d}', c_custkey) < '00000080')
+      |SELECT CAST((ROW_NUMBER() OVER (ORDER BY pk) - 1) // 12 AS BIGINT) AS page_no,
+      |  pk, val
+      |FROM r ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
+    ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
     ("kv_range_scan", kvRangeScan _, Some(kvRangeScanSql)),
     ("kv_delta_feed", kvDeltaFeed _, Some(kvDeltaFeedSql)),
     ("kv_multiget",   kvMultiget _,  Some(kvMultigetSql)),

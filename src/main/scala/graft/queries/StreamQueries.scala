@@ -601,8 +601,48 @@ object StreamQueries {
       |  CAST(1 AS BIGINT) AS wm
       |FROM e""".stripMargin
 
+  /** Checkpoint → resume through the driver gate: batch 1 (even user_id)
+    * is written, `saveStreamCut` snapshots the tail (the
+    * initiateCheckpoint surface, ReaderGroup.java:84), batch 2 (odd
+    * user_id) lands after it, and the read resumes FROM the named cut —
+    * the resetReaderGroup(fromStreamCuts) surface. A hash match on the
+    * aggregate of what comes back proves the checkpoint splits the stream
+    * exactly: no batch-1 replay, no batch-2 loss, per segment.
+    */
+  private def checkpointResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ckp").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 6))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"user_id".cast("long").as("uid"))
+    g.writeEvents("q", "ev", src.filter($"uid" % 2 === 0).drop("uid"))
+    val ckpt = g.saveStreamCut("q", "ev", "ckpt")
+    g.writeEvents("q", "ev", src.filter($"uid" % 2 === 1).drop("uid"))
+    g.readEvents("q", "ev", from = g.getStreamCut("q", "ev", "ckpt").getOrElse(ckpt))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(decode($"payload", "UTF-8")).as("n_types"),
+           min($"eventTime").as("first_time"),
+           max($"eventTime").as("last_time"))
+      .orderBy($"routingKey")
+  }
+
+  private val checkpointResumeSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_time,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_time
+      |FROM events WHERE user_id % 2 = 1
+      |GROUP BY 1 ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
