@@ -87,12 +87,22 @@ object StreamQueries {
     * ordering guarantee (SegmentSelector.java:87 + ReaderGroupState
     * .java:966 SegmentCompleted).
     */
-  private def orderChain(s: SparkSession, dir: String): DataFrame = {
+  private def orderChain(s: SparkSession, dir: String): DataFrame =
+    chainAcrossScale(s, dir, initialSegments = 4, scaledSegments = 7)
+
+  /** Shared body of `stream_order_chain` (scale UP mid-stream) and
+    * `stream_merge_chain` (scale DOWN — children with multiple sealed
+    * parents, ScaleOperationTask.java:65-173 merge case). Same invariant
+    * either way: the per-key payload chain read back in epoch-major,
+    * offset-minor order equals the source's event_id order.
+    */
+  private def chainAcrossScale(s: SparkSession, dir: String,
+                               initialSegments: Int, scaledSegments: Int): DataFrame = {
     import s.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ord").toString
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
-    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments))
     val src = Tables.events(s, dir)
       .filter($"user_id" < 200)
       .select($"user_id", $"event_id")
@@ -104,7 +114,7 @@ object StreamQueries {
         $"event_id")
     val half = src.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0)
     g.writeEvents("q", "ev", src.filter($"event_id" <= half).drop("event_id"))
-    g.scaleStream("q", "ev", 7) // epoch change mid-stream
+    g.scaleStream("q", "ev", scaledSegments) // epoch change mid-stream
     g.writeEvents("q", "ev", src.filter($"event_id" > half).drop("event_id"))
 
     g.readEvents("q", "ev")
@@ -118,6 +128,13 @@ object StreamQueries {
           x => x.getField("pid")))).as("chain"))
       .orderBy($"routingKey")
   }
+
+  /** Scale-DOWN merge through the driver gate: 6 segments merge to 2, so
+    * every epoch-1 segment has MULTIPLE sealed parents; a chain match
+    * proves per-key order and exactly-once delivery survive the merge.
+    */
+  private def mergeChain(s: SparkSession, dir: String): DataFrame =
+    chainAcrossScale(s, dir, initialSegments = 6, scaledSegments = 2)
 
   private val orderChainSql =
     """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
@@ -650,6 +667,7 @@ object StreamQueries {
     ("ev_retention_policy",  retentionPolicy _, Some(retentionPolicySql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
     ("stream_order_chain",   orderChain _,   Some(orderChainSql)),
+    ("stream_merge_chain",   mergeChain _,   Some(orderChainSql)),
     ("stream_large_event",   largeEvent _,   Some(largeEventSql)),
     ("ev_next_cut",          nextCut _,      Some(nextCutSql)),
     ("bs_roundtrip",         byteStreamRoundtrip _, Some(byteStreamRoundtripSql)),

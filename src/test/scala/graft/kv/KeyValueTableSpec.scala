@@ -114,6 +114,17 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(seen.toList == entries.map(_._1).sorted.toList, "pages must tile the range exactly")
     assert(pages == 7, s"157 entries / 25 per page = 7 pages, got $pages")
 
+    // scale gate: the page's pk range + continuation predicates must push
+    // BELOW the versioning window to the parquet scan (pk is part of the
+    // window's partitioning, so Catalyst may — and must — push them);
+    // without this every page would re-resolve the whole table
+    val pagePlan = t.scanPage("key0000", "key0200", 25, after)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pagePushed = pagePlan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pagePushed.contains("GreaterThan") && pagePushed.contains("pk"),
+      s"pk keyset predicates not pushed below the window to parquet: $pagePushed")
+
     // prefix paging returns the same keys as the unpaged prefix scan
     val prefixAll = t.scanPrefix("key00").select($"pk").as[String].collect().toList
     val p1 = t.scanPrefixPage("key00", 60).select($"pk", $"sk").collect()
