@@ -70,12 +70,12 @@ object Bench {
       "txt_lang_id", "kv_delta_feed", "txt_rep_ngrams", "txt_contamination",
       "q27_lag_lead",
       "stream_roundtrip_agg", "ev_sql_insert_roundtrip",
-      "stream_txn_roundtrip", "stream_order_chain",
+      "stream_txn_roundtrip", "stream_order_chain", "stream_merge_chain",
       "stream_large_event", "stream_compacted_roundtrip", "ev_next_cut",
-      "state_sync_fold", "ev_maintenance_pass",
+      "state_sync_fold", "ev_maintenance_pass", "ev_checkpoint_resume",
       "ev_autoscale_policy", "ev_retention_policy", "ev_multistream",
       "bs_roundtrip", "kv_resolve", "kv_range_scan", "kv_multiget",
-      "kv_compacted_resolve")
+      "kv_compacted_resolve", "kv_paged_scan")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {

@@ -1,92 +1,86 @@
 package graft.core
 
+import graft.operators.Multimodal
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import scala.util.Random
-
-/** Property-style invariants (seeded random sampling) for the core model:
-  * hashing, segment ids, EWMA — the algebra everything else leans on.
+/** Property-based tests for the engine's pure kernels — the invariants
+  * that must hold for EVERY input, not just the fixtures: routing-hash
+  * range/determinism/tiling, AVI mux→demux identity, WAV encode→decode
+  * identity with reference-recomputed features. No SparkSession — these
+  * run in milliseconds and fuzz the seams the example-based specs pin.
   */
 class PropertySpec extends AnyFunSuite {
-  private def rnd = new Random(42)
 
-  test("SegmentId.pack/unpack is a bijection for all (epoch, number)") {
-    val r = rnd
-    (0 until 10000).foreach { _ =>
-      val epoch = r.nextInt(Int.MaxValue)
-      val number = r.nextInt()
-      val id = SegmentId.pack(epoch, number)
-      assert(SegmentId.epoch(id) == epoch)
-      assert(SegmentId.number(id) == number)
-    }
+  // plain-scalacheck driver (no scalatestplus bridge on the classpath):
+  // 200 cases per property, failures surface with the shrunk input
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
-  test("hashToRange maps arbitrary strings into [0,1) deterministically") {
-    val r = rnd
-    (0 until 5000).foreach { _ =>
-      val s = r.nextString(r.nextInt(40)) // arbitrary unicode
+  test("hashToRange: every string lands in [0,1), deterministically") {
+    check(Prop.forAll { (s: String) =>
       val d = RoutingKeyHash.hashToRange(s)
-      assert(d >= 0.0 && d < 1.0, s"out of range for ${s.map(_.toInt)}")
-      assert(d == RoutingKeyHash.hashToRange(s))
-    }
+      d >= 0.0 && d < 1.0 && d == RoutingKeyHash.hashToRange(s)
+    })
   }
 
-  test("bucketForKey agrees with segmentForKey on evenly tiled epochs") {
-    val r = rnd
-    (0 until 2000).foreach { _ =>
-      val n = 1 + r.nextInt(32)
-      val k = r.alphanumeric.take(1 + r.nextInt(20)).mkString
-      val segs = RoutingKeyHash.evenRanges(n).zipWithIndex.map { case (rg, i) =>
-        SegmentRecord(SegmentId.pack(0, i), rg.low, rg.high, 0, 0, isSealed = false, Nil, 0)
+  test("even ranges tile [0,1): every key owned by exactly one bucket") {
+    val gen = for {
+      n <- Gen.choose(1, 64)
+      key <- Gen.alphaNumStr
+    } yield (n, key)
+    check(Prop.forAll(gen) { case (n, key) =>
+      val ranges = RoutingKeyHash.evenRanges(n)
+      val d = RoutingKeyHash.hashToRange(key)
+      ranges.count(_.contains(d)) == 1
+    })
+  }
+
+  test("AVI mux -> demux is the identity on frames, offsets and metadata") {
+    val frameGen = Gen.choose(1, 400).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    val gen = for {
+      w <- Gen.choose(1, 4096)
+      h <- Gen.choose(1, 4096)
+      us <- Gen.choose(1L, 1000000L)
+      frames <- Gen.nonEmptyListOf(frameGen).map(_.take(12))
+    } yield (w, h, us, frames)
+    check(Prop.forAll(gen) { case (w, h, us, frames) =>
+      val avi = Multimodal.muxAviMjpeg(w, h, us, frames)
+      Multimodal.demuxAvi(avi).exists { v =>
+        v.width == w && v.height == h && v.microSecPerFrame == us &&
+        v.frames.size == frames.size &&
+        v.frames.zip(frames).forall { case ((off, got), want) =>
+          got.sameElements(want) &&
+          avi.slice(off.toInt, off.toInt + got.length).sameElements(want)
+        }
       }
-      val sid = RoutingKeyHash.segmentForKey(k, segs)
-      assert(SegmentId.number(sid) == RoutingKeyHash.bucketForKey(k, n))
-    }
+    })
   }
 
-  test("evenRanges always tiles [0,1) exactly") {
-    (1 to 256).foreach { n =>
-      val rs = RoutingKeyHash.evenRanges(n)
-      assert(rs.size == n)
-      assert(rs.head.low == 0.0 && rs.last.high == 1.0)
-      rs.sliding(2).foreach { case Seq(a, b) => assert(a.high == b.low); case _ => }
-    }
-  }
-
-  test("SegmentRates EWMA is non-negative and converges to the steady rate") {
-    val r = rnd
-    (0 until 200).foreach { _ =>
-      val rows = 1L + r.nextInt(10000)
-      val dt = 100L + r.nextInt(60000)
-      var rates = SegmentRates()
-      var now = 1704067200000L
-      // simulate ≥ 5τ of the 2-minute horizon so the EWMA has converged
-      val steps = math.max(10, (10 * 60 * 1000L / dt).toInt)
-      (0 until steps).foreach { _ =>
-        now += dt
-        rates = rates.update(rows, now)
-        assert(rates.twoMin >= 0 && rates.fiveMin >= 0 &&
-          rates.tenMin >= 0 && rates.twentyMin >= 0)
+  test("WAV encode -> decode recovers frames, rate, channels and features") {
+    val gen = for {
+      ch <- Gen.choose(1, 2)
+      n <- Gen.choose(1, 2000)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+      samples <- Gen.containerOfN[Array, Short](n * ch,
+        Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (ch, n, rate, samples)
+    check(Prop.forAll(gen) { case (ch, n, rate, samples) =>
+      val wav = Multimodal.encodeWavPcm16(rate, ch, samples)
+      Multimodal.decodeWav(Multimodal.MediaRecord(0L, "audio/wav", wav)).exists { f =>
+        // reference recomputation, straight from the PCM array
+        val sumSq = samples.foldLeft(0L)((a, s) => a + s.toLong * s)
+        val chan0 = (0 until n).map(i => samples(i * ch).toInt)
+        val zc = chan0.sliding(2).count {
+          case Seq(a, b) => a.toLong * b < 0
+          case _         => false
+        }
+        f.nFrames == n && f.sampleRate == rate && f.channels == ch &&
+        f.sumSq == sumSq && f.zeroCrossings == zc
       }
-      val steady = rows.toDouble * 1000.0 / dt
-      assert(math.abs(rates.twoMin - steady) / steady < 0.05,
-        s"2-min EWMA ${rates.twoMin} should converge to $steady (dt=$dt)")
-    }
-  }
-
-  test("StreamCut distance/advance algebra: monotone, clamped, additive") {
-    val r = rnd
-    (0 until 500).foreach { _ =>
-      val nSegs = 1 + r.nextInt(8)
-      val tails = (0 until nSegs).map(i => SegmentId.pack(0, i) -> (r.nextInt(100000).toLong)).toMap
-      // advance from zero by per-segment share never exceeds tails
-      val per = 1L + r.nextInt(5000)
-      val advanced = tails.map { case (sid, t) => sid -> math.min(t, per) }
-      advanced.foreach { case (sid, off) => assert(off <= tails(sid) && off >= 0) }
-      // distance(head→advanced) + distance(advanced→tail) == distance(head→tail)
-      val d1 = advanced.values.sum
-      val d2 = tails.map { case (sid, t) => t - advanced(sid) }.sum
-      assert(d1 + d2 == tails.values.sum)
-    }
+    })
   }
 }
