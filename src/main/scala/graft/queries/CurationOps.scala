@@ -416,7 +416,63 @@ object CurationOps {
       |  FROM surv) t
       |GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------- dataset card
+
+  /** Per-source "dataset card" rollup — the summary table every corpus
+    * release ships (docs, token/char volume, language mix, dominant
+    * language, exact-duplicate count). All-integer output so the hash
+    * compare is division-free.
+    *
+    * Scale: one keyed aggregation per level — a (source) rollup and a
+    * (source, lang) count whose argmax is a rank-1 window (rewritten to
+    * WindowGroupLimit: map tasks ship one row per (source, lang), the
+    * exchange carries per-group winners only) — then a join of two
+    * source-keyed frames, both at most |sources| rows, so AQE broadcasts
+    * it. The distinct-fingerprint count is Spark's standard two-phase
+    * partial distinct on the md5, never a driver-side set.
+    */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"source", $"lang", $"n_chars",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"),
+      md5(lower(trim($"text"))).as("fp"))
+    val roll = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tok").as("n_tokens"),
+      sum($"n_chars").as("n_chars"),
+      countDistinct($"lang").as("n_langs"),
+      (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"))
+    val wTop = Window.partitionBy($"source").orderBy($"cnt".desc, $"lang")
+    val top = d.groupBy($"source", $"lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wTop)).filter($"rk" === 1)
+      .select($"source", $"lang".as("top_lang"), $"cnt".as("top_lang_docs"))
+    roll.join(top, Seq("source")).orderBy($"source")
+  }
+
+  private val datasetCardSql =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    md5(lower(trim(text))) AS fp
+      |  FROM documents),
+      |roll AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+      |    SUM(n_chars) AS n_chars, COUNT(DISTINCT lang) AS n_langs,
+      |    COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+      |  FROM d GROUP BY source),
+      |top AS (
+      |  SELECT source, lang AS top_lang, cnt AS top_lang_docs FROM (
+      |    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |      row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rk
+      |    FROM d GROUP BY source, lang) t
+      |  WHERE rk = 1)
+      |SELECT roll.source, n_docs, n_tokens, n_chars, n_langs, n_exact_dups,
+      |  top_lang, top_lang_docs
+      |FROM roll JOIN top ON roll.source = top.source
+      |ORDER BY roll.source""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_dataset_card",         datasetCard _,        Some(datasetCardSql)),
     ("ds_pipeline_yield",       pipelineSurvivors _,  Some(pipelineSurvivorsSql)),
     ("txt_source_kl",           sourceKl _,           Some(sourceKlSql)),
     ("ds_token_budget",         tokenBudget _,        Some(tokenBudgetSql)),

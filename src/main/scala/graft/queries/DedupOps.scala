@@ -303,6 +303,91 @@ object DedupOps {
       |WHERE containment >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Window size for duplicated-span removal: a token span is removed
+    * when every one of its tokens is covered by some k-gram occurring
+    * ≥ 2 times corpus-wide (within-doc repeats count — the same rule the
+    * suffix-array exact-substring dedup literature applies; see
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2021, §3.1, at word granularity).
+    */
+  val SpanK = 8
+
+  /** Exact duplicated-SPAN removal — the substring-level complement of
+    * the whole-doc dedup family: instead of dropping documents, drop the
+    * repeated passages (boilerplate, quotes, licence headers) inside
+    * otherwise-unique documents. Every k-gram occurrence whose gram
+    * appears ≥ 2 times anywhere in the corpus marks its k token
+    * positions covered; covered tokens are removed and the surviving
+    * text is fingerprinted.
+    *
+    * Scale: tokens are split once and positions derived from one
+    * generator explode; the duplicated-gram set comes from one
+    * map-combined count on the gram fingerprint; the cover join is an
+    * equi-join on that fingerprint whose output is bounded by
+    * k × (corpus token count) BEFORE the per-position distinct — linear
+    * in corpus size, never pairwise (vs. the O(N²) verifier family).
+    * A ubiquitous gram cannot blow up: a doc has at most `len` positions
+    * to cover. The final per-doc rebuild is one keyed aggregation over
+    * (doc, position) rows.
+    */
+  private def spanRemoval(s: SparkSession, dir: String): DataFrame =
+    spanRemovalOf(Tables.documents(s, dir))
+
+  /** [[spanRemoval]] over an arbitrary `(doc_id, text)` frame (spec'd
+    * directly on synthetic corpora with known span structure).
+    */
+  private[queries] def spanRemovalOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = SpanK
+    val toks = GramStage.tokensOf(docs)
+    // one row per k-gram occurrence: (doc_id, i) 1-based start, fingerprint
+    val occ = toks.filter(size($"tk") >= k)
+      .select($"doc_id", posexplode(GramStage.grams(k)).as(Seq("i0", "g")))
+      .select($"doc_id", ($"i0" + 1).as("i"), md5($"g").as("gh"))
+    val dup = occ.groupBy($"gh").agg(count(lit(1)).as("n")).filter($"n" >= 2)
+    val covered = occ.join(dup.select($"gh"), Seq("gh"))
+      .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val tokPos = toks
+      .select($"doc_id", posexplode($"tk").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"tok")
+    tokPos.join(covered, Seq("doc_id", "p"), "left_outer")
+      .withColumn("kept", $"cov".isNull)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"kept", 1L).otherwise(0L)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"kept", struct($"p", $"tok")))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val spanRemovalSql = {
+    val k = SpanK
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    md5(array_to_string(tk[i : i + $k - 1], ' ')) AS gh
+       |  FROM tk, UNNEST(range(1, len(tk) - $k + 2)) AS t(i)
+       |  WHERE len(tk) >= $k),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |  SELECT g.doc_id, CAST(unnest(range(i, i + $k)) AS BIGINT) AS p
+       |  FROM g JOIN dup USING (gh))),
+       |tp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+       |  FROM tk, UNNEST(range(1, len(tk) + 1)) AS t(i))
+       |SELECT tp.doc_id, COUNT(*) AS n_tokens,
+       |  COUNT(*) FILTER (WHERE cov.p IS NULL) AS kept_tokens,
+       |  md5(COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.p)
+       |    FILTER (WHERE cov.p IS NULL), '')) AS kept_md5
+       |FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+       |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("dedup_exact",          exact _,         Some(exactSql)),
     ("dedup_containment",    containment _,   Some(containmentSql)),
@@ -312,5 +397,6 @@ object DedupOps {
     ("dedup_minhash_oracle", minhashOracle _, Some(MinHashLSH.oracleNearDuplicatesSql(400))),
     ("dedup_clusters",       dedupClusters _, Some(dedupClustersSql)),
     ("dedup_keep_best",      keepBest _,      Some(keepBestSql)),
+    ("dedup_span_removal",   spanRemoval _,   Some(spanRemovalSql)),
   )
 }

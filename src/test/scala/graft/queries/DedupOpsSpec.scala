@@ -42,4 +42,40 @@ class DedupOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byLbl === Map(0L -> 500L, 1000L -> 500L))
   }
+
+  test("spanRemovalOf: shared k-token prefix is excised, unique tails survive") {
+    // Vocabulary is disjoint per region so no accidental gram collisions:
+    // docs 1/2 share exactly one 8-gram (the common prefix); doc 3 is
+    // fully unique; docs 4/5 are identical but SHORTER than k, so the
+    // k-gram granularity floor must keep them whole.
+    val common = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$common a9 a10 a11 a12"),
+      (2L, s"$common b9 b10 b11 b12"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (4L, "d1 d2 d3"),
+      (5L, "d1 d2 d3")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanRemovalOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((12L, 4L, md5Hex("a9 a10 a11 a12"))))
+    assert(out(2L) === ((12L, 4L, md5Hex("b9 b10 b11 b12"))))
+    assert(out(3L) === ((12L, 12L, md5Hex((1 to 12).map(i => s"u$i").mkString(" ")))))
+    assert(out(4L) === ((3L, 3L, md5Hex("d1 d2 d3"))))
+    assert(out(5L) === ((3L, 3L, md5Hex("d1 d2 d3"))))
+  }
+
+  test("spanRemovalOf: an exact duplicate pair is removed to nothing") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val out = DedupOps.spanRemovalOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // every position of both docs sits under some duplicated 8-gram
+    assert(out(1L) === ((0L, md5Hex(""))))
+    assert(out(2L) === ((0L, md5Hex(""))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 }
