@@ -456,8 +456,8 @@ object CurationOps {
       |    md5(lower(trim(text))) AS fp
       |  FROM documents),
       |roll AS (
-      |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
-      |    SUM(n_chars) AS n_chars, COUNT(DISTINCT lang) AS n_langs,
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars, COUNT(DISTINCT lang) AS n_langs,
       |    COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
       |  FROM d GROUP BY source),
       |top AS (
