@@ -184,6 +184,55 @@ object KvQueries {
       |  pk, val
       |FROM r ORDER BY pk""".stripMargin
 
+  /** Atomic multi-key conditional batches through the driver gate
+    * (segmentstore/contracts/.../tables/TableStore.java:114-242
+    * conditional updateEntries — one wire batch commits or rejects as a
+    * unit): commit 1 Inserts every key (must-not-exist), commit 2
+    * conditionally overwrites the even keys at version 1, then a
+    * POISONED batch touches the %5 keys at expectedVersion 1 — wrong for
+    * the %10 keys (already at 2) but individually RIGHT for the odd %5
+    * keys. Atomicity demands the whole batch vanish, so no "v3:" value
+    * may survive anywhere. A final conditional REMOVE of the %7 keys at
+    * their exact per-key versions (2 for even, 1 for odd) then proves
+    * the aborted batch also consumed no commit version. The oracle
+    * replays the surviving history only.
+    */
+  private def kvAtomicBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kvb").toString
+    val t = new KeyValueTable(s, work, "ab", partitionCount = 8)
+    val c = Tables.customer(s, dir).filter($"c_custkey" < 500).select(
+      format_string("%08d", $"c_custkey").as("pk"), lit("").as("sk"),
+      $"c_custkey", $"c_acctbal")
+    t.insert(c.select($"pk", $"sk",
+      encode(concat(lit("v1:"), $"c_acctbal".cast("string")), "UTF-8").as("value")))
+    t.putIfVersion(c.filter($"c_custkey" % 2 === 0).select($"pk", $"sk",
+      encode(concat(lit("v2:"), $"c_acctbal".cast("string")), "UTF-8").as("value")), 1L)
+    val poisoned = c.filter($"c_custkey" % 5 === 0)
+      .select($"pk", $"sk",
+        encode(concat(lit("v3:"), $"c_acctbal".cast("string")), "UTF-8").as("value"),
+        lit("PUT").as("op"), lit(1L).as("expectedVersion"))
+    val rejected =
+      try { t.update(poisoned); false }
+      catch { case _: graft.core.ConditionalCheckFailedException => true }
+    require(rejected, "kv_atomic_batch: poisoned batch unexpectedly committed")
+    t.update(c.filter($"c_custkey" % 7 === 0)
+      .select($"pk", $"sk", lit(null).cast("binary").as("value"),
+        lit("REMOVE").as("op"),
+        when($"c_custkey" % 2 === 0, 2L).otherwise(1L).as("expectedVersion")))
+    t.entries()
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val kvAtomicBatchSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 2 = 0 THEN concat('v2:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE concat('v1:', CAST(c_acctbal AS VARCHAR)) END AS val,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS version
+      |FROM customer WHERE c_custkey < 500 AND c_custkey % 7 <> 0
+      |ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -191,5 +240,6 @@ object KvQueries {
     ("kv_delta_feed", kvDeltaFeed _, Some(kvDeltaFeedSql)),
     ("kv_multiget",   kvMultiget _,  Some(kvMultigetSql)),
     ("kv_compacted_resolve", kvCompactedResolve _, Some(kvResolveSql)),
+    ("kv_atomic_batch", kvAtomicBatch _, Some(kvAtomicBatchSql)),
   )
 }

@@ -657,6 +657,95 @@ object StreamQueries {
       |FROM events WHERE user_id % 2 = 1
       |GROUP BY 1 ORDER BY routingKey""".stripMargin
 
+  /** getSuccessors lineage through the driver gate (Controller.java:412
+    * getSuccessors; ScaleOperationTask.java:65-173 assigns parents by
+    * key-range overlap): a stream scales 4→7 (every child has 1-2
+    * parents) then 7→3 (every child MERGES multiple parents), and every
+    * pre-scale segment's successor set is read back through the public
+    * lineage API. Segments tile [0,1) evenly at each epoch, so the
+    * expected edge set is closed-form: parent i of n and child j of m
+    * are linked iff their key intervals strictly overlap — which the
+    * oracle computes from scratch with two interval-overlap joins.
+    * Bounded driver loop by design: lineage is control-plane metadata,
+    * one row per segment (11 parents here), same bound class as
+    * segmentsAtTime.
+    */
+  private def successorLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    g.scaleStream("q", "ev", 7)
+    g.scaleStream("q", "ev", 3)
+    val meta = g.catalog.getStream("q", "ev")
+    val edges = meta.segments.map(_.segmentId).filter(id => SegmentId.epoch(id) < 2)
+      .flatMap { pid =>
+        g.successors("q", "ev", pid).map { cid =>
+          (SegmentId.epoch(pid).toLong, SegmentId.number(pid).toLong,
+            SegmentId.epoch(cid).toLong, SegmentId.number(cid).toLong)
+        }
+      }
+    edges.toDF("parent_epoch", "parent_num", "child_epoch", "child_num")
+      .orderBy($"parent_epoch", $"parent_num", $"child_num")
+  }
+
+  private val successorLineageSql =
+    """WITH e01 AS (
+      |  SELECT CAST(0 AS BIGINT) AS parent_epoch, CAST(p.i AS BIGINT) AS parent_num,
+      |         CAST(1 AS BIGINT) AS child_epoch, CAST(c.j AS BIGINT) AS child_num
+      |  FROM range(0, 4) p(i), range(0, 7) c(j)
+      |  WHERE p.i / 4.0 < (c.j + 1) / 7.0 AND c.j / 7.0 < (p.i + 1) / 4.0),
+      |e12 AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(p.i AS BIGINT),
+      |         CAST(2 AS BIGINT), CAST(c.j AS BIGINT)
+      |  FROM range(0, 7) p(i), range(0, 3) c(j)
+      |  WHERE p.i / 7.0 < (c.j + 1) / 3.0 AND c.j / 3.0 < (p.i + 1) / 7.0)
+      |SELECT * FROM (SELECT * FROM e01 UNION ALL SELECT * FROM e12)
+      |ORDER BY parent_epoch, parent_num, child_num""".stripMargin
+
+  /** Truncation on the DATA path (Controller.java:237 truncateStream +
+    * head-cut enforcement): a single-segment stream is loaded in
+    * event_id order, truncated at the 1000-row cut, and read back — the
+    * surviving suffix (count, bounds, and the exact payload chain in
+    * offset order) must equal the source rows ranked past the cut. Files
+    * wholly below the head cut leave the manifest (the scan never opens
+    * them); the partially-covered boundary file is trimmed by the
+    * head-cut offset predicate. Single segment so the row-rank
+    * arithmetic is oracle-replayable, exactly like ev_next_cut.
+    */
+  private def truncateRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-trn").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 1))
+    val src = Tables.events(s, dir).filter($"user_id" < 50)
+      .orderBy($"event_id")
+      .select($"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    val cut = g.nextStreamCut("q", "ev",
+      g.catalog.getStream("q", "ev").headStreamCut, approxRows = 1000L)
+    g.catalog.truncateStream("q", "ev", cut)
+    g.readEvents("q", "ev")
+      .select($"offset", decode($"payload", "UTF-8").cast("long").as("eid"))
+      .agg(count(lit(1)).as("n"),
+        min($"eid").as("first_eid"), max($"eid").as("last_eid"),
+        md5(concat_ws(",", transform(array_sort(collect_list(struct($"offset", $"eid"))),
+          x => x.getField("eid").cast("string")))).as("chain"))
+  }
+
+  private val truncateReadSql =
+    """WITH e AS (
+      |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn,
+      |         COUNT(*) OVER () AS cnt
+      |  FROM events WHERE user_id < 50)
+      |SELECT COUNT(*) AS n, MIN(event_id) AS first_eid, MAX(event_id) AS last_eid,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM e WHERE rn > LEAST(cnt, 1000)""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -673,5 +762,7 @@ object StreamQueries {
     ("bs_roundtrip",         byteStreamRoundtrip _, Some(byteStreamRoundtripSql)),
     ("state_sync_fold",      stateSyncFold _, Some(stateSyncFoldSql)),
     ("ev_maintenance_pass",  maintenancePass _, Some(maintenancePassSql)),
+    ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
+    ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
   )
 }
