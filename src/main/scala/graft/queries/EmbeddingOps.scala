@@ -148,9 +148,73 @@ object EmbeddingOps {
       |FROM dots JOIN norms na ON la = na.label JOIN norms nb ON lb = nb.label
       |ORDER BY la, lb""".stripMargin
 
+  /** Product-quantization code assignment — the compression half of the
+    * IVF-PQ ANN architecture (the IVF half is
+    * [[graft.operators.Similarity]]): the 64-dim space splits into m=4
+    * 16-dim subspaces, each with a k=16-entry codebook (seeded from the
+    * first 16 vectors' subvectors — deterministic, so the oracle can
+    * rebuild the identical codebook; production would k-means these, the
+    * assignment path under test is the same). Every vector maps to 4
+    * code indices by nearest-centroid L2 in fixed-point, plus its total
+    * quantized reconstruction SSE. 64 dims → 4 bytes: a 100-TB float
+    * corpus becomes a ~1.5-TB code table that fits executor memory for
+    * re-ranking.
+    *
+    * Scale: one generator explode to (vec, pos) rows, an equi-join
+    * against the BROADCAST codebook (k·d rows — tiny by construction),
+    * two keyed aggregations (distance sum, argmin via min(struct)), one
+    * conditional-agg pivot. No pairwise vector join anywhere.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", ($"pos" / 16).cast("int").as("sub"), $"pos",
+        floor($"x".cast("double") * lit(1000000.0)).cast("long").as("xq"))
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cid"), $"sub", $"pos", $"xq".as("cq"))
+    val dists = e.join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy($"vec_id", $"sub", $"cid")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("d"))
+    val won = dists.groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d", $"cid")).as("m"))
+      .select($"vec_id", $"sub", $"m.cid".as("cid"), $"m.d".as("d"))
+    won.groupBy($"vec_id")
+      .agg(max(when($"sub" === 0, $"cid")).as("c0"),
+        max(when($"sub" === 1, $"cid")).as("c1"),
+        max(when($"sub" === 2, $"cid")).as("c2"),
+        max(when($"sub" === 3, $"cid")).as("c3"),
+        sum($"d").as("sse_fp"))
+      .orderBy($"vec_id")
+  }
+
+  private val pqCodesSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST((u.i - 1) // 16 AS INTEGER) AS sub,
+      |    u.i - 1 AS pos,
+      |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, sub, pos, xq AS cq
+      |      FROM e WHERE vec_id < 16),
+      |d AS (SELECT e.vec_id, e.sub, c.cid,
+      |        SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d
+      |      FROM e JOIN c ON e.sub = c.sub AND e.pos = c.pos
+      |      GROUP BY 1, 2, 3),
+      |a AS (SELECT vec_id, sub, cid, d,
+      |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
+      |      FROM d)
+      |SELECT vec_id,
+      |  MAX(CASE WHEN sub = 0 THEN cid END) AS c0,
+      |  MAX(CASE WHEN sub = 1 THEN cid END) AS c1,
+      |  MAX(CASE WHEN sub = 2 THEN cid END) AS c2,
+      |  MAX(CASE WHEN sub = 3 THEN cid END) AS c3,
+      |  CAST(SUM(d) AS BIGINT) AS sse_fp
+      |FROM a WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("emb_norm_stats",    normStats _,    Some(normStatsSql)),
     ("emb_pca_power",     pcaPower _,     Some(pcaPowerSql)),
     ("emb_centroid_dist", centroidDist _, Some(centroidDistSql)),
+    ("emb_pq_codes",      pqCodes _,      Some(pqCodesSql)),
   )
 }
