@@ -74,6 +74,86 @@ object TextOps {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Rule-based filter ATTRITION report (the Gopher/C4 filter-stack
+    * shape): five named quality rules, and per source the count of docs
+    * failing each rule plus the count surviving all of them — the
+    * "which rule killed my data" accounting every curation run needs
+    * before committing to a filter stack. Thresholds compare
+    * cross-multiplied INTEGERS (3·n_tok ≤ Σ|tok| ≤ 10·n_tok instead of
+    * a mean-word-length division, 20·max_tok ≤ 3·n_tok for the 0.15
+    * repetition share, 10·n_sym ≤ n_chars for the 0.1 symbol ratio), so
+    * both engines evaluate bit-identical arithmetic.
+    *
+    * Scale: the per-doc flags are one narrow projection; the dominant-
+    * token share needs a (doc, token) count — two map-combined keyed
+    * aggregations; the final per-source rollup is a third. No windows,
+    * no joins wider than the doc table itself.
+    */
+  private def filterAttrition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val maxTok = d
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_tok"))
+    val flags = d.select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"),
+        length(regexp_replace(trim($"text"), "\\s+", "")).cast("long").as("sum_len"),
+        length($"text").cast("long").as("n_ch"),
+        size(regexp_extract_all(lower($"text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_sym"),
+        size(regexp_extract_all(lower($"text"), lit(STOP), lit(0)))
+          .cast("long").as("n_stop"))
+      .join(maxTok, Seq("doc_id"))
+      .select($"source",
+        ($"n_tok" >= 30 && $"n_tok" <= 1000).as("r_len"),
+        (lit(3L) * $"n_tok" <= $"sum_len" && $"sum_len" <= lit(10L) * $"n_tok").as("r_wordlen"),
+        ($"n_stop" >= 2L).as("r_stop"),
+        (lit(20L) * $"max_tok" <= lit(3L) * $"n_tok").as("r_rep"),
+        (lit(10L) * $"n_sym" <= $"n_ch").as("r_sym"))
+    flags.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"r_len", 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!$"r_wordlen", 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!$"r_stop", 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(!$"r_rep", 1L).otherwise(0L)).as("fail_rep"),
+        sum(when(!$"r_sym", 1L).otherwise(0L)).as("fail_sym"),
+        sum(when($"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep" && $"r_sym",
+          1L).otherwise(0L)).as("n_pass"))
+      .orderBy($"source")
+  }
+
+  private val filterAttritionSql =
+    s"""WITH mt AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |      FROM documents) t GROUP BY doc_id, tok) u GROUP BY doc_id),
+       |f AS (
+       |  SELECT source,
+       |    n_tok BETWEEN 30 AND 1000 AS r_len,
+       |    3 * n_tok <= sum_len AND sum_len <= 10 * n_tok AS r_wordlen,
+       |    n_stop >= 2 AS r_stop,
+       |    20 * max_tok <= 3 * n_tok AS r_rep,
+       |    10 * n_sym <= n_ch AS r_sym
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |      CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS sum_len,
+       |      CAST(length(text) AS BIGINT) AS n_ch,
+       |      CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_sym,
+       |      CAST(len(regexp_extract_all(lower(text), '$STOP')) AS BIGINT) AS n_stop
+       |    FROM documents) b JOIN mt USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+       |  CAST(SUM(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+       |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+       |  CAST(SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+       |  CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+       |  CAST(SUM(CASE WHEN r_len AND r_wordlen AND r_stop AND r_rep AND r_sym
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Language ID: n-gram/marker-word heuristic scored per language, CJK
     * characters short-circuit to zh. Output is the confusion matrix
     * against the table's `lang` label.
@@ -407,6 +487,7 @@ object TextOps {
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
