@@ -254,6 +254,28 @@ class PlanAuditSpec extends AnyFunSuite {
     check(df.queryExecution.executedPlan)
   }
 
+  test("dedup_span_removal: linear shape — equi-joins only, partial aggs, no pairwise product") {
+    val (_, plan, _) = planOf("dedup_span_removal")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "span removal must never plan a pairwise product")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial+final aggregation on the gram count")
+  }
+
+  test("ds_dataset_card: argmax ships per-group winners, source-keyed join broadcasts") {
+    val (_, plan, _) = planOf("ds_dataset_card")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-1 dominant-language argmax lost its map-side group limit")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row rollup join should broadcast")
+  }
+
+  test("emb_pq_codes: codebook join broadcasts, no pairwise vector product") {
+    val (_, plan, _) = planOf("emb_pq_codes")
+    assert(plan.contains("BroadcastHashJoin"), "codebook must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+  }
+
   test("no registered query plans an unpartitioned window over unbounded input") {
     // the global-sort audit as a gate: an unpartitioned Window funnels its
     // whole input through ONE task's sort, so every registered query must
