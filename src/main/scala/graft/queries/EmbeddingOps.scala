@@ -165,20 +165,41 @@ object EmbeddingOps {
     * two keyed aggregations (distance sum, argmin via min(struct)), one
     * conditional-agg pivot. No pairwise vector join anywhere.
     */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+  /** Fixed-point (vec_id, sub, pos, xq) element rows — the shared input
+    * of the PQ encode and ADC search paths.
+    */
+  private def pqElems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
       .select($"vec_id", ($"pos" / 16).cast("int").as("sub"), $"pos",
         floor($"x".cast("double") * lit(1000000.0)).cast("long").as("xq"))
-    val cents = e.filter($"vec_id" < 16)
+  }
+
+  /** Seeded per-subspace codebook: the first 16 vectors' subvectors. */
+  private def pqCodebook(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < 16)
       .select($"vec_id".cast("int").as("cid"), $"sub", $"pos", $"xq".as("cq"))
-    val dists = e.join(broadcast(cents), Seq("sub", "pos"))
+  }
+
+  /** Nearest-centroid assignment per (vector, subspace): one broadcast
+    * equi-join + distance sum + argmin via min(struct).
+    */
+  private def pqAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(broadcast(cents), Seq("sub", "pos"))
       .groupBy($"vec_id", $"sub", $"cid")
       .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("d"))
-    val won = dists.groupBy($"vec_id", $"sub")
+      .groupBy($"vec_id", $"sub")
       .agg(min(struct($"d", $"cid")).as("m"))
       .select($"vec_id", $"sub", $"m.cid".as("cid"), $"m.d".as("d"))
+  }
+
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = pqElems(s, dir)
+    val won = pqAssign(e, pqCodebook(e))
     won.groupBy($"vec_id")
       .agg(max(when($"sub" === 0, $"cid")).as("c0"),
         max(when($"sub" === 1, $"cid")).as("c1"),
@@ -188,7 +209,10 @@ object EmbeddingOps {
       .orderBy($"vec_id")
   }
 
-  private val pqCodesSql =
+  /** Shared oracle CTEs: quantized elements, seeded codebook, per-
+    * (vector, subspace, centroid) distances, rank-1 assignment.
+    */
+  private val pqCtes =
     """WITH e AS (
       |  SELECT vec_id, CAST((u.i - 1) // 16 AS INTEGER) AS sub,
       |    u.i - 1 AS pos,
@@ -202,7 +226,10 @@ object EmbeddingOps {
       |      GROUP BY 1, 2, 3),
       |a AS (SELECT vec_id, sub, cid, d,
       |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
-      |      FROM d)
+      |      FROM d)""".stripMargin
+
+  private val pqCodesSql = pqCtes +
+    """
       |SELECT vec_id,
       |  MAX(CASE WHEN sub = 0 THEN cid END) AS c0,
       |  MAX(CASE WHEN sub = 1 THEN cid END) AS c1,
@@ -211,10 +238,64 @@ object EmbeddingOps {
       |  CAST(SUM(d) AS BIGINT) AS sse_fp
       |FROM a WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** ADC (asymmetric-distance) top-k search over the PQ codes — the
+    * memory-bound trick that makes PQ an ANN index, not just
+    * compression: at query time the corpus is touched ONLY through its
+    * 4-byte codes. Each query precomputes a 4×16 lookup table (exact
+    * distance from its subvector to every codebook centroid), and a
+    * candidate's score is four table lookups summed — no raw corpus
+    * vector is ever read. Top-5 per query, ascending quantized ADC.
+    *
+    * Scale: the LUT is (queries × m × k) rows — broadcast by
+    * construction; scoring is one equi-join of the code table against
+    * it plus a keyed sum; the per-query top-k is a rank-partitioned
+    * window that WindowGroupLimit trims map-side. The raw embedding
+    * table is scanned exactly once (to build codes), which at 100 TB is
+    * the entire point.
+    */
+  private def adcSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = pqElems(s, dir)
+    val cents = pqCodebook(e)
+    val codes = pqAssign(e, cents).select($"vec_id", $"sub", $"cid")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"sub", $"pos", $"xq")
+    val lut = q.join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy($"qid", $"sub", $"cid")
+      .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("l"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id").agg(sum($"l").as("adc"))
+    val w = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid".as("query_id"), $"vec_id".as("cand_id"),
+        $"adc".as("adc_fp"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val adcSearchSql = pqCtes +
+    """,
+      |codes AS (SELECT vec_id, sub, cid FROM a WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, sub, pos, xq FROM e WHERE vec_id < 10),
+      |lut AS (SELECT q.qid, q.sub, c.cid,
+      |          SUM((q.xq - c.cq) * (q.xq - c.cq)) AS l
+      |        FROM q JOIN c ON q.sub = c.sub AND q.pos = c.pos
+      |        GROUP BY 1, 2, 3),
+      |sc AS (SELECT lut.qid, codes.vec_id, SUM(lut.l) AS adc
+      |       FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+      |       WHERE codes.vec_id <> lut.qid
+      |       GROUP BY 1, 2),
+      |r AS (SELECT qid, vec_id, adc,
+      |        row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |      FROM sc)
+      |SELECT qid AS query_id, vec_id AS cand_id, CAST(adc AS BIGINT) AS adc_fp, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("emb_norm_stats",    normStats _,    Some(normStatsSql)),
     ("emb_pca_power",     pcaPower _,     Some(pcaPowerSql)),
     ("emb_centroid_dist", centroidDist _, Some(centroidDistSql)),
     ("emb_pq_codes",      pqCodes _,      Some(pqCodesSql)),
+    ("sim_adc_search",    adcSearch _,    Some(adcSearchSql)),
   )
 }
