@@ -295,6 +295,28 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
   def currentVersion: Long = latest().version
 
+  /** Snapshot (time-travel) read: the table as of commit `version`.
+    * Every commit writes an immutable `manifest-v` (the same history the
+    * delta feed walks), so an as-of read is just latest-version resolution
+    * over THAT manifest's file list — no version predicate on the scan,
+    * and key-literal pruning composes exactly as on [[entries]]. Commits
+    * after `version` (including compactions, which only fold files visible
+    * at their own commit) are invisible by construction.
+    */
+  def entriesAt(version: Long): DataFrame = {
+    if (version <= 0L)
+      return resolved(KvManifest(name, partitionCount, 0L, Nil))
+    val p = manifestPath(version)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"kv table $name has no commit $version (latest ${latest().version})")
+    val in = fs.open(p)
+    val m = try Serialization.read[KvManifest](
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    finally in.close()
+    resolved(m)
+  }
+
   // -------------------------------------------------------------- compaction
 
   /** Fold all deltas into a fresh base (TableCompactor/HashTableCompactor

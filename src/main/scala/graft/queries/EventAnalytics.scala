@@ -117,8 +117,52 @@ object EventAnalytics {
       |  first_purchase - first_signup AS us_to_convert
       |FROM c ORDER BY user_id""".stripMargin
 
+  /** Top user-journey paths: the 25 most common CONSECUTIVE event-type
+    * trigrams across per-user timelines (the path-mining extension of
+    * ev_markov_transitions' bigram matrix — "what do users actually do in
+    * sequence", the funnel-discovery primitive). Order within a user is
+    * (ts, event_id) — a total order, so both engines walk identical
+    * timelines.
+    *
+    * Scale: one window partitioned by user_id carries two leads — the
+    * shuffle is the per-user repartition the timeline needs anyway; the
+    * trigram count is a map-combined keyed aggregation, and the final
+    * top-25 is a TakeOrderedAndProject over the (tiny) distinct-trigram
+    * set, never a global row sort.
+    */
+  private def topPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t3".isNotNull)
+      .groupBy($"event_type".as("step1"), $"t2".as("step2"), $"t3".as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(25)
+  }
+
+  private val topPathsSql =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM (SELECT user_id, event_id, event_type,
+      |          epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events) e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      |SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ev_interval_join", intervalJoin _, Some(intervalJoinSql)),
     ("ev_funnel",        funnel _,       Some(funnelSql)),
+    ("ev_top_paths",     topPaths _,     Some(topPathsSql)),
   )
 }

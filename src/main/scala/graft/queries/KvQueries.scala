@@ -233,6 +233,28 @@ object KvQueries {
       |FROM customer WHERE c_custkey < 500 AND c_custkey % 7 <> 0
       |ORDER BY pk""".stripMargin
 
+  /** Snapshot (as-of) read: the table at commit 2 — after the overwrite
+    * pass but BEFORE the removes — via the immutable manifest history
+    * ([[KeyValueTable.entriesAt]]). The oracle recomputes that historical
+    * state from `customer` directly: every key present, %3 overwritten,
+    * no tombstones yet. Distinct from kv_resolve (latest state) in rows
+    * AND versions, so a time-travel bug cannot alias to a latest read.
+    */
+  private def kvAsofResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    build(s, dir).entriesAt(2L)
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val kvAsofResolveSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE CAST(c_acctbal AS VARCHAR) END AS val,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS version
+      |FROM customer
+      |ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -241,5 +263,6 @@ object KvQueries {
     ("kv_multiget",   kvMultiget _,  Some(kvMultigetSql)),
     ("kv_compacted_resolve", kvCompactedResolve _, Some(kvResolveSql)),
     ("kv_atomic_batch", kvAtomicBatch _, Some(kvAtomicBatchSql)),
+    ("kv_asof_resolve", kvAsofResolve _, Some(kvAsofResolveSql)),
   )
 }

@@ -534,6 +534,60 @@ object SimilarityOps {
       |  CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS is_jpeg
       |FROM s ORDER BY case_id, sample_index""".stripMargin
 
+  /** Binary sign quantization + Hamming-distance top-k — the 1-bit
+    * compression extreme of the quantized-search family (int8 =
+    * emb_quantize, PQ/ADC = emb_pq_codes/sim_adc_search): each 64-dim
+    * vector collapses to 64 sign bits held as two BIGINT words (32 bits
+    * each — no engine touches a sign bit, so Spark and DuckDB shift
+    * arithmetic stays identical), and distance is two XOR+popcounts.
+    *
+    * Scale: codes are 16 bytes/vector — a billion-vector index fits in
+    * ~16 GB, the query side broadcasts, and the scan side is one narrow
+    * codegen'd projection; the per-query rank window compiles to
+    * WindowGroupLimit (map-side top-k), so the shuffle carries ≤ k rows
+    * per (query, partition), never the corpus.
+    */
+  private def simHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val word = (base: Int) =>
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
+        s"IF(element_at(embedding, i + ${base + 1}) > 0.0, " +
+        s"acc | shiftleft(CAST(1 AS BIGINT), i), acc))"
+    val codes = Tables.embeddings(s, dir).select($"vec_id",
+      expr(word(0)).as("lo"), expr(word(32)).as("hi"))
+    val q = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"lo".as("qlo"), $"hi".as("qhi"))
+    val w = Window.partitionBy($"qid").orderBy($"hamming", $"vec_id")
+    codes.filter($"vec_id" >= 10).crossJoin(broadcast(q))
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"vec_id".as("cand_id"), $"rank", $"hamming")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val simHammingTopkSql =
+    """WITH c AS (
+      |  SELECT vec_id,
+      |    bit_or(CASE WHEN i < 32 AND embedding[CAST(i + 1 AS INT)] > 0.0
+      |      THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END) AS lo,
+      |    bit_or(CASE WHEN i >= 32 AND embedding[CAST(i + 1 AS INT)] > 0.0
+      |      THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0::BIGINT END) AS hi
+      |  FROM embeddings, range(0, 64) t(i)
+      |  GROUP BY vec_id),
+      |d AS (
+      |  SELECT q.vec_id AS qid, c2.vec_id AS cand_id,
+      |    CAST(bit_count(xor(q.lo, c2.lo)) + bit_count(xor(q.hi, c2.hi)) AS BIGINT) AS hamming
+      |  FROM c q JOIN c c2 ON q.vec_id < 10 AND c2.vec_id >= 10),
+      |r AS (
+      |  SELECT qid, cand_id, hamming,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, cand_id) AS BIGINT) AS rank
+      |  FROM d)
+      |SELECT qid, cand_id, rank, hamming FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
@@ -549,5 +603,6 @@ object SimilarityOps {
     ("mm_audio_real",    mmAudioReal _,  Some(mmAudioRealSql)),
     ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
+    ("sim_hamming_topk", simHammingTopk _, Some(simHammingTopkSql)),
   )
 }

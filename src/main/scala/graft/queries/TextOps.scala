@@ -486,8 +486,64 @@ object TextOps {
       |    / (CAST(MAX(len) AS BIGINT) * 10000.0) AS entropy_nats
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // PII patterns kept RE2-safe (char classes, \b, bounded repeats — no
+  // lookaround), so Java regex (Spark) and RE2 (DuckDB) match identically.
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiIp    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\b555-\\d{4}\\b"
+
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before anything ships: count emails / IPv4s / phone
+    * numbers per document, then replace each with a typed placeholder and
+    * fingerprint the redacted text. The synthetic corpus carries no PII,
+    * so each doc first gets a deterministic doc_id-derived contact line
+    * appended (both engines build the identical line) — the redactor is
+    * then verified against text that actually contains every pattern
+    * class, not vacuously against zero matches.
+    *
+    * Scale: one narrow projection per doc — three regex counts + three
+    * chained regexp_replace, all codegen'd, no shuffle at all until the
+    * final presentation sort.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = Tables.documents(s, dir).select($"doc_id",
+      concat(lower($"text"),
+        lit(" contact doc"), $"doc_id".cast("string"), lit("@example.com from 10."),
+        ($"doc_id" % 200).cast("string"), lit(".0."),
+        ($"doc_id" % 250 + 1).cast("string"),
+        lit(" phone 555-"),
+        lpad(($"doc_id" * 7 % 10000).cast("string"), 4, "0")).as("txt"))
+    withPii.select($"doc_id",
+      size(regexp_extract_all($"txt", lit(PiiEmail), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all($"txt", lit(PiiIp), lit(0))).cast("long").as("n_ip"),
+      size(regexp_extract_all($"txt", lit(PiiPhone), lit(0))).cast("long").as("n_phone"),
+      md5(regexp_replace(regexp_replace(regexp_replace($"txt",
+        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>"))
+        .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val piiRedactSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$PiiEmail')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(txt, '$PiiIp')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(txt, '$PiiPhone')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
+       |    '$PiiPhone', '<PHONE>', 'g')) AS redacted_md5
+       |FROM (
+       |  SELECT doc_id, lower(text)
+       |    || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+       |    || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+       |    || CAST(doc_id % 250 + 1 AS VARCHAR)
+       |    || ' phone 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS txt
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
+    ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
