@@ -471,7 +471,60 @@ object CurationOps {
       |FROM roll JOIN top ON roll.source = top.source
       |ORDER BY roll.source""".stripMargin
 
+  /** Temperature-scaled domain mixing (the multilingual / DoReMi-style
+    * α-sampling pass): per-source weights ∝ mass^α for α = ½ against the
+    * proportional α = 1 baseline, plus the per-source epoch count a
+    * 1M-token budget implies — upsampling small domains means re-reading
+    * them. Everything stays in exact integers: isqrt(mass) is a
+    * floor-sqrt with a ±1 Newton correction (so no engine's sqrt
+    * rounding can leak in), weights are parts-per-million via integer
+    * division, and epochs_ppm = w_ppm·10^6 // mass.
+    *
+    * Scale: one map-combined rollup to #sources rows, then a 1-row
+    * scalar broadcast for the two denominators — no window over the
+    * unpartitioned table, no shuffle after the rollup.
+    */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isqrtCol = {
+      val x0 = "CAST(floor(sqrt(CAST(c_chars AS DOUBLE))) AS BIGINT)"
+      expr(s"""CASE WHEN ($x0 + 1) * ($x0 + 1) <= c_chars THEN $x0 + 1
+               WHEN $x0 * $x0 > c_chars THEN $x0 - 1 ELSE $x0 END""")
+    }
+    val per = Tables.documents(s, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("c_chars"))
+      .withColumn("isq", isqrtCol)
+    val tot = per.agg(sum($"c_chars").as("tot_chars"), sum($"isq").as("tot_isq"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"c_chars",
+        expr("(c_chars * 1000000) DIV tot_chars").as("w_flat_ppm"),
+        expr("(isq * 1000000) DIV tot_isq").as("w_half_ppm"),
+        expr("(((isq * 1000000) DIV tot_isq) * 1000000) DIV c_chars").as("epochs_ppm"))
+      .orderBy($"source")
+  }
+
+  private val mixTemperatureSql =
+    """WITH per AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c_chars
+      |  FROM documents GROUP BY source),
+      |iq AS (
+      |  SELECT source, c_chars,
+      |    CASE WHEN (x0 + 1) * (x0 + 1) <= c_chars THEN x0 + 1
+      |         WHEN x0 * x0 > c_chars THEN x0 - 1 ELSE x0 END AS isq
+      |  FROM (SELECT source, c_chars,
+      |          CAST(floor(sqrt(CAST(c_chars AS DOUBLE))) AS BIGINT) AS x0
+      |        FROM per) t),
+      |tot AS (
+      |  SELECT CAST(SUM(c_chars) AS BIGINT) AS tot_chars,
+      |    CAST(SUM(isq) AS BIGINT) AS tot_isq FROM iq)
+      |SELECT source, c_chars,
+      |  (c_chars * 1000000) // tot_chars AS w_flat_ppm,
+      |  (isq * 1000000) // tot_isq AS w_half_ppm,
+      |  (((isq * 1000000) // tot_isq) * 1000000) // c_chars AS epochs_ppm
+      |FROM iq, tot ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_mix_temperature",      mixTemperature _,     Some(mixTemperatureSql)),
     ("ds_dataset_card",         datasetCard _,        Some(datasetCardSql)),
     ("ds_pipeline_yield",       pipelineSurvivors _,  Some(pipelineSurvivorsSql)),
     ("txt_source_kl",           sourceKl _,           Some(sourceKlSql)),

@@ -160,9 +160,65 @@ object EventAnalytics {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin
 
+  /** CUSUM changepoint detection per event type: the day where the
+    * cumulative deviation of the daily count from the type's own mean
+    * peaks — the classic single-changepoint estimator (argmax |S_t| of
+    * the centered cumulative sum, binary-segmentation step 1). All
+    * arithmetic is kept in scaled integers: S_t·n = n·Σ_{i≤t}x_i − t·T
+    * (n = #days, T = total), so both engines compare exact BIGINTs and
+    * ties break on the earlier day.
+    *
+    * Scale: one map-combined daily rollup, then every window is
+    * partitioned by event_type — per-type state is #days rows, the
+    * argmax is a rank-1 filter (WindowGroupLimit), and nothing global
+    * ever sorts.
+    */
+  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wtot = Window.partitionBy($"event_type")
+    val wrun = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("n", count(lit(1)).over(wtot))
+      .withColumn("total", sum($"x").over(wtot))
+      .withColumn("t", row_number().over(wrun).cast("long"))
+      .withColumn("run", sum($"x").over(wrun))
+      .withColumn("s", $"n" * $"run" - $"t" * $"total")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"s").desc, $"day")))
+      .filter($"rk" === 1)
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("cp_day"),
+        abs($"s").as("s_abs"))
+      .orderBy($"event_type")
+  }
+
+  private val cusumChangepointSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS run
+      |  FROM d),
+      |s AS (
+      |  SELECT event_type, day, n * run - t * total AS s,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(n * run - t * total) DESC, day) AS rk
+      |  FROM c)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+      |  CAST(abs(s) AS BIGINT) AS s_abs
+      |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ev_interval_join", intervalJoin _, Some(intervalJoinSql)),
     ("ev_funnel",        funnel _,       Some(funnelSql)),
     ("ev_top_paths",     topPaths _,     Some(topPathsSql)),
+    ("ev_cusum_changepoint", cusumChangepoint _, Some(cusumChangepointSql)),
   )
 }

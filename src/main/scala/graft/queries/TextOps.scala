@@ -541,9 +541,71 @@ object TextOps {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  // URL grammar kept RE2-safe and anchored to the scheme so Java regex
+  // (Spark) and RE2 (DuckDB) tokenize the same spans.
+  private val UrlRe  = "https?://[a-z0-9.-]+(/[a-z0-9/._-]*)?"
+  private val HostRe = "https?://([a-z0-9.-]+)"
+
+  /** URL / domain extraction + blocklist attrition — the C4/RefinedWeb
+    * provenance-filter pass: pull every URL out of each document, key by
+    * host, and flag hosts matching the ad-tracker blocklist prefix. The
+    * synthetic corpus carries no URLs, so each doc gets a deterministic
+    * doc_id-derived citation line appended (identical construction in
+    * both engines); docs where doc_id % 5 = 0 also gain a tracker URL so
+    * the blocklist path is exercised against real matches, not zero.
+    *
+    * Scale: regex extraction is a narrow codegen'd projection, the
+    * explode fans out ≤ 2 rows/doc, and the rollup is one map-combined
+    * keyed aggregation on host — a blocklist at real scale joins in as
+    * a broadcast.
+    */
+  private def urlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrls = Tables.documents(s, dir).select($"doc_id",
+      concat(lower($"text"),
+        lit(" see https://www.site"), ($"doc_id" % 13).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".net")),
+          ($"doc_id" % 3 + 1).cast("int")),
+        lit("/p/"), $"doc_id".cast("string"),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" via http://ads.track"), ($"doc_id" % 7).cast("string"),
+            lit(".example.com/x"))).otherwise(lit(""))).as("txt"))
+    withUrls
+      .select($"doc_id", explode(
+        expr(s"regexp_extract_all(txt, '$UrlRe', 0)")).as("url"))
+      .select($"doc_id", regexp_extract($"url", HostRe, 1).as("host"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"doc_id").as("n_docs"))
+      .withColumn("blocked",
+        when($"host".startsWith("ads."), lit(1L)).otherwise(lit(0L)))
+      .orderBy($"host")
+  }
+
+  private val urlExtractSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(text) || ' see https://www.site'
+       |    || CAST(doc_id % 13 AS VARCHAR)
+       |    || ['.com', '.org', '.net'][CAST(doc_id % 3 + 1 AS INT)]
+       |    || '/p/' || CAST(doc_id AS VARCHAR)
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' via http://ads.track'
+       |         || CAST(doc_id % 7 AS VARCHAR) || '.example.com/x'
+       |       ELSE '' END AS txt
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(txt, '$UrlRe')) AS url FROM t),
+       |h AS (
+       |  SELECT doc_id, regexp_extract(url, '$HostRe', 1) AS host FROM u)
+       |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CASE WHEN host LIKE 'ads.%' THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS blocked
+       |FROM h GROUP BY host ORDER BY host""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
+    ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
