@@ -255,6 +255,47 @@ object KvQueries {
       |FROM customer
       |ORDER BY pk""".stripMargin
 
+  /** Secondary-index lookup: a second KVT whose SORTED primary key is the
+    * composite "nationkey:custkey" (the reference's fixed-key-layout
+    * pattern for building indexes out of key order —
+    * KeyValueTableIterator.java:64 forPrefix over composite keys), value
+    * empty: the index IS the key. "All customers in nation 7" = one
+    * prefix scan on the index (bucket-pruned, sorted) joined back into
+    * the main table's resolved state. The index is never maintained on
+    * remove — the main-table join is authoritative, so the commit-3
+    * tombstones drop stale index hits, exactly how LSM secondary
+    * indexes resolve.
+    *
+    * Scale: the prefix scan reads only the index buckets owning the
+    * prefix; the back-join is a plain equi-join on pk (broadcastable —
+    * one nation's keys are a sliver of the corpus).
+    */
+  private def kvIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = ixCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val work = java.nio.file.Files.createTempDirectory("graft-kvix").toString
+      val t = new KeyValueTable(s, work, "cust_by_nation", partitionCount = 8)
+      t.put(Tables.customer(s, dir).select(
+        format_string("%02d:%08d", $"c_nationkey", $"c_custkey").as("pk"),
+        lit("").as("sk"), encode(lit(""), "UTF-8").as("value")))
+      t
+    })
+    val hits = ix.scanPrefix("07:").select(substring($"pk", 4, 8).as("pk"))
+    build(s, dir).entries().join(hits, "pk")
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val ixCache = scala.collection.concurrent.TrieMap.empty[(Int, String), KeyValueTable]
+
+  private val kvIndexLookupSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
+      |       ELSE CAST(c_acctbal AS VARCHAR) END AS val,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS version
+      |FROM customer WHERE c_custkey % 7 <> 0 AND c_nationkey = 7
+      |ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -264,5 +305,6 @@ object KvQueries {
     ("kv_compacted_resolve", kvCompactedResolve _, Some(kvResolveSql)),
     ("kv_atomic_batch", kvAtomicBatch _, Some(kvAtomicBatchSql)),
     ("kv_asof_resolve", kvAsofResolve _, Some(kvAsofResolveSql)),
+    ("kv_index_lookup", kvIndexLookup _, Some(kvIndexLookupSql)),
   )
 }
