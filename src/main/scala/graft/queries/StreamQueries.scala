@@ -746,6 +746,78 @@ object StreamQueries {
       |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
       |FROM e WHERE rn > LEAST(cnt, 1000)""".stripMargin
 
+  /** Stream-stream inner join through the engine's streaming source
+    * (the two-reader-group join a Pravega app composes by hand; in this
+    * engine it's Structured Streaming's symmetric hash join over two
+    * graft streams): signups → stream a, purchases → stream b, one
+    * streaming query joins them on user within a 1-hour event-time
+    * bound and drains under Trigger.AvailableNow in paced pages. Both
+    * sides carry real watermarks (400-day delay ≫ the 30-day corpus, so
+    * nothing is evicted before its partner arrives and the drained
+    * result equals the batch join, page-order-independent). The oracle
+    * replays the join relationally; the md5 pair-chain per user proves
+    * every pair was emitted exactly once across micro-batches.
+    *
+    * Scale: the join state is keyed by user and bounded by the
+    * watermark horizon; each side shuffles once on the equality key —
+    * the same plan a 1000-executor cluster runs, with state eviction
+    * driven by the per-trigger global watermark.
+    */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "a", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("q", "b", StreamConfig(initialSegments = 2))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"),
+      $"event_type")
+    g.writeEvents("q", "a", src.filter($"event_type" === "signup").drop("event_type"))
+    g.writeEvents("q", "b", src.filter($"event_type" === "purchase").drop("event_type"))
+    val pace = math.max(500L, g.unreadRows("q", "a", StreamCut(Map.empty)) / 4L)
+    def side(st: String, u: String, e: String, t: String) =
+      s.readStream.format("graft-stream")
+        .option("rootDir", work).option("scope", "q").option("stream", st)
+        .option("maxRowsPerTrigger", pace.toString)
+        .load()
+        .select($"routingKey".as(u),
+          decode($"payload", "UTF-8").cast("long").as(e),
+          timestamp_millis($"eventTime").as(t))
+        .withWatermark(t, "400 days")
+    val joined = side("a", "ua", "ea", "ta").join(side("b", "ub", "eb", "tb"),
+      expr("ua = ub AND tb >= ta AND tb <= ta + interval 1 hour"))
+    val sink = s"ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy($"ua".cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        md5(concat_ws(",", array_sort(collect_list(
+          format_string("%08d:%08d", $"ea", $"eb"))))).as("chain"))
+      .orderBy($"user_id")
+  }
+
+  private val streamJoinSql =
+    """WITH a AS (
+      |  SELECT user_id, event_id AS ea, epoch_ms(CAST(ts AS TIMESTAMP)) AS ta
+      |  FROM events WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT user_id, event_id AS eb, epoch_ms(CAST(ts AS TIMESTAMP)) AS tb
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT a.user_id, ea, eb FROM a JOIN b
+      |  ON a.user_id = b.user_id AND tb >= ta AND tb <= ta + 3600000)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  md5(string_agg(format('{:08d}', ea) || ':' || format('{:08d}', eb),
+      |    ',' ORDER BY ea, eb)) AS chain
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -764,5 +836,6 @@ object StreamQueries {
     ("ev_maintenance_pass",  maintenancePass _, Some(maintenancePassSql)),
     ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
+    ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
   )
 }
