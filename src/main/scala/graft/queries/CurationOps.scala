@@ -523,8 +523,60 @@ object CurationOps {
       |  (((isq * 1000000) // tot_isq) * 1000000) // c_chars AS epochs_ppm
       |FROM iq, tot ORDER BY source""".stripMargin
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct 5-token shingles they share, plus the shingle-set
+    * Jaccard in exact ppm — the corpus-level leakage diagnostic run
+    * before mixing (is src A secretly a crawl of src B?). Doc-level
+    * twins are dedup_*'s job; this is the source-pair rollup.
+    *
+    * Scale: shingles dedupe to (shingle, source) first — one
+    * map-combined distinct — and the self-join shuffles on the shingle;
+    * a shingle shared by all S sources fans out to at most C(S,2) pairs,
+    * bounded by the source count (a handful by definition), never by
+    * corpus size.
+    */
+  private def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"source", toks($"text").as("w"))
+      .filter(size($"w") >= 5)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")).as("sh"))
+      .distinct()
+    val dsz = sh.groupBy($"source").agg(count(lit(1)).as("ds"))
+    sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(dsz.select($"source".as("src_a"), $"ds".as("da"))), Seq("src_a"))
+      .join(broadcast(dsz.select($"source".as("src_b"), $"ds".as("db"))), Seq("src_b"))
+      .select($"src_a", $"src_b", $"shared",
+        expr("(shared * 1000000) DIV (da + db - shared)").as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val crossSourceOverlapSql =
+    """WITH w AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> array_to_string(w[i : i + 4], ' '))) AS sh
+      |  FROM w WHERE len(w) >= 5),
+      |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ds FROM sh GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared,
+      |  (shared * 1000000) // (da.ds + db.ds - shared) AS jaccard_ppm
+      |FROM p JOIN d da ON p.src_a = da.source JOIN d db ON p.src_b = db.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("ds_mix_temperature",      mixTemperature _,     Some(mixTemperatureSql)),
+    ("ds_cross_source_overlap", crossSourceOverlap _, Some(crossSourceOverlapSql)),
     ("ds_dataset_card",         datasetCard _,        Some(datasetCardSql)),
     ("ds_pipeline_yield",       pipelineSurvivors _,  Some(pipelineSurvivorsSql)),
     ("txt_source_kl",           sourceKl _,           Some(sourceKlSql)),
