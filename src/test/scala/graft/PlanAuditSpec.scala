@@ -276,6 +276,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
   }
 
+  test("round-7 additions: top-k stays map-side, rollups stay equi-join/broadcast") {
+    // sim_hamming_topk: the per-query rank window must compile to a
+    // map-side group top-k — the shuffle carries ≤ k rows per (query,
+    // partition), never the corpus (the broadcast of the 10-row query
+    // set is the gated bounded-probe pattern, fine)
+    val (_, hplan, _) = planOf("sim_hamming_topk")
+    assert(hplan.contains("WindowGroupLimit"),
+      "hamming top-k lost its map-side group limit")
+    // ev_top_paths: global top-25 must be TakeOrderedAndProject (per-
+    // partition heaps), not a full sort of the trigram set
+    val (_, tplan, _) = planOf("ev_top_paths")
+    assert(tplan.contains("TakeOrderedAndProject"),
+      "trigram top-k planned a global sort instead of per-partition heaps")
+    // ds_cross_source_overlap: the shingle self-join and both size
+    // joins must be equi-joins (the size sides broadcast) — a cartesian
+    // here is the all-pairs trap
+    val (_, cplan, _) = planOf("ds_cross_source_overlap")
+    assert(!cplan.contains("CartesianProduct") && !cplan.contains("NestedLoopJoin"),
+      "cross-source overlap planned a pairwise product")
+    assert(cplan.contains("BroadcastHashJoin"),
+      "per-source size sides should broadcast")
+    // ds_mix_temperature: only the 1-row denominator broadcast, no
+    // shuffle join anywhere
+    val (_, mplan, _) = planOf("ds_mix_temperature")
+    assert(!mplan.contains("SortMergeJoin") && !mplan.contains("ShuffledHashJoin"),
+      "mixing-weight denominators must ride the 1-row broadcast")
+  }
+
   test("no registered query plans an unpartitioned window over unbounded input") {
     // the global-sort audit as a gate: an unpartitioned Window funnels its
     // whole input through ONE task's sort, so every registered query must
