@@ -302,6 +302,12 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     * and key-literal pruning composes exactly as on [[entries]]. Commits
     * after `version` (including compactions, which only fold files visible
     * at their own commit) are invisible by construction.
+    *
+    * Horizon: a compaction tombstones the files it replaced with a
+    * reader-grace deadline and [[sweepDeletes]] reclaims them after it —
+    * so snapshots remain readable for at least the grace period, and a
+    * snapshot older than the last sweep may reference deleted files
+    * (the standard retention-bounded time-travel contract).
     */
   def entriesAt(version: Long): DataFrame = {
     if (version <= 0L)

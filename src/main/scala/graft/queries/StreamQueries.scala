@@ -777,9 +777,19 @@ object StreamQueries {
       $"event_type")
     g.writeEvents("q", "a", src.filter($"event_type" === "signup").drop("event_type"))
     g.writeEvents("q", "b", src.filter($"event_type" === "purchase").drop("event_type"))
-    val pace = math.max(500L, g.unreadRows("q", "a", StreamCut(Map.empty)) / 4L)
+    // 2-3 triggers: enough that pairs straddle micro-batches (cross-batch
+    // state is the thing under test) without paying the ~3 s/trigger
+    // stateful-join overhead 5+ paced pages would cost at bench scale —
+    // page-size paging itself is ev_multistream's job
+    val pace = math.max(500L, g.unreadRows("q", "a", StreamCut(Map.empty)) / 2L)
+    // the stateful join keeps one state store per shuffle partition per
+    // side per trigger — at bench scale that fixed cost dwarfs the join
+    // itself, so the streaming query runs in a cloned session with fewer
+    // partitions (state sizing is a deployment knob, not a semantic)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     def side(st: String, u: String, e: String, t: String) =
-      s.readStream.format("graft-stream")
+      s2.readStream.format("graft-stream")
         .option("rootDir", work).option("scope", "q").option("stream", st)
         .option("maxRowsPerTrigger", pace.toString)
         .load()
@@ -795,7 +805,7 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    s2.table(sink)
       .groupBy($"ua".cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         md5(concat_ws(",", array_sort(collect_list(

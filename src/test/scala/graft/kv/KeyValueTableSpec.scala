@@ -133,6 +133,28 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert((p1 ++ p2).map(_.getString(0)).toList == prefixAll)
   }
 
+  test("entriesAt: snapshot reads replay any commit; compaction stays invisible to history") {
+    val t = fresh()
+    val v1 = t.put(kv("a" -> "1", "b" -> "2", "c" -> "3"))
+    val v2 = t.put(kv("b" -> "20"))
+    val v3 = t.remove(Seq(("a", "")).toDF("pk", "sk"))
+    def state(df: DataFrame): Set[(String, String)] =
+      df.select($"pk", decode($"value", "UTF-8")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(state(t.entriesAt(v1)) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(state(t.entriesAt(v2)) == Set("a" -> "1", "b" -> "20", "c" -> "3"))
+    // as-of latest ≡ entries(), including the tombstone
+    assert(state(t.entriesAt(v3)) == state(t.entries()))
+    // version 0 = before any commit; bad versions fail loudly
+    assert(t.entriesAt(0L).count() == 0)
+    assertThrows[IllegalArgumentException](t.entriesAt(99L))
+    // compaction rewrites the PRESENT, not the past
+    t.compact()
+    assert(state(t.entriesAt(v2)) == Set("a" -> "1", "b" -> "20", "c" -> "3"),
+      "compaction leaked into a historical snapshot")
+    assert(state(t.entriesAt(t.currentVersion)) == state(t.entries()))
+  }
+
   test("getAll multiget prunes the scan to the touched buckets") {
     val t = fresh(parts = 8)
     t.put(kv((0 until 400).map(i => s"k$i" -> s"v$i"): _*))
