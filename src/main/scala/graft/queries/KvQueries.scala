@@ -296,6 +296,42 @@ object KvQueries {
       |FROM customer WHERE c_custkey % 7 <> 0 AND c_nationkey = 7
       |ORDER BY pk""".stripMargin
 
+
+  /** KVT as a dimension: enrich the events stream from the table's
+    * resolved state (the lookup-table join every stream processor runs —
+    * reference apps pair an EventStreamReader with a KeyValueTable for
+    * exactly this). The resolved LSM read composes with Catalyst like
+    * any relation: the dim broadcasts, removed keys (tombstones) drop
+    * their events, and the "upd:" overwrites parse back to DECIMAL so
+    * the balance sum is exact.
+    *
+    * Scale: one broadcast equi-join on the key — no shuffle of the
+    * event side; a KVT too big to broadcast falls back to a shuffled
+    * equi-join on the same plan, both AQE-managed.
+    */
+  private def kvEnrichJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = build(s, dir).entries()
+      .select($"pk", regexp_replace(decode($"value", "UTF-8"), "^upd:", "")
+        .cast("decimal(18,2)").as("bal"))
+    Tables.events(s, dir)
+      .select(format_string("%08d", $"user_id").as("pk"), $"event_type", $"user_id")
+      .join(broadcast(dim), Seq("pk"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        expr("CAST(SUM(bal) AS DOUBLE)").as("sum_bal"))
+      .orderBy($"event_type")
+  }
+
+  private val kvEnrichJoinSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE c_custkey % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -306,5 +342,7 @@ object KvQueries {
     ("kv_atomic_batch", kvAtomicBatch _, Some(kvAtomicBatchSql)),
     ("kv_asof_resolve", kvAsofResolve _, Some(kvAsofResolveSql)),
     ("kv_index_lookup", kvIndexLookup _, Some(kvIndexLookupSql)),
+    ("kv_enrich_join",  kvEnrichJoin _,  Some(kvEnrichJoinSql)),
   )
+
 }
