@@ -828,6 +828,62 @@ object StreamQueries {
       |    ',' ORDER BY ea, eb)) AS chain
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+
+  /** Full streaming data plane, read AND write: a paced streaming query
+    * reads stream `src` through the DSv2 source, filters mid-pipe, and
+    * lands the survivors in stream `dst` through the STREAMING_WRITE
+    * sink (exactly-once epoch dedup, staged-dir commit) — the
+    * stream-to-stream ETL every Pravega deployment runs as a separate
+    * app. The dst read-back's per-key id chains vs the relational
+    * oracle prove no event was lost, duplicated, or corrupted crossing
+    * BOTH engine surfaces; exactly-once across micro-batch commits is
+    * the property under test (order preservation on the direct write
+    * path is stream_order_chain's job).
+    *
+    * Scale: each micro-batch is one route-shuffle + parquet write +
+    * manifest CAS on the sink side — the same bounded plan per trigger
+    * at any corpus size, with admission control pacing the read.
+    */
+  private def pipeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "src", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("q", "dst", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "src", Tables.events(s, dir).filter($"user_id" < 150).select(
+      $"user_id".cast("string").as("routingKey"),
+      $"event_id".as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload")))
+    val pace = math.max(500L, g.unreadRows("q", "src", StreamCut(Map.empty)) / 3L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pipeck").toString
+    val q = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "src")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .filter($"eventTime" % 3 =!= 0)
+      .select($"routingKey", $"eventTime", $"payload")
+      .writeStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    g.readEvents("q", "dst")
+      .select($"routingKey", decode($"payload", "UTF-8").cast("long").as("eid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"eid")),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val pipeRoundtripSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 150 AND event_id % 3 <> 0
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -847,5 +903,6 @@ object StreamQueries {
     ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
+    ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
   )
 }
