@@ -884,6 +884,58 @@ object StreamQueries {
       |FROM events WHERE user_id < 150 AND event_id % 3 <> 0
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** TWO writers appending concurrently to one stream — the multi-writer
+    * contract (every Pravega stream is multi-writer by default; ordered
+    * appends serialize through the segment store, here through manifest
+    * CAS + [[GraftStreams.writeEventsWithRetry]]). Both threads write
+    * through the full path at once; when they race, the loser's
+    * tails-moved CAS failure drops its staged files and the retry
+    * re-assigns offsets against fresh tails. The read-back
+    * per-key id chains (sorted — interleaving order between writers is
+    * intentionally unspecified, content exactness is the contract) must
+    * equal the oracle's: nothing lost to a lost-update race, nothing
+    * duplicated by a retry.
+    *
+    * Scale: writers contend only on the manifest pointer (one tiny CAS
+    * per batch), never on data files — the same property that lets
+    * thousands of producers share a stream in the reference.
+    */
+  private def concurrentWriters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ccw").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).filter($"user_id" < 180).select(
+      $"user_id".cast("string").as("routingKey"),
+      $"event_id".as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"),
+      $"event_id")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() =>
+        try g.writeEventsWithRetry("q", "ev",
+          src.filter($"event_id" % 2 === w).drop("event_id"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!errs.isEmpty) throw new IllegalStateException(
+      s"concurrent writer failed: ${errs.peek()}", errs.peek())
+    g.readEvents("q", "ev")
+      .select($"routingKey", decode($"payload", "UTF-8").cast("long").as("eid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"eid")),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val concurrentWritersSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 180
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -904,5 +956,6 @@ object StreamQueries {
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
     ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
+    ("stream_concurrent_writers", concurrentWriters _, Some(concurrentWritersSql)),
   )
 }
