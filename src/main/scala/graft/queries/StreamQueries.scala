@@ -936,6 +936,39 @@ object StreamQueries {
       |FROM events WHERE user_id < 180
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Seal semantics through the driver gate (StreamManager.sealStream,
+    * controller SealStreamTask): after seal, appends are REJECTED with
+    * the stream-sealed error and every already-written event remains
+    * readable — the immutable-historical-stream contract batch jobs
+    * depend on. The rejected-write probe rides the output as a flag so
+    * the oracle checks both halves in one row set.
+    */
+  private def sealRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-seal").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 3))
+    val src = Tables.events(s, dir).filter($"user_id" < 120).select(
+      $"user_id".cast("string").as("routingKey"),
+      $"event_id".as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    g.catalog.sealStream("q", "ev")
+    val rejected =
+      try { g.writeEvents("q", "ev", src.limit(10)); 0L }
+      catch { case _: graft.core.StreamSealedException => 1L }
+    g.readEvents("q", "ev")
+      .select(decode($"payload", "UTF-8").cast("long").as("eid"))
+      .agg(count(lit(1)).as("n"), min($"eid").as("min_id"), max($"eid").as("max_id"))
+      .select(lit(rejected).as("write_rejected"), $"n", $"min_id", $"max_id")
+  }
+
+  private val sealReadSql =
+    """SELECT CAST(1 AS BIGINT) AS write_rejected, COUNT(*) AS n,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events WHERE user_id < 120""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -957,5 +990,6 @@ object StreamQueries {
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
     ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
     ("stream_concurrent_writers", concurrentWriters _, Some(concurrentWritersSql)),
+    ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
   )
 }
