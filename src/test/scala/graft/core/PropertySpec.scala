@@ -38,6 +38,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SegmentId pack/unpack round-trips every (epoch, number)") {
+    check(Prop.forAll { (e: Int, n: Int) =>
+      val id = SegmentId.pack(e, n)
+      SegmentId.epoch(id) == e && SegmentId.number(id) == n
+    })
+  }
+
+  test("winnow == naive min-per-window of the rolling gram hashes, any input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      s <- Gen.asciiPrintableStr
+      k <- Gen.choose(2, 10)
+      w <- Gen.choose(1, 20)
+    } yield (s, k, w)
+    check(Prop.forAll(gen) { case (str, k, w) =>
+      val u = UTF8String.fromString(str)
+      val got = RollingHashCore.winnow(u, k, w).toSeq
+      val n = u.numBytes()
+      val naive: Seq[Long] =
+        if (n < k) Seq.empty
+        else {
+          val pow = RollingHashCore.powers(k)
+          val hs = (0 to n - k).map { i =>
+            (0 until k).map(j => (u.getByte(i + j) & 0xffL) * pow(j)).sum %
+              RollingHashCore.P
+          }
+          if (hs.size <= w) Seq(hs.min) else hs.sliding(w).map(_.min).toSeq
+        }
+      got == naive
+    })
+  }
+
   test("AVI mux -> demux is the identity on frames, offsets and metadata") {
     val frameGen = Gen.choose(1, 400).flatMap(n =>
       Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
