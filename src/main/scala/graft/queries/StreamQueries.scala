@@ -969,6 +969,64 @@ object StreamQueries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM events WHERE user_id < 120""".stripMargin
 
+  /** Watermark-driven window CLOSING through the real streaming source:
+    * a paced streaming query aggregates 1-day event-time windows in
+    * APPEND mode — a window emits exactly when the watermark passes its
+    * end (PeriodicWatermarking.java:254's "readers may safely close up
+    * to here" contract, realized by Spark's no-data batch after the
+    * final page). The 2-day delay makes the emitted set deterministic
+    * under paced reads: hash-uniform segments advance in near-lockstep,
+    * so cross-trigger arrival skew is hours at most — far inside the
+    * delay — and the final emitted set is exactly the windows whose end
+    * ≤ max event time − 2 days. The oracle replays that exclusion
+    * relationally — a match proves append-mode emission, watermark
+    * advancement across micro-batches, late-row retention within the
+    * delay, and the no-data flush batch all behave exactly to spec.
+    *
+    * Scale: one keyed streaming aggregation — state is (window × type),
+    * bounded by the value domain, evicted as the watermark passes.
+    */
+  private def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-swin").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "ev", Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload")))
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select(timestamp_millis($"eventTime").as("ts"),
+        decode($"payload", "UTF-8").as("event_type"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("day"), $"event_type", $"n")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type", $"n")
+      .orderBy($"day", $"event_type")
+  }
+
+  private val streamWindowSql =
+    """WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)
+      |SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS n
+      |FROM events, mx
+      |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -991,5 +1049,6 @@ object StreamQueries {
     ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
     ("stream_concurrent_writers", concurrentWriters _, Some(concurrentWritersSql)),
     ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
+    ("ev_stream_window",     streamWindow _, Some(streamWindowSql)),
   )
 }
