@@ -1027,6 +1027,60 @@ object StreamQueries {
       |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Consumer-side exactly-once under REDELIVERY: the same batch is
+    * written twice (an at-least-once producer retrying a whole delivery
+    * — EventStreamWriter's retry-on-connection-loss failure mode), and
+    * the streaming consumer deduplicates by event id with
+    * `dropDuplicatesWithinWatermark`. The delay is sized past the whole
+    * redelivery horizon (35 days > the 30-day corpus), so no dedup
+    * state expires mid-drain and the result is exactly the distinct
+    * event set — which is what the oracle computes from the source
+    * table. In production the delay bounds state by the real
+    * redelivery window (seconds-to-minutes), same plan.
+    */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    val src = Tables.events(s, dir).filter($"user_id" < 150).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    g.writeEvents("q", "ev", src) // the duplicate delivery
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey",
+        timestamp_millis($"eventTime").as("ts"),
+        decode($"payload", "UTF-8").cast("long").as("eid"))
+      .withWatermark("ts", "35 days")
+      .dropDuplicatesWithinWatermark("eid")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"eid")),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val streamDedupSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -1050,5 +1104,6 @@ object StreamQueries {
     ("stream_concurrent_writers", concurrentWriters _, Some(concurrentWritersSql)),
     ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
     ("ev_stream_window",     streamWindow _, Some(streamWindowSql)),
+    ("ev_stream_dedup",      streamDedup _,  Some(streamDedupSql)),
   )
 }
