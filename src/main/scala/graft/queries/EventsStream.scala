@@ -226,6 +226,28 @@ object EventsStream {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Stream-dimension enrichment through the SALTED join path
+    * (operators/SaltedJoin) — the manual hot-key remedy, driver-checked
+    * for semantic equivalence: the oracle is the PLAIN SQL join, so a
+    * hash match proves salting changes the shuffle layout and nothing
+    * else. (The AQE runtime alternative is gated in AqeSkewSpec.)
+    */
+  private def evSaltedEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.events(s, dir).select($"user_id".as("k"), $"event_type")
+    val dim = Tables.customer(s, dir).select($"c_custkey".as("k"), $"c_mktsegment")
+    graft.operators.SaltedJoin.join(fact, dim, "k", saltCount = 8)
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  private val evSaltedEnrichSql =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   /** Per-segment append rates over 2-minute windows — the batch shape of
     * the auto-scaler's EWMA input (SegmentStatsRecorderImpl.java:246).
     */
@@ -257,5 +279,6 @@ object EventsStream {
     ("ev_window_tumbling", evWindowTumbling _, Some(evWindowTumblingSql)),
     ("ev_json_props",      evJsonProps _,      Some(evJsonPropsSql)),
     ("ev_enrich_join",     evEnrichJoin _,     Some(evEnrichJoinSql)),
+    ("ev_salted_enrich",   evSaltedEnrich _,   Some(evSaltedEnrichSql)),
   )
 }
