@@ -12,15 +12,17 @@ class SaltedJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // 90% of fact rows on key 0; dim covers only even keys → unmatched rows exist
+  // 90% of fact rows on key 0; dim covers only even keys → unmatched rows
+  // exist; every 997th key is NULL → the no-match-but-survives-outer path
   private lazy val fact = spark.range(0, 20000).select(
-    when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 101).as("k"),
+    when($"id" % 997 === 0, lit(null).cast("long"))
+      .when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 101).as("k"),
     $"id".as("fid"))
   private lazy val dim = spark.range(0, 51).select(
     ($"id" * 2).as("k"), concat(lit("d"), $"id").as("dv"))
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
-    df.select($"k", $"fid", coalesce($"dv", lit("NULL")))
+    df.select(coalesce($"k", lit(-1L)), $"fid", coalesce($"dv", lit("NULL")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
 
   test("inner salted join == plain inner join, row for row") {
