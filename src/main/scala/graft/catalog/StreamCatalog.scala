@@ -323,6 +323,12 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
 
   // ------------------------------------------------------------- manifests
 
+  /** All committed manifest versions of a stream — the history surface
+    * behind the delta feed, as-of reads and `tools.Fsck`'s chain check.
+    */
+  def manifestVersions(scope: String, stream: String): Seq[Long] =
+    listVersions(scope, stream).sorted
+
   private def listVersions(scope: String, stream: String): Seq[Long] = {
     val p = metaPath(scope, stream)
     try fs.listStatus(p).iterator

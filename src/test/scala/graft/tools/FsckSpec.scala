@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.SparkTestSession
+import graft.core.StreamConfig
+import graft.storage.GraftStreams
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Fsck must pass a root that went through the full lifecycle (writes,
+  * scale, truncate, compaction, txn, KVT registration) and must detect
+  * injected damage: a deleted data file, a truncated (wrong-length)
+  * file, and a hole punched in the manifest history.
+  */
+class FsckSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): (String, GraftStreams) = {
+    val root = Files.createTempDirectory("graft-fsck").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 2))
+    val ev = spark.range(0, 2000).select(
+      concat(lit("k"), $"id" % 40).as("routingKey"),
+      $"id".as("eventTime"),
+      encode($"id".cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("s", "ev", ev.filter($"eventTime" < 1000))
+    g.scaleStream("s", "ev", 3)
+    g.writeEvents("s", "ev", ev.filter($"eventTime" >= 1000))
+    g.compactStream("s", "ev", minFilesPerSegment = 2)
+    g.catalog.createKeyValueTable("s", "kt")
+    (root, g)
+  }
+
+  test("a full-lifecycle root is clean") {
+    val (root, _) = freshRoot()
+    assert(Fsck.checkRoot(root).isEmpty)
+  }
+
+  test("a deleted data file is reported as file-missing and tail-mismatch") {
+    val (root, g) = freshRoot()
+    val meta = g.catalog.getStream("s", "ev")
+    val victim = new Path(meta.files.last.path)
+    victim.getFileSystem(spark.sessionState.newHadoopConf()).delete(victim, false)
+    val kinds = Fsck.checkRoot(root).map(_.kind).toSet
+    assert(kinds.contains("file-missing"))
+  }
+
+  test("a wrong-length file is reported as file-size") {
+    val (root, g) = freshRoot()
+    val meta = g.catalog.getStream("s", "ev")
+    val f = meta.files.find(_.byteSize > 0L).get
+    val p = new Path(f.path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true) // overwrite with garbage of another length
+    out.write(Array.fill(17)(7.toByte)); out.close()
+    val kinds = Fsck.checkRoot(root).map(_.kind).toSet
+    assert(kinds.contains("file-size"))
+  }
+
+  test("a hole in the manifest chain is reported") {
+    val (root, g) = freshRoot()
+    val meta = g.catalog.getStream("s", "ev")
+    assert(meta.version >= 3, "lifecycle should have committed >= 3 versions")
+    val holed = new Path(root, s"s/ev/_meta/manifest-${"%012d".format(2)}.json")
+    val fs = holed.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(holed), s"expected manifest at $holed")
+    fs.delete(holed, false)
+    val kinds = Fsck.checkRoot(root).map(_.kind).toSet
+    assert(kinds.contains("manifest-chain"))
+  }
+}
