@@ -92,6 +92,19 @@ object Fsck {
           s"segment ${seg.segmentId}: tail ${seg.tailOffset} above head $head with no live files")
     }
 
+    // stuck transactions: an OPEN txn past its lease should have been
+    // swept (Maintenance runs the sweep); a COMMITTING txn is mid-commit
+    // and only a re-driven commit can finish it — both advisory
+    val now = System.currentTimeMillis()
+    meta.transactions.values.foreach { t =>
+      if (t.expired(now))
+        issues += Issue(where, "txn-lease-expired",
+          s"open txn ${t.id} expired ${now - t.createdAt - t.leaseMillis} ms ago (run Maintenance)")
+      else if (t.state == graft.core.TxnState.Committing)
+        issues += Issue(where, "txn-stuck-committing",
+          s"txn ${t.id} mid-commit (re-drive commitTxn)")
+    }
+
     // open segments tile [0, 1)
     val open = meta.segments.filter(!_.isSealed).sortBy(_.keyLow)
     if (open.nonEmpty) {

@@ -61,6 +61,17 @@ class FsckSpec extends AnyFunSuite {
     assert(kinds.contains("file-size"))
   }
 
+  test("an expired open transaction is reported as advisory") {
+    val (root, g) = freshRoot()
+    val txn = g.beginTxn("s", "ev", leaseMillis = 1L)
+    Thread.sleep(10L)
+    val kinds = Fsck.checkRoot(root).map(_.kind).toSet
+    assert(kinds == Set("txn-lease-expired"), s"got $kinds")
+    // after the sweep the root is clean again
+    g.sweepExpiredTxns("s", "ev")
+    assert(Fsck.checkRoot(root).isEmpty)
+  }
+
   test("a hole in the manifest chain is reported") {
     val (root, g) = freshRoot()
     val meta = g.catalog.getStream("s", "ev")
