@@ -323,6 +323,44 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     resolved(m)
   }
 
+  /** Integrity audit of this table's own storage (the KVT counterpart
+    * of `tools.Fsck`'s stream checks — O(metadata), no data scan):
+    * manifest chain complete (history for the delta feed and as-of
+    * reads, bounded by the compaction horizon for data files), every
+    * LIVE file present, and directory-parquet files that are neither
+    * live nor pending-delete flagged as orphans (a crashed writer's
+    * leak — harmless to reads, reclaimable). Returns human-readable
+    * issue lines; empty = clean.
+    */
+  private[kv] def tableDirPath: String = tableDir.toString
+  private[kv] def liveFilePaths: Seq[String] = latest().files.map(_.path)
+
+  def fsck(): Seq[String] = {
+    val issues = Seq.newBuilder[String]
+    val m = latest()
+    (1L to m.version).foreach { v =>
+      if (!fs.exists(manifestPath(v)))
+        issues += s"manifest-chain: missing version $v of ${m.version}"
+    }
+    m.files.foreach { f =>
+      if (!fs.exists(new Path(f.path)))
+        issues += s"file-missing: live ${f.kind} file ${f.path} (commit ${f.commitVersion})"
+    }
+    // manifests hold paths as written (often scheme-less); listStatus
+    // returns fully-qualified URIs — compare on the scheme-less path
+    def norm(p: String) = new Path(p).toUri.getPath
+    val referenced = (m.files.map(_.path) ++ m.pendingDeletes.map(_.path))
+      .map(norm).toSet
+    try fs.listStatus(tableDir)
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta-") ||
+        s.getPath.getName.startsWith("base-")))
+      .map(_.getPath.toString)
+      .filterNot(p => referenced.contains(norm(p)))
+      .foreach(p => issues += s"orphan-dir: $p (unreferenced; crashed writer leak)")
+    catch { case _: java.io.FileNotFoundException => }
+    issues.result()
+  }
+
   // -------------------------------------------------------------- compaction
 
   /** Fold all deltas into a fresh base (TableCompactor/HashTableCompactor

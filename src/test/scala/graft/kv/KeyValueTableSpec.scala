@@ -155,6 +155,28 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(state(t.entriesAt(t.currentVersion)) == state(t.entries()))
   }
 
+  test("fsck: clean through the lifecycle; detects missing files, orphans, chain holes") {
+    val t = fresh()
+    t.put(kv("a" -> "1", "b" -> "2", "c" -> "3"))
+    t.put(kv("b" -> "20"))
+    t.remove(Seq(("a", "")).toDF("pk", "sk"))
+    assert(t.fsck().isEmpty)
+    t.compact() // replaced files become pending deletes — still referenced
+    assert(t.fsck().isEmpty)
+
+    val fs = new org.apache.hadoop.fs.Path(t.tableDirPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // orphan: an unreferenced delta dir (crashed writer's leak)
+    val orphan = new org.apache.hadoop.fs.Path(s"${t.tableDirPath}/delta-99-deadbeef")
+    fs.mkdirs(orphan)
+    assert(t.fsck().exists(_.startsWith("orphan-dir")))
+    fs.delete(orphan, true)
+
+    // missing live file
+    fs.delete(new org.apache.hadoop.fs.Path(t.liveFilePaths.head), true)
+    assert(t.fsck().exists(_.startsWith("file-missing")))
+  }
+
   test("getAll multiget prunes the scan to the touched buckets") {
     val t = fresh(parts = 8)
     t.put(kv((0 until 400).map(i => s"k$i" -> s"v$i"): _*))
