@@ -543,7 +543,12 @@ object CurationOps {
       .select($"source", explode(expr(
         "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")).as("sh"))
       .distinct()
+    // consumed twice (da and db broadcasts) — without the lazy
+    // checkpoint only one side's exchange is reused and the other
+    // replays the whole shingle explode+distinct (seen in the plan:
+    // a second Generate branch); #sources rows, so the checkpoint is free
     val dsz = sh.groupBy($"source").agg(count(lit(1)).as("ds"))
+      .localCheckpoint(false)
     sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
