@@ -332,6 +332,77 @@ object KvQueries {
       |WHERE c_custkey % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming → KV MATERIALIZED VIEW through the driver gate: a paced
+    * streaming read of an engine stream folds into a KVT holding each
+    * user's LATEST event (the reference pairing of a stream with a
+    * table — reader + KeyValueTable as the serving view). Each
+    * micro-batch does a read-merge-write upsert: the candidate value is
+    * a fixed-width sortable string (zero-padded eventTime | event_id |
+    * type), so "latest" is just `greatest(current, candidate)` —
+    * associative, commutative, idempotent, hence deterministic under
+    * ANY page boundaries and safe under batch replay (exactly-once not
+    * even required for correctness, only for efficiency).
+    *
+    * Scale: per batch one keyed max + one left join against the
+    * resolved view (key-pruned to the batch's touched keys at real
+    * scale via getAll-style pushdown) + one atomic KV commit.
+    */
+  private def kvStreamView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kvsv").toString
+    val g = new graft.storage.GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", graft.core.StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "ev", Tables.events(s, dir).filter($"user_id" < 150).select(
+      $"user_id".cast("string").as("routingKey"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eventTime"),
+      encode(concat(
+        lpad(expr("unix_micros(CAST(ts AS TIMESTAMP))").cast("string"), 20, "0"),
+        lit("|"), lpad($"event_id".cast("string"), 10, "0"),
+        lit("|"), $"event_type"), "UTF-8").as("payload")))
+    val view = new KeyValueTable(s, s"$work/kv", "view", partitionCount = 4)
+    val pace = math.max(500L,
+      g.unreadRows("q", "ev", graft.core.StreamCut(Map.empty)) / 3L)
+    val q = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cand = df.select($"routingKey".as("pk"),
+            decode($"payload", "UTF-8").as("v"))
+          .groupBy($"pk").agg(max($"v").as("v"))
+        val cur = view.entries().select($"pk", decode($"value", "UTF-8").as("cv"))
+        view.put(cand.join(cur, Seq("pk"), "left_outer")
+          .select($"pk", lit("").as("sk"),
+            encode(greatest($"v", coalesce($"cv", $"v")), "UTF-8").as("value")))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kvsv-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    view.entries()
+      .select($"pk", split(decode($"value", "UTF-8"), "\\|").as("p"))
+      .select($"pk", element_at($"p", 1).cast("long").as("last_tus"),
+        element_at($"p", 2).cast("long").as("last_eid"),
+        element_at($"p", 3).as("last_type"))
+      .orderBy($"pk")
+  }
+
+  private val kvStreamViewSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id, event_type
+      |  FROM events WHERE user_id < 150),
+      |r AS (
+      |  SELECT user_id, tus, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT CAST(user_id AS VARCHAR) AS pk, tus AS last_tus,
+      |  event_id AS last_eid, event_type AS last_type
+      |FROM r WHERE rn = 1 ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -343,6 +414,7 @@ object KvQueries {
     ("kv_asof_resolve", kvAsofResolve _, Some(kvAsofResolveSql)),
     ("kv_index_lookup", kvIndexLookup _, Some(kvIndexLookupSql)),
     ("kv_enrich_join",  kvEnrichJoin _,  Some(kvEnrichJoinSql)),
+    ("kv_stream_view",  kvStreamView _,  Some(kvStreamViewSql)),
   )
 
 }
