@@ -77,6 +77,7 @@ object Bench {
       "bs_roundtrip", "kv_resolve", "kv_range_scan", "kv_multiget",
       "kv_compacted_resolve", "kv_paged_scan", "kv_asof_resolve",
       "kv_index_lookup", "ev_stream_join", "kv_enrich_join", "kv_stream_view",
+      "kv_cdc_export",
       "stream_pipe_roundtrip", "stream_concurrent_writers", "stream_seal_read",
       "ev_stream_window", "ev_stream_dedup",
       "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch")

@@ -403,6 +403,50 @@ object KvQueries {
       |  event_id AS last_eid, event_type AS last_type
       |FROM r WHERE rn = 1 ORDER BY pk""".stripMargin
 
+  /** CDC EXPORT — the reverse composition of [[kvStreamView]]: the
+    * table's full change feed ([[KeyValueTable.deltaSince]] from 0)
+    * lands in a graft stream as a changelog (routing key = pk, so each
+    * key's changes stay totally ordered per the engine's per-key
+    * contract), and the stream read-back's per-key op@version chains
+    * must replay the mutation history exactly — the Debezium-style
+    * table→topic export, through both engines' surfaces in one row.
+    *
+    * Scale: the delta read is manifest-pruned to commits > 0, the write
+    * is the engine's one route-shuffle, and ordering rides version
+    * numbers (chains sort by version, so export batching order is
+    * irrelevant).
+    */
+  private def kvCdcExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val g = new graft.storage.GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "chg", graft.core.StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "chg", build(s, dir).deltaSince(0L)
+      .select($"pk".as("routingKey"), $"version".as("eventTime"),
+        encode(concat($"op", lit("@"), $"version".cast("string")), "UTF-8").as("payload")))
+    g.readEvents("q", "chg")
+      .select($"routingKey".as("pk"), decode($"payload", "UTF-8").as("chg"),
+        $"eventTime".as("v"))
+      .groupBy($"pk")
+      .agg(count(lit(1)).as("n_changes"),
+        concat_ws(",", transform(array_sort(collect_list(struct($"v", $"chg"))),
+          x => x.getField("chg"))).as("chain"))
+      .orderBy($"pk")
+  }
+
+  private val kvCdcExportSql =
+    """WITH d AS (
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'PUT' AS op, 1 AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT format('{:08d}', c_custkey), 'PUT', 2 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT format('{:08d}', c_custkey), 'REMOVE', 3 FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT pk, COUNT(*) AS n_changes,
+      |  string_agg(op || '@' || CAST(version AS VARCHAR), ',' ORDER BY version) AS chain
+      |FROM d GROUP BY pk ORDER BY pk""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
@@ -415,6 +459,7 @@ object KvQueries {
     ("kv_index_lookup", kvIndexLookup _, Some(kvIndexLookupSql)),
     ("kv_enrich_join",  kvEnrichJoin _,  Some(kvEnrichJoinSql)),
     ("kv_stream_view",  kvStreamView _,  Some(kvStreamViewSql)),
+    ("kv_cdc_export",   kvCdcExport _,   Some(kvCdcExportSql)),
   )
 
 }
