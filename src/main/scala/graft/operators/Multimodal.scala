@@ -51,6 +51,55 @@ object Multimodal {
     else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** Block-mean perceptual hash (the aHash family's exact-arithmetic
+    * variant): the image is cut into an 8×8 grid of pixel blocks
+    * (integer floor boundaries `i·h/8`), each block's scaled-luma sum
+    * (299r+587g+114b per pixel) is compared against the GLOBAL mean by
+    * exact cross-multiplication — `blockSum·nTotal > totalSum·nBlock` —
+    * so there is no division and no float anywhere, and two engines (or
+    * a hand calculation) agree bit for bit. Bit `y·8+x` is set when the
+    * block is strictly brighter than the image mean; returned as two
+    * unsigned 32-bit halves in BIGINTs (bits 0-31, 32-63) so no sign
+    * bit is ever touched. Near-duplicate images are then a Hamming
+    * distance on 16 bytes — the image analog of `sim_hamming_topk`.
+    */
+  def imagePhash(r: MediaRecord): Option[(Long, Long)] = readImage(r.payload).map { img =>
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](8, 8)
+    val counts = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val by = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(7, x * 8 / w)
+        val rgb = img.getRGB(x, y)
+        sums(by)(bx) += (rgb >> 16 & 0xff) * 299L + (rgb >> 8 & 0xff) * 587L + (rgb & 0xff) * 114L
+        counts(by)(bx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = sums.map(_.sum).sum
+    val nTotal = w.toLong * h
+    // cross-multiplication stays in Long up to ~4 MP (sum ≤ n·255000,
+    // product ≤ n²·255000/64 < 2^63 for n ≤ 2^22); larger images take
+    // the BigInt path — still exact, just not the hot case
+    val big = nTotal > (1L << 22)
+    var lo = 0L; var hi = 0L
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      // exact: blockMean > globalMean  ⟺  blockSum·nTotal > totalSum·nBlock
+      val brighter =
+        if (big) BigInt(sums(by)(bx)) * nTotal > BigInt(totalSum) * counts(by)(bx)
+        else sums(by)(bx) * nTotal > totalSum * counts(by)(bx)
+      if (brighter) {
+        val bit = by * 8 + bx
+        if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+      }
+    }
+    (lo, hi)
+  }
+
   /** REAL decode: exact dimensions and channel count from the decoded
     * image, plus a 16-way luminance-entropy bucket (Shannon entropy of
     * the 8-bit gray histogram, bits in [0,8], bucket = floor(2·H)) — the

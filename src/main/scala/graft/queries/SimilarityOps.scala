@@ -588,6 +588,71 @@ object SimilarityOps {
       |SELECT qid, cand_id, rank, hamming FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** Perceptual image hashing end to end through the REAL decode path
+    * ([[Multimodal.imagePhash]]): executor-generated PNG/BMP patterns
+    * whose 8×8 block-mean hashes are hand-derivable — solid (no block
+    * beats the mean → 0), left/right and top/bottom splits (exactly the
+    * right/bottom half-bits), 1-px checkerboard (uniform at block scale
+    * → 0). The oracle is pure constants, so a match proves decode → luma →
+    * block sums → exact cross-multiplied thresholding, bit for bit.
+    *
+    * Scale: one mapPartitions codec stage (the one place ImageIO can
+    * live), then hashes are 16 bytes/image — dedup joins on them like
+    * `sim_hamming_topk`.
+    */
+  private def mmImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cases = Seq(
+      (0L, "png_solid", 24, 24),
+      (1L, "png_leftright", 32, 32),
+      (2L, "png_topbottom", 32, 32),
+      (3L, "png_checker1", 16, 16),
+      (4L, "bmp_solid", 24, 24))
+    s.createDataset(cases).repartition(2).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def img(fmt: String, w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+        val b = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgbAt(x, y))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(b, fmt, out)
+        out.toByteArray
+      }
+      it.map { case (id, kind, w, h) =>
+        val payload = kind match {
+          case "png_solid"     => img("png", w, h, (_, _) => 0x808080)
+          case "png_leftright" => img("png", w, h, (x, _) => if (x < w / 2) 0x000000 else 0xffffff)
+          case "png_topbottom" => img("png", w, h, (_, y) => if (y < h / 2) 0x000000 else 0xffffff)
+          // 1-px checker: every 2×2 block holds 2 black + 2 white pixels,
+          // so all block means tie the global mean → hash 0 (a 2-px cell
+          // would ALIAS to the block grid and hash as a checkerboard)
+          case "png_checker1"  => img("png", w, h, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+          case "bmp_solid"     => img("bmp", w, h, (_, _) => 0x404040)
+        }
+        val (lo, hi) = graft.operators.Multimodal
+          .imagePhash(graft.operators.Multimodal.MediaRecord(id, "image/x", payload))
+          .getOrElse(throw new IllegalStateException(s"phash decode failed for $kind"))
+        (id, kind, lo, hi)
+      }
+    }.toDF("case_id", "kind", "hash_lo", "hash_hi")
+      .orderBy($"case_id")
+  }
+
+  // bit y*8+x set when the block beats the global mean:
+  //  leftright → x ≥ 4 in every row → each row byte 0xF0 → halves 0xF0F0F0F0
+  //  topbottom → y ≥ 4 → bits 32..63 → lo 0, hi 0xFFFFFFFF
+  //  solids / 2px-checker → uniform at block scale → 0
+  private val mmImagePhashSql =
+    """SELECT CAST(case_id AS BIGINT) AS case_id, kind,
+      |  CAST(hash_lo AS BIGINT) AS hash_lo, CAST(hash_hi AS BIGINT) AS hash_hi
+      |FROM (VALUES
+      |  (0, 'png_solid', 0, 0),
+      |  (1, 'png_leftright', 4042322160, 4042322160),
+      |  (2, 'png_topbottom', 0, 4294967295),
+      |  (3, 'png_checker1', 0, 0),
+      |  (4, 'bmp_solid', 0, 0)) AS v(case_id, kind, hash_lo, hash_hi)
+      |ORDER BY case_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
@@ -604,5 +669,6 @@ object SimilarityOps {
     ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
     ("sim_hamming_topk", simHammingTopk _, Some(simHammingTopkSql)),
+    ("mm_image_phash",   mmImagePhash _,   Some(mmImagePhashSql)),
   )
 }
