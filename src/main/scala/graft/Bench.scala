@@ -79,7 +79,7 @@ object Bench {
       "kv_index_lookup", "ev_stream_join", "kv_enrich_join", "kv_stream_view",
       "kv_cdc_export",
       "stream_pipe_roundtrip", "stream_concurrent_writers", "stream_seal_read",
-      "ev_stream_window", "ev_stream_dedup",
+      "ev_stream_window", "ev_stream_dedup", "ev_stream_static_join",
       "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

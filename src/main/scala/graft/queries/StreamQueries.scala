@@ -1081,6 +1081,50 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Stream-STATIC join through the real streaming source: events drain
+    * from an engine stream in paced pages and join the broadcast
+    * customer dimension INSIDE the streaming query (the per-batch
+    * enrichment every consumer runs; the batch twin is
+    * `ev_enrich_join`). Stateless — each micro-batch joins and emits,
+    * so the drained union is batching-independent and the oracle is the
+    * plain relational join.
+    */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sst").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "ev", Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload")))
+    val dim = broadcast(Tables.customer(s, dir)
+      .select($"c_custkey".cast("string").as("routingKey"), $"c_mktsegment"))
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val sink = s"sst_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey", decode($"payload", "UTF-8").as("event_type"))
+      .join(dim, Seq("routingKey"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  private val streamStaticJoinSql =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
@@ -1105,5 +1149,6 @@ object StreamQueries {
     ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
     ("ev_stream_window",     streamWindow _, Some(streamWindowSql)),
     ("ev_stream_dedup",      streamDedup _,  Some(streamDedupSql)),
+    ("ev_stream_static_join", streamStaticJoin _, Some(streamStaticJoinSql)),
   )
 }
