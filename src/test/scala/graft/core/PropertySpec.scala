@@ -70,6 +70,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("imagePhash: solid images hash to 0; any image hashes deterministically with <64 bits") {
+    val gen = for {
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      rgb <- Gen.choose(0, 0xffffff)
+      solid <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, rgb, solid, seed)
+    check(Prop.forAll(gen) { case (w, h, rgb, solid, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        b.setRGB(x, y, if (solid) rgb else rnd.nextInt(0x1000000))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      val rec = Multimodal.MediaRecord(0L, "image/png", out.toByteArray)
+      val got = Multimodal.imagePhash(rec)
+      got.exists { case (lo, hi) =>
+        val pop = java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+        // strictly-above-mean bits can never be all 64; solid images set none;
+        // and the hash is a pure function of the bytes
+        (!solid || (lo == 0L && hi == 0L)) && pop < 64 &&
+          Multimodal.imagePhash(rec).contains((lo, hi))
+      }
+    })
+  }
+
   test("AVI mux -> demux is the identity on frames, offsets and metadata") {
     val frameGen = Gen.choose(1, 400).flatMap(n =>
       Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
