@@ -92,6 +92,31 @@ object Fsck {
           s"segment ${seg.segmentId}: tail ${seg.tailOffset} above head $head with no live files")
     }
 
+    // orphan data dirs: a batch/compaction/sink-epoch dir none of whose
+    // files made it into the live manifest (or its pending-delete
+    // tombstones) is a crashed writer's leak — invisible to readers
+    // (plans come from the manifest, never listings), reclaimable.
+    // Manifest paths may be scheme-less while listings are qualified —
+    // compare scheme-less.
+    def norm(p: String) = new Path(p).toUri.getPath
+    val referencedPrefixes = (meta.files.map(_.path) ++
+      meta.pendingDeletes.map(_.path)).map(norm)
+    meta.files.headOption.foreach { f0 =>
+      // a manifest file path is data/<dir>/segId=N/part-*.parquet, so the
+      // data dir is three levels up
+      val dataDir = new Path(f0.path).getParent.getParent.getParent
+      try fs.listStatus(dataDir)
+        .filter(s => s.isDirectory && {
+          val n = s.getPath.getName
+          n.startsWith("batch-") || n.startsWith("compact-") || n.startsWith("sinkstage-")
+        })
+        .map(_.getPath.toString)
+        .filterNot(d => referencedPrefixes.exists(_.startsWith(norm(d) + "/")))
+        .foreach(d => issues += Issue(where, "orphan-data",
+          s"$d holds no manifest-referenced files (crashed writer leak; reclaimable)"))
+      catch { case _: java.io.FileNotFoundException => }
+    }
+
     // stuck transactions: an OPEN txn past its lease should have been
     // swept (Maintenance runs the sweep); a COMMITTING txn is mid-commit
     // and only a re-driven commit can finish it — both advisory

@@ -61,6 +61,21 @@ class FsckSpec extends AnyFunSuite {
     assert(kinds.contains("file-size"))
   }
 
+  test("an orphan batch dir (crashed writer) is reported and is reclaim-safe") {
+    val (root, g) = freshRoot()
+    val dataDir = g.catalog.dataDir("s", "ev")
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed writeEvents: staged parquet exists, manifest CAS never ran
+    val stray = new org.apache.hadoop.fs.Path(dataDir, "batch-deadbeef-crashed")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stray, "segId=0"))
+    val issues = Fsck.checkRoot(root)
+    assert(issues.map(_.kind) == Seq("orphan-data"), s"got $issues")
+    // readers are unaffected — plans come from the manifest
+    assert(g.readEvents("s", "ev").count() == 2000L)
+    fs.delete(stray, true)
+    assert(Fsck.checkRoot(root).isEmpty)
+  }
+
   test("an expired open transaction is reported as advisory") {
     val (root, g) = freshRoot()
     val txn = g.beginTxn("s", "ev", leaseMillis = 1L)
