@@ -720,7 +720,11 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith("batch-") ||
          st.getPath.getName.startsWith("txncommit-") ||
-         st.getPath.getName.startsWith("compact-")) &&
+         st.getPath.getName.startsWith("compact-") ||
+         // a STREAMING_WRITE epoch dir normally deleted at commit — a
+         // crashed sink leaves it; the epoch either committed (files
+         // moved out) or never did, so past-grace reclaim is safe
+         st.getPath.getName.startsWith("sinkstage-")) &&
         !referenced.contains(st.getPath.toString) &&
         !referenced.contains(stripScheme(st.getPath.toString)) &&
         st.getModificationTime < cutoff)

@@ -108,10 +108,15 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(g.readEvents("s", "x").count() == 50L, "orphan leaked into reads")
     // young orphan survives the grace period
     assert(g.sweepOrphans("s", "x", olderThanMillis = 3600000L).isEmpty)
+    // a crashed STREAMING_WRITE epoch dir is the same leak class
+    val sinkOrphan = new org.apache.hadoop.fs.Path(dataDir, "sinkstage-dead-epoch")
+    fs.mkdirs(sinkOrphan)
     // past grace → swept; committed batch dir stays
     val swept = g.sweepOrphans("s", "x", olderThanMillis = -1L)
     assert(swept.exists(_.contains("batch-dead-writer")))
+    assert(swept.exists(_.contains("sinkstage-dead-epoch")))
     assert(!fs.exists(orphan))
+    assert(!fs.exists(sinkOrphan))
     assert(g.readEvents("s", "x").count() == 50L)
     g.writeEvents("s", "x", spark.range(10).select(
       lit("k").as("routingKey"), col("id").as("eventTime"),
