@@ -272,21 +272,30 @@ object KvQueries {
     */
   private def kvIndexLookup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ix = ixCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val work = java.nio.file.Files.createTempDirectory("graft-kvix").toString
-      val t = new KeyValueTable(s, work, "cust_by_nation", partitionCount = 8)
-      t.put(Tables.customer(s, dir).select(
-        format_string("%02d:%08d", $"c_nationkey", $"c_custkey").as("pk"),
-        lit("").as("sk"), encode(lit(""), "UTF-8").as("value")))
-      t
-    })
+    // Keyed by the SparkSession INSTANCE in a WeakHashMap (identityHashCode
+    // can collide or be reused after GC; the weak key lets a stopped
+    // session's entry vanish) and built under a lock so concurrent first
+    // calls can't race into building the index twice (leaking temp dirs).
+    val ix = ixCache.synchronized {
+      val perDir = ixCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, KeyValueTable])
+      perDir.getOrElseUpdate(dir, {
+        val work = java.nio.file.Files.createTempDirectory("graft-kvix").toString
+        val t = new KeyValueTable(s, work, "cust_by_nation", partitionCount = 8)
+        t.put(Tables.customer(s, dir).select(
+          format_string("%02d:%08d", $"c_nationkey", $"c_custkey").as("pk"),
+          lit("").as("sk"), encode(lit(""), "UTF-8").as("value")))
+        t
+      })
+    }
     val hits = ix.scanPrefix("07:").select(substring($"pk", 4, 8).as("pk"))
     build(s, dir).entries().join(hits, "pk")
       .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
       .orderBy($"pk")
   }
 
-  private val ixCache = scala.collection.concurrent.TrieMap.empty[(Int, String), KeyValueTable]
+  private val ixCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, KeyValueTable]]
 
   private val kvIndexLookupSql =
     """SELECT format('{:08d}', c_custkey) AS pk,

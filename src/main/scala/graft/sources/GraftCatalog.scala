@@ -116,37 +116,59 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
           "(the event schema and segment layout are engine-managed)")
     }
     val defaults = StreamConfig()
+    // Every edit parses into a typed mutation BEFORE the manifest CAS
+    // closure runs: a malformed value must fail fast with a clear error
+    // naming the property and expected type, never surface as a raw
+    // NumberFormatException mid-CAS (potentially after retry work).
+    def longOr(key: String, value: Option[String], dflt: Long): Long =
+      value.fold(dflt) { s =>
+        try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft stream property '$key' expects a long integer, got '$s'")
+        }
+      }
+    def intOr(key: String, value: Option[String], dflt: Int): Int =
+      value.fold(dflt) { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft stream property '$key' expects an integer, got '$s'")
+        }
+      }
+    type State = (StreamConfig, Set[String])
+    val mutations: Seq[State => State] = edits.map { case (key, value) =>
+      key.toLowerCase(java.util.Locale.ROOT) match {
+        case "tags" =>
+          val t = value.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty[String])
+          st: State => (st._1, t)
+        case "targetratepersegment" =>
+          val v = longOr(key, value, defaults.targetRatePerSegment)
+          st: State => (st._1.copy(targetRatePerSegment = v), st._2)
+        case "scalefactor" =>
+          val v = intOr(key, value, defaults.scaleFactor)
+          st: State => (st._1.copy(scaleFactor = v), st._2)
+        case "minsegments" =>
+          val v = intOr(key, value, defaults.minSegments)
+          st: State => (st._1.copy(minSegments = v), st._2)
+        case "retentionmillis" =>
+          val v = longOr(key, value, defaults.retentionMillis)
+          st: State => (st._1.copy(retentionMillis = v), st._2)
+        case "retentionmaxrows" =>
+          val v = longOr(key, value, defaults.retentionMaxRows)
+          st: State => (st._1.copy(retentionMaxRows = v), st._2)
+        case "initialsegments" => throw new UnsupportedOperationException(
+          "initialSegments describes creation-time layout and is immutable " +
+            "(scaling changes the live segment count)")
+        case other => throw new UnsupportedOperationException(
+          s"unknown graft stream property '$other' — settable: tags, " +
+            "targetRatePerSegment, scaleFactor, minSegments, " +
+            "retentionMillis, retentionMaxRows")
+      }
+    }
     cat.update(scope, stream) { m =>
       if (m.isSealed) throw new graft.core.GraftException(
         s"stream $scope/$stream is sealed")
-      var c = m.config
-      var tags = m.tags
-      edits.foreach { case (key, value) =>
-        def asLong = value.map(_.toLong)
-        def asInt = value.map(_.toInt)
-        key.toLowerCase(java.util.Locale.ROOT) match {
-          case "tags" => tags = value
-            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-            .getOrElse(Set.empty)
-          case "targetratepersegment" =>
-            c = c.copy(targetRatePerSegment = asLong.getOrElse(defaults.targetRatePerSegment))
-          case "scalefactor" =>
-            c = c.copy(scaleFactor = asInt.getOrElse(defaults.scaleFactor))
-          case "minsegments" =>
-            c = c.copy(minSegments = asInt.getOrElse(defaults.minSegments))
-          case "retentionmillis" =>
-            c = c.copy(retentionMillis = asLong.getOrElse(defaults.retentionMillis))
-          case "retentionmaxrows" =>
-            c = c.copy(retentionMaxRows = asLong.getOrElse(defaults.retentionMaxRows))
-          case "initialsegments" => throw new UnsupportedOperationException(
-            "initialSegments describes creation-time layout and is immutable " +
-              "(scaling changes the live segment count)")
-          case other => throw new UnsupportedOperationException(
-            s"unknown graft stream property '$other' — settable: tags, " +
-              "targetRatePerSegment, scaleFactor, minSegments, " +
-              "retentionMillis, retentionMaxRows")
-        }
-      }
+      val (c, tags) = mutations.foldLeft((m.config, m.tags))((st, f) => f(st))
       require(c.minSegments >= 1, "minSegments must be >= 1")
       require(c.scaleFactor >= 2, "scaleFactor must be >= 2")
       m.copy(config = c, tags = tags)

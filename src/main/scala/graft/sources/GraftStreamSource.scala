@@ -239,8 +239,15 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
       val head = meta.headStreamCut.positions
       val lo: Long => Long = sid =>
         sub.from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
+      // Mirrors latestOffset's capping rule: a bounded read (sub.to
+      // defined) contributes ZERO rows for segments absent from the cut
+      // (e.g. born after the cut via scaling) — only an unbounded read
+      // counts a segment to its tail.
       val hi: Long => Long = sid =>
-        sub.to.flatMap(_.offsetOf(sid)).getOrElse(Long.MaxValue)
+        sub.to match {
+          case Some(cut) => cut.offsetOf(sid).getOrElse(0L)
+          case None      => Long.MaxValue
+        }
       meta.files.distinctBy(_.path).foreach { f =>
         val overlap = math.max(0L,
           math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))

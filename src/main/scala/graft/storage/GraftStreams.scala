@@ -267,7 +267,12 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
     val meta = catalog.getStream(scope, stream)
     val head = meta.headStreamCut
     val lo: Long => Long = sid => from.positions.getOrElse(sid, head.positions.getOrElse(sid, 0L))
-    val hi: Long => Long = sid => to.positions.getOrElse(sid, Long.MaxValue)
+    // A real (non-Unbounded) `to` cut strictly precedes any segment born
+    // after it: absent segments cap at 0 rows, mirroring the DSv2 path's
+    // latestOffset rule — only a truly unbounded read tails every segment.
+    val hi: Long => Long =
+      if (to.positions.isEmpty) _ => Long.MaxValue
+      else sid => to.positions.getOrElse(sid, 0L)
 
     from.positions.foreach { case (sid, off) =>
       val h = head.positions.getOrElse(sid, 0L)

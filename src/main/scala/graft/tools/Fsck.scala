@@ -101,11 +101,13 @@ object Fsck {
     def norm(p: String) = new Path(p).toUri.getPath
     val referencedPrefixes = (meta.files.map(_.path) ++
       meta.pendingDeletes.map(_.path)).map(norm)
-    meta.files.headOption.foreach { f0 =>
-      // a manifest file path is data/<dir>/segId=N/part-*.parquet, so the
-      // data dir is three levels up
-      val dataDir = new Path(f0.path).getParent.getParent.getParent
-      try fs.listStatus(dataDir)
+    // The data dir comes from the catalog, not from file-path surgery, so
+    // a fully-truncated/retention-swept stream (zero live files) still
+    // gets its crashed-writer leaks scanned.
+    locally {
+      val dataDir = cat.dataDir(meta.scope, meta.name)
+      val dfs = dataDir.getFileSystem(conf)
+      try dfs.listStatus(dataDir)
         .filter(s => s.isDirectory && {
           val n = s.getPath.getName
           n.startsWith("batch-") || n.startsWith("compact-") || n.startsWith("sinkstage-")

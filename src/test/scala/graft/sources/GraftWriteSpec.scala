@@ -206,5 +206,20 @@ class GraftWriteSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gw.w7.ev SET TBLPROPERTIES ('nope' = '1')")
     }
     assert(e.getMessage.contains("unknown graft stream property"))
+
+    // A malformed value fails fast with a typed error naming the property,
+    // BEFORE the manifest CAS runs — never a raw NumberFormatException,
+    // and never a partially-applied edit.
+    val before = g.catalog.getStream("w7", "ev")
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE gw.w7.ev SET TBLPROPERTIES " +
+        "('retentionMillis' = 'forever', 'minSegments' = '2')")
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(bad).contains("retentionMillis"), rootMsg(bad))
+    assert(rootMsg(bad).contains("long integer"), rootMsg(bad))
+    val after = g.catalog.getStream("w7", "ev")
+    assert(after.config === before.config, "no partial edit may land")
   }
 }

@@ -74,4 +74,25 @@ class SourceStatsSpec extends AnyFunSuite {
     assert(empty.numRows().getAsLong === 0L)
     assert(empty.sizeInBytes().getAsLong === 0L)
   }
+
+  test("segments born after a bounded read's cut contribute zero rows") {
+    // Mirrors latestOffset's capping rule: a segment absent from sub.to
+    // (created by a later scale-up) is capped to 0 rows, not counted to
+    // its tail — otherwise bounded reads over scaled streams overestimate
+    // and can miss the auto-broadcast threshold.
+    val (g, root) = mk("st3")
+    val cutBeforeScale = g.catalog.getStream("st3", "ev").tailCut
+    g.scaleStream("st3", "ev", 4)
+    g.writeEvents("st3", "ev", spark.range(0, 3000).select(
+      concat(lit("k"), col("id") % 7).as("routingKey"),
+      col("id").as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+
+    val bounded = stats(root, StreamSub("st3", "ev", None, Some(cutBeforeScale)))
+    assert(bounded.numRows().getAsLong === 4000L,
+      s"post-scale files leaked into the bounded estimate: ${bounded.numRows()}")
+    // and the reported rows agree with what the read path actually returns
+    val read = g.readEvents("st3", "ev", to = cutBeforeScale).count()
+    assert(read === 4000L)
+  }
 }

@@ -76,6 +76,25 @@ class FsckSpec extends AnyFunSuite {
     assert(Fsck.checkRoot(root).isEmpty)
   }
 
+  test("an orphan dir is still reported when the stream has zero live files") {
+    // A fully-truncated / retention-swept stream has an empty files list;
+    // the orphan scan must come from the catalog's data dir, not from the
+    // first manifest file path, or crashed-writer leaks report clean.
+    val root = Files.createTempDirectory("graft-fsck").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("z")
+    g.catalog.createStream("z", "empty", StreamConfig(initialSegments = 1))
+    assert(g.catalog.getStream("z", "empty").files.isEmpty)
+    val dataDir = g.catalog.dataDir("z", "empty")
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = new Path(dataDir, "batch-cafebabe-crashed")
+    fs.mkdirs(new Path(stray, "segId=0"))
+    val issues = Fsck.checkRoot(root)
+    assert(issues.map(_.kind) == Seq("orphan-data"), s"got $issues")
+    fs.delete(stray, true)
+    assert(Fsck.checkRoot(root).isEmpty)
+  }
+
   test("an expired open transaction is reported as advisory") {
     val (root, g) = freshRoot()
     val txn = g.beginTxn("s", "ev", leaseMillis = 1L)
