@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-growth bench: runs the data-driven registered queries at TWO scale
+  * factors (the driver's sf dir and a ScaleGen-replicated K× dir) and
+  * reports per-query growth = t(scaled) / t(base). With K=10, ~linear
+  * queries land near 10× (scan-bound ones below it — fixed plan/setup cost
+  * amortises); anything well above K is flagged superlinear and needs a
+  * named cause.
+  *
+  * Engine-write queries (stream_*, kv_*, bs_*, state_*, ev_ lifecycle ops)
+  * build their own fixed-size streams per invocation, so their runtime is
+  * data-independent by construction — excluded here, covered by Bench.
+  *
+  * Per query, each dir gets a cold run then a timed second run (first-run
+  * codegen/AQE compilation would otherwise dominate small-sf numbers; the
+  * r4-r6 bench history showed ±4 s swings from exactly this).
+  *
+  * Usage: runMain graft.tools.ScaleBench <baseSfDir> <scaledDir> [k=10]
+  *        [comma-separated query subset]
+  */
+object ScaleBench {
+  /** Data-driven queries whose input volume scales with the sf dir. One
+    * entry per family: relational aggs/joins/windows, dedup, curation,
+    * text, similarity, embeddings, event analytics.
+    */
+  val DataDriven: Seq[String] = Seq(
+    // relational
+    "q1_agg", "q3_topk_orders", "q5_join_multiway", "q9_window_running",
+    "q18_full_outer", "q21_percentile", "q25_approx_distinct",
+    // dedup (scale paths only — brute verifiers are loudly bounded)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_keep_best", "dedup_span_removal",
+    // curation / dataset ops
+    "ds_cross_source_overlap", "ds_dataset_card", "ds_pack_sequences",
+    "ds_pipeline_yield", "ds_token_budget",
+    // text
+    "txt_bloom_contamination", "txt_rep_ngrams", "txt_tfidf_top",
+    "txt_winnow_overlap", "txt_quality_score", "txt_lang_id",
+    // similarity / embeddings
+    "sim_adc_search", "sim_ann_ivf", "sim_hamming_topk", "emb_kmeans_iter",
+    "emb_pq_codes",
+    // event analytics
+    "ev_anomaly_mad", "ev_funnel", "ev_sessionize", "ev_rfm_cutoffs",
+    "ev_top_paths", "ev_markov_transitions", "ev_asof_join",
+    "ev_salted_enrich", "ev_retention_cohorts")
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scaled = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val subset: Seq[String] =
+      if (args.length > 3) args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      else DataDriven
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, dir).count() // cold: codegen + AQE compile
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def fmt(v: Double): String = f"$v%.2f"
+    val rows = subset.map { name =>
+      val tb = timed(name, base)
+      val ts = timed(name, scaled)
+      val g = ts / math.max(tb, 1e-9)
+      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss scaled=${fmt(ts)}%6ss growth=${g}%5.1fx")
+      (name, tb, ts, g)
+    }
+    val qs = rows.map { case (n, tb, ts, g) =>
+      "\"" + n + "\":{\"base\":" + fmt(tb) + ",\"scaled\":" + fmt(ts) +
+        ",\"growth\":" + fmt(g) + "}"
+    }.mkString("{", ",", "}")
+    val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
+    println(s"""{"metric":"scale_growth","k":$k,"n_queries":${rows.size},""" +
+      s""""base_total":${fmt(rows.map(_._2).sum)},"scaled_total":${fmt(rows.map(_._3).sum)},""" +
+      s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""queries":$qs}""")
+    spark.stop()
+  }
+}
