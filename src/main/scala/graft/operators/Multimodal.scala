@@ -22,10 +22,12 @@ import javax.imageio.ImageIO
   *
   * Audio decode is REAL for WAV/PCM16 through the JDK's own
   * `javax.sound.sampled` ([[decodeWav]]), and video frame sampling is
-  * REAL for MJPEG-in-AVI — AVI is a plain RIFF container, walked by
-  * [[demuxAvi]], whose frames are JPEGs the image path already decodes.
-  * Other audio/video codecs have no pure-JVM decoder and keep the
-  * documented stub fallback.
+  * REAL for two containers: MJPEG-in-AVI (a plain RIFF container walked
+  * by [[demuxAvi]], whose frames are JPEGs the image path already
+  * decodes) and animated GIF (a flat block stream walked by [[demuxGif]],
+  * decoded by `javax.imageio`'s multi-frame GIF reader). Other
+  * audio/video codecs have no pure-JVM decoder and keep the documented
+  * stub fallback.
   */
 object Multimodal {
 
@@ -372,6 +374,77 @@ object Multimodal {
       if (fs.isEmpty) None else Some(VideoInfo(width, height, usPerFrame, fs))
     } catch { case _: Exception => None }
 
+  /** GIF87a / GIF89a magic. */
+  def looksGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') &&
+      payload(5) == 'a'
+
+  /** REAL multi-frame demux for animated GIF — the second genuine video
+    * container next to [[demuxAvi]]. GIF is a flat block stream (logical
+    * screen descriptor, then extensions `0x21`, image descriptors `0x2C`,
+    * trailer `0x3B`; all variable-length data rides in length-prefixed
+    * sub-blocks), so a short walker recovers every frame's true byte
+    * offset and its raw descriptor+LZW-data slice without touching the
+    * codec. Frame timing comes from the first Graphic Control Extension's
+    * centisecond delay; decode of any frame goes through `javax.imageio`'s
+    * stock multi-frame GIF reader (see the `mm_gif_frames` gate query).
+    * Each returned slice starts at its `0x2C` image separator and carries
+    * the per-frame dims at descriptor offsets 5/7 ([[gifFrameDims]]).
+    */
+  def demuxGif(payload: Array[Byte]): Option[VideoInfo] =
+    if (!looksGif(payload) || payload.length < 14) None
+    else try {
+      val p = payload
+      def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      val width = le16(6)
+      val height = le16(8)
+      val packed = p(10) & 0xff
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      var usPerFrame = 0L
+      val frames = IndexedSeq.newBuilder[(Long, Array[Byte])]
+      def skipSubBlocks(): Unit = {
+        var len = p(pos) & 0xff; pos += 1
+        while (len != 0) { pos += len; len = p(pos) & 0xff; pos += 1 }
+      }
+      var done = false
+      while (!done && pos < p.length) {
+        (p(pos) & 0xff) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: introducer, label, sub-blocks
+            val extStart = pos
+            val label = p(pos + 1) & 0xff
+            pos += 2
+            // GCE: size(4), packed, delay LE16 in 1/100 s, transp, 0x00
+            if (label == 0xf9 && usPerFrame == 0L && (p(pos) & 0xff) >= 4)
+              usPerFrame = le16(extStart + 4).toLong * 10000L
+            skipSubBlocks()
+          case 0x2c => // image descriptor: left, top, w, h (LE16), packed
+            val start = pos
+            val ipacked = p(pos + 9) & 0xff
+            pos += 10
+            if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+            pos += 1 // LZW minimum code size
+            skipSubBlocks()
+            frames += ((start.toLong, java.util.Arrays.copyOfRange(p, start, pos)))
+          case _ => done = true // unknown block type — salvage what parsed
+        }
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(VideoInfo(width, height, usPerFrame, fs))
+    } catch { case _: Exception => None }
+
+  /** Per-frame dims straight from a [[demuxGif]] slice's image descriptor
+    * (w/h LE16 at offsets 5/7 past the `0x2C` separator).
+    */
+  def gifFrameDims(frame: Array[Byte]): Option[(Int, Int)] =
+    if (frame.length < 10 || (frame(0) & 0xff) != 0x2c) None
+    else Some((
+      (frame(5) & 0xff) | ((frame(6) & 0xff) << 8),
+      (frame(7) & 0xff) | ((frame(8) & 0xff) << 8)))
+
   /** Minimal MJPEG/AVI muxer (the round-trip partner of [[demuxAvi]] for
     * tests and executor-generated fixtures): RIFF(`AVI `) → LIST hdrl
     * (avih + LIST strl(strh + strf)) → LIST movi (`00dc` JPEG chunks).
@@ -439,19 +512,20 @@ object Multimodal {
 
   final case class Frame(doc_id: Long, frameIndex: Int, offsetBytes: Long, payload: Array[Byte])
 
-  /** Frame sampling: REAL for MJPEG-in-AVI payloads — [[demuxAvi]] walks
-    * the container and `n` evenly spaced DECODED-DECODABLE JPEG frames
-    * come back with their true byte offsets (`offsetBytes` = the chunk
-    * payload's position in the file). Non-AVI payloads keep the
-    * deterministic byte-slice STUB (the 1→N explode shape without a
-    * codec), flatMap'd per partition either way so a demuxer streams
-    * without materializing the corpus.
+  /** Frame sampling: REAL for MJPEG-in-AVI and animated-GIF payloads —
+    * [[demuxAvi]] / [[demuxGif]] walk the container and `n` evenly spaced
+    * frames come back with their true byte offsets (`offsetBytes` = the
+    * frame's position in the file; payload = the JPEG chunk for AVI, the
+    * raw image-descriptor slice for GIF). Payloads in neither container
+    * keep the deterministic byte-slice STUB (the 1→N explode shape
+    * without a codec), flatMap'd per partition either way so a demuxer
+    * streams without materializing the corpus.
     */
   def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        demuxAvi(r.payload) match {
+        demuxAvi(r.payload).orElse(demuxGif(r.payload)) match {
           case Some(v) =>
             val k = math.min(n, v.frames.size)
             (0 until k).iterator.map { i =>

@@ -534,6 +534,86 @@ object SimilarityOps {
       |  CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS is_jpeg
       |FROM s ORDER BY case_id, sample_index""".stripMargin
 
+  /** REAL animated-GIF multi-frame sampling through the driver gate — the
+    * second genuine video container next to `mm_video_real`'s MJPEG/AVI.
+    * Deterministic multi-frame GIFs are ENCODED partition-parallel with
+    * `javax.imageio`'s stock GIF writer (`writeToSequence`), demuxed by
+    * [[Multimodal.demuxGif]] inside `frameSample` (true byte offsets, raw
+    * image-descriptor slices), and each case's frame count is
+    * independently re-read with ImageIO's multi-frame reader
+    * (`getNumImages(true)`) — that read-back count, NOT the generation
+    * constant, feeds the `imgio_total` column and the `src_frame`
+    * arithmetic, so a demux/encode disagreement breaks the row. Per-frame
+    * dims come from the demuxed slice's own image descriptor
+    * ([[Multimodal.gifFrameDims]]). Reference analog: opaque media events
+    * (client/src/main/java/io/pravega/client/stream/EventStreamWriter.java:75).
+    */
+  private def mmGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampleN = 4
+    // (case_id, width, height, totalFrames) — case 2 has fewer frames
+    // than the sample count, exercising the k = min(n, total) clamp
+    val cases = Seq((0L, 40, 30, 10), (1L, 24, 18, 7), (2L, 16, 12, 2))
+    val media = s.createDataset(cases).repartition(3).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, w, h, k) =>
+        val frames = (0 until k).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(25 * f % 256, 120, 60)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
+          img
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frames.foreach { img =>
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        val payload = out.toByteArray
+        // independent multi-frame read-back with the stock GIF reader
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val imgioTotal = try { reader.setInput(iis); reader.getNumImages(true) }
+          finally { reader.dispose(); iis.close() }
+        (Multimodal.MediaRecord(id, "image/gif", payload), imgioTotal)
+      }
+    }
+    val totals = media.map { case (m, t) => (m.doc_id, t.toLong) }
+      .toDF("case_id", "imgio_total")
+    val frames = Multimodal.frameSample(media.map(_._1), sampleN)
+      .map { fr =>
+        val (w, h) = Multimodal.gifFrameDims(fr.payload).getOrElse((-1, -1))
+        (fr.doc_id, fr.frameIndex.toLong, w.toLong, h.toLong,
+          if (fr.payload.nonEmpty && (fr.payload(0) & 0xff) == 0x2c) 1L else 0L)
+      }.toDF("case_id", "sample_index", "width", "height", "sep_ok")
+    frames.join(broadcast(totals), "case_id")
+      .select($"case_id", $"sample_index",
+        expr("CAST(sample_index * imgio_total DIV least(4, imgio_total) AS BIGINT)")
+          .as("src_frame"),
+        $"width", $"height", $"imgio_total", $"sep_ok")
+      .orderBy($"case_id", $"sample_index")
+  }
+
+  private val mmGifFramesSql =
+    """WITH c(case_id, w, h, k) AS (VALUES
+      |  (0, 40, 30, 10), (1, 24, 18, 7), (2, 16, 12, 2)),
+      |s AS (
+      |  SELECT case_id, w, h, k, least(4, k) AS kk, unnest(range(least(4, k))) AS i
+      |  FROM c)
+      |SELECT CAST(case_id AS BIGINT) AS case_id, CAST(i AS BIGINT) AS sample_index,
+      |  CAST(i * k // kk AS BIGINT) AS src_frame,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(k AS BIGINT) AS imgio_total, CAST(1 AS BIGINT) AS sep_ok
+      |FROM s ORDER BY case_id, sample_index""".stripMargin
+
   /** Binary sign quantization + Hamming-distance top-k — the 1-bit
     * compression extreme of the quantized-search family (int8 =
     * emb_quantize, PQ/ADC = emb_pq_codes/sim_adc_search): each 64-dim
@@ -667,6 +747,7 @@ object SimilarityOps {
     ("mm_decode_real",   mmDecodeReal _, Some(mmDecodeRealSql)),
     ("mm_audio_real",    mmAudioReal _,  Some(mmAudioRealSql)),
     ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
+    ("mm_gif_frames",    mmGifFrames _,  Some(mmGifFramesSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
     ("sim_hamming_topk", simHammingTopk _, Some(simHammingTopkSql)),
     ("mm_image_phash",   mmImagePhash _,   Some(mmImagePhashSql)),

@@ -228,4 +228,68 @@ class LlmOpsSpec extends AnyFunSuite {
     val broken = java.util.Arrays.copyOfRange(avi, 0, 64)
     assert(Multimodal.demuxAvi(broken).isEmpty)
   }
+
+  private def animatedGif(w: Int, h: Int, n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until n).foreach { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(17 * i % 256, 40, 200)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("real GIF demux: block walk matches ImageIO's multi-frame reader") {
+    import Multimodal.MediaRecord
+    val gif = animatedGif(24, 18, 10)
+    assert(Multimodal.looksGif(gif) && !Multimodal.looksAvi(gif))
+
+    // independent count through the stock multi-frame reader
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === 10)
+
+    val v = Multimodal.demuxGif(gif).get
+    assert(v.width === 24 && v.height === 18)
+    assert(v.frames.size === 10)
+    v.frames.foreach { case (off, slice) =>
+      assert((slice(0) & 0xff) === 0x2c, "slice starts at the image separator")
+      assert(gif.slice(off.toInt, off.toInt + slice.length).toSeq === slice.toSeq,
+        s"offset $off does not point at the frame slice in the container")
+      assert(Multimodal.gifFrameDims(slice) === Some((24, 18)))
+    }
+    assert(v.frames.map(_._1) === v.frames.map(_._1).sorted, "offsets advance")
+
+    // frameSample routes GIF payloads through the real demux path
+    val sampled = Multimodal.frameSample(
+      Seq(MediaRecord(7L, "image/gif", gif)).toDS(), 4).collect().sortBy(_.frameIndex)
+    assert(sampled.length === 4)
+    assert(sampled.map(_.payload.toSeq) ===
+      Seq(0, 2, 5, 7).map(i => v.frames(i)._2.toSeq), "sampled src indices i*10/4")
+    // the sampled source frames decode through ImageIO at those indices
+    Seq(0, 2, 5, 7).foreach { i =>
+      val img = reader.read(i)
+      assert(img.getWidth === 24 && img.getHeight === 18)
+    }
+    reader.dispose(); iis.close()
+
+    // fewer frames than the sample budget clamps, like the AVI path
+    val short = Multimodal.demuxGif(animatedGif(8, 8, 2)).get
+    assert(short.frames.size === 2)
+    // truncation / non-GIF bytes fall back to None, not a crash
+    assert(Multimodal.demuxGif(java.util.Arrays.copyOfRange(gif, 0, 20)).isEmpty)
+    assert(Multimodal.demuxGif("GIF89a-but-not-really".getBytes).isEmpty)
+  }
 }
