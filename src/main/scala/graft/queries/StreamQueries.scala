@@ -828,6 +828,112 @@ object StreamQueries {
       |    ',' ORDER BY ea, eb)) AS chain
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Join-STATE EVICTION through the real streaming source — the branch
+    * `ev_stream_join`'s 400-day horizon deliberately never exercises
+    * (PeriodicWatermarking.java:254 is the reference's analogous
+    * watermark-driven state cutoff). Same symmetric hash join, but with a
+    * 1-DAY watermark delay and deterministically-LATE input: purchases
+    * from the corpus's first 9 days are written to stream b AFTER the
+    * on-time suffix, and side b's `maxRowsPerTrigger` equals the on-time
+    * row count, so trigger 1 consumes exactly the on-time purchases (plus
+    * every signup) and drives the global watermark to ~(corpus end - 1
+    * day). One filler trigger of join-less rows then lets that watermark
+    * TAKE EFFECT — Spark's stateful operators filter late input with the
+    * PREVIOUS batch's watermark and evict state only at batch end
+    * (SPARK-40925's late-events/eviction split), so a late row landing in
+    * the very next batch after the watermark jump would still join
+    * not-yet-evicted state. Trigger 3 then delivers the early-window
+    * purchases — all far below the now-effective watermark — and the
+    * engine must DROP them: their signup partners' join state was evicted
+    * at the end of trigger 2, and the late-input filter rejects them
+    * outright. The oracle's expected set EXCLUDES those pairs, so if
+    * eviction fails and the late pairs are emitted, the per-user chain
+    * hashes break. A spec asserts the excluded set is nonempty (the row
+    * is not vacuously equal to the full join).
+    *
+    * Scale: identical plan shape to ev_stream_join — one shuffle per
+    * side on the equality key, state bounded by the (now short)
+    * watermark horizon, which is exactly the property that keeps the
+    * state store finite on an unbounded 100 TB stream.
+    */
+  private def streamJoinLate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ssjl").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "a", StreamConfig(initialSegments = 1))
+    g.catalog.createStream("q", "b", StreamConfig(initialSegments = 1))
+    val ev = Tables.events(s, dir)
+    val minMs = ev.agg(min(unix_millis($"ts".cast("timestamp")))).as[Long].head()
+    val lateBelowMs = minMs + 9L * 86400000L // first 9 days arrive late
+    val src = ev.select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"),
+      $"event_type")
+    g.writeEvents("q", "a", src.filter($"event_type" === "signup").drop("event_type"))
+    // arrival order ≠ event-time order: the on-time suffix first, then the
+    // early-window purchases redelivered late (second write), so trigger 2
+    // carries only rows far below the post-trigger-1 watermark
+    val purchases = src.filter($"event_type" === "purchase").drop("event_type")
+    g.writeEvents("q", "b", purchases.filter($"eventTime" >= lateBelowMs))
+    val onTimeRows = g.unreadRows("q", "b", StreamCut(Map.empty))
+    // one full trigger of join-less filler (key "f" matches no signup,
+    // event time at the corpus max so the watermark holds) — row count
+    // EXACTLY one trigger budget, so the late group lands in trigger 3,
+    // after the trigger-1 watermark has become the late-input filter
+    val maxMs = ev.agg(max(unix_millis($"ts".cast("timestamp")))).as[Long].head()
+    g.writeEvents("q", "b", s.range(onTimeRows).select(
+      lit("f").as("routingKey"), lit(maxMs).as("eventTime"),
+      encode(lit("-1"), "UTF-8").as("payload")))
+    g.writeEvents("q", "b", purchases.filter($"eventTime" < lateBelowMs))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    def side(st: String, u: String, e: String, t: String, pace: Option[Long]) = {
+      val r = s2.readStream.format("graft-stream")
+        .option("rootDir", work).option("scope", "q").option("stream", st)
+      pace.foreach(p => r.option("maxRowsPerTrigger", p.toString))
+      r.load()
+        .select($"routingKey".as(u),
+          decode($"payload", "UTF-8").cast("long").as(e),
+          timestamp_millis($"eventTime").as(t))
+        .withWatermark(t, "1 day")
+    }
+    val joined = side("a", "ua", "ea", "ta", None)
+      .join(side("b", "ub", "eb", "tb", Some(onTimeRows)),
+        expr("ua = ub AND tb >= ta AND tb <= ta + interval 1 hour"))
+    val sink = s"ssjl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"ua".cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        md5(concat_ws(",", array_sort(collect_list(
+          format_string("%08d:%08d", $"ea", $"eb"))))).as("chain"))
+      .orderBy($"user_id")
+  }
+
+  private val streamJoinLateSql =
+    """WITH cut AS (
+      |  SELECT epoch_ms(min(CAST(ts AS TIMESTAMP))) + 777600000 AS c FROM events),
+      |a AS (
+      |  SELECT user_id, event_id AS ea, epoch_ms(CAST(ts AS TIMESTAMP)) AS ta
+      |  FROM events WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT user_id, event_id AS eb, epoch_ms(CAST(ts AS TIMESTAMP)) AS tb
+      |  FROM events, cut WHERE event_type = 'purchase'
+      |    AND epoch_ms(CAST(ts AS TIMESTAMP)) >= c),
+      |p AS (
+      |  SELECT a.user_id, ea, eb FROM a JOIN b
+      |  ON a.user_id = b.user_id AND tb >= ta AND tb <= ta + 3600000)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  md5(string_agg(format('{:08d}', ea) || ':' || format('{:08d}', eb),
+      |    ',' ORDER BY ea, eb)) AS chain
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
 
   /** Full streaming data plane, read AND write: a paced streaming query
     * reads stream `src` through the DSv2 source, filters mid-pipe, and
@@ -882,6 +988,72 @@ object StreamQueries {
     """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
       |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
       |FROM events WHERE user_id < 150 AND event_id % 3 <> 0
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
+  /** Crash-resume across the REAL streaming sink: the same src→filter→dst
+    * pipe as stream_pipe_roundtrip, but the query is STOPPED after its
+    * first committed micro-batch and a second query restarts from the
+    * same checkpoint to drain the rest. The stop can land mid-epoch —
+    * killing the sink between its staging write and the manifest CAS —
+    * so the restart exercises offset replay (the checkpointed composite
+    * cut), epoch-id dedup on the sink (a replayed epoch that DID commit
+    * must be a no-op; one that didn't must land exactly once), and
+    * crashed-epoch staging cleanup. The dst read-back's per-key id
+    * chains against the relational oracle prove exactly-once ACROSS the
+    * restart — the ReaderGroup-checkpoint recovery contract
+    * (ReaderGroup.java:171 initiateCheckpoint / resetReaderGroup) carried
+    * through the write path too.
+    *
+    * Scale: restart cost is one checkpoint read + the normal per-trigger
+    * plan; recovery work is O(one epoch), never O(history).
+    */
+  private def pipeResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-piper").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "src", StreamConfig(initialSegments = 2))
+    g.catalog.createStream("q", "dst", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "src",
+      Tables.events(s, dir).filter($"user_id" % 2 === 1).select(
+        $"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload")))
+    // ≥4 paced triggers, so the first-stop always leaves work to resume
+    val pace = math.max(400L, g.unreadRows("q", "src", StreamCut(Map.empty)) / 4L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-piperck").toString
+    def launch() = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "src")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .filter($"eventTime" % 3 =!= 0)
+      .select($"routingKey", $"eventTime", $"payload")
+      .writeStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val q1 = launch()
+    val deadline = System.currentTimeMillis() + 120000L
+    while (q1.recentProgress.isEmpty && q1.isActive &&
+           System.currentTimeMillis() < deadline) Thread.sleep(25L)
+    q1.stop()
+    try q1.awaitTermination() catch { case _: Exception => () } // stop mid-batch is the point
+    val q2 = launch()
+    q2.awaitTermination()
+    g.readEvents("q", "dst")
+      .select($"routingKey", decode($"payload", "UTF-8").cast("long").as("eid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"eid")),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val pipeResumeSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id % 2 = 1 AND event_id % 3 <> 0
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
   /** TWO writers appending concurrently to one stream — the multi-writer
@@ -1144,6 +1316,8 @@ object StreamQueries {
     ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
+    ("ev_stream_join_late",  streamJoinLate _, Some(streamJoinLateSql)),
+    ("stream_pipe_resume",   pipeResume _,   Some(pipeResumeSql)),
     ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
     ("stream_concurrent_writers", concurrentWriters _, Some(concurrentWritersSql)),
     ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
