@@ -98,6 +98,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
     // Per-file commit stats from parquet footers — no second data scan.
     val entries = statsFromFooters(batchDir)
+    GraftStreams.kp("write.staged") // crash here = staged batch, no CAS
 
     val updated = try catalog.update(scope, stream) { m =>
       if (m.isSealed) throw new StreamSealedException(s"$scope/$stream sealed during write")
@@ -580,6 +581,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
         toWrite.write.partitionBy("segId").parquet(commitDir.toString)
         entries = statsFromFooters(commitDir)
       }
+      GraftStreams.kp("txn.merged") // crash here = merged files, no publish
 
       var racedDone = false
       try {
@@ -613,6 +615,7 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
                 state = TxnState.Committed, committedAt = Some(System.currentTimeMillis()))))
           }
         }
+        GraftStreams.kp("txn.published") // crash here = COMMITTED, staging left
         if (racedDone) {
           // another driver published first; our merge output is an orphan
           if (commitDir != null) fsys.delete(commitDir, true)
@@ -781,8 +784,9 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       .write.partitionBy("segId").parquet(compactDir.toString)
 
     val newEntries = statsFromFooters(compactDir)
+    GraftStreams.kp("compact.staged") // crash here = rewritten files, no swap
     val deadline = System.currentTimeMillis() + graft.catalog.StreamCatalog.DefaultDeleteGraceMillis
-    val updated = catalog.update(scope, stream) { m =>
+    val updated = try catalog.update(scope, stream) { m =>
       // the CAS closure revalidates: if any target segment gained a file
       // since planning, fail (caller can rerun) rather than lose it
       val changed = targets.exists { case (sid, fs) =>
@@ -795,6 +799,13 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
       // scanning them; catalog.sweepDeletes reclaims after the grace
       m.copy(files = m.files.filterNot(f => targets.contains(f.segmentId)) ++ newEntries,
         pendingDeletes = m.pendingDeletes ++ oldPaths.map(p => PendingDelete(p, deadline)))
+    } catch {
+      case e: ConditionalCheckFailedException =>
+        // never swapped — drop the rewritten files so a lost CAS doesn't
+        // leak a compact-* dir per losing attempt (writeEvents' pattern)
+        compactDir.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(compactDir, true)
+        throw e
     }
     (meta.files.size, updated.files.size)
   }
@@ -885,6 +896,17 @@ class GraftStreams(val spark: SparkSession, rootDir: String) {
 
 object GraftStreams {
   import org.apache.spark.sql.types._
+
+  /** Test-only crash injection: invoked with a kill-point name at each
+    * stage boundary of the mutating operations (stage → CAS → cleanup). A
+    * test hook that THROWS simulates the writer dying at exactly that
+    * boundary — the JVM boundary a `kill -9` would hit — so the
+    * crash-recovery invariants (readers never see partial state, Fsck
+    * names the leak, the sweep reclaims it, a re-run lands exactly once)
+    * are checkable per kill-point. Production never sets it.
+    */
+  @volatile private[graft] var killPoint: Option[String => Unit] = None
+  @inline private[graft] def kp(name: String): Unit = killPoint.foreach(_(name))
 
   /** Max event payload PER ROW (Serializer.MAX_EVENT_SIZE,
     * Serializer.java:33). Larger events are accepted and chunked — see

@@ -110,7 +110,8 @@ object Fsck {
       try dfs.listStatus(dataDir)
         .filter(s => s.isDirectory && {
           val n = s.getPath.getName
-          n.startsWith("batch-") || n.startsWith("compact-") || n.startsWith("sinkstage-")
+          n.startsWith("batch-") || n.startsWith("compact-") ||
+            n.startsWith("sinkstage-") || n.startsWith("txncommit-")
         })
         .map(_.getPath.toString)
         .filterNot(d => referencedPrefixes.exists(_.startsWith(norm(d) + "/")))

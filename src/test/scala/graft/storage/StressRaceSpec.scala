@@ -1,0 +1,141 @@
+package graft.storage
+
+import graft.SparkTestSession
+import graft.core.{ConditionalCheckFailedException, StreamConfig, StreamCut}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Concurrent writers + auto-scaler + tailing reader + compactor racing on
+  * ONE stream — the CI analog of the reference's failover system test
+  * (test/system/.../MultiReaderTxnWriterWithFailoverTest.java): under any
+  * interleaving, exactly-once must hold (CAS-retry redeliveries and
+  * deliberate duplicate batch deliveries collapse via writer idempotence
+  * keys), per-key order must survive scale epochs, and the tailing
+  * reader's cut-bounded pages must tile history with no row lost or
+  * duplicated. The workload shape is deterministic (fixed writers,
+  * batches, rows, scale targets); only thread interleaving varies, which
+  * is exactly what the invariants must be immune to.
+  */
+class StressRaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Writers = 2
+  private val Batches = 5
+  private val RowsPerBatch = 2000L
+
+  test("writers, scaler, compactor and tailing reader race; exactly-once + per-key order hold") {
+    val root = Files.createTempDirectory("graft-race").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("x")
+    g.catalog.createStream("x", "s", StreamConfig(initialSegments = 2))
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new AtomicBoolean(false)
+
+    // each key belongs to ONE writer and its eventTime increases across
+    // batches — the per-key-order contract is per-writer, like the
+    // reference's per-writer event sequencing
+    def batchDf(w: Int, b: Int) = {
+      val base = (w.toLong * Batches + b) * RowsPerBatch
+      spark.range(RowsPerBatch).select(
+        concat(lit(s"w$w-k"), col("id") % 37).as("routingKey"),
+        (lit(base) + col("id")).as("eventTime"),
+        encode((col("id") + base).cast("string"), "UTF-8").as("payload"))
+    }
+
+    val writerThreads = (0 until Writers).map { w =>
+      new Thread(() => try {
+        (0 until Batches).foreach { b =>
+          g.writeEventsWithRetry("x", "s", batchDf(w, b),
+            writerId = Some(s"w$w"), batchId = Some(b.toLong))
+          // every other batch is DELIVERED TWICE — the duplicate must
+          // collapse via the (writerId, batchId) idempotence key
+          if (b % 2 == 0)
+            g.writeEventsWithRetry("x", "s", batchDf(w, b),
+              writerId = Some(s"w$w"), batchId = Some(b.toLong))
+        }
+      } catch { case t: Throwable => errs.add(t) }, s"writer-$w")
+    }
+
+    val scaler = new Thread(() => try {
+      Seq(3, 2, 4).foreach { n =>
+        Thread.sleep(150L)
+        g.scaleStream("x", "s", n)
+      }
+    } catch { case t: Throwable => errs.add(t) }, "scaler")
+
+    val compactor = new Thread(() => try {
+      while (!writersDone.get()) {
+        try g.compactStream("x", "s", minFilesPerSegment = 2)
+        catch { case _: ConditionalCheckFailedException => () } // racing writer won
+        Thread.sleep(100L)
+      }
+    } catch { case t: Throwable => errs.add(t) }, "compactor")
+
+    // tailing reader: cut-bounded pages from head; pages must tile (no
+    // overlap, no loss) even while scale + compaction rewrite the layout
+    val pagedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tailer = new Thread(() => try {
+      var cut = g.catalog.getStream("x", "s").headStreamCut
+      var idle = 0
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      while (idle < 3) {
+        val next = g.nextStreamCut("x", "s", cut, approxRows = 1500L)
+        if (next == cut) {
+          if (writersDone.get()) idle += 1
+          Thread.sleep(50L)
+        } else {
+          val ids = g.readEvents("x", "s", cut, next)
+            .select(decode($"payload", "UTF-8").cast("long")).as[Long].collect()
+          ids.foreach { id =>
+            if (!seen.add(id)) throw new IllegalStateException(
+              s"tailing pages overlapped: id $id seen twice")
+          }
+          pagedTotal.addAndGet(ids.length.toLong)
+          cut = next
+          idle = 0
+        }
+      }
+    } catch { case t: Throwable => errs.add(t) }, "tailer")
+
+    val threads = writerThreads ++ Seq(scaler, compactor, tailer)
+    threads.foreach(_.start())
+    writerThreads.foreach(_.join())
+    scaler.join()
+    writersDone.set(true)
+    compactor.join()
+    tailer.join()
+    assert(errs.isEmpty, s"racing thread failed: ${Option(errs.peek()).map(_.toString)}")
+
+    val expectedRows = Writers.toLong * Batches * RowsPerBatch
+    val events = g.readEvents("x", "s")
+      .select($"routingKey", $"segmentId", $"offset", $"eventTime",
+        decode($"payload", "UTF-8").cast("long").as("id"))
+
+    // exactly-once despite duplicate deliveries and CAS-retry redelivery
+    assert(events.count() === expectedRows)
+    assert(events.select(countDistinct($"id")).as[Long].head() === expectedRows)
+
+    // the tailing reader saw the whole history exactly once
+    assert(pagedTotal.get() === expectedRows,
+      "tailing pages lost or duplicated rows")
+
+    // per-key order across scale epochs: within a key, eventTime must be
+    // strictly increasing in (epoch, segmentId, offset) drain order
+    val drain = Window.partitionBy($"routingKey")
+      .orderBy(shiftrightunsigned($"segmentId", 32), $"segmentId", $"offset")
+    val violations = events
+      .withColumn("prev", lag($"eventTime", 1).over(drain))
+      .filter($"prev".isNotNull && $"prev" >= $"eventTime")
+      .count()
+    assert(violations === 0L, s"$violations per-key order violations across epochs")
+
+    // the stream ends at the last scale target with a tiling key space
+    assert(graft.tools.Fsck.checkRoot(root).isEmpty)
+  }
+}
