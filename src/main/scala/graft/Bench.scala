@@ -80,7 +80,8 @@ object Bench {
       "kv_cdc_export",
       "stream_pipe_roundtrip", "stream_concurrent_writers", "stream_seal_read",
       "ev_stream_window", "ev_stream_dedup", "ev_stream_static_join",
-      "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch")
+      "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch",
+      "ev_stream_join_late", "stream_pipe_resume")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {
@@ -102,6 +103,11 @@ object Bench {
     // the only complete match in the tail is the compact line.
     def fmt(v: Double): String = f"$v%.2f"
     val total = results.map(_._2).sum
+    // Cold-equivalent total: for warm-timed queries substitute their
+    // FIRST-run time, making this figure comparable with rounds 1-5
+    // (which summed cold runs only). "value" stays the warm-method total;
+    // consumers get both, with the methodology explicit in README.
+    val totalCold = results.map { case (k, v) => coldLog.getOrElse(k, v) }.sum
     // One stable shape for "sf": always the stripped last dir segment,
     // always quoted — consumers never see a string/number duality.
     val sfJson = "\"" + sfDir.split('/').last.stripPrefix("sf") + "\""
@@ -118,9 +124,12 @@ object Bench {
     val coldJson = coldLog.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(line(results.map { case (k, v) => k -> fmt(v) },
-      s""","warm":$warmJson,"cold":$coldJson"""))
+      s""","warm":$warmJson,"cold":$coldJson,"total_cold":${fmt(totalCold)}"""))
     val byTime = results.sortBy(-_._2)
-    val budget = 1500
+    // 1650-char query budget ≈ 60+ itemized entries — sized so the
+    // compact line (prefix + entries + suffix) stays under the harness's
+    // 2000-char tail window while itemizing >=80% of total wall time
+    val budget = 1650
     var used = 0
     val kept = byTime.takeWhile { case (k, v) =>
       used += k.length + fmt(v).length + 4; used <= budget
@@ -128,7 +137,8 @@ object Bench {
     val rest = byTime.drop(kept.size).map(_._2).sum
     val compact = kept.map { case (k, v) => k -> fmt(v) } :+
       ("_rest" -> fmt(rest))
-    println(line(compact.sortBy(_._1), s""","warm_n":${coldLog.size}"""))
+    println(line(compact.sortBy(_._1),
+      s""","warm_n":${coldLog.size},"total_cold":${fmt(totalCold)}"""))
     spark.stop()
   }
 }
