@@ -131,10 +131,27 @@ object MinHashLSH {
     * interpreted higher-order functions in the hot loop. Band signatures
     * are md5 over the '|'-joined row minima, identical to the oracle's
     * `md5(concat_ws('|', …))`.
+    *
+    * The verified pairs are materialized EAGERLY (localCheckpoint) so the
+    * two intermediate caches can be unpersisted before returning — a
+    * long-lived session invoking this repeatedly must not accumulate
+    * leaked cached partitions (the round-8 scale bench measured exactly
+    * that: cache-eviction churn, not the plan, dominating repeat runs).
+    *
+    * `maxBucketSize` drops band buckets larger than the cap from
+    * candidate generation — the hot-bucket guard: a boilerplate flood
+    * sharing one band signature otherwise costs C(n,2) verification
+    * pairs (quadratic in the flood — the one term AQE skew-split can
+    * parallelize but not shrink). A capped bucket's members still pair
+    * through any of their other bands, so only docs similar ONLY via the
+    * flooded band lose recall; all-band floods are exact duplicates,
+    * which exact dedup upstream removes. The oracle SQL replays the same
+    * cap.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.35): DataFrame = {
+                     threshold: Double = 0.35,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
@@ -162,7 +179,13 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val candidates = banded.as("x").join(banded.as("y"),
+    // hot-bucket guard: the window shuffles on the same (band, bsig) key
+    // the candidate join needs, so the exchange is shared, not doubled
+    val sized = banded.withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
+      .filter(col("bn") <= maxBucketSize)
+      .drop("bn")
+    val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -170,13 +193,23 @@ object MinHashLSH {
 
     val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
     val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    candidates.join(a, "a_id").join(b, "b_id")
+    val pairs = candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint() // eager: pairs computed here, caches released below
+    base.unpersist(false)
+    banded.unpersist(false)
+    pairs
   }
+
+  /** Hot-bucket cap shared by the Scala paths and the oracle generator —
+    * far above any bucket at the tested scale factors (results identical
+    * with or without it there), a hard quadratic bound at corpus scale.
+    */
+  val DefaultMaxBucketSize: Int = 4096
 
   /** Maximum-throughput variant on the xxhash64/murmur3 family (native
     * `minhash_signature` kernel) — same pipeline shape, NOT replayable by
@@ -184,7 +217,8 @@ object MinHashLSH {
     */
   def fastNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.35): DataFrame = {
+                         threshold: Double = 0.35,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
@@ -205,7 +239,11 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val candidates = banded.as("x").join(banded.as("y"),
+    val sized = banded.withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
+      .filter(col("bn") <= maxBucketSize)
+      .drop("bn")
+    val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -213,12 +251,16 @@ object MinHashLSH {
 
     val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
     val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    candidates.join(a, "a_id").join(b, "b_id")
+    val pairs = candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint() // eager: caches released below
+    base.unpersist(false)
+    banded.unpersist(false)
+    pairs
   }
 
   /** Back-compat alias: [[nearDuplicates]] with the bounded-slice default
@@ -239,7 +281,8 @@ object MinHashLSH {
     * graph into a recursive-CTE clustering fixpoint.
     */
   def oraclePairsCtes(docWhere: String, numHashes: Int, bands: Int,
-                      threshold: Double): String = {
+                      threshold: Double,
+                      maxBucketSize: Int = DefaultMaxBucketSize): String = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val p = OracleP
@@ -269,9 +312,14 @@ object MinHashLSH {
        |  FROM h GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
+       |bandsc AS (
+       |  SELECT doc_id, band, bsig FROM (
+       |    SELECT doc_id, band, bsig,
+       |      COUNT(*) OVER (PARTITION BY band, bsig) AS bn FROM bands) v
+       |  WHERE bn <= $maxBucketSize),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM bands x JOIN bands y
+       |  FROM bandsc x JOIN bandsc y
        |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
        |pairs AS (
