@@ -154,6 +154,11 @@ final class GraftStreamingWrite(conf: GraftSourceConfig, queryId: String,
         writerId = Some(s"sink-$queryId"), batchId = Some(epochId),
         noteTimeFromBatch = autoNoteTime)
     }
+    // crash here = engine write landed but Spark never saw the commit:
+    // the epoch is REDELIVERED on restart and must collapse to a no-op
+    // via the (writerId=sink-query, batchId=epoch) dedup inside
+    // writeEvents — the at-least-once → exactly-once seam
+    graft.storage.GraftStreams.kp("sink.committed")
     val fs = stagingRoot.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(epochDir(epochId), true)
   }

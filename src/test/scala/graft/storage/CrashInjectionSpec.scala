@@ -140,6 +140,51 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(orphansNamed(root, "compact-").isEmpty)
   }
 
+  test("kill inside the streaming sink between engine write and epoch cleanup: " +
+       "redelivered epoch collapses to a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, g) = mk("sink")
+    g.catalog.createStream("s", "dst", StreamConfig(initialSegments = 2))
+    g.writeEvents("s", "ev", batch(0, 1200))
+    val ckpt = Files.createTempDirectory("graft-crash-ck").toString
+    def launch() = spark.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("maxRowsPerTrigger", "500")
+      .load()
+      .select($"routingKey", $"eventTime", $"payload")
+      .writeStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // arm ONCE: the first epoch commit dies after the engine write landed
+    // but before Spark records the batch — the epoch will be REDELIVERED
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftStreams.killPoint = Some(p =>
+      if (p == "sink.committed" && fired.compareAndSet(false, true))
+        throw SimulatedCrash(p))
+    try {
+      val q1 = launch()
+      val e = intercept[Exception](q1.awaitTermination())
+      assert(e.toString.contains("SimulatedCrash") ||
+        Option(e.getCause).exists(_.toString.contains("SimulatedCrash")), e.toString)
+    } finally GraftStreams.killPoint = None
+    // rows from the crashed-but-landed epoch are already in dst exactly once
+    val afterCrash = g.readEvents("s", "dst").count()
+    assert(afterCrash > 0, "the engine write committed before the crash")
+    // restart: the same epoch is redelivered, must dedup to a no-op, and
+    // the remaining epochs drain
+    val q2 = launch()
+    q2.awaitTermination()
+    val ids = g.readEvents("s", "dst")
+      .select(decode($"payload", "UTF-8").cast("long").as("id"))
+      .as[Long].collect().toSeq.sorted
+    assert(ids === (0L until 1200L), "exactly-once across the redelivered epoch")
+    Thread.sleep(5)
+    g.sweepOrphans("s", "dst", olderThanMillis = 0L) // crashed epoch's staging
+    assert(Fsck.checkRoot(root).isEmpty)
+  }
+
   test("crash before truncation's physical sweep: tombstones hold, sweep is idempotent") {
     val (root, g) = mk("tr")
     // several small batches → several files per segment, so a 400-row cut
