@@ -1,0 +1,165 @@
+package graft.tools
+
+import graft.core.{StreamCut, TxnState}
+import graft.storage.{GraftStreams, Maintenance}
+import org.apache.spark.sql.SparkSession
+
+/** Unified admin entry point over a storage root — the Spark-native analog
+  * of the reference's interactive admin CLI
+  * (cli/admin/src/main/java/io/pravega/cli/admin/AdminCLIRunner.java and
+  * its command tree: scope/stream listing, stream describe, segment
+  * inspection, integrity checks, maintenance actions). One command per
+  * invocation; every read is manifest-only (O(metadata)) except `read`.
+  *
+  * Usage: runMain graft.tools.Admin <rootDir> <command> [args...]
+  *
+  *   scopes                                   list scopes
+  *   streams <scope>                          list streams in a scope
+  *   kvts <scope>                             list key-value tables
+  *   describe <scope> <stream>                manifest summary
+  *   segments <scope> <stream>                per-segment detail
+  *   files <scope> <stream>                   manifest file entries
+  *   txns <scope> <stream>                    transaction records
+  *   cuts <scope> <stream> [approxRows]       head/tail + next paced cut
+  *   watermark <scope> <stream>               watermark bounds + history
+  *   read <scope> <stream> [n]                show the first n events (default 10)
+  *   fsck [scope]                             integrity audit (exit 1 on issues)
+  *   maintenance <scope> <stream>             one Maintenance.run pass
+  *   sweep <scope> <stream>                   sweepDeletes + sweepOrphans
+  *   truncate <scope> <stream> <approxRows>   truncate at the ~N-row cut
+  *   seal <scope> <stream>                    seal the stream
+  *   scale <scope> <stream> <n>               scale to n open segments
+  */
+object Admin {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { println(usage); sys.exit(2) }
+    val root = args(0)
+    val cmd = args(1)
+    val rest = args.drop(2)
+
+    // fsck is metadata-only — no Spark session needed
+    if (cmd == "fsck") {
+      val issues = Fsck.checkRoot(root, rest.headOption)
+      issues.foreach(i => println(f"${i.kind}%-22s ${i.where}%-18s ${i.detail}"))
+      println(s"${issues.size} issue(s)")
+      sys.exit(if (issues.isEmpty) 0 else 1)
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val g = new GraftStreams(spark, root)
+    try run(g, cmd, rest) finally spark.stop()
+  }
+
+  private def run(g: GraftStreams, cmd: String, a: Array[String]): Unit = {
+    def scope = a(0)
+    def stream = a(1)
+    cmd match {
+      case "scopes" =>
+        g.catalog.listScopes().foreach(println)
+      case "streams" =>
+        g.catalog.listStreams(scope).foreach(println)
+      case "kvts" =>
+        g.catalog.listKeyValueTables(scope).foreach(println)
+      case "describe" =>
+        val m = g.catalog.getStream(scope, stream)
+        println(s"stream:        ${m.scope}/${m.name} (manifest v${m.version})")
+        println(s"created:       ${java.time.Instant.ofEpochMilli(m.createdAt)}")
+        println(s"sealed:        ${m.isSealed}   tags: ${m.tags.toSeq.sorted.mkString(",")}")
+        println(s"config:        ${m.config}")
+        println(s"epochs:        ${m.epochs.size} (current ${m.currentEpoch.epoch})")
+        println(s"segments:      ${m.segments.size} total, ${m.openSegments.size} open")
+        println(s"files:         ${m.files.size} (${m.files.map(_.byteSize).sum} bytes, " +
+          s"${m.files.map(_.rowCount).sum} rows)")
+        println(s"pendingDelete: ${m.pendingDeletes.size}")
+        val states = Seq(TxnState.Open, TxnState.Committing, TxnState.Committed,
+          TxnState.Aborting, TxnState.Aborted)
+        println(s"transactions:  ${m.transactions.size} " +
+          states.map(st =>
+            s"$st=${m.transactions.values.count(_.state == st)}").mkString("(", " ", ")"))
+        println(s"writerMarks:   ${m.writerMarks.size}   namedCuts: ${m.namedCuts.size}")
+        println(s"headCut:       ${fmtCut(m.headStreamCut)}")
+        println(s"tailCut:       ${fmtCut(m.tailCut)}")
+      case "segments" =>
+        val m = g.catalog.getStream(scope, stream)
+        println(f"${"segId"}%14s ep ${"range"}%15s ${"start"}%9s ${"tail"}%9s sealed parents")
+        m.segments.sortBy(_.segmentId).foreach { s =>
+          val ep = (s.segmentId >>> 32).toInt
+          println(f"${s.segmentId}%14d $ep%2d [${s.keyLow}%.3f,${s.keyHigh}%.3f) " +
+            f"${s.startOffset}%9d ${s.tailOffset}%9d ${s.isSealed}%6s ${s.parents.mkString(",")}")
+        }
+      case "files" =>
+        val m = g.catalog.getStream(scope, stream)
+        m.files.sortBy(f => (f.segmentId, f.startOffset)).foreach { f =>
+          println(f"${f.segmentId}%14d [${f.startOffset}%9d,+${f.rowCount}%7d) " +
+            f"${f.byteSize}%10dB chunks<=${f.maxChunkCount} ${f.path}")
+        }
+      case "txns" =>
+        val m = g.catalog.getStream(scope, stream)
+        m.transactions.values.toSeq.sortBy(_.createdAt).foreach { t =>
+          println(f"${t.id}%-38s ${t.state}%-11s created=${java.time.Instant.ofEpochMilli(t.createdAt)} " +
+            s"lease=${t.leaseMillis}ms calls=${t.calls}" +
+            t.committedAt.map(c => s" committed=${java.time.Instant.ofEpochMilli(c)}").getOrElse(""))
+        }
+      case "cuts" =>
+        val m = g.catalog.getStream(scope, stream)
+        println(s"head: ${fmtCut(m.headStreamCut)}")
+        println(s"tail: ${fmtCut(m.tailCut)}")
+        a.lift(2).map(_.toLong).foreach { n =>
+          println(s"next(+~$n): ${fmtCut(g.nextStreamCut(scope, stream, m.headStreamCut, n))}")
+        }
+        m.namedCuts.toSeq.sortBy(_._1).foreach { case (name, pos) =>
+          println(s"named '$name': ${fmtCut(StreamCut(pos))}")
+        }
+      case "watermark" =>
+        val m = g.catalog.getStream(scope, stream)
+        g.timeWindow(scope, stream) match {
+          case Some((lo, hi)) => println(s"bounds: [$lo, $hi]")
+          case None => println("bounds: none (no active writer marks)")
+        }
+        m.watermarks.foreach(w => println(
+          s"  mark [${w.lowerTime},${w.upperTime}] @ ${fmtCut(StreamCut(w.positions))}"))
+      case "read" =>
+        val n = a.lift(2).map(_.toInt).getOrElse(10)
+        g.readEventsOrdered(scope, stream).show(n, 48, vertical = false)
+      case "maintenance" =>
+        val r = new Maintenance(g).run(scope, stream)
+        println(r)
+      case "sweep" =>
+        g.catalog.sweepDeletes(scope, stream).foreach(p => println(s"deleted $p"))
+        g.sweepOrphans(scope, stream).foreach(p => println(s"orphan  $p"))
+      case "truncate" =>
+        val cut = g.nextStreamCut(scope, stream,
+          g.catalog.getStream(scope, stream).headStreamCut, a(2).toLong)
+        g.catalog.truncateStream(scope, stream, cut)
+        println(s"truncated at ${fmtCut(cut)}")
+      case "seal" =>
+        g.catalog.sealStream(scope, stream)
+        println(s"sealed $scope/$stream")
+      case "scale" =>
+        val m = g.scaleStream(scope, stream, a(2).toInt)
+        println(s"scaled to ${m.openSegments.size} open segments (epoch ${m.currentEpoch.epoch})")
+      case other =>
+        println(s"unknown command '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  private def fmtCut(c: StreamCut): String =
+    c.positions.toSeq.sorted.map { case (s, o) => s"$s:$o" }.mkString("{", " ", "}")
+
+  private val usage: String =
+    """Usage: Admin <rootDir> <command> [args...]
+      |  scopes | streams <scope> | kvts <scope>
+      |  describe|segments|files|txns|watermark <scope> <stream>
+      |  cuts <scope> <stream> [approxRows]
+      |  read <scope> <stream> [n]
+      |  fsck [scope]
+      |  maintenance|sweep <scope> <stream>
+      |  truncate <scope> <stream> <approxRows>
+      |  seal <scope> <stream> | scale <scope> <stream> <n>""".stripMargin
+}
