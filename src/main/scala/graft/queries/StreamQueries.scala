@@ -1253,6 +1253,103 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Per-key batch input to the writer-sequence state machine. */
+  case class SeqIn(routingKey: String, offset: Long, seq: Long, eid: Long)
+  /** One long per key — the writer's last accepted event number
+    * (Attributes.java event-number attribute; bounded state). */
+  case class SeqState(lastSeq: Long)
+  /** One row per delivered event: accepted (first occurrence of its
+    * sequence number) or rejected as a duplicate redelivery. */
+  case class SeqOut(routingKey: String, eid: Long, accepted: Int, gap: Long)
+
+  /** Writer-sequence exactly-once via CUSTOM keyed state
+    * (flatMapGroupsWithState): the producer stamps each event with a
+    * per-key monotone sequence number (the reference's per-writer event
+    * number, AppendProcessor.java:179-387), the whole delivery is
+    * retried (at-least-once), and the consumer's state machine — one
+    * long of state per key, exactly the server's writer attribute —
+    * accepts each sequence number once and rejects regressions. Every
+    * delivered event is emitted with its verdict, so the oracle checks
+    * three invariants at once: accepted set = distinct source events
+    * (exactly-once), rejected count = the full duplicate delivery
+    * (duplicates were SEEN and dropped, not merely absent), and zero
+    * sequence gaps (per-key order survived routing, pacing and the
+    * epoch-major read rule). `ev_stream_dedup` proves the same contract
+    * with Spark's built-in dropDuplicatesWithinWatermark; this row
+    * proves the CUSTOM-state path a user takes when the dedup key is a
+    * protocol-level sequence, not a column equality.
+    *
+    * Scale: state is one long per routing key, independent of history
+    * length (vs. dropDuplicates' id-set within the watermark); per-key
+    * per-trigger buffering is bounded by the source's pacing option.
+    */
+  private def streamStateDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val work = java.nio.file.Files.createTempDirectory("graft-ssd2").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val src = Tables.events(s, dir).filter($"user_id" < 150)
+      .select($"user_id", $"event_id", row_number().over(win).cast("long").as("seq"))
+      .orderBy($"event_id") // per-key write order = increasing seq
+      .select($"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode(concat_ws(":", $"seq", $"event_id"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    g.writeEvents("q", "ev", src) // the retried whole delivery
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"ssd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val fn = (key: String, it: Iterator[SeqIn], st: GroupState[SeqState]) => {
+      // offset order within the trigger; triggers advance in offset
+      // order per key, so the scan order is the engine read order
+      val rows = it.toArray.sortBy(_.offset)
+      var last = st.getOption.map(_.lastSeq).getOrElse(0L)
+      val out = rows.map { r =>
+        if (r.seq > last) {
+          val gap = r.seq - last - 1; last = r.seq; SeqOut(key, r.eid, 1, gap)
+        } else SeqOut(key, r.eid, 0, 0L)
+      }
+      st.update(SeqState(last))
+      out.iterator
+    }
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey", $"offset",
+        split(decode($"payload", "UTF-8"), ":").getItem(0).cast("long").as("seq"),
+        split(decode($"payload", "UTF-8"), ":").getItem(1).cast("long").as("eid"))
+      .as[SeqIn]
+      .groupByKey(_.routingKey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"routingKey")
+      .agg(sum(when($"accepted" === 1, 1L).otherwise(0L)).as("n_acc"),
+        sum(when($"accepted" === 0, 1L).otherwise(0L)).as("n_dup"),
+        sum($"gap").as("gap_total"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when($"accepted" === 1, $"eid"))),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val streamStateDedupSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey,
+      |  COUNT(*) AS n_acc, COUNT(*) AS n_dup, CAST(0 AS BIGINT) AS gap_total,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   /** Stream-STATIC join through the real streaming source: events drain
     * from an engine stream in paced pages and join the broadcast
     * customer dimension INSIDE the streaming query (the per-batch
@@ -1323,6 +1420,7 @@ object StreamQueries {
     ("stream_seal_read",     sealRead _,     Some(sealReadSql)),
     ("ev_stream_window",     streamWindow _, Some(streamWindowSql)),
     ("ev_stream_dedup",      streamDedup _,  Some(streamDedupSql)),
+    ("ev_stream_state_dedup", streamStateDedup _, Some(streamStateDedupSql)),
     ("ev_stream_static_join", streamStaticJoin _, Some(streamStaticJoinSql)),
   )
 }

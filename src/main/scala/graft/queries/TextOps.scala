@@ -602,7 +602,57 @@ object TextOps {
        |       ELSE CAST(0 AS BIGINT) END AS blocked
        |FROM h GROUP BY host ORDER BY host""".stripMargin
 
+  /** Hashed-feature linear classifier INFERENCE (the fasttext-style
+    * quality gate every pretraining pipeline runs): each token hashes
+    * into a 1024-bucket feature space (first 4 hex digits of md5 — the
+    * hashing trick, no vocabulary broadcast), buckets carry integer
+    * weights from a closed-form Knuth-multiplicative table (in
+    * production this is the trained weight array, broadcast once), and
+    * a document's score is the exact integer sum over its token bag.
+    * The oracle replays the hex fold and weight table digit by digit.
+    *
+    * Scale: one codegen'd projection + explode, map-side combined
+    * groupBy(doc_id) — shuffle width is docs × one long, never tokens;
+    * the weight table is O(buckets), broadcast-trivial at any corpus
+    * size.
+    */
+  private def hashClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"doc_id",
+        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 1024L).as("b"))
+      .select($"doc_id", (($"b" * 2654435761L) % 2001L - 1000L).as("w"))
+      .groupBy($"doc_id")
+      .agg(sum($"w").as("score"), count(lit(1)).as("n_tok"))
+      .select(when($"score" > 0, lit("keep")).otherwise(lit("drop")).as("label"),
+        $"score", $"n_tok")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"), sum($"score").as("sum_score"),
+        sum($"n_tok").as("sum_tokens"))
+      .orderBy($"label")
+  }
+
+  private val hashClassifierSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |h AS (SELECT doc_id, substring(md5(t), 1, 4) AS h4 FROM tok),
+      |b AS (SELECT doc_id,
+      |  ((strpos('0123456789abcdef', substring(h4,1,1))-1)*4096 +
+      |   (strpos('0123456789abcdef', substring(h4,2,1))-1)*256 +
+      |   (strpos('0123456789abcdef', substring(h4,3,1))-1)*16 +
+      |   (strpos('0123456789abcdef', substring(h4,4,1))-1)) % 1024 AS b FROM h),
+      |w AS (SELECT doc_id, (b*2654435761) % 2001 - 1000 AS w FROM b),
+      |d AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tok FROM w GROUP BY doc_id)
+      |SELECT CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      |FROM d GROUP BY 1 ORDER BY label""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
