@@ -537,11 +537,18 @@ object CurationOps {
     */
   private def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // shingles are COMPRESSED to 60-bit md5 prefixes before the
+    // distinct+join: the shuffle carries 8-byte longs instead of
+    // ~40-byte strings (≈3× narrower exchanges on the two heaviest
+    // stages). The oracle replays the same fold, so the (astronomically
+    // rare) collision is computed identically on both engines.
     val sh = Tables.documents(s, dir)
       .select($"source", toks($"text").as("w"))
       .filter(size($"w") >= 5)
       .select($"source", explode(expr(
-        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")).as("sh"))
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")).as("shs"))
+      .select($"source",
+        conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
       .distinct()
     // consumed twice (da and db broadcasts) — without the lazy
     // checkpoint only one side's exchange is reused and the other
@@ -564,11 +571,15 @@ object CurationOps {
     """WITH w AS (
       |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
       |  FROM documents),
+      |shs AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> array_to_string(w[i : i + 4], ' '))) AS shs
+      |  FROM w WHERE len(w) >= 5),
       |sh AS (
       |  SELECT DISTINCT source,
-      |    unnest(list_transform(range(1, len(w) - 3),
-      |      i -> array_to_string(w[i : i + 4], ' '))) AS sh
-      |  FROM w WHERE len(w) >= 5),
+      |    CAST(concat('0x', substring(md5(shs), 1, 15)) AS BIGINT) AS sh
+      |  FROM shs),
       |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ds FROM sh GROUP BY source),
       |p AS (
       |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
