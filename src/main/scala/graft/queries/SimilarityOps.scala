@@ -224,6 +224,77 @@ object SimilarityOps {
       |FROM pairs WHERE cos >= 0.35
       |GROUP BY qb ORDER BY dup_id""".stripMargin
 
+  /** SemDeDup-style SEMANTIC dedup: cluster-scope the quadratic term.
+    * Vectors are assigned to their nearest of K centroids (broadcast +
+    * map-side partial `max_by`, the `sim_ann_ivf` assignment), and
+    * near-duplicate pairs are searched only WITHIN a cluster — the
+    * SemDeDup contract (Abbas et al., 2023): K grows with the corpus so
+    * per-cluster C(n,2) stays bounded while cross-cluster pairs (which
+    * cannot be near-dups of a tight threshold) are never generated.
+    * Per cluster: member count, dropped members (those with a
+    * smaller-id in-cluster neighbor above the cosine threshold — the
+    * keep-lowest-id policy of `dedup_embedding`), and qualifying pair
+    * count. The oracle replays assignment (row_number tie-broken
+    * exactly like the partial max_by) and the pairwise cosines
+    * bit-for-bit.
+    */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val assigned = e.as("v").join(broadcast(cents), col("c_id").isNotNull)
+      .withColumn("ccos", Similarity.dot($"embedding", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("embedding"), first($"nrm").as("nrm"),
+        max_by($"c_id", struct($"ccos", -$"c_id")).as("c_id"))
+    val a = assigned.select($"c_id", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = assigned.select($"c_id", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val pairs = a.join(b, Seq("c_id"))
+      .filter($"qa" < $"qb")
+      .withColumn("cos", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+    val drops = pairs.groupBy($"c_id", $"qb").agg(count(lit(1)).as("nn"))
+      .groupBy($"c_id").agg(count(lit(1)).as("n_dropped"), sum($"nn").as("n_pairs"))
+    assigned.groupBy($"c_id").agg(count(lit(1)).as("n_vecs"))
+      .join(drops, Seq("c_id"), "left")
+      .select($"c_id", $"n_vecs",
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+      .orderBy($"c_id")
+  }
+
+  private val semDedupSql =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+      |          FROM n WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, embedding, nrm, c_id FROM (
+      |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(v.embedding, c.c_emb),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |          / (v.nrm * c.c_nrm) DESC, c.c_id) AS r
+      |    FROM n v CROSS JOIN cents c) t WHERE r = 1),
+      |pairs AS (
+      |  SELECT a.c_id, a.vec_id AS qa, b.vec_id AS qb,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |  FROM assigned a JOIN assigned b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+      |d AS (SELECT c_id, qb, CAST(COUNT(*) AS BIGINT) AS nn
+      |      FROM pairs WHERE cos >= 0.35 GROUP BY c_id, qb),
+      |dr AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+      |       CAST(SUM(nn) AS BIGINT) AS n_pairs FROM d GROUP BY c_id)
+      |SELECT a.c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  COALESCE(MAX(dr.n_dropped), CAST(0 AS BIGINT)) AS n_dropped,
+      |  COALESCE(MAX(dr.n_pairs), CAST(0 AS BIGINT)) AS n_pairs
+      |FROM assigned a LEFT JOIN dr ON a.c_id = dr.c_id
+      |GROUP BY a.c_id ORDER BY a.c_id""".stripMargin
+
   /** Multimodal metadata surface: binary payload length + content hash —
     * the opaque-blob bookkeeping every media pipeline starts with.
     */
@@ -741,6 +812,7 @@ object SimilarityOps {
     ("sim_knn_classify", knnClassify _,  Some(knnClassifySql)),
     ("sim_ann_ivf",      annIvf _,       Some(Similarity.ivfTopKOracleSql(10, 5))),
     ("dedup_embedding",  dedupEmbedding _, Some(dedupEmbeddingSql)),
+    ("dedup_semdedup",   semDedup _,     Some(semDedupSql)),
     ("mm_binary_meta",   mmBinaryMeta _, Some(mmBinaryMetaSql)),
     ("mm_features",      mmFeatures _,   Some(mmFeaturesSql)),
     ("mm_frames",        mmFrames _,     Some(mmFramesSql)),
