@@ -31,13 +31,14 @@ object ScaleBench {
     "q18_full_outer", "q21_percentile", "q25_approx_distinct",
     // dedup (scale paths only — brute verifiers are loudly bounded)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_keep_best", "dedup_span_removal",
+    "dedup_keep_best", "dedup_span_removal", "dedup_semdedup",
     // curation / dataset ops
     "ds_cross_source_overlap", "ds_dataset_card", "ds_pack_sequences",
     "ds_pipeline_yield", "ds_token_budget",
     // text
     "txt_bloom_contamination", "txt_rep_ngrams", "txt_tfidf_top",
     "txt_winnow_overlap", "txt_quality_score", "txt_lang_id",
+    "txt_hash_classifier",
     // similarity / embeddings
     "sim_adc_search", "sim_ann_ivf", "sim_hamming_topk", "emb_kmeans_iter",
     "emb_pq_codes",
