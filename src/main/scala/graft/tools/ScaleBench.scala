@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * named cause.
   *
   * Engine-write queries (stream_*, kv_*, bs_*, state_*, ev_ lifecycle ops)
-  * build their own fixed-size streams per invocation, so their runtime is
-  * data-independent by construction — excluded here, covered by Bench.
+  * are excluded from the DEFAULT list because stream-setup + per-trigger
+  * state-store overhead dominates their wall at these sizes (measured:
+  * the events-table-driven streaming rows grow only 0.9-1.4× at 10× data
+  * — pass them as an explicit subset to reproduce); the write path's own
+  * data-volume growth is measured directly by WriteBench.
   *
   * Per query, each dir gets a cold run then a timed second run (first-run
   * codegen/AQE compilation would otherwise dominate small-sf numbers; the
