@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, PartitionOffset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsRealTimeMode, SupportsRealTimeRead, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftshim.ParquetShim
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -370,7 +370,7 @@ private[sources] object GraftReadPlanner {
 
 class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
   private val g = new GraftStreams(spark, conf.rootDir)
   private def flat = !conf.multi
@@ -513,6 +513,86 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ------------------------------------------------- real-time (tail) mode
+
+  /** Spark 4 Real-Time Mode (`Trigger.RealTime`): long-running tasks
+    * LONG-POLL the tail of their segment — the engine realization of the
+    * reference's Future read (a `ReadSegment` past the tail parks until
+    * an append arrives: `FutureReadResultEntry`,
+    * `reading/StreamSegmentReadIndex.java`, SURVEY §3.2 step 3). One
+    * open-ended partition per (stream, segment) starts at the trigger's
+    * begin cut; readers poll the manifest for newly committed files and
+    * emit rows the moment a commit lands, far inside one trigger. Task
+    * end offsets merge back into a StreamCut (`mergeOffsets`), so the
+    * offset log stays cut-compatible with micro-batch mode — the same
+    * checkpoint can switch between triggers.
+    *
+    * Per-key order: per segment there is exactly one tailing reader, so
+    * routing-key order within an epoch is positional like every other
+    * surface; a post-scale child segment is NOT planned until its
+    * parents' start positions reach their sealed tails (the
+    * SegmentCompleted gate, same rule as paced micro-batches) — it joins
+    * in a later trigger.
+    *
+    * Unsupported here (use micro-batch triggers): bounded subscriptions
+    * (`toStreamCut`) and chunked large events — both are backlog shapes,
+    * not tail shapes; the reader throws loudly on either.
+    */
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    conf.subs.foreach { sub =>
+      require(sub.to.isEmpty,
+        s"real-time mode tails the open stream; bounded subscription for ${sub.key} " +
+          "(toStreamCut) needs a micro-batch trigger")
+    }
+    val cuts = Option(start).map(toCuts).getOrElse(headCuts)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    conf.subs.flatMap { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val head = meta.headStreamCut.positions
+      val from: Long => Long = sid => cuts.get(sub.key).flatMap(_.positions.get(sid))
+        .getOrElse(head.getOrElse(sid, 0L))
+      val sealedTail = meta.segments.filter(_.isSealed)
+        .map(s => s.segmentId -> s.tailOffset).toMap
+      val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
+      def parentsDrained(sid: Long): Boolean =
+        parentsOf.getOrElse(sid, Nil).forall { p =>
+          from(p) >= sealedTail.getOrElse(p, 0L)
+        }
+      meta.segments
+        .filter(s => parentsDrained(s.segmentId))
+        // a sealed segment whose rows are all consumed never produces
+        // again — skip its partition entirely
+        .filterNot(s => s.isSealed && from(s.segmentId) >= s.tailOffset)
+        .map { s =>
+          GraftTailPartition(conf.rootDir, sub.key, sub.scope, sub.stream,
+            s.segmentId, from(s.segmentId), conf.multi, serConf)
+        }
+    }.toArray
+  }
+
+  /** Task-reported per-segment end positions → one composite StreamCut
+    * offset. Segments with no partition this trigger (drained-sealed, or
+    * lineage-deferred children) keep their start position via the
+    * monotonic floor, so the committed offset never regresses.
+    */
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset = {
+    val reported = offsets.collect { case t: GraftTailPartitionOffset => t }
+      .groupBy(_.key)
+      .map { case (k, ts) =>
+        k -> StreamCut(ts.map(t => t.segmentId -> t.position).toMap)
+      }
+    val merged = (lastEnd.keySet ++ reported.keySet ++ headCuts.keySet).map { k =>
+      val base = Seq(lastEnd.get(k), headCuts.get(k)).flatten.reduceOption(mergeMax)
+        .getOrElse(StreamCut(Map.empty))
+      k -> reported.get(k).map(mergeMax(base, _)).getOrElse(base)
+    }.toMap
+    lastEnd = merged
+    GraftStreamOffset(merged, flat)
+  }
+
+  override def prepareForRealTimeMode(): Unit = ()
 }
 
 /** One planned slice of a micro-batch: packed parquet files plus, when
@@ -527,6 +607,22 @@ final case class GraftInputPartition(files: InputPartition,
     reassemble: Boolean = false) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
+
+/** One open-ended real-time partition: tail (stream, segment) from
+  * `fromOffset` until the trigger deadline. Carries everything the
+  * executor needs to poll the manifest without a SparkSession.
+  */
+final case class GraftTailPartition(rootDir: String, key: String,
+    scope: String, stream: String, segmentId: Long, fromOffset: Long,
+    multi: Boolean,
+    serConf: org.apache.spark.util.SerializableConfiguration)
+    extends InputPartition
+
+/** A tailing task's end position — merged into a StreamCut offset by
+  * `GraftMicroBatchStream.mergeOffsets` at trigger end.
+  */
+final case class GraftTailPartitionOffset(key: String, segmentId: Long,
+    position: Long) extends PartitionOffset
 
 /** Delegates to Spark's parquet reader factory. Batches with no
   * straddling and no chunked files pass through COLUMNAR; boundary
@@ -544,9 +640,11 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
 
   private def unwrap(p: InputPartition) = p.asInstanceOf[GraftInputPartition]
 
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val gp = unwrap(p)
-    gp.bounds.isEmpty && !gp.reassemble && delegate.supportColumnarReads(gp.files)
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftTailPartition => false
+    case _ =>
+      val gp = unwrap(p)
+      gp.bounds.isEmpty && !gp.reassemble && delegate.supportColumnarReads(gp.files)
   }
 
   override def createColumnarReader(p: InputPartition) =
@@ -560,6 +658,11 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case tp: GraftTailPartition =>
+        return new GraftTailReader(tp, delegate, segOrd, offOrd)
+      case _ =>
+    }
     val gp = unwrap(p)
     if (gp.reassemble)
       return new ReassemblingReader(storageDelegate.createReader(gp.files), gp.bounds)
@@ -688,6 +791,109 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
     override def get(): InternalRow = cur
     override def close(): Unit = r.close()
   }
+}
+
+/** Executor-side long-poll tail reader (SupportsRealTimeRead): emits the
+  * committed rows of one segment from `fromOffset`, then POLLS the
+  * stream manifest for the next committed file until the engine's
+  * trigger deadline — the FutureReadResultEntry park-until-append
+  * semantic, realized as manifest polling with exponential backoff
+  * (2 → 64 ms). A poll is one O(live files) manifest read, the same
+  * unit of work as a micro-batch planning step; rows inside an already
+  * open file are handed over with no polling at all.
+  *
+  * The trigger's start position may land mid-file (real-time end offsets
+  * are row-exact): rows below `fromOffset` are skipped by offset, the
+  * same rule as the micro-batch boundary reader.
+  */
+final class GraftTailReader(p: GraftTailPartition,
+    delegate: PartitionReaderFactory, segOrd: Int, offOrd: Int)
+    extends PartitionReader[InternalRow] with SupportsRealTimeRead[InternalRow] {
+  import graft.catalog.StreamCatalog
+
+  private val cat = new StreamCatalog(p.rootDir, p.serConf.value)
+  private val pv: InternalRow =
+    if (p.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(p.key)))
+    else InternalRow.empty
+  private var pos: Long = p.fromOffset
+  private var current: PartitionReader[InternalRow] = _
+  private var cur: InternalRow = _
+  private var sealedTail: Long = -1L // >= 0 once the segment is sealed
+  private var backoffMs: Long = 2L
+
+  /** Open the committed file containing row `pos`, if one exists. */
+  private def openNextFile(): Boolean = {
+    val meta = cat.getStream(p.scope, p.stream)
+    val head = meta.headStreamCut.positions.getOrElse(p.segmentId, 0L)
+    if (pos < head) throw new TruncatedDataException(
+      s"${p.key} segment ${p.segmentId} position $pos is below head cut $head " +
+        "(truncated while this reader was at an older position)")
+    meta.segments.find(_.segmentId == p.segmentId).foreach { s =>
+      if (s.isSealed) sealedTail = s.tailOffset
+    }
+    meta.files.find(f => f.segmentId == p.segmentId &&
+        f.startOffset <= pos && pos < f.endOffset) match {
+      case Some(f) if f.maxChunkCount > 1 =>
+        throw new UnsupportedOperationException(
+          "real-time mode does not reassemble chunked (> MaxEventSize) events; " +
+            s"use a micro-batch trigger for ${p.key}")
+      case Some(f) =>
+        val path = new Path(f.path)
+        val st = path.getFileSystem(p.serConf.value).getFileStatus(path)
+        current = delegate.createReader(
+          ParquetShim.singlePartition(ParquetShim.partitionedFile(pv, st)))
+        true
+      case None => false
+    }
+  }
+
+  override def nextWithTimeout(timeoutMs: java.lang.Long): SupportsRealTimeRead.RecordStatus = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (true) {
+      if (current != null) {
+        while (current.next()) {
+          val row = current.get()
+          if (row.getLong(offOrd) >= pos) {
+            cur = row
+            pos = row.getLong(offOrd) + 1
+            backoffMs = 2L
+            return SupportsRealTimeRead.RecordStatus.newStatusWithoutArrivalTime(true)
+          }
+        }
+        current.close(); current = null
+      }
+      // a sealed segment fully drained never produces again — park the
+      // task quietly until the trigger deadline
+      val drained = sealedTail >= 0 && pos >= sealedTail
+      if (!drained && openNextFile()) {
+        backoffMs = 2L
+      } else {
+        val remainingMs = (deadline - System.nanoTime()) / 1000000L
+        if (remainingMs <= 0)
+          return SupportsRealTimeRead.RecordStatus.newStatusWithoutArrivalTime(false)
+        try Thread.sleep(math.min(backoffMs, remainingMs))
+        catch {
+          case _: InterruptedException =>
+            // trigger-end task interruption: surface "no record" and let
+            // the engine collect the offset; keep the interrupt flag set
+            Thread.currentThread().interrupt()
+            return SupportsRealTimeRead.RecordStatus.newStatusWithoutArrivalTime(false)
+        }
+        backoffMs = math.min(backoffMs * 2, 64L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def getOffset: PartitionOffset =
+    GraftTailPartitionOffset(p.key, p.segmentId, pos)
+
+  /** Plain PartitionReader surface (not used by the real-time exec,
+    * which drives nextWithTimeout): non-blocking single probe.
+    */
+  override def next(): Boolean = nextWithTimeout(0L).hasRecord
+  override def get(): InternalRow = cur
+  override def close(): Unit = if (current != null) current.close()
 }
 
 object GraftStreamSource {

@@ -51,4 +51,11 @@ object ParquetShim {
       files.map(_.length + openCost).sum)
     FilePartition.getFilePartitions(classic, files, maxSplit)
   }
+
+  /** One whole file as one FilePartition — used executor-side by the
+    * real-time tail reader, which discovers files one at a time as the
+    * manifest grows and cannot go through driver-side packing.
+    */
+  def singlePartition(pf: PartitionedFile): FilePartition =
+    FilePartition(0, Array(pf))
 }
