@@ -546,6 +546,14 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
           "(toStreamCut) needs a micro-batch trigger")
     }
     val cuts = Option(start).map(toCuts).getOrElse(headCuts)
+    // floor the monotonic high-water mark with the trigger's START cut:
+    // a segment with no partition this trigger (drained-sealed parent,
+    // lineage-deferred child) must keep its checkpointed position in
+    // mergeOffsets — without this, a restart would regress such a
+    // segment to its head cut and re-deliver it
+    lastEnd = (lastEnd.keySet ++ cuts.keySet).map { k =>
+      k -> Seq(lastEnd.get(k), cuts.get(k)).flatten.reduce(mergeMax)
+    }.toMap
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     conf.subs.flatMap { sub =>
