@@ -1350,6 +1350,89 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Holds rows delivered by the real-time foreach sink, keyed per
+    * invocation. Driver-side by nature — the collector IS the test
+    * consumer, like `state_sync_fold`'s CAS driver; bounded to the
+    * `user_id < 60` slice.
+    */
+  object RtBuf {
+    val sinks: scala.collection.concurrent.TrieMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]] =
+      scala.collection.concurrent.TrieMap.empty
+  }
+
+  /** Rows → static buffer; ForeachWriterTable is real-time-allowlisted. */
+  final class RtCollect(id: String)
+      extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(r: org.apache.spark.sql.Row): Unit =
+      RtBuf.sinks(id).add((r.getAs[String]("routingKey"),
+        new String(r.getAs[Array[Byte]]("payload"),
+          java.nio.charset.StandardCharsets.UTF_8).toLong))
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** Tail reads through Spark 4 REAL-TIME mode, hash-checked: half the
+    * slice is backlog (written before the query starts), half is a TAIL
+    * APPEND landing mid-trigger — delivered by the long-poll readers
+    * (`GraftTailReader`, the FutureReadResultEntry analog) with no
+    * micro-batch boundary between append and delivery. The per-key
+    * chains of everything the foreach sink saw must equal the source
+    * slice exactly — backlog + tail, exactly once, per-key complete.
+    *
+    * Scale: the driver-side collector is the test consumer (bounded
+    * slice); production consumers are ForeachWriter/Kafka sinks that
+    * never collect. One long-poll task per segment; see SCALING.md.
+    */
+  private def realtimeTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).filter($"user_id" < 60).select(
+      $"user_id".cast("string").as("routingKey"),
+      $"event_id".as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload"),
+      $"event_id")
+    val nTotal = src.count()
+    g.writeEvents("q", "ev", src.filter($"event_id" % 2 === 0).drop("event_id"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "100")
+    val id = java.util.UUID.randomUUID().toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    RtBuf.sinks.put(id, buf)
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .load()
+      .writeStream
+      .foreach(new RtCollect(id))
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("2 seconds"))
+      .start()
+    try {
+      // the tail half lands while the trigger is RUNNING
+      g.writeEvents("q", "ev", src.filter($"event_id" % 2 === 1).drop("event_id"))
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (buf.size < nTotal && System.nanoTime() < deadline) Thread.sleep(20)
+      require(buf.size == nTotal, s"real-time drain delivered ${buf.size} of $nTotal")
+    } finally { q.stop(); RtBuf.sinks.remove(id) }
+    val rows: Seq[(String, Long)] = buf.toArray(Array.empty[(String, Long)]).toSeq
+    rows.toDF("routingKey", "eid")
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list($"eid")),
+          x => x.cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val realtimeTailSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |FROM events WHERE user_id < 60
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   /** Stream-STATIC join through the real streaming source: events drain
     * from an engine stream in paced pages and join the broadcast
     * customer dimension INSIDE the streaming query (the per-batch
@@ -1421,6 +1504,7 @@ object StreamQueries {
     ("ev_stream_window",     streamWindow _, Some(streamWindowSql)),
     ("ev_stream_dedup",      streamDedup _,  Some(streamDedupSql)),
     ("ev_stream_state_dedup", streamStateDedup _, Some(streamStateDedupSql)),
+    ("ev_realtime_tail",     realtimeTail _, Some(realtimeTailSql)),
     ("ev_stream_static_join", streamStaticJoin _, Some(streamStaticJoinSql)),
   )
 }

@@ -95,12 +95,18 @@ class RealTimeModeSpec extends AnyFunSuite {
       // between — the long-poll tail pickup
       val t0 = System.nanoTime()
       g.writeEvents("s", "ev", batch(10, 1000))
+      val tCommitted = System.nanoTime() // manifest CAS has landed
       assert(awaitCount(buf, 30, 30000), s"tail rows not delivered: ${buf.size}/30")
       val arrival = buf.toArray(Array.empty[(String, Long, Long, Long)])
         .map(_._4).sorted.drop(20).head
       val latencyMs = (arrival - t0) / 1000000.0
+      val pollMs = (arrival - tCommitted) / 1000000.0
+      info(f"append→delivery $latencyMs%.0f ms (incl. the write job); " +
+        f"commit→delivery $pollMs%.0f ms (the long-poll pickup)")
       assert(latencyMs < 3000.0,
         f"tail append took $latencyMs%.0f ms to surface — not a tail read")
+      assert(pollMs < 1500.0,
+        f"manifest-commit→delivery took $pollMs%.0f ms — poll loop not picking up")
 
       // cross a trigger boundary, then append more: mergeOffsets must
       // hand the cut to the next trigger without loss or redelivery
