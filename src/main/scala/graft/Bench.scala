@@ -81,7 +81,8 @@ object Bench {
       "stream_pipe_roundtrip", "stream_concurrent_writers", "stream_seal_read",
       "ev_stream_window", "ev_stream_dedup", "ev_stream_static_join",
       "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch",
-      "ev_stream_join_late", "stream_pipe_resume")
+      "ev_stream_join_late", "stream_pipe_resume",
+      "ev_stream_state_dedup", "ev_realtime_tail")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {
