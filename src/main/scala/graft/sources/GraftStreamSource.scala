@@ -545,6 +545,7 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
         s"real-time mode tails the open stream; bounded subscription for ${sub.key} " +
           "(toStreamCut) needs a micro-batch trigger")
     }
+    val slotBudget = spark.sparkContext.defaultParallelism
     val cuts = Option(start).map(toCuts).getOrElse(headCuts)
     // floor the monotonic high-water mark with the trigger's START cut:
     // a segment with no partition this trigger (drained-sealed parent,
@@ -568,15 +569,22 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
         parentsOf.getOrElse(sid, Nil).forall { p =>
           from(p) >= sealedTail.getOrElse(p, 0L)
         }
-      meta.segments
+      val eligible = meta.segments
         .filter(s => parentsDrained(s.segmentId))
         // a sealed segment whose rows are all consumed never produces
-        // again — skip its partition entirely
+        // again — skip it entirely
         .filterNot(s => s.isSealed && from(s.segmentId) >= s.tailOffset)
-        .map { s =>
-          GraftTailPartition(conf.rootDir, sub.key, sub.scope, sub.stream,
-            s.segmentId, from(s.segmentId), conf.multi, serConf)
-        }
+      // task budget: real-time tasks HOLD their slot for the whole
+      // trigger, so segments multiplex onto min(segments, slots/streams)
+      // partitions — the reader-group shape (one reader owns N segments)
+      val budget = math.max(1, slotBudget / conf.subs.size)
+      val groups = eligible.zipWithIndex.groupBy(_._2 % math.min(
+        math.max(1, eligible.size), budget)).values
+      groups.map { g =>
+        GraftTailPartition(conf.rootDir, sub.key, sub.scope, sub.stream,
+          g.map { case (s, _) => s.segmentId -> from(s.segmentId) },
+          conf.multi, serConf)
+      }
     }.toArray
   }
 
@@ -589,7 +597,7 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
     val reported = offsets.collect { case t: GraftTailPartitionOffset => t }
       .groupBy(_.key)
       .map { case (k, ts) =>
-        k -> StreamCut(ts.map(t => t.segmentId -> t.position).toMap)
+        k -> StreamCut(ts.flatMap(_.positions).toMap)
       }
     val merged = (lastEnd.keySet ++ reported.keySet ++ headCuts.keySet).map { k =>
       val base = Seq(lastEnd.get(k), headCuts.get(k)).flatten.reduceOption(mergeMax)
@@ -616,21 +624,27 @@ final case class GraftInputPartition(files: InputPartition,
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
-/** One open-ended real-time partition: tail (stream, segment) from
-  * `fromOffset` until the trigger deadline. Carries everything the
-  * executor needs to poll the manifest without a SparkSession.
+/** One open-ended real-time partition: tail a GROUP of segments of one
+  * stream from their `(segmentId, fromOffset)` cursors until the
+  * trigger deadline. Multiplexing several segments per long-running
+  * task is the reader-group shape (one reader owns N segments,
+  * `ReaderGroupState.java:630`): real-time tasks hold their slot for
+  * the whole trigger, so task count is min(segments, slot budget), not
+  * segment count. Carries everything the executor needs to poll the
+  * manifest without a SparkSession.
   */
 final case class GraftTailPartition(rootDir: String, key: String,
-    scope: String, stream: String, segmentId: Long, fromOffset: Long,
+    scope: String, stream: String, cursors: Seq[(Long, Long)],
     multi: Boolean,
     serConf: org.apache.spark.util.SerializableConfiguration)
     extends InputPartition
 
-/** A tailing task's end position — merged into a StreamCut offset by
-  * `GraftMicroBatchStream.mergeOffsets` at trigger end.
+/** A tailing task's end positions (one per owned segment) — merged into
+  * a StreamCut offset by `GraftMicroBatchStream.mergeOffsets` at
+  * trigger end.
   */
-final case class GraftTailPartitionOffset(key: String, segmentId: Long,
-    position: Long) extends PartitionOffset
+final case class GraftTailPartitionOffset(key: String,
+    positions: Map[Long, Long]) extends PartitionOffset
 
 /** Delegates to Spark's parquet reader factory. Batches with no
   * straddling and no chunked files pass through COLUMNAR; boundary
@@ -823,57 +837,87 @@ final class GraftTailReader(p: GraftTailPartition,
   private val pv: InternalRow =
     if (p.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(p.key)))
     else InternalRow.empty
-  private var pos: Long = p.fromOffset
-  private var current: PartitionReader[InternalRow] = _
+
+  /** One owned segment's tail state. */
+  private final class Cursor(val sid: Long, var pos: Long) {
+    var reader: PartitionReader[InternalRow] = _
+    var sealedTail: Long = -1L // >= 0 once the segment is sealed
+    def drained: Boolean = sealedTail >= 0 && pos >= sealedTail
+  }
+  private val cursors: Array[Cursor] =
+    p.cursors.map { case (sid, from) => new Cursor(sid, from) }.toArray
+  private var rr = 0 // round-robin start index — per-call rotation = fairness
   private var cur: InternalRow = _
-  private var sealedTail: Long = -1L // >= 0 once the segment is sealed
   private var backoffMs: Long = 2L
 
-  /** Open the committed file containing row `pos`, if one exists. */
-  private def openNextFile(): Boolean = {
+  /** One manifest read serves every owned cursor: refresh seal states,
+    * enforce head cuts, open the next committed file for each cursor
+    * that has one. Returns true if any file was opened.
+    */
+  private def pollManifest(): Boolean = {
     val meta = cat.getStream(p.scope, p.stream)
-    val head = meta.headStreamCut.positions.getOrElse(p.segmentId, 0L)
-    if (pos < head) throw new TruncatedDataException(
-      s"${p.key} segment ${p.segmentId} position $pos is below head cut $head " +
-        "(truncated while this reader was at an older position)")
-    meta.segments.find(_.segmentId == p.segmentId).foreach { s =>
-      if (s.isSealed) sealedTail = s.tailOffset
+    val heads = meta.headStreamCut.positions
+    val sealedTails = meta.segments.filter(_.isSealed)
+      .map(s => s.segmentId -> s.tailOffset).toMap
+    var opened = false
+    cursors.foreach { c =>
+      val head = heads.getOrElse(c.sid, 0L)
+      if (c.pos < head) throw new TruncatedDataException(
+        s"${p.key} segment ${c.sid} position ${c.pos} is below head cut $head " +
+          "(truncated while this reader was at an older position)")
+      sealedTails.get(c.sid).foreach(t => c.sealedTail = t)
+      if (c.reader == null && !c.drained) {
+        meta.files.find(f => f.segmentId == c.sid &&
+            f.startOffset <= c.pos && c.pos < f.endOffset) match {
+          case Some(f) if f.maxChunkCount > 1 =>
+            throw new UnsupportedOperationException(
+              "real-time mode does not reassemble chunked (> MaxEventSize) events; " +
+                s"use a micro-batch trigger for ${p.key}")
+          case Some(f) =>
+            val path = new Path(f.path)
+            val st = path.getFileSystem(p.serConf.value).getFileStatus(path)
+            c.reader = delegate.createReader(
+              ParquetShim.singlePartition(ParquetShim.partitionedFile(pv, st)))
+            opened = true
+          case None =>
+        }
+      }
     }
-    meta.files.find(f => f.segmentId == p.segmentId &&
-        f.startOffset <= pos && pos < f.endOffset) match {
-      case Some(f) if f.maxChunkCount > 1 =>
-        throw new UnsupportedOperationException(
-          "real-time mode does not reassemble chunked (> MaxEventSize) events; " +
-            s"use a micro-batch trigger for ${p.key}")
-      case Some(f) =>
-        val path = new Path(f.path)
-        val st = path.getFileSystem(p.serConf.value).getFileStatus(path)
-        current = delegate.createReader(
-          ParquetShim.singlePartition(ParquetShim.partitionedFile(pv, st)))
-        true
-      case None => false
+    opened
+  }
+
+  /** Emit the next row from any cursor with an open reader, rotating the
+    * start index so segments interleave fairly across calls.
+    */
+  private def emitFromOpenReaders(): Boolean = {
+    var k = 0
+    while (k < cursors.length) {
+      val c = cursors((rr + k) % cursors.length)
+      if (c.reader != null) {
+        while (c.reader.next()) {
+          val row = c.reader.get()
+          if (row.getLong(offOrd) >= c.pos) {
+            cur = row
+            c.pos = row.getLong(offOrd) + 1
+            rr = (rr + k + 1) % cursors.length
+            return true
+          }
+        }
+        c.reader.close(); c.reader = null
+      }
+      k += 1
     }
+    false
   }
 
   override def nextWithTimeout(timeoutMs: java.lang.Long): SupportsRealTimeRead.RecordStatus = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (true) {
-      if (current != null) {
-        while (current.next()) {
-          val row = current.get()
-          if (row.getLong(offOrd) >= pos) {
-            cur = row
-            pos = row.getLong(offOrd) + 1
-            backoffMs = 2L
-            return SupportsRealTimeRead.RecordStatus.newStatusWithoutArrivalTime(true)
-          }
-        }
-        current.close(); current = null
+      if (emitFromOpenReaders()) {
+        backoffMs = 2L
+        return SupportsRealTimeRead.RecordStatus.newStatusWithoutArrivalTime(true)
       }
-      // a sealed segment fully drained never produces again — park the
-      // task quietly until the trigger deadline
-      val drained = sealedTail >= 0 && pos >= sealedTail
-      if (!drained && openNextFile()) {
+      if (pollManifest()) {
         backoffMs = 2L
       } else {
         val remainingMs = (deadline - System.nanoTime()) / 1000000L
@@ -894,14 +938,15 @@ final class GraftTailReader(p: GraftTailPartition,
   }
 
   override def getOffset: PartitionOffset =
-    GraftTailPartitionOffset(p.key, p.segmentId, pos)
+    GraftTailPartitionOffset(p.key, cursors.map(c => c.sid -> c.pos).toMap)
 
   /** Plain PartitionReader surface (not used by the real-time exec,
     * which drives nextWithTimeout): non-blocking single probe.
     */
   override def next(): Boolean = nextWithTimeout(0L).hasRecord
   override def get(): InternalRow = cur
-  override def close(): Unit = if (current != null) current.close()
+  override def close(): Unit =
+    cursors.foreach(c => if (c.reader != null) c.reader.close())
 }
 
 object GraftStreamSource {

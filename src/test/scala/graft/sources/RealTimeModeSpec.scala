@@ -140,11 +140,11 @@ class RealTimeModeSpec extends AnyFunSuite {
       .start()
     try {
       assert(awaitCount(buf, 20, 30000), s"pre-scale rows not delivered: ${buf.size}/20")
-      // epoch change: 2 parents seal, 3 children. Real-time tasks hold
-      // their slot for the whole trigger, so segment count must stay
-      // within task slots (local[4] here) — the documented deployment
-      // constraint of real-time mode.
-      g.scaleStream("s", "ev", 3)
+      // epoch change: 2 parents seal, 6 children — MORE segments than
+      // local[4] task slots, so the planner must multiplex several
+      // segments per long-running task (the reader-group shape); an
+      // unmultiplexed per-segment plan starves the excess partitions
+      g.scaleStream("s", "ev", 6)
       g.writeEvents("s", "ev", batch(15, 1000))
       // children are planned only once a trigger STARTS from a cut with
       // the parents drained — within two trigger boundaries
