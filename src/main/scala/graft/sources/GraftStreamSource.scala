@@ -545,7 +545,11 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
         s"real-time mode tails the open stream; bounded subscription for ${sub.key} " +
           "(toStreamCut) needs a micro-batch trigger")
     }
-    val slotBudget = spark.sparkContext.defaultParallelism
+    // one slot is reserved: real-time tasks hold theirs for the whole
+    // trigger, and a tail-read deployment always has concurrent jobs
+    // (the writers being tailed) that must not wait for a trigger
+    // boundary to get a slot
+    val slotBudget = math.max(1, spark.sparkContext.defaultParallelism - 1)
     val cuts = Option(start).map(toCuts).getOrElse(headCuts)
     // floor the monotonic high-water mark with the trigger's START cut:
     // a segment with no partition this trigger (drained-sealed parent,
