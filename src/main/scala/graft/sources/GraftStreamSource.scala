@@ -456,13 +456,8 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
           // final rows, or per-key epoch order breaks ACROSS micro-batches
           // where no consumer sort can repair it. A child only advances
           // once every parent's announced cut has reached its sealed tail.
-          val sealedTail = meta.segments.filter(_.isSealed)
-            .map(s => s.segmentId -> s.tailOffset).toMap
-          val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
-          def parentsDrained(sid: Long): Boolean =
-            parentsOf.getOrElse(sid, Nil).forall { p =>
-              from.positions.getOrElse(p, 0L) >= sealedTail.getOrElse(p, 0L)
-            }
+          val parentsDrained =
+            lineageGate(meta, sid => from.positions.getOrElse(sid, 0L))
           StreamCut(segs.map { sid =>
             val cur = from.positions.getOrElse(sid, 0L)
             val t = tail.positions.getOrElse(sid, cur)
@@ -539,6 +534,26 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
     * (`toStreamCut`) and chunked large events — both are backlog shapes,
     * not tail shapes; the reader throws loudly on either.
     */
+  /** The SegmentCompleted gate, shared verbatim with `latestOffset`'s
+    * paced planner: a post-scale child is eligible only once every
+    * parent's position has reached its sealed tail.
+    */
+  private def lineageGate(meta: graft.core.StreamMetadata,
+                          from: Long => Long): Long => Boolean = {
+    val sealedTail = meta.segments.filter(_.isSealed)
+      .map(s => s.segmentId -> s.tailOffset).toMap
+    val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
+    sid => parentsOf.getOrElse(sid, Nil).forall { p =>
+      from(p) >= sealedTail.getOrElse(p, 0L)
+    }
+  }
+
+  // built once per query, not per trigger: a Hadoop Configuration is
+  // hundreds of KB and is serialized into every planned partition
+  private lazy val tailSerConf =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
     conf.subs.foreach { sub =>
       require(sub.to.isEmpty,
@@ -559,53 +574,55 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
     lastEnd = (lastEnd.keySet ++ cuts.keySet).map { k =>
       k -> Seq(lastEnd.get(k), cuts.get(k)).flatten.reduce(mergeMax)
     }.toMap
-    val serConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    conf.subs.flatMap { sub =>
+    val eligible: Seq[TailCursorSpec] = conf.subs.flatMap { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
       val head = meta.headStreamCut.positions
+      // loud truncation parity with GraftReadPlanner.plan: a start
+      // position below the head means data was truncated away under
+      // this reader — fail, never skip silently
+      cuts.get(sub.key).foreach(_.positions.foreach { case (sid, off) =>
+        val h = head.getOrElse(sid, 0L)
+        if (off < h) throw new TruncatedDataException(
+          s"${sub.key} segment $sid position $off is below head cut $h " +
+            "(truncated while this reader was at an older position)")
+      })
       val from: Long => Long = sid => cuts.get(sub.key).flatMap(_.positions.get(sid))
         .getOrElse(head.getOrElse(sid, 0L))
-      val sealedTail = meta.segments.filter(_.isSealed)
-        .map(s => s.segmentId -> s.tailOffset).toMap
-      val parentsOf = meta.segments.map(s => s.segmentId -> s.parents).toMap
-      def parentsDrained(sid: Long): Boolean =
-        parentsOf.getOrElse(sid, Nil).forall { p =>
-          from(p) >= sealedTail.getOrElse(p, 0L)
-        }
-      val eligible = meta.segments
-        .filter(s => parentsDrained(s.segmentId))
+      val gate = lineageGate(meta, from)
+      meta.segments
+        .filter(s => gate(s.segmentId))
         // a sealed segment whose rows are all consumed never produces
         // again — skip it entirely
         .filterNot(s => s.isSealed && from(s.segmentId) >= s.tailOffset)
-      // task budget: real-time tasks HOLD their slot for the whole
-      // trigger, so segments multiplex onto min(segments, slots/streams)
-      // partitions — the reader-group shape (one reader owns N segments)
-      val budget = math.max(1, slotBudget / conf.subs.size)
-      val groups = eligible.zipWithIndex.groupBy(_._2 % math.min(
-        math.max(1, eligible.size), budget)).values
-      groups.map { g =>
-        GraftTailPartition(conf.rootDir, sub.key, sub.scope, sub.stream,
-          g.map { case (s, _) => s.segmentId -> from(s.segmentId) },
-          conf.multi, serConf)
-      }
-    }.toArray
+        .map(s => TailCursorSpec(sub.key, sub.scope, sub.stream,
+          s.segmentId, from(s.segmentId)))
+    }
+    // segments multiplex onto min(total, budget) tasks ACROSS streams —
+    // a partition may own cursors of several streams, exactly like a
+    // reader owning segments across a multi-stream reader group
+    val nParts = math.min(math.max(1, eligible.size), slotBudget)
+    eligible.zipWithIndex.groupBy(_._2 % nParts).values
+      .map(g => GraftTailPartition(conf.rootDir, g.map(_._1), conf.multi, tailSerConf))
+      .toArray
   }
 
   /** Task-reported per-segment end positions → one composite StreamCut
     * offset. Segments with no partition this trigger (drained-sealed, or
     * lineage-deferred children) keep their start position via the
-    * monotonic floor, so the committed offset never regresses.
+    * `lastEnd` floor seeded from the trigger's start cut — NOT from the
+    * live head cuts, which could silently skip past data truncated
+    * under a running reader (that case must stay loud:
+    * TruncatedDataException at the next plan or poll).
     */
   override def mergeOffsets(offsets: Array[PartitionOffset]): Offset = {
     val reported = offsets.collect { case t: GraftTailPartitionOffset => t }
-      .groupBy(_.key)
+      .flatMap(_.positions)
+      .groupBy(_._1)
       .map { case (k, ts) =>
-        k -> StreamCut(ts.flatMap(_.positions).toMap)
+        k -> StreamCut(ts.map { case (_, sid, pos) => sid -> pos }.toMap)
       }
-    val merged = (lastEnd.keySet ++ reported.keySet ++ headCuts.keySet).map { k =>
-      val base = Seq(lastEnd.get(k), headCuts.get(k)).flatten.reduceOption(mergeMax)
-        .getOrElse(StreamCut(Map.empty))
+    val merged = (lastEnd.keySet ++ reported.keySet).map { k =>
+      val base = lastEnd.getOrElse(k, StreamCut(Map.empty))
       k -> reported.get(k).map(mergeMax(base, _)).getOrElse(base)
     }.toMap
     lastEnd = merged
@@ -628,27 +645,30 @@ final case class GraftInputPartition(files: InputPartition,
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
-/** One open-ended real-time partition: tail a GROUP of segments of one
-  * stream from their `(segmentId, fromOffset)` cursors until the
-  * trigger deadline. Multiplexing several segments per long-running
-  * task is the reader-group shape (one reader owns N segments,
-  * `ReaderGroupState.java:630`): real-time tasks hold their slot for
-  * the whole trigger, so task count is min(segments, slot budget), not
-  * segment count. Carries everything the executor needs to poll the
-  * manifest without a SparkSession.
+/** One segment a real-time task owns: stream identity + start position. */
+final case class TailCursorSpec(key: String, scope: String, stream: String,
+    segmentId: Long, fromOffset: Long)
+
+/** One open-ended real-time partition: tail a GROUP of segments — across
+  * subscribed streams — from their cursors until the trigger deadline.
+  * Multiplexing several segments per long-running task is the
+  * reader-group shape (one reader owns N segments across the group's
+  * streams, `ReaderGroupState.java:630`): real-time tasks hold their
+  * slot for the whole trigger, so task count is min(total segments,
+  * slot budget), never segment or stream count. Carries everything the
+  * executor needs to poll manifests without a SparkSession.
   */
-final case class GraftTailPartition(rootDir: String, key: String,
-    scope: String, stream: String, cursors: Seq[(Long, Long)],
-    multi: Boolean,
+final case class GraftTailPartition(rootDir: String,
+    cursors: Seq[TailCursorSpec], multi: Boolean,
     serConf: org.apache.spark.util.SerializableConfiguration)
     extends InputPartition
 
 /** A tailing task's end positions (one per owned segment) — merged into
-  * a StreamCut offset by `GraftMicroBatchStream.mergeOffsets` at
-  * trigger end.
+  * a composite StreamCut offset by `GraftMicroBatchStream.mergeOffsets`
+  * at trigger end.
   */
-final case class GraftTailPartitionOffset(key: String,
-    positions: Map[Long, Long]) extends PartitionOffset
+final case class GraftTailPartitionOffset(
+    positions: Seq[(String, Long, Long)]) extends PartitionOffset
 
 /** Delegates to Spark's parquet reader factory. Batches with no
   * straddling and no chunked files pass through COLUMNAR; boundary
@@ -686,7 +706,7 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     p match {
       case tp: GraftTailPartition =>
-        return new GraftTailReader(tp, delegate, segOrd, offOrd)
+        return new GraftTailReader(tp, delegate, offOrd)
       case _ =>
     }
     val gp = unwrap(p)
@@ -833,59 +853,68 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
   * same rule as the micro-batch boundary reader.
   */
 final class GraftTailReader(p: GraftTailPartition,
-    delegate: PartitionReaderFactory, segOrd: Int, offOrd: Int)
+    delegate: PartitionReaderFactory, offOrd: Int)
     extends PartitionReader[InternalRow] with SupportsRealTimeRead[InternalRow] {
   import graft.catalog.StreamCatalog
 
   private val cat = new StreamCatalog(p.rootDir, p.serConf.value)
-  private val pv: InternalRow =
-    if (p.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(p.key)))
-    else InternalRow.empty
 
   /** One owned segment's tail state. */
-  private final class Cursor(val sid: Long, var pos: Long) {
+  private final class Cursor(val spec: TailCursorSpec) {
+    var pos: Long = spec.fromOffset
     var reader: PartitionReader[InternalRow] = _
     var sealedTail: Long = -1L // >= 0 once the segment is sealed
     def drained: Boolean = sealedTail >= 0 && pos >= sealedTail
+    // multi-stream mode appends the owning stream as a partition column
+    val pv: InternalRow =
+      if (p.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(spec.key)))
+      else InternalRow.empty
   }
-  private val cursors: Array[Cursor] =
-    p.cursors.map { case (sid, from) => new Cursor(sid, from) }.toArray
+  private val cursors: Array[Cursor] = p.cursors.map(new Cursor(_)).toArray
   private var rr = 0 // round-robin start index — per-call rotation = fairness
   private var cur: InternalRow = _
   private var backoffMs: Long = 2L
 
-  /** One manifest read serves every owned cursor: refresh seal states,
-    * enforce head cuts, open the next committed file for each cursor
-    * that has one. Returns true if any file was opened.
+  /** One manifest read PER OWNED STREAM serves all of that stream's
+    * cursors: refresh seal states, enforce head cuts, open the next
+    * committed file for each cursor that has one. Returns true if any
+    * file was opened. Files open from the manifest's recorded byteSize —
+    * no per-file getFileStatus HEAD on the commit→delivery hot path
+    * (legacy size-less entries fall back to one stat).
     */
   private def pollManifest(): Boolean = {
-    val meta = cat.getStream(p.scope, p.stream)
-    val heads = meta.headStreamCut.positions
-    val sealedTails = meta.segments.filter(_.isSealed)
-      .map(s => s.segmentId -> s.tailOffset).toMap
     var opened = false
-    cursors.foreach { c =>
-      val head = heads.getOrElse(c.sid, 0L)
-      if (c.pos < head) throw new TruncatedDataException(
-        s"${p.key} segment ${c.sid} position ${c.pos} is below head cut $head " +
-          "(truncated while this reader was at an older position)")
-      sealedTails.get(c.sid).foreach(t => c.sealedTail = t)
-      if (c.reader == null && !c.drained) {
-        meta.files.find(f => f.segmentId == c.sid &&
-            f.startOffset <= c.pos && c.pos < f.endOffset) match {
-          case Some(f) if f.maxChunkCount > 1 =>
-            throw new UnsupportedOperationException(
-              "real-time mode does not reassemble chunked (> MaxEventSize) events; " +
-                s"use a micro-batch trigger for ${p.key}")
-          case Some(f) =>
-            val path = new Path(f.path)
-            val st = path.getFileSystem(p.serConf.value).getFileStatus(path)
-            c.reader = delegate.createReader(
-              ParquetShim.singlePartition(ParquetShim.partitionedFile(pv, st)))
-            opened = true
-          case None =>
+    cursors.groupBy(c => (c.spec.scope, c.spec.stream)).foreach {
+      case ((scope, stream), cs) =>
+        val meta = cat.getStream(scope, stream)
+        val heads = meta.headStreamCut.positions
+        val sealedTails = meta.segments.filter(_.isSealed)
+          .map(s => s.segmentId -> s.tailOffset).toMap
+        cs.foreach { c =>
+          val head = heads.getOrElse(c.spec.segmentId, 0L)
+          if (c.pos < head) throw new TruncatedDataException(
+            s"${c.spec.key} segment ${c.spec.segmentId} position ${c.pos} is below " +
+              s"head cut $head (truncated while this reader was at an older position)")
+          sealedTails.get(c.spec.segmentId).foreach(t => c.sealedTail = t)
+          if (c.reader == null && !c.drained) {
+            meta.files.find(f => f.segmentId == c.spec.segmentId &&
+                f.startOffset <= c.pos && c.pos < f.endOffset) match {
+              case Some(f) if f.maxChunkCount > 1 =>
+                throw new UnsupportedOperationException(
+                  "real-time mode does not reassemble chunked (> MaxEventSize) events; " +
+                    s"use a micro-batch trigger for ${c.spec.key}")
+              case Some(f) =>
+                val path = new Path(f.path)
+                val len =
+                  if (f.byteSize > 0) f.byteSize
+                  else path.getFileSystem(p.serConf.value).getFileStatus(path).getLen
+                c.reader = delegate.createReader(ParquetShim.singlePartition(
+                  ParquetShim.partitionedFileAt(c.pv, path, len)))
+                opened = true
+              case None =>
+            }
+          }
         }
-      }
     }
     opened
   }
@@ -915,7 +944,10 @@ final class GraftTailReader(p: GraftTailPartition,
   }
 
   override def nextWithTimeout(timeoutMs: java.lang.Long): SupportsRealTimeRead.RecordStatus = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    // saturate: a sentinel-sized timeout must long-poll, not overflow
+    // into an already-expired deadline
+    val deadline = System.nanoTime() +
+      math.min(timeoutMs, Long.MaxValue / 2000000L) * 1000000L
     while (true) {
       if (emitFromOpenReaders()) {
         backoffMs = 2L
@@ -942,7 +974,8 @@ final class GraftTailReader(p: GraftTailPartition,
   }
 
   override def getOffset: PartitionOffset =
-    GraftTailPartitionOffset(p.key, cursors.map(c => c.sid -> c.pos).toMap)
+    GraftTailPartitionOffset(
+      cursors.map(c => (c.spec.key, c.spec.segmentId, c.pos)).toSeq)
 
   /** Plain PartitionReader surface (not used by the real-time exec,
     * which drives nextWithTimeout): non-blocking single probe.

@@ -41,6 +41,15 @@ object ParquetShim {
     PartitionedFile(partitionValues, SparkPath.fromPath(st.getPath), 0L, st.getLen,
       Array.empty, st.getModificationTime, st.getLen)
 
+  /** Build a PartitionedFile from a path + known length, with no
+    * getFileStatus round trip — the tail reader's hot path, where the
+    * manifest already records the committed file's byte size.
+    */
+  def partitionedFileAt(partitionValues: InternalRow,
+      path: org.apache.hadoop.fs.Path, len: Long): PartitionedFile =
+    PartitionedFile(partitionValues, SparkPath.fromPath(path), 0L, len,
+      Array.empty, 0L, len)
+
   /** Bin-pack PartitionedFiles into FilePartitions with Spark's own
     * size-aware packing (maxSplitBytes from session conf + open cost).
     */
