@@ -357,18 +357,24 @@ object StreamQueries {
     g.compactStream("q", "ev", minFilesPerSegment = 2)
     g.writeEvents("q", "ev", src.filter($"event_id" % 5 === 4).drop("event_id"))
     g.compactStream("q", "ev", minFilesPerSegment = 2)
+    // chain in ENGINE order (per-key offset order — each key lives in
+    // one segment here), which the oracle replays as the write
+    // interleaving (batch i carried eids ≡ i mod 5, in eid order within
+    // a batch): a compaction that scrambles row order inside a
+    // rewritten file breaks the hash even when the multiset survives
     g.readEvents("q", "ev")
-      .select($"routingKey", decode($"payload", "UTF-8").as("pid"))
+      .select($"routingKey", $"offset",
+        decode($"payload", "UTF-8").cast("long").as("pid"))
       .groupBy($"routingKey")
       .agg(count(lit(1)).as("n"),
-        md5(concat_ws(",", transform(array_sort(collect_list($"pid".cast("long"))),
-          x => x.cast("string")))).as("chain"))
+        md5(concat_ws(",", transform(array_sort(collect_list(struct($"offset", $"pid"))),
+          x => x.getField("pid").cast("string")))).as("chain"))
       .orderBy($"routingKey")
   }
 
   private val compactedRoundtripSql =
     """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
-      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 5, event_id)) AS chain
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
@@ -500,10 +506,11 @@ object StreamQueries {
       encode($"event_type", "UTF-8").as("payload"),
       $"event_id")
       .createOrReplaceTempView("sql_rt_src")
-    // two appends: by-name and positional — both DSv2 write shapes
+    // two appends: positional, then BY NAME with the columns reordered —
+    // the two DSv2 write-resolution shapes
     s.sql(s"INSERT INTO gsql.$scope.ev SELECT routingKey, eventTime, payload " +
       "FROM sql_rt_src WHERE event_id % 2 = 0")
-    s.sql(s"INSERT INTO gsql.$scope.ev SELECT routingKey, eventTime, payload " +
+    s.sql(s"INSERT INTO gsql.$scope.ev BY NAME SELECT eventTime, payload, routingKey " +
       "FROM sql_rt_src WHERE event_id % 2 = 1")
     s.sql(
       s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n,
@@ -743,7 +750,8 @@ object StreamQueries {
       |         COUNT(*) OVER () AS cnt
       |  FROM events WHERE user_id < 50)
       |SELECT COUNT(*) AS n, MIN(event_id) AS first_eid, MAX(event_id) AS last_eid,
-      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS chain
+      |  md5(COALESCE(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id), ''))
+      |    AS chain
       |FROM e WHERE rn > LEAST(cnt, 1000)""".stripMargin
 
   /** Stream-stream inner join through the engine's streaming source

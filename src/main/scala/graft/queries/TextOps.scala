@@ -246,6 +246,11 @@ object TextOps {
     import graft.functions.GraftFunctions.winnowed_fingerprints
     import s.implicits._
     Tables.documents(s, dir)
+      // sub-k documents have no k-gram and no row — the same contract as
+      // the oracle's length(text) >= k predicate (the kernel returns an
+      // empty array for them, which would otherwise surface as a
+      // zero-fingerprint row the oracle never emits)
+      .filter(length($"text") >= 8)
       .select($"doc_id", winnowed_fingerprints($"text", 8, 16).as("fps"))
       .select($"doc_id",
         size(array_distinct($"fps")).cast("long").as("n_fp"),

@@ -62,7 +62,8 @@ object WriteBench {
 
     def run(df: DataFrame, rows: Long): (Double, Double, Double) = {
       def once(): (Double, Double, Double) = {
-        val root = Files.createTempDirectory("graft-wb").toString
+        val rootPath = Files.createTempDirectory("graft-wb")
+        val root = rootPath.toString
         val g = new GraftStreams(spark, root)
         g.catalog.createScope("wb")
         g.catalog.createStream("wb", "ev", StreamConfig(initialSegments = segments))
@@ -90,6 +91,9 @@ object WriteBench {
         val tDrain = (System.nanoTime() - t2) / 1e9
         val drained = spark.table(sink).agg(sum($"n")).head().getLong(0)
         require(drained == rows, s"drained $drained of $rows rows")
+        // reclaim the run's stream root (a k=50 invocation otherwise
+        // leaves ~2(1+k) corpus copies of parquet in /tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
         (tWrite, tRead, tDrain)
       }
       once() // cold: codegen + state-store init
@@ -98,6 +102,7 @@ object WriteBench {
 
     val (wB, rB, dB) = run(vBase, nBase)
     val (wK, rK, dK) = run(vBig, nBig)
+    vBase.unpersist(); vBig.unpersist()
     def fmt(v: Double): String = f"$v%.2f"
     def growth(a: Double, b: Double): String = fmt(b / math.max(a, 1e-9))
     println(f"[writebench] write  base=${fmt(wB)}s ${k}x=${fmt(wK)}s growth=${growth(wB, wK)}x (ideal $k)")
