@@ -1485,8 +1485,93 @@ object StreamQueries {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Predicate-pushdown scan: events land in four time-ordered commits
+    * (disjoint per-file eventTime spans in the manifest), then a DSv2
+    * read with an eventTime range predicate aggregates the middle half.
+    * The planner prunes the out-of-range files from the MANIFEST before
+    * any task runs (GraftScanBuilder / PushedPredicates;
+    * ScanPushdownSpec gates the plan shape) — this row proves the
+    * pruned read is value-exact against an oracle that never saw the
+    * stream. The reference analog is reading between
+    * `getStreamCut(time)` positions (controller watermark index,
+    * controller/.../bucket/watermarks) generalized to arbitrary
+    * time predicates.
+    */
+  private def scanPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-spr").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"))
+    val b = src.agg(min($"eventTime"), max($"eventTime")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // four commits in time order → per-file time spans are disjoint, so
+    // the manifest can prove non-overlap for the pruned range
+    val cuts = (1 to 3).map(i => mn + i * ((mx - mn) / 4))
+    val slices = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+    slices.foreach { case Seq(lo, hi) =>
+      g.writeEvents("q", "ev", src.filter($"eventTime" >= lo && $"eventTime" < hi))
+    }
+    val (qLo, qHi) = (mn + (mx - mn) / 4, mn + 3 * ((mx - mn) / 4))
+    s.read.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .load()
+      .filter($"eventTime" >= qLo && $"eventTime" <= qHi)
+      .groupBy(decode($"payload", "UTF-8").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min($"eventTime").as("t_lo"),
+           max($"eventTime").as("t_hi"))
+      .orderBy($"event_type")
+  }
+
+  private val scanPruneSql =
+    """WITH t AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS et, event_type FROM events),
+      |     b AS (SELECT MIN(et) AS mn, MAX(et) AS mx FROM t)
+      |SELECT event_type, COUNT(*) AS n, MIN(et) AS t_lo, MAX(et) AS t_hi
+      |FROM t, b
+      |WHERE et >= mn + (mx-mn)//4 AND et <= mn + 3*((mx-mn)//4)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Manifest-only aggregate pushdown: COUNT(*) / MIN / MAX(eventTime)
+    * over the whole stream answers from the manifest with ZERO file IO
+    * (GraftScanBuilder.pushAggregation → GraftAggScan; the engine analog
+    * of the reference's per-segment EVENT_COUNT attribute,
+    * segmentstore/contracts/.../Attributes.java). The oracle recomputes
+    * from the source table — a match proves the manifest's row counts
+    * and recorded time bounds agree with the data, end to end.
+    */
+  private def manifestCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mct").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 8))
+    g.writeEvents("q", "ev", Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload")))
+    s.read.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .load()
+      .agg(count(lit(1)).as("n_events"),
+           min($"eventTime").as("t_min"),
+           max($"eventTime").as("t_max"))
+  }
+
+  private val manifestCountSql =
+    """SELECT COUNT(*) AS n_events,
+      |  epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS t_min,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS t_max
+      |FROM events""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
+    ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),

@@ -199,16 +199,203 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
           k == "maxrowspertrigger") merged.put(e.getKey, e.getValue)
     }
     val scanConf = GraftSourceConfig.from(new CaseInsensitiveStringMap(merged))
-    new ScanBuilder {
-      override def build(): Scan = new GraftScan(scanConf)
-    }
+    new GraftScanBuilder(scanConf)
   }
 }
 
-class GraftScan(conf: GraftSourceConfig) extends Scan
+/** Scan builder with the three DSv2 pushdowns that make planning
+  * manifest-bound at 100 TB (SCALING.md):
+  *
+  *   - filters (`SupportsPushDownFilters`): eventTime / segmentId /
+  *     routingKey / stream predicates prune manifest FILES before any
+  *     task exists, and reach parquet row-group stats inside surviving
+  *     files. Every filter is also kept as a residual, so pruning can
+  *     never change results — only skip work (see PushedPredicates).
+  *   - column pruning (`SupportsPushDownRequiredColumns`): a query that
+  *     never touches `payload` never reads payload bytes — on an event
+  *     stream the payload IS the data volume, so metadata queries
+  *     (counts, time histograms, rate audits) drop from O(stream bytes)
+  *     to O(row-index bytes).
+  *   - aggregate pushdown (`SupportsPushDownAggregates`):
+  *     COUNT(*) / MIN(eventTime) / MAX(eventTime) with no residual
+  *     filters and no grouping answer from the MANIFEST alone — zero
+  *     file IO, the engine analog of the reference's per-segment
+  *     EVENT_COUNT attribute (segmentstore/contracts/.../Attributes
+  *     .java) and the watermark time-bound lookups. Pushed as PARTIAL
+  *     aggregates (supportCompletePushDown = false): the scan emits one
+  *     pre-aggregated row and Spark's final aggregate folds it, so the
+  *     contract stays correct even for the empty-range row.
+  *
+  * COUNT is offset-arithmetic (cut distance — exact even when cuts
+  * slice inside files) but bails when any counted file holds chunked
+  * large events (chunk rows reassemble to fewer events than offsets
+  * span). MIN/MAX additionally require no file to straddle the cut
+  * bounds: a straddled file's recorded time span covers rows outside
+  * the read range, so its bound is not witness-exact.
+  */
+final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.types.LongType
+
+  private var pushed: PushedPredicates = PushedPredicates.empty
+  private var required: StructType = conf.schema
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = PushedPredicates.from(filters)
+    // every filter stays residual: pruning is planning-side only, Spark
+    // re-evaluates exact semantics (nulls, strictness) over scan output
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed.recognized
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // after an aggregate push the read schema IS the aggregate schema;
+    // ignore the post-agg prune call some planners issue
+    if (aggResult.isEmpty) required = requiredSchema
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    // residual filters make manifest arithmetic unsound; Spark only
+    // attempts aggregate pushdown with none, but stay defensive
+    if (pushed.recognized.nonEmpty || !pushed.isEmpty) return false
+    def isEventTime(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("eventTime"))
+        case _ => false
+      }
+    val funcs = agg.aggregateExpressions
+    if (funcs.isEmpty) return false
+    val shapesOk = funcs.forall {
+      case _: CountStar => true
+      case m: Min => isEventTime(m.column)
+      case m: Max => isEventTime(m.column)
+      case _ => false
+    }
+    if (!shapesOk) return false
+    val wantsTime = funcs.exists { case _: CountStar => false; case _ => true }
+    manifestAggregate(wantsTime).map { case (count, tMin, tMax) =>
+      val cols: Seq[(StructField, Any)] = funcs.toSeq.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false), count: Any)
+        case _: Min =>
+          (StructField("min(eventTime)", LongType, nullable = true),
+            tMin.map(Long.box).orNull: Any)
+        case _: Max =>
+          (StructField("max(eventTime)", LongType, nullable = true),
+            tMax.map(Long.box).orNull: Any)
+      }
+      val (fields, values) = cols.unzip
+      aggResult = Some((StructType(fields), values.toArray))
+      true
+    }.getOrElse(false)
+  }
+
+  /** (rowCount, minEventTime, maxEventTime) across all subscriptions'
+    * (from, to] ranges, from manifests only — or None when the range is
+    * not manifest-exact (chunked files in range; for min/max, any file
+    * straddling a cut bound).
+    */
+  private def manifestAggregate(wantsTime: Boolean): Option[(Long, Option[Long], Option[Long])] = {
+    val g = new GraftStreams(SparkSession.active, conf.rootDir)
+    var count = 0L
+    var tMin = Option.empty[Long]
+    var tMax = Option.empty[Long]
+    val exact = conf.subs.forall { sub =>
+      val meta = g.catalog.getStream(sub.scope, sub.stream)
+      val head = meta.headStreamCut.positions
+      // head-cut enforcement, same rule as GraftReadPlanner.plan: an
+      // explicit position below the head means truncated-away data —
+      // fail LOUDLY even on the zero-IO path, never silently count the
+      // surviving remainder
+      sub.from.foreach(_.positions.foreach { case (sid, off) =>
+        val h = head.getOrElse(sid, 0L)
+        if (off < h) throw new TruncatedDataException(
+          s"${sub.key} segment $sid position $off is below head cut $h " +
+            "(truncated while this reader was at an older position)")
+      })
+      val lo: Long => Long = sid =>
+        sub.from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
+      // same capping rule as latestOffset/estimateStatistics: a bounded
+      // read contributes zero rows for segments absent from its cut
+      val hi: Long => Long = sid =>
+        sub.to match {
+          case Some(cut) => cut.offsetOf(sid).getOrElse(0L)
+          case None => Long.MaxValue
+        }
+      meta.files.distinctBy(_.path).forall { f =>
+        val overlap = math.max(0L,
+          math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))
+        if (overlap == 0) true
+        else if (f.maxChunkCount > 1) false // chunk rows != events
+        else if (wantsTime && overlap != f.rowCount) false // straddle: time span not witness-exact
+        else {
+          count += overlap
+          if (overlap == f.rowCount || !wantsTime) {
+            tMin = Some(tMin.fold(f.minEventTime)(math.min(_, f.minEventTime)))
+            tMax = Some(tMax.fold(f.maxEventTime)(math.max(_, f.maxEventTime)))
+          }
+          true
+        }
+      }
+    }
+    if (exact) Some((count, tMin, tMax)) else None
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new GraftAggScan(conf, schema, values)
+    case None => new GraftScan(conf, pushed, required)
+  }
+}
+
+/** One pre-aggregated row, computed driver-side from stream manifests —
+  * the zero-IO fast path behind GraftScanBuilder's aggregate pushdown.
+  */
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+final class GraftAggScan(conf: GraftSourceConfig, aggSchema: StructType,
+    values: Array[Any]) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftStreamSource[${conf.describe}] PushedAggregates: " +
+      s"[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no file IO)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(GraftAggPartition(values))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private var emitted = false
+              override def next(): Boolean =
+                if (emitted) false else { emitted = true; true }
+              override def get(): InternalRow =
+                new GenericInternalRow(p.asInstanceOf[GraftAggPartition].values)
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+class GraftScan(conf: GraftSourceConfig,
+    pushed: PushedPredicates = PushedPredicates.empty,
+    required: StructType = null) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = conf.schema
-  override def description(): String = s"GraftStreamSource[${conf.describe}]"
+  private val outSchema: StructType = Option(required).getOrElse(conf.schema)
+  override def readSchema(): StructType = outSchema
+  override def description(): String = {
+    val f = if (pushed.recognized.isEmpty) ""
+            else s" PushedFilters: [${pushed.recognized.mkString(", ")}]"
+    s"GraftStreamSource[${conf.describe}]$f ReadSchema: ${outSchema.simpleString}"
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, conf)
 
@@ -293,10 +480,10 @@ class GraftScan(conf: GraftSourceConfig) extends Scan
             sid -> math.min(off, t.positions.getOrElse(sid, 0L))
           })).getOrElse(tail)
         }.toMap
-        GraftReadPlanner.plan(spark, g, conf, fromC, toC)
+        GraftReadPlanner.plan(spark, g, conf, fromC, toC, pushed)
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        GraftReadPlanner.factory(spark, conf)
+        GraftReadPlanner.factory(spark, conf, outSchema, pushed)
     }
 }
 
@@ -316,12 +503,13 @@ private[sources] object GraftReadPlanner {
     else new StructType()
 
   def plan(spark: SparkSession, g: GraftStreams, conf: GraftSourceConfig,
-           fromC: Map[String, StreamCut], toC: Map[String, StreamCut]): Array[InputPartition] = {
+           fromC: Map[String, StreamCut], toC: Map[String, StreamCut],
+           pushed: PushedPredicates = PushedPredicates.empty): Array[InputPartition] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     var anyStraddle = false
     var anyChunked = false
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
-    val pfs = conf.subs.flatMap { sub =>
+    val pfs = conf.subs.filter(sub => pushed.keepStream(sub.key)).flatMap { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
       // head-cut enforcement, exactly like the batch surface
       // (GraftStreams.readEvents): a position EXPLICITLY below the head
@@ -340,8 +528,14 @@ private[sources] object GraftReadPlanner {
       val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid))
         .getOrElse(head.getOrElse(sid, 0L))
       val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
+      // pushed-predicate pruning: drop files the manifest PROVES cannot
+      // match (time span disjoint, wrong segment, routing-key hash
+      // outside the segment's key range) — conservative, the residual
+      // filters still run over whatever is read
+      val segById = meta.segments.map(s => s.segmentId -> s).toMap
       val files = meta.files
         .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
+        .filter(f => pushed.keepFile(f, segById.get(f.segmentId)))
         .distinctBy(_.path)
       anyStraddle ||= files.exists(f =>
         f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
@@ -362,10 +556,48 @@ private[sources] object GraftReadPlanner {
   }
 
   def factory(spark: SparkSession, conf: GraftSourceConfig): PartitionReaderFactory =
+    factory(spark, conf, null, PushedPredicates.empty)
+
+  /** Reader factory honoring column pruning (`out` = the scan's pruned
+    * output schema) and pushed filters (forwarded to parquet row-group
+    * stats). The parquet read schema is the pruned data columns PLUS
+    * `segmentId`/`offset` — two cheap delta-encoded longs the cut-bounds
+    * row filter and chunk reassembly key on — and pruned-away extras are
+    * projected off after filtering, row- and columnar-wise. The payload
+    * column, the actual data volume, is read only when requested.
+    */
+  def factory(spark: SparkSession, conf: GraftSourceConfig, out: StructType,
+              pushed: PushedPredicates): PartitionReaderFactory = {
+    val outSchema = Option(out).getOrElse(conf.schema)
+    val outNames = outSchema.fieldNames.toSet
+    val readData = StructType(dataSchema.fields.filter(f =>
+      outNames.contains(f.name) || f.name == "segmentId" || f.name == "offset"))
+    val pSchema = partitionSchema(conf)
+    def projectionOnto(rowLayout: Seq[String]): Option[Array[Int]] = {
+      val idx = outSchema.fieldNames.map { n =>
+        val i = rowLayout.indexOf(n)
+        require(i >= 0, s"pruned column '$n' missing from reader layout $rowLayout")
+        i
+      }
+      if (idx.length == rowLayout.length && idx.sameElements(rowLayout.indices)) None
+      else Some(idx)
+    }
+    val mainLayout = readData.fieldNames.toSeq ++ pSchema.fieldNames
+    val reasmLayout = dataSchema.fieldNames.toSeq ++ pSchema.fieldNames
     new GraftReaderFactory(
-      ParquetShim.parquetReaderFactory(spark, dataSchema, partitionSchema(conf)),
-      ParquetShim.parquetReaderFactory(spark, GraftStreams.storageSchema, partitionSchema(conf)),
-      segOrd, offOrd, streamOrd(conf), conf.subs.head.key, conf.multi)
+      ParquetShim.parquetReaderFactory(spark, dataSchema, pSchema, readData,
+        pushed.parquetFilters),
+      ParquetShim.parquetReaderFactory(spark, GraftStreams.storageSchema, pSchema),
+      readData.fieldIndex("segmentId"), readData.fieldIndex("offset"),
+      if (conf.multi) Some(readData.size) else None,
+      conf.subs.head.key, conf.multi,
+      projectionOnto(mainLayout).map(ix => (StructType(ix.map(i =>
+        if (i < readData.size) readData.fields(i)
+        else pSchema.fields(i - readData.size))), ix)),
+      projectionOnto(reasmLayout).map(ix => (StructType(ix.map(i =>
+        if (i < dataSchema.size) dataSchema.fields(i)
+        else pSchema.fields(i - dataSchema.size))), ix)))
+  }
 }
 
 class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
@@ -681,10 +913,26 @@ final case class GraftTailPartitionOffset(
   */
 final class GraftReaderFactory(delegate: PartitionReaderFactory,
     storageDelegate: PartitionReaderFactory, segOrd: Int,
-    offOrd: Int, streamOrd: Option[Int], singleKey: String, multi: Boolean)
+    offOrd: Int, streamOrd: Option[Int], singleKey: String, multi: Boolean,
+    proj: Option[(StructType, Array[Int])] = None,
+    reasmProj: Option[(StructType, Array[Int])] = None)
     extends PartitionReaderFactory {
 
   private def unwrap(p: InputPartition) = p.asInstanceOf[GraftInputPartition]
+
+  /** Column-pruned view over a delegate row reader: a zero-copy
+    * ProjectingInternalRow selecting the pruned output columns from the
+    * wider (seg/off-bearing) read layout.
+    */
+  private def projectRows(r: PartitionReader[InternalRow],
+      p: (StructType, Array[Int])): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val view =
+        new org.apache.spark.sql.catalyst.ProjectingInternalRow(p._1, p._2.toIndexedSeq)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = { view.project(r.get()); view }
+      override def close(): Unit = r.close()
+    }
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: GraftTailPartition => false
@@ -693,8 +941,24 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
       gp.bounds.isEmpty && !gp.reassemble && delegate.supportColumnarReads(gp.files)
   }
 
-  override def createColumnarReader(p: InputPartition) =
-    delegate.createColumnarReader(unwrap(p).files)
+  override def createColumnarReader(p: InputPartition) = {
+    val r = delegate.createColumnarReader(unwrap(p).files)
+    proj match {
+      case None => r
+      case Some((_, idx)) =>
+        // batch-level projection: re-bundle the selected column vectors;
+        // the wrapper batch shares (never owns) the delegate's vectors
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          override def next(): Boolean = r.next()
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+            val b = r.get()
+            new org.apache.spark.sql.vectorized.ColumnarBatch(
+              idx.map(b.column), b.numRows())
+          }
+          override def close(): Unit = r.close()
+        }
+    }
+  }
 
   private def inBounds(b: Option[Map[String, Map[Long, (Long, Long)]]],
                        key: String, sid: Long, off: Long): Boolean = b match {
@@ -706,14 +970,21 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     p match {
       case tp: GraftTailPartition =>
+        // real-time mode is a streaming surface — Spark never prunes
+        // streaming scans, so the tail reader always runs unprojected
+        // (and must: wrapping would hide SupportsRealTimeRead)
+        require(proj.isEmpty,
+          "graft-stream: column pruning reached a real-time tail partition")
         return new GraftTailReader(tp, delegate, offOrd)
       case _ =>
     }
     val gp = unwrap(p)
-    if (gp.reassemble)
-      return new ReassemblingReader(storageDelegate.createReader(gp.files), gp.bounds)
+    if (gp.reassemble) {
+      val rr = new ReassemblingReader(storageDelegate.createReader(gp.files), gp.bounds)
+      return reasmProj.fold(rr: PartitionReader[InternalRow])(projectRows(rr, _))
+    }
     val r = delegate.createReader(gp.files)
-    gp.bounds match {
+    val filtered: PartitionReader[InternalRow] = gp.bounds match {
       case None => r
       case Some(_) => new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
@@ -731,6 +1002,7 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory,
         override def close(): Unit = r.close()
       }
     }
+    proj.fold(filtered)(projectRows(filtered, _))
   }
 
   /** Rows arrive offset-ordered per file (and chunk groups are

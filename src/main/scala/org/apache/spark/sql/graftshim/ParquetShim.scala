@@ -23,18 +23,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object ParquetShim {
 
   /** A serializable, conf-primed parquet PartitionReaderFactory for files
-    * of `dataSchema`, appending `partitionSchema` columns from each
-    * PartitionedFile's partitionValues. Built by constructing a stock
-    * ParquetScan (over an empty index — createReaderFactory never touches
-    * the index) so Hadoop-conf priming stays Spark's own code.
+    * of `dataSchema`, reading only `readDataSchema` (column pruning —
+    * parquet skips the byte streams of unrequested columns entirely) and
+    * appending `partitionSchema` columns from each PartitionedFile's
+    * partitionValues. `filters` reach parquet's row-group/page-level
+    * stats pruning (they must reference only `readDataSchema` columns).
+    * Built by constructing a stock ParquetScan (over an empty index —
+    * createReaderFactory never touches the index) so Hadoop-conf priming
+    * stays Spark's own code.
     */
   def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
-                           partitionSchema: StructType): PartitionReaderFactory = {
+                           partitionSchema: StructType,
+                           readDataSchema: StructType = null,
+                           filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : PartitionReaderFactory = {
     val classic = spark.asInstanceOf[ClassicSession]
     val emptyIndex = new InMemoryFileIndex(classic, Nil, Map.empty, Some(dataSchema))
     ParquetScan(classic, classic.sessionState.newHadoopConf(), emptyIndex,
-      dataSchema, dataSchema, partitionSchema, Array.empty,
-      CaseInsensitiveStringMap.empty()).createReaderFactory()
+      dataSchema, Option(readDataSchema).getOrElse(dataSchema), partitionSchema,
+      filters, CaseInsensitiveStringMap.empty()).createReaderFactory()
   }
 
   def partitionedFile(partitionValues: InternalRow, st: FileStatus): PartitionedFile =
