@@ -388,9 +388,32 @@ final class GraftAggScan(conf: GraftSourceConfig, aggSchema: StructType,
 class GraftScan(conf: GraftSourceConfig,
     pushed: PushedPredicates = PushedPredicates.empty,
     required: StructType = null) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private val outSchema: StructType = Option(required).getOrElse(conf.schema)
   override def readSchema(): StructType = outSchema
+
+  /** Runtime (join-driven) pruning — the DSv2 dynamic-partition-pruning
+    * analog: when this scan probes a join whose build side is small,
+    * Spark hands the materialized build-side key set here as IN filters
+    * BEFORE partitions are planned, and the same manifest pruning as
+    * static pushdown applies (PushedPredicates.and — routingKey sets
+    * prune to owning segments, segment/stream/eventTime sets prune
+    * files). The join above still filters rows, so pruning here only
+    * skips IO — a stream-dim enrichment join reads just the segments
+    * the dim's keys hash into.
+    */
+  @volatile private var runtime: PushedPredicates = PushedPredicates.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only attributes surviving column pruning: the DPP planner resolves
+    // these against the scan's OUTPUT and fails on absent names
+    val present = outSchema.fieldNames.toSet
+    Seq("routingKey", "segmentId", "eventTime", "stream").filter(present)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = PushedPredicates.from(filters)
+  private def effective: PushedPredicates = pushed.and(runtime)
   override def description(): String = {
     val f = if (pushed.recognized.isEmpty) ""
             else s" PushedFilters: [${pushed.recognized.mkString(", ")}]"
@@ -480,7 +503,7 @@ class GraftScan(conf: GraftSourceConfig,
             sid -> math.min(off, t.positions.getOrElse(sid, 0L))
           })).getOrElse(tail)
         }.toMap
-        GraftReadPlanner.plan(spark, g, conf, fromC, toC, pushed)
+        GraftReadPlanner.plan(spark, g, conf, fromC, toC, effective)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         GraftReadPlanner.factory(spark, conf, outSchema, pushed)

@@ -59,6 +59,26 @@ final case class PushedPredicates(
 
   def keepStream(key: String): Boolean = streams.forall(_.contains(key))
 
+  /** Conjunction with another predicate set (e.g. runtime filters from a
+    * join build side layered over statically-pushed filters): time
+    * bounds tighten, value sets intersect. Intersecting routing-key
+    * HASH points is conservative under collisions — a collision keeps a
+    * file the key sets alone would drop, never the reverse.
+    */
+  def and(o: PushedPredicates): PushedPredicates = {
+    def both[A](a: Option[Set[A]], b: Option[Set[A]]): Option[Set[A]] = (a, b) match {
+      case (Some(x), Some(y)) => Some(x.intersect(y))
+      case _ => a.orElse(b)
+    }
+    PushedPredicates(
+      (timeLo.toSeq ++ o.timeLo.toSeq).maxOption,
+      (timeHi.toSeq ++ o.timeHi.toSeq).minOption,
+      both(segIds, o.segIds),
+      both(keyPoints, o.keyPoints),
+      both(streams, o.streams),
+      recognized ++ o.recognized)
+  }
+
   /** Conservative keep-test for one manifest file. `seg` is the file's
     * segment record when the manifest still carries it (always, in
     * practice); an unknown segment keeps the file.
