@@ -1568,10 +1568,50 @@ object StreamQueries {
       |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS t_max
       |FROM events""".stripMargin
 
+  /** Typed-event (Serializer<T>) round trip THROUGH the engine: rows
+    * serialize to a JSON envelope (`to_json` — the JsonSerializer
+    * analog, client/.../stream/Serializer.java:32), write as UTF-8
+    * payloads, read back through the storage engine, and deserialize
+    * schema-on-read with `from_json` + nested-JSON extraction — all
+    * codegen'd expressions, no UDFs. The oracle aggregates the source
+    * table directly: a match proves the serialize → store → scan →
+    * deserialize pipeline is lossless, including a JSON string field
+    * that itself contains JSON (escaping round trip).
+    */
+  private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-jrt").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    g.writeEvents("q", "ev", Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode(to_json(struct($"event_id", $"event_type", $"props")), "UTF-8")
+        .as("payload")))
+    val envSchema = "event_id BIGINT, event_type STRING, props STRING"
+    g.readEvents("q", "ev")
+      .select(from_json(decode($"payload", "UTF-8"),
+        org.apache.spark.sql.types.StructType.fromDDL(envSchema)).as("e"))
+      .select($"e.event_id", $"e.event_type",
+        get_json_object($"e.props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").cast("long").as("sum_k"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
+    ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
