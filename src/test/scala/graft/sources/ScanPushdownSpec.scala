@@ -198,6 +198,48 @@ class ScanPushdownSpec extends AnyFunSuite {
     assert(agg.head().getLong(0) === mid.positions.values.sum)
   }
 
+  test("pruning survives compaction (coarser files, same answers)") {
+    val (g, root) = mk("prC")
+    val before = dsv2(root, "prC").filter($"eventTime" >= 1000L && $"eventTime" < 2000L)
+    val expected = before.count()
+    g.compactStream("prC", "ev")
+    val after = dsv2(root, "prC").filter($"eventTime" >= 1000L && $"eventTime" < 2000L)
+    // compaction folds to one file per segment spanning all epochs —
+    // the recorded bounds widen, pruning keeps them, values unchanged
+    assert(after.count() === expected)
+    val agg = dsv2(root, "prC").agg(count(lit(1)).as("n"))
+    assert(scanExec(agg).scan.isInstanceOf[GraftAggScan])
+    assert(agg.head().getLong(0) === 4000L)
+  }
+
+  test("SQL catalog path inherits every pushdown") {
+    val (_, root) = mk("prD")
+    spark.conf.set("spark.sql.catalog.gsql", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.rootDir", root)
+    try {
+      // aggregate pushdown through pure SQL
+      val agg = spark.sql("SELECT count(*) AS n FROM gsql.prD.ev")
+      assert(scanExec(agg).scan.isInstanceOf[GraftAggScan],
+        s"SQL count not manifest-pushed: ${scanExec(agg).scan.description()}")
+      assert(agg.head().getLong(0) === 4000L)
+      // predicate file pruning + column pruning through pure SQL
+      val slice = spark.sql(
+        "SELECT count(*) AS n, max(eventTime) AS mx FROM gsql.prD.ev " +
+          "WHERE eventTime >= 1000 AND eventTime < 2000")
+      val planned = plannedFiles(slice)
+      assert(planned > 0 && planned <= plannedFiles(
+        spark.sql("SELECT count(*) AS n FROM gsql.prD.ev WHERE eventTime >= 0")) / 2)
+      val names = scanExec(slice).scan.readSchema().fieldNames.toSet
+      assert(names === Set("eventTime"))
+      val row = slice.head()
+      assert(row.getLong(0) === 1000L)
+      assert(row.getLong(1) === 1999L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsql")
+      spark.conf.unset("spark.sql.catalog.gsql.rootDir")
+    }
+  }
+
   test("multi-stream 'stream' predicate prunes whole subscriptions") {
     val root = Files.createTempDirectory("graft-prune").toString
     val g = new GraftStreams(spark, root)
