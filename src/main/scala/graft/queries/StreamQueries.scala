@@ -1607,11 +1607,80 @@ object StreamQueries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Streaming curation at ingest — the training-data pipeline running
+    * INSIDE the stream engine rather than as a batch afterthought:
+    * documents flow as events (with injected exact duplicates), a
+    * quality gate (length + whitespace-token floor) and exact
+    * content-fingerprint dedup (`dropDuplicates` keyed on
+    * (lang, md5(normalized text)) — cross-TRIGGER streaming state)
+    * filter the flow, and survivors land in a second stream through the
+    * real STREAMING_WRITE sink. The oracle recomputes the surviving
+    * fingerprint set from the source table alone: a match proves the
+    * stream pipeline dropped exactly the duplicates and low-quality
+    * docs, across trigger boundaries, exactly once. At unbounded scale
+    * the same pipeline swaps in `dropDuplicatesWithinWatermark` to
+    * bound dedup state by the event-time horizon (`ev_stream_dedup`
+    * gates that variant); this bounded AvailableNow run exercises the
+    * cross-trigger state path.
+    */
+  private def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "raw", StreamConfig(initialSegments = 4))
+    g.catalog.createStream("q", "clean", StreamConfig(initialSegments = 2))
+    val docs = Tables.documents(s, dir)
+    // inject exact duplicates: every 5th document replayed under a new
+    // id — the stream must collapse them no matter which trigger each
+    // copy lands in
+    val feed = docs.unionByName(
+        docs.filter($"doc_id" % 5 === 0).withColumn("doc_id", $"doc_id" + 10000000L))
+      .select($"lang".as("routingKey"), $"doc_id".as("eventTime"),
+        encode($"text", "UTF-8").as("payload"))
+    g.writeEvents("q", "raw", feed)
+    val pace = math.max(200L, g.unreadRows("q", "raw", StreamCut(Map.empty)) / 3L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curck").toString
+    val q = s.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "raw")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey", $"eventTime", decode($"payload", "UTF-8").as("text"))
+      .filter(length($"text") >= 100 &&
+        size(split(trim($"text"), "\\s+")) >= 20)
+      .withColumn("fp", md5(lower(trim($"text"))))
+      .dropDuplicates("routingKey", "fp")
+      .select($"routingKey", $"eventTime", encode($"fp", "UTF-8").as("payload"))
+      .writeStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "clean")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    g.readEvents("q", "clean")
+      .select($"routingKey".as("lang"), decode($"payload", "UTF-8").as("fp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(conv(substring($"fp", 1, 12), 16, 10).cast("long")).cast("long").as("fp_sum"))
+      .orderBy($"lang")
+  }
+
+  private val streamCurateSql =
+    """WITH t AS (
+      |  SELECT lang, md5(lower(trim(text))) AS fp FROM documents
+      |  WHERE length(text) >= 100
+      |    AND len(string_split_regex(trim(text), '\s+')) >= 20),
+      |d AS (SELECT DISTINCT lang, fp FROM t)
+      |SELECT lang, COUNT(*) AS n_unique,
+      |  CAST(SUM(CAST(concat('0x', substring(fp, 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
+      |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),
+    ("ev_stream_curate",     streamCurate _, Some(streamCurateSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
