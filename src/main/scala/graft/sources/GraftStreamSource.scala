@@ -308,40 +308,19 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
     var count = 0L
     var tMin = Option.empty[Long]
     var tMax = Option.empty[Long]
+    // head-cut enforcement (enforceHead): loud even on the zero-IO path
     val exact = conf.subs.forall { sub =>
-      val meta = g.catalog.getStream(sub.scope, sub.stream)
-      val head = meta.headStreamCut.positions
-      // head-cut enforcement, same rule as GraftReadPlanner.plan: an
-      // explicit position below the head means truncated-away data —
-      // fail LOUDLY even on the zero-IO path, never silently count the
-      // surviving remainder
-      sub.from.foreach(_.positions.foreach { case (sid, off) =>
-        val h = head.getOrElse(sid, 0L)
-        if (off < h) throw new TruncatedDataException(
-          s"${sub.key} segment $sid position $off is below head cut $h " +
-            "(truncated while this reader was at an older position)")
-      })
-      val lo: Long => Long = sid =>
-        sub.from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
-      // same capping rule as latestOffset/estimateStatistics: a bounded
-      // read contributes zero rows for segments absent from its cut
-      val hi: Long => Long = sid =>
-        sub.to match {
-          case Some(cut) => cut.offsetOf(sid).getOrElse(0L)
-          case None => Long.MaxValue
-        }
-      meta.files.distinctBy(_.path).forall { f =>
-        val overlap = math.max(0L,
-          math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))
+      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream),
+        sub.key, sub.from, sub.to, enforceHead = true)
+      sr.meta.files.distinctBy(_.path).forall { f =>
+        val overlap = sr.overlap(f)
         if (overlap == 0) true
         else if (f.maxChunkCount > 1) false // chunk rows != events
         else if (wantsTime && overlap != f.rowCount) false // straddle: time span not witness-exact
         else {
           count += overlap
-          if (overlap == f.rowCount || !wantsTime) {
-            tMin = Some(tMin.fold(f.minEventTime)(math.min(_, f.minEventTime)))
-            tMax = Some(tMax.fold(f.maxEventTime)(math.max(_, f.maxEventTime)))
-          }
+          tMin = Some(tMin.fold(f.minEventTime)(math.min(_, f.minEventTime)))
+          tMax = Some(tMax.fold(f.maxEventTime)(math.max(_, f.maxEventTime)))
           true
         }
       }
@@ -353,6 +332,45 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
     case Some((schema, values)) => new GraftAggScan(conf, schema, values)
     case None => new GraftScan(conf, pushed, required)
   }
+}
+
+/** Shared per-subscription read-range arithmetic — the ONE place the
+  * cut-capping rules live, used by the batch planner
+  * (GraftReadPlanner.plan), the statistics estimate
+  * (GraftScan.cachedStats) and the manifest-aggregate pushdown
+  * (GraftScanBuilder.manifestAggregate) so the three surfaces can never
+  * drift:
+  *   - an EXPLICIT from-position below the head cut is truncated-away
+  *     data — throw loudly when `enforceHead` (TruncatedDataException),
+  *     never skip silently;
+  *   - a segment absent from a from-cut starts at the head;
+  *   - a segment absent from a BOUNDED to-cut contributes zero rows
+  *     (born after the cut via scaling); only a truly unbounded read
+  *     (`to = None`) tails every segment.
+  */
+private[sources] final class SubRange(val meta: graft.core.StreamMetadata,
+    key: String, from: Option[StreamCut], to: Option[StreamCut],
+    enforceHead: Boolean) {
+  private val head = meta.headStreamCut.positions
+  if (enforceHead) from.foreach(_.positions.foreach { case (sid, off) =>
+    val h = head.getOrElse(sid, 0L)
+    if (off < h) throw new TruncatedDataException(
+      s"$key segment $sid position $off is below head cut $h " +
+        "(truncated while this reader was at an older position)")
+  })
+  val lo: Long => Long = sid =>
+    from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
+  val hi: Long => Long = sid => to match {
+    case Some(cut) => cut.offsetOf(sid).getOrElse(0L)
+    case None => Long.MaxValue
+  }
+  val segById: Map[Long, graft.core.SegmentRecord] =
+    meta.segments.map(s => s.segmentId -> s).toMap
+  /** Rows of `f` inside the range; 0 < overlap < rowCount = straddling. */
+  def overlap(f: graft.core.FileEntry): Long = math.max(0L,
+    math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))
+  def keep(f: graft.core.FileEntry, pushed: PushedPredicates): Boolean =
+    pushed.keepFile(f, segById.get(f.segmentId))
 }
 
 /** One pre-aggregated row, computed driver-side from stream manifests —
@@ -444,24 +462,18 @@ class GraftScan(conf: GraftSourceConfig,
     var rows = 0L
     var bytes = 0L
     lazy val hadoopConf = spark.sessionState.newHadoopConf()
-    conf.subs.foreach { sub =>
-      val meta = g.catalog.getStream(sub.scope, sub.stream)
-      val head = meta.headStreamCut.positions
-      val lo: Long => Long = sid =>
-        sub.from.flatMap(_.offsetOf(sid)).getOrElse(head.getOrElse(sid, 0L))
-      // Mirrors latestOffset's capping rule: a bounded read (sub.to
-      // defined) contributes ZERO rows for segments absent from the cut
-      // (e.g. born after the cut via scaling) — only an unbounded read
-      // counts a segment to its tail.
-      val hi: Long => Long = sid =>
-        sub.to match {
-          case Some(cut) => cut.offsetOf(sid).getOrElse(0L)
-          case None      => Long.MaxValue
-        }
-      meta.files.distinctBy(_.path).foreach { f =>
-        val overlap = math.max(0L,
-          math.min(f.endOffset, hi(f.segmentId)) - math.max(f.startOffset, lo(f.segmentId)))
-        if (overlap > 0) {
+    // statically-pushed predicates shrink the estimate too: a pruned
+    // time-slice or single-key probe of a huge stream reports only the
+    // files it will plan, so Catalyst can still auto-broadcast it.
+    // (Runtime filters arrive after stats are consumed — not included.)
+    // enforceHead = false: stats never throw; the planner stays the
+    // loud surface for truncated-under-reader positions.
+    conf.subs.filter(sub => pushed.keepStream(sub.key)).foreach { sub =>
+      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream),
+        sub.key, sub.from, sub.to, enforceHead = false)
+      sr.meta.files.distinctBy(_.path).foreach { f =>
+        val overlap = sr.overlap(f)
+        if (overlap > 0 && sr.keep(f, pushed)) {
           rows += overlap
           val len =
             if (f.byteSize > 0) f.byteSize
@@ -533,38 +545,24 @@ private[sources] object GraftReadPlanner {
     var anyChunked = false
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
     val pfs = conf.subs.filter(sub => pushed.keepStream(sub.key)).flatMap { sub =>
-      val meta = g.catalog.getStream(sub.scope, sub.stream)
-      // head-cut enforcement, exactly like the batch surface
-      // (GraftStreams.readEvents): a position EXPLICITLY below the head
-      // means the data was truncated away under this reader — fail loudly
-      // (TruncatedDataException analog) instead of silently skipping;
-      // segments absent from the cut (born later) default to the head so
-      // a head-straddling file row-filters rather than leaking sub-head
-      // rows
-      val head = meta.headStreamCut.positions
-      fromC.get(sub.key).foreach(_.positions.foreach { case (sid, off) =>
-        val h = head.getOrElse(sid, 0L)
-        if (off < h) throw new TruncatedDataException(
-          s"${sub.key} segment $sid position $off is below head cut $h " +
-            "(truncated while this reader was at an older position)")
-      })
-      val lo: Long => Long = sid => fromC.get(sub.key).flatMap(_.positions.get(sid))
-        .getOrElse(head.getOrElse(sid, 0L))
-      val hi: Long => Long = sid => toC.get(sub.key).flatMap(_.positions.get(sid)).getOrElse(0L)
-      // pushed-predicate pruning: drop files the manifest PROVES cannot
-      // match (time span disjoint, wrong segment, routing-key hash
-      // outside the segment's key range) — conservative, the residual
-      // filters still run over whatever is read
-      val segById = meta.segments.map(s => s.segmentId -> s).toMap
-      val files = meta.files
-        .filter(f => f.endOffset > lo(f.segmentId) && f.startOffset < hi(f.segmentId))
-        .filter(f => pushed.keepFile(f, segById.get(f.segmentId)))
+      // SubRange owns the capping rules (head-cut enforcement fails
+      // loudly on truncated-under-reader positions — the
+      // TruncatedDataException analog — and segments absent from the
+      // end cut contribute nothing); pushed-predicate pruning drops
+      // files the manifest PROVES cannot match (time span disjoint,
+      // wrong segment, routing-key hash outside the segment's key
+      // range) — conservative, the residual filters still run over
+      // whatever is read
+      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream), sub.key,
+        fromC.get(sub.key), Some(toC.getOrElse(sub.key, StreamCut(Map.empty))),
+        enforceHead = true)
+      val files = sr.meta.files
+        .filter(f => sr.overlap(f) > 0 && sr.keep(f, pushed))
         .distinctBy(_.path)
-      anyStraddle ||= files.exists(f =>
-        f.startOffset < lo(f.segmentId) || f.endOffset > hi(f.segmentId))
+      anyStraddle ||= files.exists(f => sr.overlap(f) != f.rowCount)
       anyChunked ||= files.exists(_.maxChunkCount > 1)
-      boundsB += sub.key -> meta.segments.map(s => s.segmentId ->
-        (lo(s.segmentId), hi(s.segmentId))).toMap
+      boundsB += sub.key -> sr.meta.segments.map(s => s.segmentId ->
+        (sr.lo(s.segmentId), sr.hi(s.segmentId))).toMap
       val pv: InternalRow =
         if (conf.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
         else InternalRow.empty

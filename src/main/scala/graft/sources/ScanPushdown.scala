@@ -135,6 +135,16 @@ object PushedPredicates {
       case EqualTo("eventTime", v) => asLong(v).exists { n =>
         tightenLo(n); tightenHi(n); true
       }
+      // runtime join filters arrive as IN sets; [min, max] of the set is
+      // the tightest interval file-level bounds can use
+      case In("eventTime", vs) =>
+        if (vs.forall(asLong(_).isDefined)) {
+          val ns = vs.flatMap(asLong)
+          // empty IN matches nothing: an inverted interval prunes all
+          tightenLo(if (ns.isEmpty) Long.MaxValue else ns.min)
+          tightenHi(if (ns.isEmpty) Long.MinValue else ns.max)
+          true
+        } else false
       case GreaterThan("eventTime", v) => asLong(v).exists { n => tightenLo(n); true }
       case GreaterThanOrEqual("eventTime", v) => asLong(v).exists { n => tightenLo(n); true }
       case LessThan("eventTime", v) => asLong(v).exists { n => tightenHi(n); true }

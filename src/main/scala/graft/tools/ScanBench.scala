@@ -14,8 +14,9 @@ import java.nio.file.Files
   *
   *   full_payload_scan  — sum(length(payload)): must read every payload
   *                        byte; the baseline.
-  *   col_pruned_agg     — groupBy(routingKey).count: same rows, payload
-  *                        column pruned from the parquet read.
+  *   col_pruned_scan    — the identical aggregate shape on routingKey:
+  *                        same rows, payload column pruned from the
+  *                        parquet read — the delta IS the payload bytes.
   *   time_slice_payload — payload sum over the middle time quarter:
   *                        manifest file pruning plans ~1/4 of the files.
   *   slice_batch_surface— same slice through readEvents(+filter): parquet
@@ -23,7 +24,8 @@ import java.nio.file.Files
   *   manifest_count     — count/min/max(eventTime): aggregate pushdown,
   *                        zero file IO.
   *
-  * Each cell runs twice; the warm wall is reported (Bench methodology).
+  * Each cell runs three times (one warm-up + two timed); the min timed
+  * wall is reported.
   * Usage: runMain graft.tools.ScanBench <sfDir> [padBytes=1024] [segments=8]
   */
 object ScanBench {

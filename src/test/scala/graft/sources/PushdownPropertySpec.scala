@@ -25,6 +25,7 @@ class PushdownPropertySpec extends AnyFunSuite {
   private def eval(f: Filter, r: Row): Boolean = f match {
     case And(a, b) => eval(a, r) && eval(b, r)
     case EqualTo("eventTime", v: Long) => r.eventTime == v
+    case In("eventTime", vs) => vs.contains(r.eventTime: Any)
     case GreaterThan("eventTime", v: Long) => r.eventTime > v
     case GreaterThanOrEqual("eventTime", v: Long) => r.eventTime >= v
     case LessThan("eventTime", v: Long) => r.eventTime < v
@@ -56,6 +57,7 @@ class PushdownPropertySpec extends AnyFunSuite {
       t.map(LessThan("eventTime", _)),
       t.map(LessThanOrEqual("eventTime", _)),
       t.map(EqualTo("eventTime", _)),
+      Gen.listOfN(3, t).map(vs => In("eventTime", vs.toArray[Any])),
       Gen.chooseNum(0L, 4L).map(EqualTo("segmentId", _)),
       Gen.listOfN(2, Gen.chooseNum(0L, 4L)).map(vs => In("segmentId", vs.toArray[Any])),
       keyGen.map(EqualTo("routingKey", _)),

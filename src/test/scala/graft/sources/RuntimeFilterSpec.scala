@@ -71,6 +71,24 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(planned(s) <= planned(new GraftScan(GraftSourceConfig(root, Seq(sub), None))) / 2)
   }
 
+  test("runtime IN(eventTime) tightens the file time bounds") {
+    val (_, root) = mk("rf6")
+    val sub = StreamSub("rf6", "ev", None, None)
+    def scan() = new GraftScan(GraftSourceConfig(root, Seq(sub), None))
+    val all = planned(scan())
+    val s = scan()
+    // eventTime 0..1999 in one commit per mk(); a join on a handful of
+    // times prunes nothing here (single files span everything), so use
+    // an out-of-range set: [min,max] of the set misses every file
+    s.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("eventTime", Array[Any](50000L, 60000L))))
+    assert(planned(s) === 0)
+    val s2 = scan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("eventTime", Array[Any](10L, 20L))))
+    assert(planned(s2) === all) // in-range: conservative keep
+  }
+
   test("an empty runtime key set prunes everything (join emits no rows)") {
     val (_, root) = mk("rf3")
     val sub = StreamSub("rf3", "ev", None, None)

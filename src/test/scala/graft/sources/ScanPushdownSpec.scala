@@ -240,6 +240,21 @@ class ScanPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed predicates shrink the statistics estimate (broadcast stays reachable)") {
+    val (_, root) = mk("prE")
+    val sub = StreamSub("prE", "ev", None, None)
+    def stats(p: PushedPredicates) =
+      new GraftScan(GraftSourceConfig(root, Seq(sub), None), p).estimateStatistics()
+    val full = stats(PushedPredicates.empty)
+    val sliced = stats(PushedPredicates.from(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("eventTime", 1000L),
+      org.apache.spark.sql.sources.LessThan("eventTime", 2000L))))
+    assert(full.numRows().getAsLong === 4000L)
+    assert(sliced.numRows().getAsLong <= full.numRows().getAsLong / 2)
+    assert(sliced.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    assert(sliced.numRows().getAsLong >= 1000L)
+  }
+
   test("multi-stream 'stream' predicate prunes whole subscriptions") {
     val root = Files.createTempDirectory("graft-prune").toString
     val g = new GraftStreams(spark, root)
