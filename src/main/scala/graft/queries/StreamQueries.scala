@@ -1641,7 +1641,12 @@ object StreamQueries {
     g.writeEvents("q", "raw", feed)
     val pace = math.max(200L, g.unreadRows("q", "raw", StreamCut(Map.empty)) / 3L)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-curck").toString
-    val q = s.readStream.format("graft-stream")
+    // dropDuplicates keeps one state store per shuffle partition per
+    // trigger — run the streaming leg with fewer partitions (state
+    // sizing is a deployment knob, not a semantic), like ev_stream_join
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = s2.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("stream", "raw")
       .option("maxRowsPerTrigger", pace.toString)
       .load()
