@@ -236,7 +236,8 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
 final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources.Filter
@@ -244,7 +245,21 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
 
   private var pushed: PushedPredicates = PushedPredicates.empty
   private var required: StructType = conf.schema
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown (partial — Spark re-applies the exact limit): the
+    * planner stops adding manifest files once their GUARANTEED event
+    * counts cover the limit, so `stream.limit(10)` on a 10^5-file
+    * stream plans ~one file instead of all of them. Chunked files
+    * contribute zero to the guarantee (chunk rows reassemble to fewer
+    * events) but still plan if reached — the scan can only ever return
+    * extra rows, never too few. Spark pushes a limit here only when no
+    * residual filter sits between it and the scan, so the row
+    * arithmetic is exact.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = PushedPredicates.from(filters)
@@ -262,52 +277,67 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty) return false
     // residual filters make manifest arithmetic unsound; Spark only
     // attempts aggregate pushdown with none, but stay defensive
     if (pushed.recognized.nonEmpty || !pushed.isEmpty) return false
-    def isEventTime(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case nr: NamedReference => nr.fieldNames.sameElements(Array("eventTime"))
-        case _ => false
-      }
+    def isRef(e: org.apache.spark.sql.connector.expressions.Expression,
+              name: String): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+      case _ => false
+    }
+    // grouped shape: GROUP BY segmentId — the per-segment EVENT_COUNT
+    // attribute (segmentstore Attributes.java), manifest-only. Multi-
+    // stream scans decline (segment ids collide across streams).
+    val bySeg = agg.groupByExpressions match {
+      case Array() => false
+      case Array(e) if isRef(e, "segmentId") && !conf.multi => true
+      case _ => return false
+    }
     val funcs = agg.aggregateExpressions
     if (funcs.isEmpty) return false
     val shapesOk = funcs.forall {
       case _: CountStar => true
-      case m: Min => isEventTime(m.column)
-      case m: Max => isEventTime(m.column)
+      case m: Min => isRef(m.column, "eventTime")
+      case m: Max => isRef(m.column, "eventTime")
       case _ => false
     }
     if (!shapesOk) return false
     val wantsTime = funcs.exists { case _: CountStar => false; case _ => true }
-    manifestAggregate(wantsTime).map { case (count, tMin, tMax) =>
-      val cols: Seq[(StructField, Any)] = funcs.toSeq.map {
-        case _: CountStar =>
-          (StructField("count(*)", LongType, nullable = false), count: Any)
-        case _: Min =>
-          (StructField("min(eventTime)", LongType, nullable = true),
-            tMin.map(Long.box).orNull: Any)
-        case _: Max =>
-          (StructField("max(eventTime)", LongType, nullable = true),
-            tMax.map(Long.box).orNull: Any)
+    manifestAggregate(wantsTime, bySeg).map { groups =>
+      val aggFields: Seq[StructField] = funcs.toSeq.map {
+        case _: CountStar => StructField("count(*)", LongType, nullable = false)
+        case _: Min => StructField("min(eventTime)", LongType, nullable = true)
+        case _: Max => StructField("max(eventTime)", LongType, nullable = true)
       }
-      val (fields, values) = cols.unzip
-      aggResult = Some((StructType(fields), values.toArray))
+      val fields =
+        if (bySeg) StructField("segmentId", LongType, nullable = false) +: aggFields
+        else aggFields
+      val rows = groups.map { case (sid, count, tMin, tMax) =>
+        val aggVals: Seq[Any] = funcs.toSeq.map {
+          case _: CountStar => count: Any
+          case _: Min => tMin.map(Long.box).orNull: Any
+          case _: Max => tMax.map(Long.box).orNull: Any
+        }
+        ((if (bySeg) Seq(sid: Any) else Seq.empty[Any]) ++ aggVals).toArray
+      }
+      aggResult = Some((StructType(fields), rows))
       true
     }.getOrElse(false)
   }
 
-  /** (rowCount, minEventTime, maxEventTime) across all subscriptions'
-    * (from, to] ranges, from manifests only — or None when the range is
-    * not manifest-exact (chunked files in range; for min/max, any file
-    * straddling a cut bound).
+  /** Per-group (segmentId | global) (rowCount, minEventTime,
+    * maxEventTime) across all subscriptions' (from, to] ranges, from
+    * manifests only — or None when the range is not manifest-exact
+    * (chunked files in range; for min/max, any file straddling a cut
+    * bound). The global shape always yields exactly one row (the
+    * empty-range partial); the grouped shape yields one row per segment
+    * WITH rows, like a real GROUP BY.
     */
-  private def manifestAggregate(wantsTime: Boolean): Option[(Long, Option[Long], Option[Long])] = {
+  private def manifestAggregate(wantsTime: Boolean, bySeg: Boolean)
+      : Option[Seq[(Long, Long, Option[Long], Option[Long])]] = {
     val g = new GraftStreams(SparkSession.active, conf.rootDir)
-    var count = 0L
-    var tMin = Option.empty[Long]
-    var tMax = Option.empty[Long]
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Option[Long], Option[Long])]
     // head-cut enforcement (enforceHead): loud even on the zero-IO path
     val exact = conf.subs.forall { sub =>
       val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream),
@@ -318,19 +348,26 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
         else if (f.maxChunkCount > 1) false // chunk rows != events
         else if (wantsTime && overlap != f.rowCount) false // straddle: time span not witness-exact
         else {
-          count += overlap
-          tMin = Some(tMin.fold(f.minEventTime)(math.min(_, f.minEventTime)))
-          tMax = Some(tMax.fold(f.maxEventTime)(math.max(_, f.maxEventTime)))
+          val k = if (bySeg) f.segmentId else -1L
+          val (c, lo, hi) = acc.getOrElse(k, (0L, Option.empty[Long], Option.empty[Long]))
+          acc(k) = (c + overlap,
+            Some(lo.fold(f.minEventTime)(math.min(_, f.minEventTime))),
+            Some(hi.fold(f.maxEventTime)(math.max(_, f.maxEventTime))))
           true
         }
       }
     }
-    if (exact) Some((count, tMin, tMax)) else None
+    if (!exact) None
+    else if (bySeg) Some(acc.toSeq.map { case (sid, (c, lo, hi)) => (sid, c, lo, hi) })
+    else {
+      val (c, lo, hi) = acc.getOrElse(-1L, (0L, Option.empty[Long], Option.empty[Long]))
+      Some(Seq((-1L, c, lo, hi)))
+    }
   }
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new GraftAggScan(conf, schema, values)
-    case None => new GraftScan(conf, pushed, required)
+    case None => new GraftScan(conf, pushed, required, limit)
   }
 }
 
@@ -373,13 +410,15 @@ private[sources] final class SubRange(val meta: graft.core.StreamMetadata,
     pushed.keepFile(f, segById.get(f.segmentId))
 }
 
-/** One pre-aggregated row, computed driver-side from stream manifests —
-  * the zero-IO fast path behind GraftScanBuilder's aggregate pushdown.
+/** Pre-aggregated rows, computed driver-side from stream manifests —
+  * the zero-IO fast path behind GraftScanBuilder's aggregate pushdown
+  * (one row for a global aggregate; one per segment for the grouped
+  * EVENT_COUNT shape).
   */
-final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+final case class GraftAggPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 final class GraftAggScan(conf: GraftSourceConfig, aggSchema: StructType,
-    values: Array[Any]) extends Scan {
+    rows: Seq[Array[Any]]) extends Scan {
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"GraftStreamSource[${conf.describe}] PushedAggregates: " +
@@ -387,16 +426,16 @@ final class GraftAggScan(conf: GraftSourceConfig, aggSchema: StructType,
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        Array(GraftAggPartition(values))
+        Array(GraftAggPartition(rows))
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
           override def createReader(p: InputPartition): PartitionReader[InternalRow] =
             new PartitionReader[InternalRow] {
-              private var emitted = false
+              private val it = p.asInstanceOf[GraftAggPartition].rows.iterator
+              private var cur: Array[Any] = _
               override def next(): Boolean =
-                if (emitted) false else { emitted = true; true }
-              override def get(): InternalRow =
-                new GenericInternalRow(p.asInstanceOf[GraftAggPartition].values)
+                if (it.hasNext) { cur = it.next(); true } else false
+              override def get(): InternalRow = new GenericInternalRow(cur)
               override def close(): Unit = ()
             }
         }
@@ -405,7 +444,8 @@ final class GraftAggScan(conf: GraftSourceConfig, aggSchema: StructType,
 
 class GraftScan(conf: GraftSourceConfig,
     pushed: PushedPredicates = PushedPredicates.empty,
-    required: StructType = null) extends Scan
+    required: StructType = null,
+    limit: Option[Int] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private val outSchema: StructType = Option(required).getOrElse(conf.schema)
@@ -515,7 +555,7 @@ class GraftScan(conf: GraftSourceConfig,
             sid -> math.min(off, t.positions.getOrElse(sid, 0L))
           })).getOrElse(tail)
         }.toMap
-        GraftReadPlanner.plan(spark, g, conf, fromC, toC, effective)
+        GraftReadPlanner.plan(spark, g, conf, fromC, toC, effective, limit)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         GraftReadPlanner.factory(spark, conf, outSchema, pushed)
@@ -539,40 +579,55 @@ private[sources] object GraftReadPlanner {
 
   def plan(spark: SparkSession, g: GraftStreams, conf: GraftSourceConfig,
            fromC: Map[String, StreamCut], toC: Map[String, StreamCut],
-           pushed: PushedPredicates = PushedPredicates.empty): Array[InputPartition] = {
+           pushed: PushedPredicates = PushedPredicates.empty,
+           limit: Option[Int] = None): Array[InputPartition] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
-    var anyStraddle = false
-    var anyChunked = false
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
-    val pfs = conf.subs.filter(sub => pushed.keepStream(sub.key)).flatMap { sub =>
-      // SubRange owns the capping rules (head-cut enforcement fails
-      // loudly on truncated-under-reader positions — the
-      // TruncatedDataException analog — and segments absent from the
-      // end cut contribute nothing); pushed-predicate pruning drops
-      // files the manifest PROVES cannot match (time span disjoint,
-      // wrong segment, routing-key hash outside the segment's key
-      // range) — conservative, the residual filters still run over
-      // whatever is read
-      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream), sub.key,
-        fromC.get(sub.key), Some(toC.getOrElse(sub.key, StreamCut(Map.empty))),
-        enforceHead = true)
-      val files = sr.meta.files
-        .filter(f => sr.overlap(f) > 0 && sr.keep(f, pushed))
-        .distinctBy(_.path)
-      anyStraddle ||= files.exists(f => sr.overlap(f) != f.rowCount)
-      anyChunked ||= files.exists(_.maxChunkCount > 1)
-      boundsB += sub.key -> sr.meta.segments.map(s => s.segmentId ->
-        (sr.lo(s.segmentId), sr.hi(s.segmentId))).toMap
-      val pv: InternalRow =
-        if (conf.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
-        else InternalRow.empty
-      files.map { f =>
-        val p = new Path(f.path)
-        ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p))
+    // per kept file: (partitioned file, guaranteed event count,
+    // straddles-cut, chunked)
+    val kept: Seq[(org.apache.spark.sql.execution.datasources.PartitionedFile, Long, Boolean, Boolean)] =
+      conf.subs.filter(sub => pushed.keepStream(sub.key)).flatMap { sub =>
+        // SubRange owns the capping rules (head-cut enforcement fails
+        // loudly on truncated-under-reader positions — the
+        // TruncatedDataException analog — and segments absent from the
+        // end cut contribute nothing); pushed-predicate pruning drops
+        // files the manifest PROVES cannot match (time span disjoint,
+        // wrong segment, routing-key hash outside the segment's key
+        // range) — conservative, the residual filters still run over
+        // whatever is read
+        val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream), sub.key,
+          fromC.get(sub.key), Some(toC.getOrElse(sub.key, StreamCut(Map.empty))),
+          enforceHead = true)
+        boundsB += sub.key -> sr.meta.segments.map(s => s.segmentId ->
+          (sr.lo(s.segmentId), sr.hi(s.segmentId))).toMap
+        val pv: InternalRow =
+          if (conf.multi) new GenericInternalRow(Array[Any](UTF8String.fromString(sub.key)))
+          else InternalRow.empty
+        sr.meta.files
+          .filter(f => sr.overlap(f) > 0 && sr.keep(f, pushed))
+          .distinctBy(_.path)
+          .map { f =>
+            val p = new Path(f.path)
+            val overlap = sr.overlap(f)
+            // chunk rows reassemble to FEWER events, so chunked files
+            // guarantee nothing toward a pushed limit (still planned)
+            val guaranteed = if (f.maxChunkCount > 1) 0L else overlap
+            (ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p)),
+              guaranteed, overlap != f.rowCount, f.maxChunkCount > 1)
+          }
       }
+    // pushed LIMIT: stop adding files once the guaranteed counts cover
+    // it — the scan may return more rows (Spark re-applies the limit),
+    // never fewer than available
+    val planned = limit match {
+      case Some(n) =>
+        var acc = 0L
+        kept.takeWhile { case (_, c, _, _) => val need = acc < n; acc += c; need }
+      case None => kept
     }
-    val bounds = if (anyStraddle) Some(boundsB.result()) else None
-    ParquetShim.pack(spark, pfs)
+    val bounds = if (planned.exists(_._3)) Some(boundsB.result()) else None
+    val anyChunked = planned.exists(_._4)
+    ParquetShim.pack(spark, planned.map(_._1))
       .map(fp => GraftInputPartition(fp, bounds, anyChunked)).toArray
   }
 

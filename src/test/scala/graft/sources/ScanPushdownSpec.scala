@@ -240,6 +240,51 @@ class ScanPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY segmentId count pushes to the manifest (EVENT_COUNT shape)") {
+    val (g, root) = mk("prG")
+    val agg = dsv2(root, "prG").groupBy($"segmentId")
+      .agg(count(lit(1)).as("n"), min($"eventTime").as("lo"))
+      .orderBy($"segmentId")
+    assert(scanExec(agg).scan.isInstanceOf[GraftAggScan],
+      s"grouped count not pushed: ${scanExec(agg).scan.description()}")
+    val rows = agg.collect()
+    val expected = g.readEvents("prG", "ev").groupBy($"segmentId")
+      .agg(count(lit(1)).as("n"), min($"eventTime").as("lo"))
+      .orderBy($"segmentId").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(rows.map(_.getLong(1)).sum === 4000L)
+  }
+
+  test("LIMIT plans only enough files to cover it, and stays exact") {
+    val (_, root) = mk("prL")
+    // avoid the manifest-count aggregate path: take real rows
+    val limited = dsv2(root, "prL").limit(10)
+    assert(plannedFiles(limited) <= 2, // one file per segment batch covers 10 rows
+      s"limit planned ${plannedFiles(limited)} files")
+    assert(limited.count() === 10L)
+    // limit larger than the stream: all rows, all files
+    val all = dsv2(root, "prL").limit(100000)
+    assert(all.count() === 4000L)
+    // LIMIT 0 plans nothing
+    assert(dsv2(root, "prL").limit(0).count() === 0L)
+  }
+
+  test("LIMIT over chunked files still returns every available event") {
+    val root = Files.createTempDirectory("graft-prune").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("prM")
+    g.catalog.createStream("prM", "ev", StreamConfig(initialSegments = 1))
+    val big = "x" * (GraftStreams.MaxEventSize + 100)
+    g.writeEvents("prM", "ev", Seq(
+      ("k1", 1L, big.getBytes("UTF-8")),
+      ("k2", 2L, "small".getBytes("UTF-8"))).toDF("routingKey", "eventTime", "payload"))
+    // chunked files guarantee 0 toward the limit, so every file plans
+    // and both events come back
+    assert(dsv2(root, "prM").limit(2).count() === 2L)
+    assert(dsv2(root, "prM").limit(1).count() === 1L)
+  }
+
   test("pushed predicates shrink the statistics estimate (broadcast stays reachable)") {
     val (_, root) = mk("prE")
     val sub = StreamSub("prE", "ev", None, None)
