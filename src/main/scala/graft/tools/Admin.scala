@@ -127,6 +127,28 @@ object Admin {
       case "read" =>
         val n = a.lift(2).map(_.toInt).getOrElse(10)
         g.readEventsOrdered(scope, stream).show(n, 48, vertical = false)
+      case "count" =>
+        // manifest-only: per-segment live rows + eventTime bounds, zero
+        // file IO — the ops-surface view of the EVENT_COUNT attribute
+        // (the same arithmetic the DSv2 aggregate pushdown serves)
+        val m = g.catalog.getStream(scope, stream)
+        val head = m.headStreamCut.positions
+        var total = 0L
+        println(f"${"segId"}%14s ${"rows"}%10s ${"minTime"}%14s ${"maxTime"}%14s")
+        m.segments.sortBy(_.segmentId).foreach { s =>
+          val lo = head.getOrElse(s.segmentId, s.startOffset)
+          val files = m.files.filter(f =>
+            f.segmentId == s.segmentId && f.endOffset > lo)
+          val rows = files.map(f => f.endOffset - math.max(f.startOffset, lo)).sum
+          total += rows
+          val (tLo, tHi) =
+            if (files.isEmpty) ("-", "-")
+            else (files.map(_.minEventTime).min.toString,
+                  files.map(_.maxEventTime).max.toString)
+          println(f"${s.segmentId}%14d $rows%10d $tLo%14s $tHi%14s")
+        }
+        println(s"total live rows: $total (manifest-only; chunked large" +
+          " events count as chunk rows)")
       case "maintenance" =>
         val r = new Maintenance(g).run(scope, stream)
         println(r)
@@ -158,6 +180,7 @@ object Admin {
       |  describe|segments|files|txns|watermark <scope> <stream>
       |  cuts <scope> <stream> [approxRows]
       |  read <scope> <stream> [n]
+      |  count <scope> <stream>      (manifest-only, zero file IO)
       |  fsck [scope]
       |  maintenance|sweep <scope> <stream>
       |  truncate <scope> <stream> <approxRows>
