@@ -385,7 +385,7 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
   *     (born after the cut via scaling); only a truly unbounded read
   *     (`to = None`) tails every segment.
   */
-private[sources] final class SubRange(val meta: graft.core.StreamMetadata,
+private[graft] final class SubRange(val meta: graft.core.StreamMetadata,
     key: String, from: Option[StreamCut], to: Option[StreamCut],
     enforceHead: Boolean) {
   private val head = meta.headStreamCut.positions
@@ -581,11 +581,13 @@ private[sources] object GraftReadPlanner {
            fromC: Map[String, StreamCut], toC: Map[String, StreamCut],
            pushed: PushedPredicates = PushedPredicates.empty,
            limit: Option[Int] = None): Array[InputPartition] = {
-    val hadoopConf = spark.sessionState.newHadoopConf()
+    lazy val hadoopConf = spark.sessionState.newHadoopConf()
     val boundsB = Map.newBuilder[String, Map[Long, (Long, Long)]]
-    // per kept file: (partitioned file, guaranteed event count,
-    // straddles-cut, chunked)
-    val kept: Seq[(org.apache.spark.sql.execution.datasources.PartitionedFile, Long, Boolean, Boolean)] =
+    // per kept file: (manifest entry, partition values, guaranteed
+    // event count, straddles-cut) — MANIFEST-ONLY; PartitionedFiles
+    // (and any legacy per-file stat) are built only for files that
+    // survive the limit cap below
+    val kept: Seq[(graft.core.FileEntry, InternalRow, Long, Boolean)] =
       conf.subs.filter(sub => pushed.keepStream(sub.key)).flatMap { sub =>
         // SubRange owns the capping rules (head-cut enforcement fails
         // loudly on truncated-under-reader positions — the
@@ -607,27 +609,35 @@ private[sources] object GraftReadPlanner {
           .filter(f => sr.overlap(f) > 0 && sr.keep(f, pushed))
           .distinctBy(_.path)
           .map { f =>
-            val p = new Path(f.path)
             val overlap = sr.overlap(f)
             // chunk rows reassemble to FEWER events, so chunked files
             // guarantee nothing toward a pushed limit (still planned)
             val guaranteed = if (f.maxChunkCount > 1) 0L else overlap
-            (ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p)),
-              guaranteed, overlap != f.rowCount, f.maxChunkCount > 1)
+            (f, pv, guaranteed, overlap != f.rowCount)
           }
       }
     // pushed LIMIT: stop adding files once the guaranteed counts cover
     // it — the scan may return more rows (Spark re-applies the limit),
-    // never fewer than available
+    // never fewer than available. Applied BEFORE any PartitionedFile is
+    // built, so a limit-10 preview of a 10^5-file stream does 10^5
+    // manifest-row lookups (already in memory), not 10^5 file stats.
     val planned = limit match {
       case Some(n) =>
         var acc = 0L
-        kept.takeWhile { case (_, c, _, _) => val need = acc < n; acc += c; need }
+        kept.takeWhile { case (_, _, c, _) => val need = acc < n; acc += c; need }
       case None => kept
     }
-    val bounds = if (planned.exists(_._3)) Some(boundsB.result()) else None
-    val anyChunked = planned.exists(_._4)
-    ParquetShim.pack(spark, planned.map(_._1))
+    val bounds = if (planned.exists(_._4)) Some(boundsB.result()) else None
+    val anyChunked = planned.exists(_._1.maxChunkCount > 1)
+    val pfs = planned.map { case (f, pv, _, _) =>
+      val p = new Path(f.path)
+      // manifest-recorded sizes keep planning RPC-free; legacy entries
+      // without one (byteSize = 0, pre-size manifests) fall back to a
+      // single stat — same rule as estimateStatistics
+      if (f.byteSize > 0) ParquetShim.partitionedFileAt(pv, p, f.byteSize)
+      else ParquetShim.partitionedFile(pv, p.getFileSystem(hadoopConf).getFileStatus(p))
+    }
+    ParquetShim.pack(spark, pfs)
       .map(fp => GraftInputPartition(fp, bounds, anyChunked)).toArray
   }
 

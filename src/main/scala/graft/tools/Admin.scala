@@ -129,26 +129,32 @@ object Admin {
         g.readEventsOrdered(scope, stream).show(n, 48, vertical = false)
       case "count" =>
         // manifest-only: per-segment live rows + eventTime bounds, zero
-        // file IO — the ops-surface view of the EVENT_COUNT attribute
-        // (the same arithmetic the DSv2 aggregate pushdown serves)
+        // file IO — the ops-surface view of the EVENT_COUNT attribute,
+        // on the SAME SubRange arithmetic the DSv2 aggregate pushdown
+        // serves. Bounds from a file straddling the head cut cover
+        // truncated-away rows too — marked '~' (the pushdown path
+        // refuses min/max in that case; an ops view prints the
+        // approximation instead).
         val m = g.catalog.getStream(scope, stream)
-        val head = m.headStreamCut.positions
+        val sr = new graft.sources.SubRange(m, s"$scope/$stream",
+          from = None, to = None, enforceHead = false)
         var total = 0L
-        println(f"${"segId"}%14s ${"rows"}%10s ${"minTime"}%14s ${"maxTime"}%14s")
+        println(f"${"segId"}%14s ${"rows"}%10s ${"minTime"}%15s ${"maxTime"}%15s")
         m.segments.sortBy(_.segmentId).foreach { s =>
-          val lo = head.getOrElse(s.segmentId, s.startOffset)
-          val files = m.files.filter(f =>
-            f.segmentId == s.segmentId && f.endOffset > lo)
-          val rows = files.map(f => f.endOffset - math.max(f.startOffset, lo)).sum
+          val files = m.files.filter(_.segmentId == s.segmentId)
+            .distinctBy(_.path).filter(sr.overlap(_) > 0)
+          val rows = files.map(sr.overlap).sum
           total += rows
+          val straddle = files.exists(f => sr.overlap(f) != f.rowCount)
+          val approx = if (straddle) "~" else ""
           val (tLo, tHi) =
             if (files.isEmpty) ("-", "-")
-            else (files.map(_.minEventTime).min.toString,
-                  files.map(_.maxEventTime).max.toString)
-          println(f"${s.segmentId}%14d $rows%10d $tLo%14s $tHi%14s")
+            else (approx + files.map(_.minEventTime).min,
+                  approx + files.map(_.maxEventTime).max)
+          println(f"${s.segmentId}%14d $rows%10d $tLo%15s $tHi%15s")
         }
         println(s"total live rows: $total (manifest-only; chunked large" +
-          " events count as chunk rows)")
+          " events count as chunk rows; '~' = bound spans truncated rows)")
       case "maintenance" =>
         val r = new Maintenance(g).run(scope, stream)
         println(r)
