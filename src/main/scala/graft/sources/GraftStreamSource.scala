@@ -569,10 +569,6 @@ class GraftScan(conf: GraftSourceConfig,
   */
 private[sources] object GraftReadPlanner {
   private val dataSchema = GraftStreams.eventSchema
-  val segOrd: Int = dataSchema.fieldIndex("segmentId")
-  val offOrd: Int = dataSchema.fieldIndex("offset")
-  def streamOrd(conf: GraftSourceConfig): Option[Int] =
-    if (conf.multi) Some(dataSchema.size) else None
   private def partitionSchema(conf: GraftSourceConfig): StructType =
     if (conf.multi) StructType(Seq(StructField("stream", StringType, nullable = false)))
     else new StructType()
@@ -670,6 +666,16 @@ private[sources] object GraftReadPlanner {
     }
     val mainLayout = readData.fieldNames.toSeq ++ pSchema.fieldNames
     val reasmLayout = dataSchema.fieldNames.toSeq ++ pSchema.fieldNames
+    // the reassembling reader and the tail reader index STORAGE-layout
+    // rows with the factory's (pruned-layout) segOrd/offOrd — sound
+    // only while segmentId/offset occupy the same ordinals in both
+    // layouts, which holds because they lead the event schema and are
+    // always retained by pruning; fail fast if a schema change breaks it
+    require(readData.fieldIndex("segmentId") ==
+        GraftStreams.storageSchema.fieldIndex("segmentId") &&
+      readData.fieldIndex("offset") ==
+        GraftStreams.storageSchema.fieldIndex("offset"),
+      "segmentId/offset ordinals diverge between pruned and storage layouts")
     new GraftReaderFactory(
       ParquetShim.parquetReaderFactory(spark, dataSchema, pSchema, readData,
         pushed.parquetFilters),
