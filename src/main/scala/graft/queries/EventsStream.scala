@@ -266,7 +266,34 @@ object EventsStream {
        |  COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) / 120.0 AS rate_per_sec
        |FROM events GROUP BY 1, 2 ORDER BY segment, w""".stripMargin
 
+  /** Weighted heavy hitters through the mergeable Misra–Gries sketch
+    * (operators/FrequencySketch.scala): top event types by exact value
+    * weight. The run is pinned inside the sketch's exactness domain
+    * (distinct event types ≤ capacity ⇒ err = 0, count_lo = count_hi),
+    * so the oracle's plain GROUP BY must match bit for bit — proving the
+    * sketch path (typed Aggregator, map-side partial sketches, merge
+    * order arbitrary) computes true frequencies when it claims
+    * exactness. The adversarial (compressing) regime is bound-checked
+    * in FrequencySketchSpec, where exact answers don't exist.
+    */
+  private def evHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FrequencySketch
+    FrequencySketch.topK(
+      Tables.events(s, dir),
+      "event_type",
+      expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+      k = 4, capacity = 8)
+  }
+
+  private val evHeavyHittersSql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS count_lo,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS count_hi
+      |FROM events GROUP BY event_type
+      |ORDER BY count_lo DESC, event_type LIMIT 4""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_heavy_hitters",   evHeavyHitters _,   Some(evHeavyHittersSql)),
     ("ev_count_by_type",   evCountByType _,    Some(evCountByTypeSql)),
     ("ev_rate_windows",    evRateWindows _,    Some(evRateWindowsSql)),
     ("ev_segment_counts",  evSegmentCounts _,  Some(evSegmentCountsSql)),

@@ -1680,8 +1680,157 @@ object StreamQueries {
       |  CAST(SUM(CAST(concat('0x', substring(fp, 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** Segment attributes with every AttributeUpdateType
+    * (AttributeUpdateType.java:27-60; GetSegmentAttribute /
+    * UpdateSegmentAttribute wire ops, WireCommands.java:1022,1078),
+    * oracle-checked: events flow through the engine write path (payload =
+    * value micros), then per segment a scripted update sequence runs —
+    * split ACCUMULATE halves that must sum to the exact per-segment total,
+    * a REPLACE_IF_GREATER time high-water chain, a REPLACE_IF_EQUALS CAS
+    * generation counter (initial CAS against the NULL sentinel), plain
+    * NONE/REPLACE, and a deliberately-failing batch whose ACCUMULATE must
+    * NOT land (atomic abort, the all-or-nothing wire contract). The rollup
+    * over segment attributes hash-matches the oracle's arithmetic over the
+    * source table — any lost/dup accumulate, a non-atomic abort, or a CAS
+    * drift breaks the match. The 4-row collect is bounded by segment
+    * count (control-plane metadata, same pattern as segmentsAtTime).
+    */
+  private def attrUpdates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{AttributeUpdate => AU, Attributes, ConditionalCheckFailedException}
+    val work = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val micros = expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode(micros.cast("string"), "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+
+    // Per-segment facts from the engine's own read surface: the even/odd
+    // offset split is arbitrary — the two ACCUMULATEs must recombine to
+    // the exact total no matter how the writer batched them.
+    val facts = g.readEvents("q", "ev")
+      .select($"segmentId", $"offset", $"eventTime",
+        decode($"payload", "UTF-8").cast("long").as("micros"))
+      .groupBy($"segmentId")
+      .agg(sum(when($"offset" % 2 === 0, $"micros").otherwise(0L)).as("evenSum"),
+        sum(when($"offset" % 2 =!= 0, $"micros").otherwise(0L)).as("oddSum"),
+        max($"eventTime").as("tmax"))
+      .collect()
+
+    val segIds = g.catalog.getStream("q", "ev").segments.map(_.segmentId)
+    facts.foreach { r =>
+      val sid = r.getLong(0); val even = r.getLong(1); val odd = r.getLong(2); val tmax = r.getLong(3)
+      g.updateSegmentAttributes("q", "ev", sid, Seq(
+        AU("SUM_MICROS", "ACCUMULATE", even),
+        AU("MAX_TIME", "REPLACE_IF_GREATER", tmax - 1)))
+      g.updateSegmentAttributes("q", "ev", sid, Seq(
+        AU("SUM_MICROS", "ACCUMULATE", odd),
+        AU("MAX_TIME", "REPLACE_IF_GREATER", tmax)))
+      // Failing batch: IF_GREATER regresses, so the ACCUMULATE in the
+      // same call must be rolled back with it.
+      try {
+        g.updateSegmentAttributes("q", "ev", sid, Seq(
+          AU("SUM_MICROS", "ACCUMULATE", 999999999L),
+          AU("MAX_TIME", "REPLACE_IF_GREATER", tmax - 5)))
+        throw new IllegalStateException("regressing REPLACE_IF_GREATER must fail")
+      } catch { case _: ConditionalCheckFailedException => () }
+    }
+    segIds.foreach { sid =>
+      g.updateSegmentAttributes("q", "ev", sid, Seq(
+        AU("GEN", "REPLACE_IF_EQUALS", 1L, Attributes.NullValue),
+        AU("NOTE", "NONE", 3L)))
+      g.updateSegmentAttributes("q", "ev", sid, Seq(
+        AU("GEN", "REPLACE_IF_EQUALS", 2L, 1L),
+        AU("NOTE", "REPLACE", 7L)))
+      try {
+        g.updateSegmentAttributes("q", "ev", sid,
+          Seq(AU("GEN", "REPLACE_IF_EQUALS", 9L, 1L)))
+        throw new IllegalStateException("stale REPLACE_IF_EQUALS CAS must fail")
+      } catch { case _: ConditionalCheckFailedException => () }
+    }
+
+    def attr(sid: Long, k: String): Long = {
+      val v = g.getSegmentAttribute("q", "ev", sid, k)
+      if (v == Attributes.NullValue) 0L else v
+    }
+    val row = (segIds.size,
+      segIds.map(attr(_, Attributes.EventCount)).sum,
+      segIds.map(attr(_, "SUM_MICROS")).sum,
+      segIds.map(attr(_, "MAX_TIME")).max,
+      segIds.map(attr(_, "GEN")).sum,
+      segIds.map(attr(_, "NOTE")).sum)
+    Seq(row).toDF("n_segments", "total_count", "total_micros",
+      "max_time", "gen_total", "note_total")
+  }
+
+  private val attrUpdatesSql =
+    """SELECT 4 AS n_segments, COUNT(*) AS total_count,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS max_time,
+      |  8 AS gen_total, 28 AS note_total
+      |FROM events""".stripMargin
+
+  /** Named StreamCuts as reader-group checkpoints
+    * (ReaderGroup.java:84 initiateCheckpoint, :215 generateStreamCuts;
+    * resetReaderGroup(ReaderGroupConfig.startFromStreamCut)): a cut is
+    * saved mid-stream, a second after more writes, then the window
+    * [ckpt1, ckpt2) is replayed twice — once immediately and once AFTER a
+    * decoy append beyond ckpt2 and the named cuts' deletion (a held
+    * Checkpoint object stays valid after deleteStreamCut, like the
+    * reference's immutable Checkpoint handles). Both replays must see
+    * exactly the second batch: n_first ≠ n_replay breaks determinism,
+    * decoy rows leaking in breaks cut bounding.
+    */
+  private def checkpointCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ckcut").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+    g.writeEvents("q", "ev", src.filter($"event_id" % 2 === 0).drop("event_id"))
+    val c1 = g.saveStreamCut("q", "ev", "ckpt1")
+    g.writeEvents("q", "ev", src.filter($"event_id" % 2 === 1).drop("event_id"))
+    val c2 = g.saveStreamCut("q", "ev", "ckpt2")
+
+    def window(): DataFrame = {
+      val f = g.getStreamCut("q", "ev", "ckpt1").getOrElse(c1)
+      val t = g.getStreamCut("q", "ev", "ckpt2").getOrElse(c2)
+      g.readEvents("q", "ev", from = f, to = t)
+        .groupBy(decode($"payload", "UTF-8").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val first = window()
+    // Decoy append past ckpt2, then drop the named cuts: the replay must
+    // be byte-identical to the first read.
+    g.writeEvents("q", "ev", src.limit(500)
+      .withColumn("payload", encode(lit("DECOY"), "UTF-8")).drop("event_id"))
+    g.deleteStreamCut("q", "ev", "ckpt1")
+    g.deleteStreamCut("q", "ev", "ckpt2")
+    require(g.getStreamCut("q", "ev", "ckpt1").isEmpty, "ckpt1 must be deleted")
+    val replay = window()
+    first.as("a").join(replay.as("b"), "event_type")
+      .select($"event_type", $"a.n".as("n_first"), $"b.n".as("n_replay"))
+      .orderBy($"event_type")
+  }
+
+  private val checkpointCutsSql =
+    """SELECT event_type, COUNT(*) AS n_first, COUNT(*) AS n_replay
+      |FROM events WHERE event_id % 2 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
+    ("ev_attr_updates",      attrUpdates _,  Some(attrUpdatesSql)),
+    ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),

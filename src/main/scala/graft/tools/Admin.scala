@@ -21,6 +21,9 @@ import org.apache.spark.sql.SparkSession
   *   files <scope> <stream>                   manifest file entries
   *   txns <scope> <stream>                    transaction records
   *   cuts <scope> <stream> [approxRows]       head/tail + next paced cut
+  *   attrs <scope> <stream> [segmentId]       segment attributes (all segments by default)
+  *   cut-save <scope> <stream> <name> [approxRows]  save a named cut (tail, or ~N rows past head)
+  *   cut-delete <scope> <stream> <name>       delete a named cut
   *   watermark <scope> <stream>               watermark bounds + history
   *   read <scope> <stream> [n]                show the first n events (default 10)
   *   fsck [scope]                             integrity audit (exit 1 on issues)
@@ -116,6 +119,29 @@ object Admin {
         m.namedCuts.toSeq.sortBy(_._1).foreach { case (name, pos) =>
           println(s"named '$name': ${fmtCut(StreamCut(pos))}")
         }
+      case "attrs" =>
+        val m = g.catalog.getStream(scope, stream)
+        val segs = a.lift(2).map(_.toLong) match {
+          case Some(sid) => m.segments.filter(_.segmentId == sid)
+          case None => m.segments.sortBy(_.segmentId)
+        }
+        segs.foreach { s =>
+          if (s.attributes.isEmpty) println(f"${s.segmentId}%14d (no attributes)")
+          else s.attributes.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            println(f"${s.segmentId}%14d $k%-24s $v%d")
+          }
+        }
+      case "cut-save" =>
+        val name = a(2)
+        val cut = a.lift(3).map(_.toLong).map { n =>
+          val head = g.catalog.getStream(scope, stream).headStreamCut
+          g.nextStreamCut(scope, stream, head, n)
+        }
+        val saved = g.saveStreamCut(scope, stream, name, cut)
+        println(s"saved '$name': ${fmtCut(saved)}")
+      case "cut-delete" =>
+        g.deleteStreamCut(scope, stream, a(2))
+        println(s"deleted '${a(2)}'")
       case "watermark" =>
         val m = g.catalog.getStream(scope, stream)
         g.timeWindow(scope, stream) match {
@@ -185,6 +211,8 @@ object Admin {
       |  scopes | streams <scope> | kvts <scope>
       |  describe|segments|files|txns|watermark <scope> <stream>
       |  cuts <scope> <stream> [approxRows]
+      |  attrs <scope> <stream> [segmentId]
+      |  cut-save <scope> <stream> <name> [approxRows] | cut-delete <scope> <stream> <name>
       |  read <scope> <stream> [n]
       |  count <scope> <stream>      (manifest-only, zero file IO)
       |  fsck [scope]

@@ -48,7 +48,7 @@ object ScaleBench {
     // event analytics
     "ev_anomaly_mad", "ev_funnel", "ev_sessionize", "ev_rfm_cutoffs",
     "ev_top_paths", "ev_markov_transitions", "ev_asof_join",
-    "ev_salted_enrich", "ev_retention_cohorts")
+    "ev_salted_enrich", "ev_retention_cohorts", "ev_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)
