@@ -148,6 +148,30 @@ object MinHashLSH {
     * which exact dedup upstream removes. The oracle SQL replays the same
     * cap.
     */
+  /** Per-document reproducible band signatures `(id, band, bsig)` — the
+    * LSH index entries, one row per (doc, band). Pure codegen'd
+    * expressions on the oracle-replayable hash family: no shuffle, no
+    * state — so it runs identically on batch AND STREAMING DataFrames
+    * (the index-at-ingest path keys streaming state by (band, bsig)).
+    */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    docs
+      .select(col(idCol).as("id"), split(lower(trim(col(textCol))), "\\s+").as("tk"))
+      .select(col("id"), affine_minhash(md5_shingle_hashes(col("tk"), 3), numHashes).as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(array_join(
+              transform(slice(col("sig"), b * rows + 1, lit(rows)), v => v.cast("string")),
+              "|")).as("bsig"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.35,
@@ -280,9 +304,11 @@ object MinHashLSH {
     * scan ("" = whole table). Compose into a full query or feed the pair
     * graph into a recursive-CTE clustering fixpoint.
     */
-  def oraclePairsCtes(docWhere: String, numHashes: Int, bands: Int,
-                      threshold: Double,
-                      maxBucketSize: Int = DefaultMaxBucketSize): String = {
+  /** The CTE prefix up to per-doc band signatures (`bands(doc_id, band,
+    * bsig)`) — the replayable core shared by the pair oracle and the
+    * streaming LSH-index oracle.
+    */
+  def oracleBandsCtes(docWhere: String, numHashes: Int, bands: Int): String = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val p = OracleP
@@ -311,7 +337,13 @@ object MinHashLSH {
        |    $minCols
        |  FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  def oraclePairsCtes(docWhere: String, numHashes: Int, bands: Int,
+                      threshold: Double,
+                      maxBucketSize: Int = DefaultMaxBucketSize): String = {
+    s"""${oracleBandsCtes(docWhere, numHashes, bands)},
        |bandsc AS (
        |  SELECT doc_id, band, bsig FROM (
        |    SELECT doc_id, band, bsig,

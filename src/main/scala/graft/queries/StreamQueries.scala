@@ -1680,6 +1680,90 @@ object StreamQueries {
       |  CAST(SUM(CAST(concat('0x', substring(fp, 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** One (band, bsig) index entry arriving from the stream. */
+  case class LshIn(band: Int, bsig: String, docId: Long)
+  /** Per-bucket streaming state: member count + smallest doc id. */
+  case class LshState(n: Long, minDoc: Long)
+  /** Per-trigger bucket update emitted to the sink. */
+  case class LshOut(band: Int, bsig: String, n: Long, minDoc: Long)
+
+  /** STREAMING LSH index maintenance at ingest: documents flow through
+    * the engine stream, each trigger computes the reproducible MinHash
+    * band signatures (operators/MinHashLSH.bandSignatures — pure
+    * codegen'd expressions, so the exact batch kernel runs inside the
+    * streaming query) and folds them into keyed state per (band, bsig)
+    * bucket: member count + smallest doc id. This is the near-dup
+    * LSH index AS STREAMING STATE — the piece that turns the batch
+    * dedup pipeline into dedup-at-ingest: a new document is a candidate
+    * near-dup iff one of its 16 buckets already has a member, and the
+    * keep/drop rule (drop iff any bucket's min_doc < doc_id) is a pure
+    * function of the final index. State is O(corpus buckets), sharded
+    * by the state-store over the (band, bsig) key — the same shuffle
+    * key the batch candidate join uses.
+    *
+    * The oracle replays the WHOLE hash family in DuckDB (the
+    * dedup_minhash_lsh CTE prefix) and recomputes every collision
+    * bucket: a hash match proves the streaming path — engine write,
+    * paced triggers, cross-trigger state accumulation, exactly-once
+    * delivery — maintains the index the batch semantics define. Bucket
+    * counts grow monotonically and minima shrink monotonically, so the
+    * final state per key is recoverable from append-mode emissions via
+    * max/min — no update-mode sink needed.
+    */
+  private def streamLshIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val work = java.nio.file.Files.createTempDirectory("graft-lshix").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "docs", StreamConfig(initialSegments = 4))
+    val src = Tables.documents(s, dir).select(
+      $"doc_id".cast("string").as("routingKey"),
+      $"doc_id".cast("long").as("eventTime"),
+      encode($"text", "UTF-8").as("payload"))
+    g.writeEvents("q", "docs", src)
+    val pace = math.max(100L, g.unreadRows("q", "docs", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"lshix_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val fn = (key: (Int, String), it: Iterator[LshIn], st: GroupState[LshState]) => {
+      var n = st.getOption.map(_.n).getOrElse(0L)
+      var mn = st.getOption.map(_.minDoc).getOrElse(Long.MaxValue)
+      it.foreach { r => n += 1; if (r.docId < mn) mn = r.docId }
+      st.update(LshState(n, mn))
+      Iterator.single(LshOut(key._1, key._2, n, mn))
+    }
+    val stream = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "docs")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey".cast("long").as("doc_id"),
+        decode($"payload", "UTF-8").as("text"))
+    val q = graft.operators.MinHashLSH
+      .bandSignatures(stream, "doc_id", "text", numHashes = 64, bands = 16)
+      .select($"band", $"bsig", $"id".as("docId")).as[LshIn]
+      .groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"band", $"bsig")
+      .agg(max($"n").as("n_docs"), min($"minDoc").as("min_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"band", $"bsig")
+  }
+
+  private val streamLshIndexSql = {
+    val ctes = graft.operators.MinHashLSH.oracleBandsCtes("", numHashes = 64, bands = 16)
+    s"""WITH $ctes
+       |SELECT band, bsig, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       |FROM bands GROUP BY band, bsig HAVING COUNT(*) >= 2
+       |ORDER BY band, bsig""".stripMargin
+  }
+
   /** Segment attributes with every AttributeUpdateType
     * (AttributeUpdateType.java:27-60; GetSegmentAttribute /
     * UpdateSegmentAttribute wire ops, WireCommands.java:1022,1078),
@@ -1831,6 +1915,7 @@ object StreamQueries {
     ("stream_roundtrip_agg", roundtrip _,    Some(roundtripSql)),
     ("ev_attr_updates",      attrUpdates _,  Some(attrUpdatesSql)),
     ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
+    ("ev_stream_lsh_index",  streamLshIndex _, Some(streamLshIndexSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),
