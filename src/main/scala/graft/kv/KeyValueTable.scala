@@ -414,4 +414,31 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     }
     donePaths.toSeq.sorted
   }
+
+  /** Reclaim crashed-writer leaks: delta-/base- dirs referenced by
+    * neither the live manifest nor its pending deletes (the orphans
+    * `fsck()` reports). `graceMillis` shields an IN-FLIGHT writer that
+    * has written its delta but not yet won the manifest CAS — deploy
+    * with grace > the longest write (mirrors the stream side's
+    * `GraftStreams.sweepOrphans` contract); a writer that LOSES the CAS
+    * deletes its own dir, so only crashes leak. Returns reclaimed paths.
+    */
+  def sweepOrphans(graceMillis: Long = 3600000L): Seq[String] = {
+    val m = latest()
+    def norm(p: String) = new Path(p).toUri.getPath
+    val referenced = (m.files.map(_.path) ++ m.pendingDeletes.map(_.path))
+      .map(norm).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val victims =
+      try fs.listStatus(tableDir)
+        .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta-") ||
+          s.getPath.getName.startsWith("base-")))
+        .filter(_.getModificationTime <= cutoff)
+        .map(_.getPath)
+        .filterNot(p => referenced.contains(norm(p.toString)))
+        .toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty[Path] }
+    victims.foreach(p => try fs.delete(p, true) catch { case _: Exception => () })
+    victims.map(_.toString).sorted
+  }
 }
