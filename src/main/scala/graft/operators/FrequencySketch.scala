@@ -70,12 +70,17 @@ object FrequencySketch {
     def topK(k: Int): Seq[(String, Long)] =
       counters.toSeq.sortBy { case (key, v) => (-v, key) }.take(k)
 
+    /** Compress to ≤ capacity counters (no-op when already within). */
+    private[FrequencySketch] def normalized: Sketch = compressIfNeeded(this)
+
     private def compressIfNeeded(s: Sketch): Sketch =
       if (s.counters.size <= s.capacity) s
       else {
         // t = (capacity+1)-th largest counter; ≥ capacity+1 counters are
         // ≥ t, so this removes ≥ t·(capacity+1) total weight → the
-        // err ≤ W/(capacity+1) bound.
+        // err ≤ W/(capacity+1) bound. One step always lands ≤ capacity:
+        // survivors are the counters STRICTLY above t, of which there
+        // are at most `capacity` no matter how large the input map.
         val t = s.counters.valuesIterator.toArray.sortBy(-_).apply(s.capacity)
         Sketch(s.capacity,
           s.counters.collect { case (k, v) if v > t => k -> (v - t) },
@@ -95,9 +100,29 @@ object FrequencySketch {
     */
   final class SketchAgg(capacity: Int) extends Aggregator[(String, Long), Sketch, Sketch] {
     override def zero: Sketch = Sketch.empty(capacity)
-    override def reduce(b: Sketch, in: (String, Long)): Sketch = b.add(in._1, in._2)
+
+    /** Amortized hot path: the partial buffer may grow to 2·capacity
+      * before one compression lands it back at ≤ capacity — one
+      * O(cap log cap) compression per `capacity` inserts, so the scan is
+      * O(n log cap) instead of the per-row-compress O(n·cap·log cap).
+      * The err bound is unchanged (each compression still subtracts the
+      * (capacity+1)-th largest), the exactness domain is unchanged
+      * (distinct ≤ capacity never reaches the 2·capacity trigger), and
+      * merge/finish normalize to ≤ capacity so the shuffle and the
+      * result keep the bounded size.
+      */
+    override def reduce(b: Sketch, in: (String, Long)): Sketch = {
+      val (key, w) = in
+      require(w >= 0, s"negative weight $w")
+      if (w == 0) b
+      else {
+        val c = b.counters.updated(key, b.counters.getOrElse(key, 0L) + w)
+        val grown = Sketch(b.capacity, c, b.err)
+        if (c.size <= 2 * capacity) grown else grown.normalized
+      }
+    }
     override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
-    override def finish(r: Sketch): Sketch = r
+    override def finish(r: Sketch): Sketch = r.normalized
     override def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
     override def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
   }
