@@ -656,7 +656,74 @@ object TextOps {
       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       |FROM d GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** DISTRIBUTED TRAINING of a linear quality classifier — the batch
+    * perceptron over hashed token features, integer-exact end to end
+    * (the training-side complement of `txt_hash_classifier`'s fixed-table
+    * inference; kmeans/PCA cover unsupervised training, this covers
+    * supervised). Features: 256 hashed buckets (the same md5 hex-fold the
+    * inference query uses), x = per-doc bucket counts; labels from the
+    * lang column (en vs rest). Each pass is one broadcast weight join +
+    * one shuffle aggregate over (doc, bucket) features — pass 1 from w=0
+    * updates on every doc, pass 2 updates only the docs the pass-1
+    * weights still misclassify (margin·label ≤ 0). Integer weights make
+    * every pass bit-reproducible, so the oracle replays BOTH passes as
+    * chained CTEs — a hash match proves the full training loop, not a
+    * sampled metric. At scale: weights stay a broadcastable D-vector
+    * (grow D, not the plan); passes are sequential jobs like
+    * `emb_kmeans_iter`'s rounds.
+    */
+  private def trainPerceptron(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+        explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"doc_id", $"y",
+        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 256L).as("b"))
+      .groupBy($"doc_id", $"y", $"b")
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // both passes read the features; cut the lineage once
+    // pass 1: w = 0 ⇒ every margin is 0 ⇒ every doc updates
+    val w1 = feats.groupBy($"b").agg(sum($"y" * $"x").as("w"))
+    // pass 2: update only the docs w1 still misclassifies
+    val margins = feats.join(broadcast(w1), "b")
+      .groupBy($"doc_id", $"y").agg(sum($"x" * $"w").as("m"))
+    val upd = margins.filter($"y" * $"m" <= 0).select($"doc_id")
+    val delta = feats.join(broadcast(upd), "doc_id")
+      .groupBy($"b").agg(sum($"y" * $"x").as("d"))
+    w1.as("w").join(delta.as("dl"), Seq("b"), "left")
+      .select($"b".as("bucket"),
+        ($"w" + coalesce($"d", lit(0L))).as("w"))
+      .filter($"w" =!= 0)
+      .orderBy($"bucket")
+  }
+
+  private val trainPerceptronSql =
+    """WITH tok AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |bk AS (SELECT doc_id, y,
+      |  ((strpos('0123456789abcdef', substring(md5(t),1,1))-1)*4096 +
+      |   (strpos('0123456789abcdef', substring(md5(t),2,1))-1)*256 +
+      |   (strpos('0123456789abcdef', substring(md5(t),3,1))-1)*16 +
+      |   (strpos('0123456789abcdef', substring(md5(t),4,1))-1)) % 256 AS b
+      |  FROM tok),
+      |feats AS (SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM bk GROUP BY 1, 2, 3),
+      |w1 AS (SELECT b, CAST(SUM(y*x) AS BIGINT) AS w FROM feats GROUP BY b),
+      |m2 AS (SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS m
+      |  FROM feats f JOIN w1 ON f.b = w1.b GROUP BY 1, 2),
+      |upd AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+      |delta AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d
+      |  FROM feats f JOIN upd u ON f.doc_id = u.doc_id GROUP BY f.b)
+      |SELECT w1.b AS bucket, CAST(w1.w + COALESCE(delta.d, 0) AS BIGINT) AS w
+      |FROM w1 LEFT JOIN delta ON w1.b = delta.b
+      |WHERE w1.w + COALESCE(delta.d, 0) != 0
+      |ORDER BY bucket""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
