@@ -1680,6 +1680,84 @@ object StreamQueries {
       |  CAST(SUM(CAST(concat('0x', substring(fp, 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** One event arriving at the hot-key monitor. */
+  case class HotIn(part: Long, rk: String)
+  /** Per-trigger hot-key report: seq = rows folded so far (monotone, so
+    * the final state is the max-seq emission per partition). */
+  case class HotOut(part: Long, seq: Long, rk: String, cnt: Long)
+
+  /** Hot-ROUTING-KEY detection at ingest: the mergeable Misra–Gries
+    * sketch (operators/FrequencySketch) lives INSIDE streaming keyed
+    * state, folded across triggers — the diagnostic the reference's
+    * auto-scaler cannot produce (AutoScaleProcessor.java:286 rates whole
+    * segments; which KEY makes a segment hot is invisible to it). One
+    * sketch per partition bucket; each trigger folds its rows and emits
+    * the current top keys with a monotone row counter, so the final
+    * index state is recoverable from append-mode emissions. The run is
+    * pinned inside the sketch's exactness domain, so the oracle's plain
+    * per-partition top-k (count desc, key asc) must match exactly —
+    * gating the state-store serialization round trip of the sketch
+    * (Encoders.product through the state store) and cross-trigger
+    * merging at once. State per key is O(capacity), not O(distinct
+    * routing keys) — the property that makes this viable on a 100 TB
+    * ingest firehose.
+    */
+  private def streamHotKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.FrequencySketch.Sketch
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val work = java.nio.file.Files.createTempDirectory("graft-hotk").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      $"event_id".as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"))
+    g.writeEvents("q", "ev", src)
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"hotk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val cap = 4096 // >> distinct keys at every tested sf: exactness domain
+    val fn = (part: Long, it: Iterator[HotIn], st: GroupState[Sketch]) => {
+      var sk = st.getOption.getOrElse(Sketch.empty(cap))
+      var folded = sk.counters.valuesIterator.sum + sk.err
+      it.foreach { r => sk = sk.add(r.rk, 1L); folded += 1L }
+      st.update(sk)
+      sk.topK(3).iterator.map { case (rk, cnt) => HotOut(part, folded, rk, cnt) }
+    }
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select(($"routingKey".cast("long") % 8L).as("part"), $"routingKey".as("rk"))
+      .as[HotIn]
+      .groupByKey(_.part)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = s2.table(sink)
+      .withColumn("rnk", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"part").orderBy($"seq".desc)))
+      .filter($"rnk" === 1)
+    last.select($"part", $"rk", $"cnt").orderBy($"part", $"cnt".desc, $"rk")
+  }
+
+  private val streamHotKeysSql =
+    """WITH c AS (
+      |  SELECT user_id % 8 AS part, CAST(user_id AS VARCHAR) AS rk,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT part, rk, cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY part ORDER BY cnt DESC, rk) AS rn
+      |  FROM c)
+      |SELECT part, rk, cnt FROM r WHERE rn <= 3
+      |ORDER BY part, cnt DESC, rk""".stripMargin
+
   /** One (band, bsig) index entry arriving from the stream. */
   case class LshIn(band: Int, bsig: String, docId: Long)
   /** Per-bucket streaming state: member count + smallest doc id. */
@@ -1916,6 +1994,7 @@ object StreamQueries {
     ("ev_attr_updates",      attrUpdates _,  Some(attrUpdatesSql)),
     ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
     ("ev_stream_lsh_index",  streamLshIndex _, Some(streamLshIndexSql)),
+    ("ev_stream_hot_keys",   streamHotKeys _, Some(streamHotKeysSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),
