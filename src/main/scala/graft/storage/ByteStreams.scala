@@ -141,4 +141,62 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
       if (cStart + cLen <= h) fs(p).delete(p, false)
     }
   }
+
+  /** Integrity audit, O(#chunks) metadata: the committed range
+    * [head, tail) must be tiled by chunks with no gaps; anything at or
+    * past the tail is a crashed writer's uncommitted leftover (the
+    * committed state never covered it); anything ending at or below the
+    * head is a dead chunk an interrupted truncate failed to delete.
+    * Readers are immune to all three by construction (read() stops at
+    * the tail, starts at the head, and fails loudly on a gap) — fsck
+    * exists so the leaks are NAMED and `sweep` can reclaim them.
+    */
+  def fsck(scope: String, name: String): Seq[String] = {
+    val (h, t) = meta(scope, name)
+    val d = dir(scope, name)
+    val issues = Seq.newBuilder[String]
+    val chunks = fs(d).listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith("chunk-"))
+      .map(p => (p.getName.stripPrefix("chunk-").toLong,
+        fs(p).getFileStatus(p).getLen, p))
+      .sortBy(_._1)
+    var expected = h
+    chunks.foreach { case (start, len, p) =>
+      val end = start + len
+      if (end <= h)
+        issues += s"dead-chunk: $p ends at $end <= head $h (interrupted truncate sweep)"
+      else if (start >= t)
+        issues += s"uncommitted-chunk: $p starts at $start >= committed tail $t (crashed writer leftover)"
+      else {
+        if (start > expected) issues += s"missing-range: [$expected,$start) uncovered"
+        expected = math.max(expected, math.min(end, t))
+      }
+    }
+    if (expected < t) issues += s"missing-range: [$expected,$t) uncovered"
+    issues.result()
+  }
+
+  /** Reclaim the leaks `fsck` reports: dead chunks below the head
+    * (always safe — truncation committed) and uncommitted chunks at or
+    * past the tail older than `graceMillis` (grace shields an in-flight
+    * append between its chunk write and its tail CAS; deploy with
+    * grace > the longest append, the same contract as the stream and KV
+    * orphan sweeps). Returns reclaimed paths.
+    */
+  def sweep(scope: String, name: String, graceMillis: Long = 3600000L): Seq[String] = {
+    val (h, t) = meta(scope, name)
+    val d = dir(scope, name)
+    val f = fs(d)
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val victims = f.listStatus(d)
+      .filter(_.getPath.getName.startsWith("chunk-"))
+      .filter { s =>
+        val start = s.getPath.getName.stripPrefix("chunk-").toLong
+        val end = start + s.getLen
+        end <= h || (start >= t && s.getModificationTime <= cutoff)
+      }
+      .map(_.getPath).toSeq
+    victims.foreach(p => try f.delete(p, false) catch { case _: Exception => () })
+    victims.map(_.toString).sorted
+  }
 }

@@ -28,7 +28,7 @@ import java.util.UUID
   * (segmentId long, offset long, routingKey string, eventTime long,
   *  processingTime timestamp, payload binary).
   */
-class GraftStreams(val spark: SparkSession, rootDir: String) {
+class GraftStreams(val spark: SparkSession, val rootDir: String) {
   val catalog = new StreamCatalog(rootDir, spark.sessionState.newHadoopConf())
 
   import spark.implicits._

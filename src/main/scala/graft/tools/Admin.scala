@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   *   files <scope> <stream>                   manifest file entries
   *   txns <scope> <stream>                    transaction records
   *   cuts <scope> <stream> [approxRows]       head/tail + next paced cut
+  *   kv-fsck <scope> <kvt>                    KV table integrity audit
+  *   kv-sweep <scope> <kvt> [graceMs]         reclaim KV orphan dirs + due tombstones
+  *   kv-compact <scope> <kvt>                 fold deltas into a fresh base
+  *   bs-fsck <scope> <byteStream>             byte-stream chunk-tiling audit
+  *   bs-sweep <scope> <byteStream> [graceMs]  reclaim dead/uncommitted chunks
   *   attrs <scope> <stream> [segmentId]       segment attributes (all segments by default)
   *   cut-save <scope> <stream> <name> [approxRows]  save a named cut (tail, or ~N rows past head)
   *   cut-delete <scope> <stream> <name>       delete a named cut
@@ -119,6 +124,32 @@ object Admin {
         m.namedCuts.toSeq.sortBy(_._1).foreach { case (name, pos) =>
           println(s"named '$name': ${fmtCut(StreamCut(pos))}")
         }
+      case "kv-fsck" =>
+        val t = g.catalog.openKeyValueTable(g.spark, scope, stream)
+        val issues = t.fsck()
+        issues.foreach(println)
+        println(s"${issues.size} issue(s)")
+      case "kv-sweep" =>
+        val t = g.catalog.openKeyValueTable(g.spark, scope, stream)
+        val grace = a.lift(2).map(_.toLong).getOrElse(3600000L)
+        val orphans = t.sweepOrphans(grace)
+        val dead = t.sweepDeletes()
+        (orphans ++ dead).foreach(p => println(s"reclaimed $p"))
+        println(s"${orphans.size} orphan(s), ${dead.size} tombstone(s)")
+      case "kv-compact" =>
+        g.catalog.openKeyValueTable(g.spark, scope, stream).compact()
+        println("compacted")
+      case "bs-fsck" =>
+        val bs = new graft.storage.ByteStreams(g.rootDir)
+        val issues = bs.fsck(scope, stream)
+        issues.foreach(println)
+        println(s"${issues.size} issue(s)")
+      case "bs-sweep" =>
+        val bs = new graft.storage.ByteStreams(g.rootDir)
+        val grace = a.lift(2).map(_.toLong).getOrElse(3600000L)
+        val swept = bs.sweep(scope, stream, grace)
+        swept.foreach(p => println(s"reclaimed $p"))
+        println(s"${swept.size} chunk(s)")
       case "attrs" =>
         val m = g.catalog.getStream(scope, stream)
         val segs = a.lift(2).map(_.toLong) match {
@@ -211,6 +242,8 @@ object Admin {
       |  scopes | streams <scope> | kvts <scope>
       |  describe|segments|files|txns|watermark <scope> <stream>
       |  cuts <scope> <stream> [approxRows]
+      |  kv-fsck|kv-compact <scope> <kvt> | kv-sweep <scope> <kvt> [graceMs]
+      |  bs-fsck <scope> <bs> | bs-sweep <scope> <bs> [graceMs]
       |  attrs <scope> <stream> [segmentId]
       |  cut-save <scope> <stream> <name> [approxRows] | cut-delete <scope> <stream> <name>
       |  read <scope> <stream> [n]
