@@ -329,6 +329,32 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def manifestVersions(scope: String, stream: String): Seq[Long] =
     listVersions(scope, stream).sorted
 
+  /** The stream's committed state at an exact manifest version — the
+    * time-travel read surface (`VERSION AS OF`). Valid within the
+    * physical-retention horizon: a version whose data files were later
+    * compacted/truncated away and GRACE-SWEPT reads the manifest fine
+    * but fails loudly at scan time on the missing file (the Delta
+    * VACUUM contract).
+    */
+  def getStreamAt(scope: String, stream: String, version: Long): StreamMetadata = {
+    if (!fs.exists(manifestPath(scope, stream, version)))
+      throw new NoSuchStreamException(
+        s"stream $scope/$stream has no manifest version $version " +
+          s"(available: ${manifestVersions(scope, stream).mkString(", ")})")
+    readManifest(scope, stream, version)
+  }
+
+  /** Latest version committed at or before `epochMillis` (manifest-file
+    * commit time), for `TIMESTAMP AS OF`. None if the stream didn't
+    * exist yet.
+    */
+  def versionAtTime(scope: String, stream: String, epochMillis: Long): Option[Long] = {
+    val versions = manifestVersions(scope, stream)
+    versions.reverse.find { v =>
+      fs.getFileStatus(manifestPath(scope, stream, v)).getModificationTime <= epochMillis
+    }
+  }
+
   private def listVersions(scope: String, stream: String): Seq[Long] = {
     val p = metaPath(scope, stream)
     try fs.listStatus(p).iterator

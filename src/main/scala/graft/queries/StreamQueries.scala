@@ -1680,6 +1680,94 @@ object StreamQueries {
       |  CAST(SUM(CAST(concat('0x', substring(fp, 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** SQL time travel over a stream table (`VERSION AS OF` through the
+    * DSv2 catalog): manifest versions are the commit history —
+    * `getStreamAt(v)` pins the file list, cuts and truncation state to
+    * the CAS that produced them, exactly the revisioned-metadata read
+    * the reference's StreamCut + getSegments(from, to) surface offers,
+    * but addressable by commit. Batch A is written, the version
+    * captured, batch B appended; the query reads the SAME table
+    * identifier at both the historical version and the live tail and
+    * joins the two — the oracle recomputes each side from the source
+    * table. A planner that leaked post-version files into the pinned
+    * read (or vice versa) breaks the join counts. Historical tables
+    * reject writes/streaming/truncate (spec'd in TimeTravelSpec).
+    */
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gsql.rootDir", sqlRoot)
+    val g = new GraftStreams(s, sqlRoot)
+    val scope = "q" + java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
+    g.catalog.createScope(scope)
+    g.catalog.createStream(scope, "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+    g.writeEvents(scope, "ev", src.filter($"event_id" % 2 === 0).drop("event_id"))
+    val vA = g.catalog.getStream(scope, "ev").version
+    g.writeEvents(scope, "ev", src.filter($"event_id" % 2 === 1).drop("event_id"))
+    val asof = s.sql(
+      s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n_asof
+         |FROM gsql.$scope.ev VERSION AS OF $vA GROUP BY 1""".stripMargin)
+    val now = s.sql(
+      s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n_now
+         |FROM gsql.$scope.ev GROUP BY 1""".stripMargin)
+    asof.join(now, "event_type").orderBy($"event_type")
+  }
+
+  private val timeTravelSql =
+    """SELECT event_type,
+      |  COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_asof,
+      |  COUNT(*) AS n_now
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Version-diff read ("what changed between commit v1 and v2" — the
+    * CDC/table_changes surface over the manifest history): three batches
+    * commit as three manifest versions; the middle one is read back as
+    * `(fromVersion=v1, toVersion=v2]` — internally the two manifest
+    * tails become a cut pair and planning is pinned at v2, so later
+    * commits (the decoy third batch) can never leak in. The oracle
+    * recomputes the middle batch from the source table: a hash match
+    * proves the version→cut resolution and the pinned planning window
+    * are exact.
+    */
+  private def versionChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-vdiff").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_type", "UTF-8").as("payload"),
+      $"event_id")
+    g.writeEvents("q", "ev", src.filter($"event_id" % 3 === 0).drop("event_id"))
+    val v1 = g.catalog.getStream("q", "ev").version
+    g.writeEvents("q", "ev", src.filter($"event_id" % 3 === 1).drop("event_id"))
+    val v2 = g.catalog.getStream("q", "ev").version
+    g.writeEvents("q", "ev", src.filter($"event_id" % 3 === 2).drop("event_id"))
+    s.read.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("fromVersion", v1.toString).option("toVersion", v2.toString)
+      .load()
+      .groupBy(decode($"payload", "UTF-8").as("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct($"routingKey").as("n_users"),
+        min($"eventTime").as("min_time"), max($"eventTime").as("max_time"))
+      .orderBy($"event_type")
+  }
+
+  private val versionChangesSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_users,
+      |  epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS min_time,
+      |  epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS max_time
+      |FROM events WHERE event_id % 3 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** One event arriving at the hot-key monitor. */
   case class HotIn(part: Long, rk: String)
   /** Per-trigger hot-key report: seq = rows folded so far (monotone, so
@@ -1995,6 +2083,8 @@ object StreamQueries {
     ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
     ("ev_stream_lsh_index",  streamLshIndex _, Some(streamLshIndexSql)),
     ("ev_stream_hot_keys",   streamHotKeys _, Some(streamHotKeysSql)),
+    ("ev_time_travel",       timeTravel _,   Some(timeTravelSql)),
+    ("ev_version_changes",   versionChanges _, Some(versionChangesSql)),
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),

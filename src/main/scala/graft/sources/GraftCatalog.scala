@@ -67,6 +67,45 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     new GraftStreamTable(props)
   }
 
+  /** `SELECT ... FROM g.scope.stream VERSION AS OF <v>` — the committed
+    * state at manifest version v: file list, head/tail cuts, truncation
+    * and compaction all as of that CAS. Readable within the physical
+    * retention horizon (files swept later fail loudly at scan time —
+    * the Delta VACUUM contract). Historical tables reject writes,
+    * streaming reads and TRUNCATE.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel versions are manifest numbers; got '$version'")
+    }
+    val scope = scopeOf(ident.namespace())
+    if (!cat.streamExists(scope, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    cat.getStreamAt(scope, ident.name(), v) // fail at resolution, not scan
+    val props = new java.util.HashMap[String, String]()
+    props.put("rootDir", rootDir)
+    props.put("scope", scope)
+    props.put("stream", ident.name())
+    props.put("asOfVersion", v.toString)
+    new GraftStreamTable(props)
+  }
+
+  /** `TIMESTAMP AS OF <t>` (micros): the latest manifest committed at or
+    * before t, by manifest-file commit time.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val scope = scopeOf(ident.namespace())
+    if (!cat.streamExists(scope, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val millis = timestamp / 1000L
+    val v = cat.versionAtTime(scope, ident.name(), millis).getOrElse(
+      throw new IllegalArgumentException(
+        s"stream $scope/${ident.name()} has no manifest committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(millis)}"))
+    loadTable(ident, v.toString)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && cat.streamExists(ident.namespace()(0), ident.name())
 

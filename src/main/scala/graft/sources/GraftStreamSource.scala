@@ -56,11 +56,23 @@ final case class StreamSub(scope: String, stream: String,
 }
 
 final case class GraftSourceConfig(rootDir: String, subs: Seq[StreamSub],
-                                   maxRowsPerTrigger: Option[Long]) {
+                                   maxRowsPerTrigger: Option[Long],
+                                   asOfVersion: Option[Long] = None) {
   require(subs.nonEmpty, "graft-stream source requires 'stream' or 'streams'")
   require(subs.map(_.key).distinct.size == subs.size,
     s"duplicate stream subscription: ${subs.map(_.key).mkString(", ")}")
+  require(asOfVersion.isEmpty || subs.size == 1,
+    "asOfVersion (time travel) targets exactly one stream — manifest versions are per-stream")
   def multi: Boolean = subs.size > 1
+
+  /** Planning metadata: live tail, or the pinned historical manifest
+    * when this is a time-travel scan (`VERSION AS OF` / `asOfVersion`).
+    */
+  def metaOf(g: GraftStreams, sub: StreamSub): graft.core.StreamMetadata =
+    asOfVersion match {
+      case Some(v) => g.catalog.getStreamAt(sub.scope, sub.stream, v)
+      case None => g.catalog.getStream(sub.scope, sub.stream)
+    }
   def schema: StructType =
     if (multi) StructType(GraftStreams.eventSchema.fields :+
       StructField("stream", StringType, nullable = false))
@@ -91,7 +103,33 @@ object GraftSourceConfig {
         Seq(StreamSub(req("scope"), req("stream"),
           cut("fromStreamCut"), cut("toStreamCut")))
     }
-    GraftSourceConfig(rootDir, subs, Option(o.get("maxRowsPerTrigger")).map(_.toLong))
+    val asOf0 = Option(o.get("asOfVersion")).map(_.toLong)
+    val fromV = Option(o.get("fromVersion")).map(_.toLong)
+    val toV = Option(o.get("toVersion")).map(_.toLong)
+    // Version-diff read ("what changed between commit v1 and v2"): the
+    // two manifest tails become the (from, to] cut pair — the engine's
+    // existing cut-bounded read does the rest — and planning metadata is
+    // pinned at toVersion so truncation/compaction committed later can
+    // never shift the window.
+    val (finalSubs, asOf) =
+      if (fromV.isEmpty && toV.isEmpty) (subs, asOf0)
+      else {
+        require(subs.size == 1,
+          "fromVersion/toVersion (version-diff read) targets exactly one stream")
+        val sub = subs.head
+        require(sub.from.isEmpty && sub.to.isEmpty,
+          "fromVersion/toVersion cannot be combined with explicit StreamCut options")
+        require(asOf0.forall(v => toV.contains(v)),
+          s"asOfVersion $asOf0 conflicts with toVersion $toV")
+        require(fromV.isEmpty || toV.isEmpty || fromV.get <= toV.get,
+          s"fromVersion ${fromV.get} must be <= toVersion ${toV.get}")
+        val cat = new graft.catalog.StreamCatalog(rootDir)
+        val f = fromV.map(v => cat.getStreamAt(sub.scope, sub.stream, v).tailCut)
+        val t = toV.map(v => cat.getStreamAt(sub.scope, sub.stream, v).tailCut)
+        (Seq(sub.copy(from = f, to = t)), toV.orElse(asOf0))
+      }
+    GraftSourceConfig(rootDir, finalSubs, Option(o.get("maxRowsPerTrigger")).map(_.toLong),
+      asOf)
   }
 }
 
@@ -182,6 +220,8 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
   override def truncateTable(): Boolean = {
     require(conf.subs.size == 1,
       s"graft-stream truncate targets exactly one stream, got ${conf.describe}")
+    require(conf.asOfVersion.isEmpty,
+      "cannot truncate a time-travel (asOfVersion) table — historical manifests are immutable")
     val sub = conf.subs.head
     val g = new GraftStreams(SparkSession.active, conf.rootDir)
     val tail = g.catalog.getStream(sub.scope, sub.stream).tailCut
@@ -340,7 +380,7 @@ final class GraftScanBuilder(conf: GraftSourceConfig) extends ScanBuilder
       .empty[Long, (Long, Option[Long], Option[Long])]
     // head-cut enforcement (enforceHead): loud even on the zero-IO path
     val exact = conf.subs.forall { sub =>
-      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream),
+      val sr = new SubRange(conf.metaOf(g, sub),
         sub.key, sub.from, sub.to, enforceHead = true)
       sr.meta.files.distinctBy(_.path).forall { f =>
         val overlap = sr.overlap(f)
@@ -477,8 +517,11 @@ class GraftScan(conf: GraftSourceConfig,
             else s" PushedFilters: [${pushed.recognized.mkString(", ")}]"
     s"GraftStreamSource[${conf.describe}]$f ReadSchema: ${outSchema.simpleString}"
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(conf.asOfVersion.isEmpty,
+      "asOfVersion (time travel) is a batch-read surface; streaming reads tail the live manifest")
     new GraftMicroBatchStream(SparkSession.active, conf)
+  }
 
   /** Manifest-derived size/row estimates (SupportsReportStatistics): lets
     * Catalyst auto-broadcast a small bounded stream read in joins — the
@@ -509,7 +552,7 @@ class GraftScan(conf: GraftSourceConfig,
     // enforceHead = false: stats never throw; the planner stays the
     // loud surface for truncated-under-reader positions.
     conf.subs.filter(sub => pushed.keepStream(sub.key)).foreach { sub =>
-      val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream),
+      val sr = new SubRange(conf.metaOf(g, sub),
         sub.key, sub.from, sub.to, enforceHead = false)
       sr.meta.files.distinctBy(_.path).foreach { f =>
         val overlap = sr.overlap(f)
@@ -547,10 +590,10 @@ class GraftScan(conf: GraftSourceConfig,
       private val g = new GraftStreams(spark, conf.rootDir)
       override def planInputPartitions(): Array[InputPartition] = {
         val fromC = conf.subs.map { sub =>
-          sub.key -> sub.from.getOrElse(g.catalog.getStream(sub.scope, sub.stream).headStreamCut)
+          sub.key -> sub.from.getOrElse(conf.metaOf(g, sub).headStreamCut)
         }.toMap
         val toC = conf.subs.map { sub =>
-          val tail = g.catalog.getStream(sub.scope, sub.stream).tailCut
+          val tail = conf.metaOf(g, sub).tailCut
           sub.key -> sub.to.map(t => StreamCut(tail.positions.map { case (sid, off) =>
             sid -> math.min(off, t.positions.getOrElse(sid, 0L))
           })).getOrElse(tail)
@@ -593,7 +636,7 @@ private[sources] object GraftReadPlanner {
         // wrong segment, routing-key hash outside the segment's key
         // range) — conservative, the residual filters still run over
         // whatever is read
-        val sr = new SubRange(g.catalog.getStream(sub.scope, sub.stream), sub.key,
+        val sr = new SubRange(conf.metaOf(g, sub), sub.key,
           fromC.get(sub.key), Some(toC.getOrElse(sub.key, StreamCut(Map.empty))),
           enforceHead = true)
         boundsB += sub.key -> sr.meta.segments.map(s => s.segmentId ->

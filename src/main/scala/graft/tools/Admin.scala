@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
   *   files <scope> <stream>                   manifest file entries
   *   txns <scope> <stream>                    transaction records
   *   cuts <scope> <stream> [approxRows]       head/tail + next paced cut
+  *   versions <scope> <stream>                manifest history (the VERSION AS OF surface)
   *   kv-fsck <scope> <kvt>                    KV table integrity audit
   *   kv-sweep <scope> <kvt> [graceMs]         reclaim KV orphan dirs + due tombstones
   *   kv-compact <scope> <kvt>                 fold deltas into a fresh base
@@ -123,6 +124,14 @@ object Admin {
         }
         m.namedCuts.toSeq.sortBy(_._1).foreach { case (name, pos) =>
           println(s"named '$name': ${fmtCut(StreamCut(pos))}")
+        }
+      case "versions" =>
+        // manifest history = the VERSION AS OF surface
+        val cat = g.catalog
+        cat.manifestVersions(scope, stream).foreach { v =>
+          val m = cat.getStreamAt(scope, stream, v)
+          println(f"$v%8d  files=${m.files.size}%5d  segments=${m.segments.size}%3d  " +
+            f"tail=${m.tailCut.positions.values.sum}%10d rows")
         }
       case "kv-fsck" =>
         val t = g.catalog.openKeyValueTable(g.spark, scope, stream)

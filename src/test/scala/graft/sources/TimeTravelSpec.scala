@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.{StreamConfig, NoSuchStreamException}
+import graft.storage.GraftStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Time travel over stream tables: `asOfVersion` pins a batch read to
+  * one committed manifest (the CAS history as a queryable dimension),
+  * through both the DataFrame option and the SQL catalog's
+  * VERSION AS OF / TIMESTAMP AS OF. Historical tables are immutable:
+  * writes, streaming reads and TRUNCATE are rejected at plan time.
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(): (GraftStreams, String, Long, Long) = {
+    val root = Files.createTempDirectory("graft-tt").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 2))
+    def batch(tag: String, n: Int) =
+      (0 until n).map(i => (s"k${i % 5}", i.toLong, s"$tag-$i"))
+        .toDF("routingKey", "eventTime", "p")
+        .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload"))
+    g.writeEvents("s", "ev", batch("a", 40))
+    val vA = g.catalog.getStream("s", "ev").version
+    Thread.sleep(30) // separate manifest commit times for TIMESTAMP AS OF
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    g.writeEvents("s", "ev", batch("b", 25))
+    (g, root, vA, tMid)
+  }
+
+  private def readAt(root: String, v: Long) =
+    spark.read.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .option("asOfVersion", v.toString).load()
+
+  test("asOfVersion option pins the read to the historical manifest") {
+    val (g, root, vA, _) = fixture()
+    assert(readAt(root, vA).count() == 40)
+    assert(readAt(root, g.catalog.getStream("s", "ev").version).count() == 65)
+    // the live read still sees everything
+    assert(g.readEvents("s", "ev").count() == 65)
+  }
+
+  test("pinned version survives later appends between plan and action") {
+    val (g, root, vA, _) = fixture()
+    val df = readAt(root, vA) // plan now...
+    g.writeEvents("s", "ev", Seq(("k9", 99L, "c"))
+      .toDF("routingKey", "eventTime", "p")
+      .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload")))
+    assert(df.count() == 40) // ...act after another commit
+  }
+
+  test("TIMESTAMP AS OF resolves by manifest commit time through the SQL catalog") {
+    val (_, root, _, tMid) = fixture()
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.rootDir", root)
+    val ts = new java.sql.Timestamp(tMid)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.s.ev TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 40)
+    assert(spark.sql("SELECT count(*) FROM gtt.s.ev").head().getLong(0) == 65)
+  }
+
+  test("a nonexistent version fails at resolution, naming the available history") {
+    val (_, root, _, _) = fixture()
+    spark.conf.set("spark.sql.catalog.gtt2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt2.rootDir", root)
+    val e = intercept[Exception](spark.sql("SELECT * FROM gtt2.s.ev VERSION AS OF 9999").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[NoSuchStreamException]), e.toString)
+  }
+
+  test("version-diff read: (fromVersion, toVersion] is exactly the rows of the commits between") {
+    val (g, root, vA, _) = fixture() // v(A)=40 rows, then +25
+    val vB = g.catalog.getStream("s", "ev").version
+    g.writeEvents("s", "ev", Seq(("k1", 7L, "c-0"))
+      .toDF("routingKey", "eventTime", "p")
+      .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload")))
+    def changes(opts: Map[String, String]) = {
+      val r = spark.read.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    val mid = changes(Map("fromVersion" -> vA.toString, "toVersion" -> vB.toString))
+    assert(mid.count() == 25)
+    assert(mid.select(decode($"payload", "UTF-8")).as[String].collect().forall(_.startsWith("b-")))
+    // open-ended: changes since vA = everything after it, tracking the live tail
+    assert(changes(Map("fromVersion" -> vA.toString)).count() == 26)
+    // degenerate: empty window
+    assert(changes(Map("fromVersion" -> vA.toString, "toVersion" -> vA.toString)).count() == 0)
+    // conflicts are rejected at option parsing
+    intercept[IllegalArgumentException](
+      changes(Map("fromVersion" -> vB.toString, "toVersion" -> vA.toString)).count())
+    intercept[IllegalArgumentException](
+      changes(Map("fromVersion" -> vA.toString, "fromStreamCut" -> "{}")).count())
+  }
+
+  test("historical tables reject writes, streaming reads and pushdown stays active") {
+    val (_, root, vA, _) = fixture()
+    val err = intercept[Exception] {
+      Seq(("k", 1L, Array[Byte](1))).toDF("routingKey", "eventTime", "payload")
+        .write.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", "ev")
+        .option("asOfVersion", vA.toString).mode("append").save()
+    }
+    assert(err.getMessage.contains("time-travel") ||
+      Option(err.getCause).exists(_.getMessage.contains("time-travel")), err.toString)
+    val serr = intercept[Exception] {
+      spark.readStream.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", "ev")
+        .option("asOfVersion", vA.toString).load()
+        .writeStream.format("memory").queryName("tt_no").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(serr).exists(c =>
+      Option(c.getMessage).exists(_.contains("batch-read surface"))), serr.toString)
+    // predicate pushdown works on the historical scan too
+    val pruned = readAt(root, vA).filter($"eventTime" >= 20)
+    assert(pruned.count() == 20)
+  }
+}
