@@ -1607,6 +1607,103 @@ object StreamQueries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  case class AvroIn(routingKey: String, eventTime: Long,
+                    event_id: Long, event_type: String, micros: Long)
+  case class AvroEv(routingKey: String, eventTime: Long, payload: Array[Byte])
+  case class AvroOut(event_id: Long, event_type: String, micros: Long, src: String)
+
+  private val avroWriterSchema =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"micros","type":"long"}]}""".stripMargin
+  /** Reader schema ADDS a defaulted field — Avro reader/writer schema
+    * resolution, the compatibility rule a schema registry enforces. */
+  private val avroReaderSchema =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"micros","type":"long"},
+      |{"name":"src","type":"string","default":"evt"}]}""".stripMargin
+
+  /** Avro-binary payload round trip WITH schema evolution: events are
+    * serialized per row with the raw Avro GenericDatumWriter (the codec
+    * Pravega applications most commonly plug into Serializer<T> via the
+    * schema-registry serializers; JavaSerializer/JSON analogs are
+    * `ev_json_roundtrip`), pushed through the engine, and decoded with a
+    * NEWER reader schema that adds a defaulted field — Avro's
+    * reader/writer resolution, i.e. the backward-compatibility contract
+    * a schema registry enforces. Codec stages are typed mapPartitions
+    * (one Schema/writer per partition, streamed encoding — the only
+    * correct placement for a third-party codec, like the image/audio
+    * stages); everything around them stays declarative. The oracle
+    * recomputes the aggregate from the source table: a match proves
+    * serialize → store → scan → resolve-decode loses nothing, including
+    * the evolved field's default.
+    */
+  private def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    val work = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val wSchema = avroWriterSchema
+    val rSchema = avroReaderSchema
+    val micros = expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    val src = Tables.events(s, dir).select(
+        $"user_id".cast("string").as("routingKey"),
+        unix_millis($"ts".cast("timestamp")).as("eventTime"),
+        $"event_id", $"event_type", micros.as("micros"))
+      .as[AvroIn]
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(wSchema)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val bos = new java.io.ByteArrayOutputStream()
+        var enc: org.apache.avro.io.BinaryEncoder = null
+        it.map { r =>
+          bos.reset()
+          enc = EncoderFactory.get().binaryEncoder(bos, enc)
+          val rec = new GenericData.Record(schema)
+          rec.put("event_id", r.event_id)
+          rec.put("event_type", r.event_type)
+          rec.put("micros", r.micros)
+          writer.write(rec, enc)
+          enc.flush()
+          AvroEv(r.routingKey, r.eventTime, bos.toByteArray)
+        }
+      }
+    g.writeEvents("q", "ev", src.toDF())
+    g.readEvents("q", "ev")
+      .select($"payload").as[Array[Byte]]
+      .mapPartitions { it =>
+        val writerS = new Schema.Parser().parse(wSchema)
+        val readerS = new Schema.Parser().parse(rSchema)
+        val reader = new GenericDatumReader[GenericRecord](writerS, readerS)
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        it.map { bytes =>
+          dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+          val rec = reader.read(null, dec)
+          AvroOut(rec.get("event_id").asInstanceOf[Long],
+            rec.get("event_type").toString,
+            rec.get("micros").asInstanceOf[Long],
+            rec.get("src").toString)
+        }
+      }
+      .groupBy($"event_type", $"src")
+      .agg(count(lit(1)).as("n"), sum($"micros").as("sum_micros"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  private val avroRoundtripSql =
+    """SELECT event_type, 'evt' AS src, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_micros,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Streaming curation at ingest — the training-data pipeline running
     * INSIDE the stream engine rather than as a batch afterthought:
     * documents flow as events (with injected exact duplicates), a
@@ -2088,6 +2185,7 @@ object StreamQueries {
     ("ev_scan_prune",        scanPrune _,    Some(scanPruneSql)),
     ("ev_manifest_count",    manifestCount _, Some(manifestCountSql)),
     ("ev_json_roundtrip",    jsonRoundtrip _, Some(jsonRoundtripSql)),
+    ("ev_avro_roundtrip",    avroRoundtrip _, Some(avroRoundtripSql)),
     ("ev_stream_curate",     streamCurate _, Some(streamCurateSql)),
     ("ev_checkpoint_resume", checkpointResume _, Some(checkpointResumeSql)),
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
