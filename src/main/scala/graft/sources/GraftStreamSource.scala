@@ -57,7 +57,8 @@ final case class StreamSub(scope: String, stream: String,
 
 final case class GraftSourceConfig(rootDir: String, subs: Seq[StreamSub],
                                    maxRowsPerTrigger: Option[Long],
-                                   asOfVersion: Option[Long] = None) {
+                                   asOfVersion: Option[Long] = None,
+                                   maxBytesPerTrigger: Option[Long] = None) {
   require(subs.nonEmpty, "graft-stream source requires 'stream' or 'streams'")
   require(subs.map(_.key).distinct.size == subs.size,
     s"duplicate stream subscription: ${subs.map(_.key).mkString(", ")}")
@@ -129,7 +130,7 @@ object GraftSourceConfig {
         (Seq(sub.copy(from = f, to = t)), toV.orElse(asOf0))
       }
     GraftSourceConfig(rootDir, finalSubs, Option(o.get("maxRowsPerTrigger")).map(_.toLong),
-      asOf)
+      asOf, Option(o.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -170,7 +171,9 @@ object GraftStreamOffset {
 
 /** `format("graft-stream")` — DSv2 provider. Options: rootDir, scope,
   * stream | streams, fromStreamCut[.<name>] (JSON | "head"),
-  * toStreamCut[.<name>] (JSON | "unbounded"), maxRowsPerTrigger.
+  * toStreamCut[.<name>] (JSON | "unbounded"), maxRowsPerTrigger,
+  * maxBytesPerTrigger (manifest-stat byte pacing; min wins when both
+  * are set), asOfVersion / fromVersion / toVersion (time travel).
   */
 class GraftStreamSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-stream"
@@ -795,9 +798,37 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
       case m: ReadMaxRows => Some(m.maxRows())
       case _ => conf.maxRowsPerTrigger
     }
-    // reader-group fairness: the row budget splits evenly across
+    // reader-group fairness: the row/byte budgets split evenly across
     // subscribed streams, then across each stream's segments
     val perStream = maxRows.map(m => math.max(1L, m / conf.subs.size))
+    // byte-aware admission (`maxBytesPerTrigger`): on an event stream
+    // the payload IS the data volume and rows vary wildly in size, so
+    // the deployment knob a 100 TB ingest needs is bytes, not rows —
+    // the reference reader fetches by bytes the same way
+    // (SegmentInputStream read ahead). The byte budget converts to a
+    // per-segment ROW allowance via manifest stats (byteSize/rowCount
+    // per file — zero file IO), composing with the row cap (min wins)
+    // and the chunk-safe snap below.
+    val perStreamBytes = conf.maxBytesPerTrigger.map(m => math.max(1L, m / conf.subs.size))
+    def byteRowAllowance(meta: graft.core.StreamMetadata, sid: Long,
+                         cur: Long, budget: Long): Long = {
+      var rows = 0L
+      var rem = budget
+      val files = meta.files.filter(f => f.segmentId == sid && f.endOffset > cur)
+        .sortBy(_.startOffset)
+      val it = files.iterator
+      var exhausted = false
+      while (it.hasNext && !exhausted) {
+        val f = it.next()
+        val bpr = math.max(1L, f.byteSize / math.max(1L, f.rowCount))
+        val avail = f.endOffset - math.max(cur, f.startOffset)
+        val take = math.min(avail, rem / bpr)
+        rows += take
+        rem -= take * bpr
+        if (take < avail) exhausted = true
+      }
+      math.max(1L, rows) // always progress: one row minimum, like maxRows
+    }
     val next = conf.subs.map { sub =>
       val meta = g.catalog.getStream(sub.scope, sub.stream)
       val tail0 = meta.tailCut
@@ -812,11 +843,12 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
       }
       val from = (startCuts.get(sub.key).toSeq ++ lastEnd.get(sub.key).toSeq ++
         Seq(headCuts(sub.key))).reduce(mergeMax)
-      val advanced = perStream match {
-        case None => tail
-        case Some(budget) =>
+      val advanced =
+        if (perStream.isEmpty && perStreamBytes.isEmpty) tail
+        else {
           val segs = meta.segments.map(_.segmentId)
-          val per = math.max(1L, budget / math.max(1, segs.size))
+          val perRowsSeg = perStream.map(b => math.max(1L, b / math.max(1, segs.size)))
+          val perBytesSeg = perStreamBytes.map(b => math.max(1L, b / math.max(1, segs.size)))
           // lineage gate (SegmentCompleted analog, ReaderGroupState.java:
           // 966 — SURVEY §7's per-key-order-across-scale hard part): a
           // post-scale segment must not enter a batch BEFORE its parents'
@@ -839,7 +871,11 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
               // and would otherwise stall the segment forever; overrunning
               // it by a partial file matches the bounded batch path, which
               // emits the whole group whose head is below the bound.
-              val p = math.min(t, cur + per)
+              val per = math.min(
+                perRowsSeg.getOrElse(Long.MaxValue),
+                perBytesSeg.map(bb => byteRowAllowance(meta, sid, cur, bb))
+                  .getOrElse(Long.MaxValue))
+              val p = if (per >= t - cur) t else math.min(t, cur + per)
               val snapped = meta.files.find(f => f.segmentId == sid &&
                   f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
                 case Some(f) => f.endOffset
@@ -848,7 +884,7 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
               sid -> snapped
             }
           }.toMap)
-      }
+        }
       sub.key -> mergeMax(advanced, from)
     }.toMap
     lastEnd = next.map { case (k, c) =>

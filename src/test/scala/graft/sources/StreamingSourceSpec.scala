@@ -69,6 +69,31 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger paces by manifest byte stats; min wins with a row cap") {
+    val (g, root) = mk()
+    g.writeEvents("s", "ev", batch("a", 1200)) // payloads ~6-10 B each
+    def run(name: String, opts: (String, String)*): Int = {
+      val r = spark.readStream.format("graft-stream")
+        .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 1200L, "byte pacing must still drain everything")
+        assert(spark.table(name).groupBy($"segmentId", $"offset").count()
+          .filter($"count" > 1).count() == 0, "duplicate delivery")
+        q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+    }
+    // a budget far below the total byte volume forces multiple batches
+    val paced = run("membytes", "maxBytesPerTrigger" -> "4096")
+    assert(paced >= 3, s"expected byte pacing into >=3 non-empty batches, got $paced")
+    // combined caps: the tighter (row) cap dominates a loose byte cap
+    val both = run("memboth", "maxBytesPerTrigger" -> "10000000", "maxRowsPerTrigger" -> "300")
+    assert(both >= 3, s"row cap must still pace when the byte cap is loose, got $both")
+  }
+
   test("checkpoint-resume: restart yields the exact remainder, no loss/dup") {
     val (g, root) = mk()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
