@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * create/list/seal/delete surfaced as SQL DDL instead of an RPC admin
   * client.)
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -46,6 +47,25 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     case other => throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
       other.toSeq)
   }
+
+  // ------------------------------------------------------------ procedures
+
+  /** `CALL <cat>.system.<proc>(...)` — the maintenance plane in SQL
+    * (compact / truncate_at / scale_to / maintenance / sweep / seal /
+    * save_cut / fsck); outcomes return as relations. See
+    * [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live in the 'system' namespace; got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(ident.name(), rootDir)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---------------------------------------------------------------- tables
 

@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.storage.{GraftStreams, Maintenance}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for the engine's maintenance plane
+  * (Spark 4 `CALL cat.system.<proc>(...)` via ProcedureCatalog) — the
+  * ops the reference exposes through its admin CLI and controller REST
+  * API (cli/admin command tree; controller/.../rest), surfaced where a
+  * Spark user actually lives: plain SQL.
+  *
+  *   CALL g.system.compact('scope', 'stream')
+  *   CALL g.system.truncate_at('scope', 'stream', 1000)
+  *   CALL g.system.scale_to('scope', 'stream', 8)
+  *   CALL g.system.maintenance('scope', 'stream')
+  *   CALL g.system.sweep('scope', 'stream', 0)
+  *   CALL g.system.seal('scope', 'stream')
+  *   CALL g.system.save_cut('scope', 'stream', 'name')
+  *   CALL g.system.fsck('scope')
+  *
+  * Every procedure returns its outcome as rows (LocalScan), so results
+  * compose with SQL (`CALL` output is a relation). All metadata-plane:
+  * manifest CAS commits, no data IO except compaction's rewrite.
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("compact", "truncate_at", "scale_to",
+    "maintenance", "sweep", "seal", "save_cut", "fsck")
+
+  private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  /** One-partition in-driver result relation: maintenance outcomes are
+    * O(few rows) by construction.
+    */
+  private final class ResultScan(schema: StructType, data: Seq[Seq[Any]])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data.map { vals =>
+      InternalRow.fromSeq(vals.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      })
+    }.toArray
+  }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+                   outSchema: StructType)(body: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft maintenance procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false // mutates the manifest
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          java.util.Collections.singletonList(
+            new ResultScan(outSchema, body(input)): Scan).iterator()
+      }
+    }
+
+  def load(name: String, rootDir: String): UnboundProcedure = {
+    def g = new GraftStreams(SparkSession.active, rootDir)
+    val ss = Seq(in("scope", StringType), in("stream", StringType))
+    name match {
+      case "compact" =>
+        proc("compact", ss, StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false)))) { r =>
+          val eng = g
+          val before = eng.catalog.getStream(str(r, 0), str(r, 1)).files.size.toLong
+          eng.compactStream(str(r, 0), str(r, 1))
+          val after = eng.catalog.getStream(str(r, 0), str(r, 1)).files.size.toLong
+          Seq(Seq(before, after))
+        }
+      case "truncate_at" =>
+        proc("truncate_at", ss :+ in("approx_rows", LongType), StructType(Seq(
+          StructField("head_cut", StringType, nullable = false)))) { r =>
+          val eng = g
+          val (scope, stream) = (str(r, 0), str(r, 1))
+          val head = eng.catalog.getStream(scope, stream).headStreamCut
+          val cut = eng.nextStreamCut(scope, stream, head, r.getLong(2))
+          eng.catalog.truncateStream(scope, stream, cut)
+          Seq(Seq(cut.positions.toSeq.sortBy(_._1)
+            .map { case (s, o) => s"$s:$o" }.mkString(",")))
+        }
+      case "scale_to" =>
+        proc("scale_to", ss :+ in("segments", IntegerType), StructType(Seq(
+          StructField("segments_before", IntegerType, nullable = false),
+          StructField("segments_after", IntegerType, nullable = false)))) { r =>
+          val eng = g
+          val (scope, stream) = (str(r, 0), str(r, 1))
+          def open = eng.catalog.getStream(scope, stream).segments.count(!_.isSealed)
+          val before = open
+          eng.scaleStream(scope, stream, r.getInt(2))
+          Seq(Seq(before, open))
+        }
+      case "maintenance" =>
+        proc("maintenance", ss, StructType(Seq(
+          StructField("swept_txns", IntegerType, nullable = false),
+          StructField("reclaimed_files", IntegerType, nullable = false),
+          StructField("orphans", IntegerType, nullable = false)))) { r =>
+          val rep = new Maintenance(g).run(str(r, 0), str(r, 1))
+          Seq(Seq(rep.sweptTxns.size, rep.reclaimedFiles.size, rep.reclaimedOrphans.size))
+        }
+      case "sweep" =>
+        proc("sweep", ss :+ in("grace_ms", LongType), StructType(Seq(
+          StructField("reclaimed", StringType, nullable = false)))) { r =>
+          val eng = g
+          val paths = eng.sweepOrphans(str(r, 0), str(r, 1), r.getLong(2)) ++
+            eng.catalog.sweepDeletes(str(r, 0), str(r, 1))
+          if (paths.isEmpty) Seq(Seq("none")) else paths.map(p => Seq(p))
+        }
+      case "seal" =>
+        proc("seal", ss, StructType(Seq(
+          StructField("sealed", BooleanType, nullable = false)))) { r =>
+          g.catalog.sealStream(str(r, 0), str(r, 1))
+          Seq(Seq(true))
+        }
+      case "save_cut" =>
+        proc("save_cut", ss :+ in("name", StringType), StructType(Seq(
+          StructField("cut", StringType, nullable = false)))) { r =>
+          val cut = g.saveStreamCut(str(r, 0), str(r, 1), str(r, 2))
+          Seq(Seq(cut.positions.toSeq.sortBy(_._1)
+            .map { case (s, o) => s"$s:$o" }.mkString(",")))
+        }
+      case "fsck" =>
+        proc("fsck", Seq(in("scope", StringType)), StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("where", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false)))) { r =>
+          val issues = graft.tools.Fsck.checkRoot(rootDir, Some(str(r, 0)))
+          if (issues.isEmpty) Seq(Seq("clean", str(r, 0), "no issues"))
+          else issues.map(i => Seq(i.kind, i.where, i.detail))
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown procedure '$other' (have: ${names.mkString(", ")})")
+    }
+  }
+}

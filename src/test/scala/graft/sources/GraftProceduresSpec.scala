@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.StreamConfig
+import graft.storage.GraftStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** SQL stored procedures (`CALL cat.system.<proc>`) over the engine's
+  * maintenance plane: every call runs through Spark's ProcedureCatalog
+  * binding (argument coercion included) and returns its outcome as a
+  * relation; engine effects are verified against the manifest.
+  */
+class GraftProceduresSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Spark caches catalog instances by name, so each fixture registers
+    * a FRESH catalog name pointing at its own root.
+    */
+  private def fixture(): (GraftStreams, String) = {
+    val root = Files.createTempDirectory("graft-proc").toString
+    val cat = s"gproc${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.rootDir", root)
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 2))
+    (0 until 3).foreach { i =>
+      g.writeEvents("s", "ev", (0 until 100)
+        .map(j => (s"k$j", j.toLong, s"b$i-$j")).toDF("routingKey", "eventTime", "p")
+        .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload")))
+    }
+    (g, cat)
+  }
+
+  test("compact folds the manifest and reports before/after file counts") {
+    val (g, cat) = fixture()
+    val before = g.catalog.getStream("s", "ev").files.size
+    val row = spark.sql(s"CALL $cat.system.compact('s', 'ev')").head()
+    assert(row.getLong(0) == before && row.getLong(1) < before)
+    assert(g.readEvents("s", "ev").count() == 300)
+  }
+
+  test("truncate_at raises the head and returns the cut") {
+    val (g, cat) = fixture()
+    val cut = spark.sql(s"CALL $cat.system.truncate_at('s', 'ev', 100)").head().getString(0)
+    assert(cut.nonEmpty && cut.contains(":"))
+    val head = g.catalog.getStream("s", "ev").headStreamCut
+    assert(head.positions.values.sum >= 100)
+    assert(g.readEvents("s", "ev").count() == 300 - head.positions.values.sum)
+  }
+
+  test("scale_to changes the open-segment count") {
+    val (g, cat) = fixture()
+    val row = spark.sql(s"CALL $cat.system.scale_to('s', 'ev', 5)").head()
+    assert(row.getInt(0) == 2 && row.getInt(1) == 5)
+    assert(g.catalog.getStream("s", "ev").segments.count(!_.isSealed) == 5)
+  }
+
+  test("save_cut registers a named cut; maintenance and sweep run clean") {
+    val (g, cat) = fixture()
+    spark.sql(s"CALL $cat.system.save_cut('s', 'ev', 'ck')").collect()
+    assert(g.getStreamCut("s", "ev", "ck").nonEmpty)
+    val m = spark.sql(s"CALL $cat.system.maintenance('s', 'ev')").head()
+    assert(m.getInt(0) >= 0)
+    val swept = spark.sql(s"CALL $cat.system.sweep('s', 'ev', 0)").collect()
+    assert(swept.nonEmpty) // at least the "none" row
+  }
+
+  test("fsck returns clean for an intact scope; seal closes the stream") {
+    val (g, cat) = fixture()
+    val rows = spark.sql(s"CALL $cat.system.fsck('s')").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "clean", rows.mkString(";"))
+    assert(spark.sql(s"CALL $cat.system.seal('s', 'ev')").head().getBoolean(0))
+    assert(g.catalog.getStream("s", "ev").isSealed)
+  }
+
+  test("unknown procedure and wrong namespace fail loudly") {
+    val (_, cat) = fixture()
+    intercept[Exception](spark.sql(s"CALL $cat.system.nope('s')").collect())
+    intercept[Exception](spark.sql(s"CALL $cat.other.compact('s', 'ev')").collect())
+  }
+}
