@@ -1792,8 +1792,14 @@ object StreamQueries {
     */
   private def timeTravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.gsql.rootDir", sqlRoot)
+    // Unique catalog name per invocation: Spark caches catalog INSTANCES
+    // by name for the session's lifetime, so a shared name registered
+    // earlier (possibly against another root) would shadow this root —
+    // and this query mixes direct engine writes with SQL reads, which
+    // must agree on the root.
+    val cat = "gtt" + java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.rootDir", sqlRoot)
     val g = new GraftStreams(s, sqlRoot)
     val scope = "q" + java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
     g.catalog.createScope(scope)
@@ -1808,10 +1814,10 @@ object StreamQueries {
     g.writeEvents(scope, "ev", src.filter($"event_id" % 2 === 1).drop("event_id"))
     val asof = s.sql(
       s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n_asof
-         |FROM gsql.$scope.ev VERSION AS OF $vA GROUP BY 1""".stripMargin)
+         |FROM $cat.$scope.ev VERSION AS OF $vA GROUP BY 1""".stripMargin)
     val now = s.sql(
       s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n_now
-         |FROM gsql.$scope.ev GROUP BY 1""".stripMargin)
+         |FROM $cat.$scope.ev GROUP BY 1""".stripMargin)
     asof.join(now, "event_type").orderBy($"event_type")
   }
 
