@@ -341,7 +341,18 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       throw new NoSuchStreamException(
         s"stream $scope/$stream has no manifest version $version " +
           s"(available: ${manifestVersions(scope, stream).mkString(", ")})")
-    readManifest(scope, stream, version)
+    // Same created-but-not-yet-written window as getStream's newest-
+    // manifest retry: the file exists the instant the committer wins the
+    // CAS, its bytes land just after. Manifests are immutable once
+    // written, so retry briefly — but never fall back to ANOTHER version
+    // here: the caller asked for exactly this one.
+    var last: Exception = null
+    for (_ <- 1 to 20) {
+      try return readManifest(scope, stream, version)
+      catch { case e: Exception => last = e; Thread.sleep(10) }
+    }
+    throw new GraftException(
+      s"manifest $version of $scope/$stream exists but stayed unreadable: $last")
   }
 
   /** Latest version committed at or before `epochMillis` (manifest-file

@@ -346,19 +346,27 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       if (!fs.exists(new Path(f.path)))
         issues += s"file-missing: live ${f.kind} file ${f.path} (commit ${f.commitVersion})"
     }
-    // manifests hold paths as written (often scheme-less); listStatus
-    // returns fully-qualified URIs — compare on the scheme-less path
+    orphanDirs(m).foreach(s =>
+      issues += s"orphan-dir: ${s.getPath} (unreferenced; crashed writer leak)")
+    issues.result()
+  }
+
+  /** Delta-/base- dirs referenced by neither the live manifest nor its
+    * pending deletes — the single enumeration `fsck` reports from and
+    * `sweepOrphans` reclaims from, so the two can never drift apart.
+    * Manifests hold paths as written (often scheme-less); listStatus
+    * returns fully-qualified URIs — compare on the scheme-less path.
+    */
+  private def orphanDirs(m: KvManifest): Seq[org.apache.hadoop.fs.FileStatus] = {
     def norm(p: String) = new Path(p).toUri.getPath
     val referenced = (m.files.map(_.path) ++ m.pendingDeletes.map(_.path))
       .map(norm).toSet
     try fs.listStatus(tableDir)
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta-") ||
         s.getPath.getName.startsWith("base-")))
-      .map(_.getPath.toString)
-      .filterNot(p => referenced.contains(norm(p)))
-      .foreach(p => issues += s"orphan-dir: $p (unreferenced; crashed writer leak)")
-    catch { case _: java.io.FileNotFoundException => }
-    issues.result()
+      .filterNot(s => referenced.contains(norm(s.getPath.toString)))
+      .toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   // -------------------------------------------------------------- compaction
@@ -424,20 +432,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     * deletes its own dir, so only crashes leak. Returns reclaimed paths.
     */
   def sweepOrphans(graceMillis: Long = 3600000L): Seq[String] = {
-    val m = latest()
-    def norm(p: String) = new Path(p).toUri.getPath
-    val referenced = (m.files.map(_.path) ++ m.pendingDeletes.map(_.path))
-      .map(norm).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
-    val victims =
-      try fs.listStatus(tableDir)
-        .filter(s => s.isDirectory && (s.getPath.getName.startsWith("delta-") ||
-          s.getPath.getName.startsWith("base-")))
-        .filter(_.getModificationTime <= cutoff)
-        .map(_.getPath)
-        .filterNot(p => referenced.contains(norm(p.toString)))
-        .toSeq
-      catch { case _: java.io.FileNotFoundException => Seq.empty[Path] }
+    val victims = orphanDirs(latest())
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath)
     victims.foreach(p => try fs.delete(p, true) catch { case _: Exception => () })
     victims.map(_.toString).sorted
   }

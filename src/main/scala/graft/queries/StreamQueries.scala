@@ -1792,12 +1792,15 @@ object StreamQueries {
     */
   private def timeTravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Unique catalog name per invocation: Spark caches catalog INSTANCES
-    // by name for the session's lifetime, so a shared name registered
-    // earlier (possibly against another root) would shadow this root —
-    // and this query mixes direct engine writes with SQL reads, which
-    // must agree on the root.
-    val cat = "gtt" + java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
+    // Root-derived catalog name: Spark caches catalog INSTANCES by name
+    // for the session's lifetime, so a shared name registered earlier
+    // (possibly against another root — this query mixes direct engine
+    // writes with SQL reads, which must agree on the root) would shadow
+    // this root. Deriving the name from the root keeps it collision-free
+    // AND stable across invocations: one cached instance, no per-run
+    // conf-entry growth.
+    val cat = "gtt" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(sqlRoot).substring(0, 8)
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.rootDir", sqlRoot)
     val g = new GraftStreams(s, sqlRoot)
@@ -1818,7 +1821,12 @@ object StreamQueries {
     val now = s.sql(
       s"""SELECT decode(payload, 'UTF-8') AS event_type, count(*) AS n_now
          |FROM $cat.$scope.ev GROUP BY 1""".stripMargin)
-    asof.join(now, "event_type").orderBy($"event_type")
+    // LEFT join from the live side: an event type absent from the pinned
+    // version must still appear with n_asof = 0, exactly as the oracle's
+    // COUNT(*) FILTER computes it over every type.
+    now.join(asof, Seq("event_type"), "left")
+      .select($"event_type", coalesce($"n_asof", lit(0L)).as("n_asof"), $"n_now")
+      .orderBy($"event_type")
   }
 
   private val timeTravelSql =

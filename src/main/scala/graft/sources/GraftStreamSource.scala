@@ -239,7 +239,9 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
     options.entrySet().forEach { e =>
       val k = e.getKey.toLowerCase(java.util.Locale.ROOT)
       if (k.startsWith("fromstreamcut") || k.startsWith("tostreamcut") ||
-          k == "maxrowspertrigger") merged.put(e.getKey, e.getValue)
+          k == "maxrowspertrigger" || k == "maxbytespertrigger" ||
+          k == "asofversion" || k == "fromversion" || k == "toversion")
+        merged.put(e.getKey, e.getValue)
     }
     val scanConf = GraftSourceConfig.from(new CaseInsensitiveStringMap(merged))
     new GraftScanBuilder(scanConf)

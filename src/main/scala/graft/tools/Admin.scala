@@ -251,6 +251,7 @@ object Admin {
       |  scopes | streams <scope> | kvts <scope>
       |  describe|segments|files|txns|watermark <scope> <stream>
       |  cuts <scope> <stream> [approxRows]
+      |  versions <scope> <stream>   (manifest history, the VERSION AS OF surface)
       |  kv-fsck|kv-compact <scope> <kvt> | kv-sweep <scope> <kvt> [graceMs]
       |  bs-fsck <scope> <bs> | bs-sweep <scope> <bs> [graceMs]
       |  attrs <scope> <stream> [segmentId]

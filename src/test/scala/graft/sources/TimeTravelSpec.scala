@@ -104,6 +104,23 @@ class TimeTravelSpec extends AnyFunSuite {
       changes(Map("fromVersion" -> vA.toString, "fromStreamCut" -> "{}")).count())
   }
 
+  test("catalog-table reads honor per-read pacing and version options (whitelist overlay)") {
+    val (g, root, vA, _) = fixture()
+    spark.conf.set("spark.sql.catalog.gtt3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt3.rootDir", root)
+    // version option through the catalog table's read overlay
+    assert(spark.read.option("asOfVersion", vA.toString).table("gtt3.s.ev").count() == 40)
+    // byte pacing through readStream.table: must reach the source config
+    val q = spark.readStream.option("maxBytesPerTrigger", "256").table("gtt3.s.ev")
+      .writeStream.format("memory").queryName("ttcat").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ttcat").count() == 65)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"byte cap must pace the catalog-table stream, got $batches")
+    } finally q.stop()
+  }
+
   test("historical tables reject writes, streaming reads and pushdown stays active") {
     val (_, root, vA, _) = fixture()
     val err = intercept[Exception] {
