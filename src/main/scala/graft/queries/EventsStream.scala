@@ -292,7 +292,57 @@ object EventsStream {
       |FROM events GROUP BY event_type
       |ORDER BY count_lo DESC, event_type LIMIT 4""".stripMargin
 
+  /** Distinct users per event type through the KMV distinct-count
+    * sketch (operators/DistinctSketch): k smallest md5-prefix hashes per
+    * group, merged map-side — ≤ k longs cross the shuffle per group per
+    * task no matter the cardinality, and the sketch is persistable/
+    * mergeable across runs. Unlike HLL, BOTH branches are
+    * bit-reproducible and oracle-replayed: below k distinct the sketch
+    * IS the answer (sf0.001 exercises this), above it the
+    * (k-1)·2^60/h_k order-statistics estimate is exact integer
+    * arithmetic the oracle recomputes from the k-th smallest hash
+    * (sf0.01+, 150 distinct vs k=64). Merge-shape independence is the
+    * sketch's defining property — the k smallest are the k smallest
+    * under any partitioning (property-fuzzed in DistinctSketchSpec).
+    */
+  private def evDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.DistinctSketch
+    val k = 64
+    val sketches = Tables.events(s, dir)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new DistinctSketch.KmvAgg(k).toColumn)
+      .collect() // bounded: one row per event type
+    sketches.toSeq
+      .map { case (et, kmv) => (et, kmv.estimate, if (kmv.isExact) 1 else 0) }
+      .toDF("event_type", "est_distinct", "exact")
+      .orderBy($"event_type")
+  }
+
+  private val evDistinctKmvSql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS d
+      |  FROM h)
+      |SELECT event_type,
+      |  CASE WHEN d < 64 THEN CAST(d AS BIGINT)
+      |       ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // h AS BIGINT)
+      |  END AS est_distinct,
+      |  CASE WHEN d < 64 THEN 1 ELSE 0 END AS exact
+      |FROM r WHERE rn = CASE WHEN d < 64 THEN d ELSE 64 END
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_distinct_kmv",    evDistinctKmv _,    Some(evDistinctKmvSql)),
     ("ev_heavy_hitters",   evHeavyHitters _,   Some(evHeavyHittersSql)),
     ("ev_count_by_type",   evCountByType _,    Some(evCountByTypeSql)),
     ("ev_rate_windows",    evRateWindows _,    Some(evRateWindowsSql)),
