@@ -41,14 +41,15 @@ object ScaleBench {
     // text
     "txt_bloom_contamination", "txt_rep_ngrams", "txt_tfidf_top",
     "txt_winnow_overlap", "txt_quality_score", "txt_lang_id",
-    "txt_hash_classifier",
+    "txt_hash_classifier", "txt_train_perceptron",
     // similarity / embeddings
     "sim_adc_search", "sim_ann_ivf", "sim_hamming_topk", "emb_kmeans_iter",
     "emb_pq_codes",
     // event analytics
     "ev_anomaly_mad", "ev_funnel", "ev_sessionize", "ev_rfm_cutoffs",
     "ev_top_paths", "ev_markov_transitions", "ev_asof_join",
-    "ev_salted_enrich", "ev_retention_cohorts", "ev_heavy_hitters")
+    "ev_salted_enrich", "ev_retention_cohorts", "ev_heavy_hitters",
+    "ev_distinct_kmv")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)
