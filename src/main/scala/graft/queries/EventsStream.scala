@@ -341,7 +341,62 @@ object EventsStream {
       |FROM r WHERE rn = CASE WHEN d < 64 THEN d ELSE 64 END
       |ORDER BY event_type""".stripMargin
 
+  /** Sample-based quantiles through the deterministic bottom-k sketch
+    * (operators/BottomKSample): per event type, the 64 rows with the
+    * smallest md5(event_id) hashes form a uniform sample whose content
+    * is a pure function of the input set — identical under any
+    * partitioning/merge/retry — and the rank-based quantile of the
+    * sampled value micros is therefore bit-reproducible, which is what
+    * lets the oracle replay BOTH the sample membership (k smallest
+    * hashes via ROW_NUMBER) and the quantile ranks. Spark's own
+    * percentile/approx_percentile cover query-time quantiles
+    * (q21/ev_anomaly_mad); this is the persistable/mergeable form a
+    * corpus-statistics pipeline stores and unions across shards.
+    */
+  private def evQuantilesBk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.BottomKSample
+    val k = 64
+    val sketches = Tables.events(s, dir)
+      .select($"event_type",
+        conv(substring(md5($"event_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new BottomKSample.SampleAgg(k).toColumn)
+      .collect() // bounded: one sketch row per event type
+    sketches.toSeq
+      .map { case (et, sk) =>
+        (et, sk.quantile(0.5), sk.quantile(0.9), sk.values.size.toLong)
+      }
+      .toDF("event_type", "p50", "p90", "n_sample")
+      .orderBy($"event_type")
+  }
+
+  private val evQuantilesBkSql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT event_type, h, v,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+      |  FROM h),
+      |kk AS (SELECT event_type, v FROM s WHERE rn <= 64),
+      |r AS (SELECT event_type, v,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM kk)
+      |SELECT event_type,
+      |  MAX(CASE WHEN vr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+      |  MAX(CASE WHEN vr = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p90,
+      |  CAST(MAX(n) AS BIGINT) AS n_sample
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_quantiles_bk",    evQuantilesBk _,    Some(evQuantilesBkSql)),
     ("ev_distinct_kmv",    evDistinctKmv _,    Some(evDistinctKmvSql)),
     ("ev_heavy_hitters",   evHeavyHitters _,   Some(evHeavyHittersSql)),
     ("ev_count_by_type",   evCountByType _,    Some(evCountByTypeSql)),
