@@ -388,7 +388,69 @@ object DedupOps {
        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin
   }
 
+  /** Near-dup LOOKUP served from a stored LSH index — the ONLINE half
+    * of dedup: the batch pipeline (`dedup_minhash_lsh`) finds all pairs
+    * inside a corpus; this query materializes the band→members index in
+    * a KeyValueTable (pk = band:bsig, sk = doc_id — the composite-
+    * sorted-key index pattern of `kv_index_lookup`) and then answers
+    * "which existing docs near-duplicate THIS document?" for a probe
+    * set: compute the probe's 16 band signatures, join the index's
+    * resolved state on the bucket key, verify candidates with exact
+    * Jaccard. At scale the index KVT is the persistent artifact an
+    * ingest service multigets per arriving doc (16 point lookups via
+    * bucket-pruned reads); here the bulk-probe form exercises the same
+    * index through one equi-join. The oracle replays the full path:
+    * the reproducible hash family, bucket membership, candidate join
+    * and verification arithmetic.
+    */
+  private def dedupIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.kv.KeyValueTable
+    val docs = Tables.documents(s, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft-lshkv").toString
+    val ix = new KeyValueTable(s, work, "lsh_bands", partitionCount = 8)
+    ix.put(MinHashLSH.bandSignatures(docs, "doc_id", "text")
+      .select(format_string("%02d:%s", $"band", $"bsig").as("pk"),
+        $"id".cast("string").as("sk"), encode(lit(""), "UTF-8").as("value")))
+    val probes = docs.filter($"doc_id" % 50 === 0)
+    val probePks = MinHashLSH.bandSignatures(probes, "doc_id", "text")
+      .select($"id".as("probe_id"), format_string("%02d:%s", $"band", $"bsig").as("pk"))
+    val cand = probePks.join(ix.entries().select($"pk", $"sk"), "pk")
+      .select($"probe_id", $"sk".cast("long").as("match_id"))
+      .filter($"probe_id" =!= $"match_id")
+      .distinct()
+    val toks = docs.select($"doc_id",
+      array_sort(array_distinct(transform(
+        split(lower(trim($"text")), "\\s+"), x => xxhash64(x)))).as("ts"))
+    import graft.functions.GraftFunctions.sorted_intersect_size
+    cand
+      .join(toks.select($"doc_id".as("probe_id"), $"ts".as("pt")), "probe_id")
+      .join(toks.select($"doc_id".as("match_id"), $"ts".as("mt")), "match_id")
+      .withColumn("inter", sorted_intersect_size($"pt", $"mt").cast("double"))
+      .withColumn("jaccard", $"inter" / (size($"pt") + size($"mt") - $"inter"))
+      .filter($"jaccard" >= 0.35)
+      .select($"probe_id", $"match_id", $"jaccard")
+      .orderBy($"probe_id", $"match_id")
+  }
+
+  private val dedupIndexLookupSql = {
+    val bands = MinHashLSH.oracleBandsCtes("", numHashes = 64, bands = 16)
+    s"""WITH $bands,
+       |probe AS (SELECT DISTINCT doc_id AS p, band, bsig FROM bands WHERE doc_id % 50 = 0),
+       |cand AS (SELECT DISTINCT probe.p AS probe_id, b.doc_id AS match_id
+       |  FROM probe JOIN bands b ON probe.band = b.band AND probe.bsig = b.bsig
+       |    AND b.doc_id <> probe.p),
+       |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
+       |o AS (SELECT probe_id, match_id,
+       |  CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+       |    (len(sa.ts) + len(sb.ts) - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)) AS jaccard
+       |  FROM cand JOIN sets sa ON probe_id = sa.doc_id JOIN sets sb ON match_id = sb.doc_id)
+       |SELECT probe_id, match_id, jaccard FROM o WHERE jaccard >= 0.35
+       |ORDER BY probe_id, match_id""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_index_lookup",   dedupIndexLookup _, Some(dedupIndexLookupSql)),
     ("dedup_exact",          exact _,         Some(exactSql)),
     ("dedup_containment",    containment _,   Some(containmentSql)),
     ("dedup_ngram_jaccard",  ngramJaccard _,  Some(ngramJaccardSql)),
