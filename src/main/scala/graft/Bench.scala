@@ -82,7 +82,12 @@ object Bench {
       "ev_stream_window", "ev_stream_dedup", "ev_stream_static_join",
       "ev_successor_lineage", "stream_truncate_read", "kv_atomic_batch",
       "ev_stream_join_late", "stream_pipe_resume",
-      "ev_stream_state_dedup", "ev_realtime_tail")
+      "ev_stream_state_dedup", "ev_realtime_tail",
+      // late round 8: engine-write / streaming-state rows
+      "ev_attr_updates", "ev_checkpoint_cuts", "ev_stream_lsh_index",
+      "ev_stream_hot_keys", "ev_stream_curate", "ev_avro_roundtrip",
+      "ev_json_roundtrip", "ev_time_travel", "ev_version_changes",
+      "dedup_index_lookup")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {
