@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "truncate_at", "scale_to",
-    "maintenance", "sweep", "seal", "save_cut", "fsck")
+    "maintenance", "sweep", "seal", "save_cut", "fsck",
+    "kv_compact", "kv_sweep", "kv_fsck")
 
   private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -139,6 +140,29 @@ object GraftProcedures {
           val issues = graft.tools.Fsck.checkRoot(rootDir, Some(str(r, 0)))
           if (issues.isEmpty) Seq(Seq("clean", str(r, 0), "no issues"))
           else issues.map(i => Seq(i.kind, i.where, i.detail))
+        }
+      case "kv_compact" =>
+        proc("kv_compact", ss, StructType(Seq(
+          StructField("entries", LongType, nullable = false)))) { r =>
+          val eng = g
+          val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
+          t.compact()
+          Seq(Seq(t.entries().count()))
+        }
+      case "kv_sweep" =>
+        proc("kv_sweep", ss :+ in("grace_ms", LongType), StructType(Seq(
+          StructField("orphans", IntegerType, nullable = false),
+          StructField("tombstones", IntegerType, nullable = false)))) { r =>
+          val eng = g
+          val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
+          Seq(Seq(t.sweepOrphans(r.getLong(2)).size, t.sweepDeletes().size))
+        }
+      case "kv_fsck" =>
+        proc("kv_fsck", ss, StructType(Seq(
+          StructField("issue", StringType, nullable = false)))) { r =>
+          val eng = g
+          val issues = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1)).fsck()
+          if (issues.isEmpty) Seq(Seq("clean")) else issues.map(i => Seq(i))
         }
       case other =>
         throw new IllegalArgumentException(

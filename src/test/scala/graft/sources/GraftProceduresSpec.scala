@@ -80,6 +80,22 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(g.catalog.getStream("s", "ev").isSealed)
   }
 
+  test("KV-table procedures: compact, sweep, fsck over a catalog-created table") {
+    val (g, cat) = fixture()
+    g.catalog.createKeyValueTable("s", "kt")
+    val t = g.catalog.openKeyValueTable(spark, "s", "kt")
+    t.put(Seq(("a", "", "1"), ("b", "", "2")).toDF("pk", "sk", "v")
+      .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    t.put(Seq(("a", "", "3")).toDF("pk", "sk", "v")
+      .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    assert(spark.sql(s"CALL $cat.system.kv_compact('s', 'kt')").head().getLong(0) == 2L)
+    val sw = spark.sql(s"CALL $cat.system.kv_sweep('s', 'kt', 0)").head()
+    assert(sw.getInt(0) >= 0 && sw.getInt(1) >= 0)
+    val fs = spark.sql(s"CALL $cat.system.kv_fsck('s', 'kt')").collect()
+    assert(fs.length == 1 && fs.head.getString(0) == "clean", fs.mkString(";"))
+    assert(t.get("a").map(p => new String(p._1)) == Some("3"))
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     val (_, cat) = fixture()
     intercept[Exception](spark.sql(s"CALL $cat.system.nope('s')").collect())
