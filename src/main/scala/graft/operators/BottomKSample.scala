@@ -25,27 +25,28 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object BottomKSample {
 
-  /** (hash, value) pairs sorted by hash ascending, ≤ k entries; ties on
-    * hash broken by value so the content stays a pure set function.
+  /** (hash, value) pairs sorted ascending, ≤ k entries; ties on hash
+    * broken by value so the content stays a pure set function.
     */
-  final case class Sample(k: Int, hashes: Seq[Long], values: Seq[Long]) {
+  final case class Sample(k: Int, pairs: Seq[(Long, Long)]) {
     require(k >= 1, s"k must be >= 1, was $k")
 
-    def add(h: Long, v: Long): Sample =
-      if (hashes.size < k || h < hashes.last ||
-          (h == hashes.last && v < values.last)) insert(h, v)
-      else this
+    def hashes: Seq[Long] = pairs.map(_._1)
+    def values: Seq[Long] = pairs.map(_._2)
 
-    private def insert(h: Long, v: Long): Sample = {
-      val pairs = ((hashes :+ h) zip (values :+ v)).distinct.sorted.take(k)
-      Sample(k, pairs.map(_._1), pairs.map(_._2))
+    def add(h: Long, v: Long): Sample = {
+      val beatsLast = pairs.nonEmpty && {
+        val (lh, lv) = pairs.last
+        h < lh || (h == lh && v < lv)
+      }
+      if (pairs.size < k || beatsLast)
+        copy(pairs = (pairs :+ ((h, v))).distinct.sorted.take(k))
+      else this
     }
 
     def merge(other: Sample): Sample = {
       require(k == other.k, s"cannot merge samples of k $k and ${other.k}")
-      val pairs = ((hashes ++ other.hashes) zip (values ++ other.values))
-        .distinct.sorted.take(k)
-      Sample(k, pairs.map(_._1), pairs.map(_._2))
+      copy(pairs = (pairs ++ other.pairs).distinct.sorted.take(k))
     }
 
     /** Deterministic rank-based quantile of the sampled values:
@@ -54,14 +55,14 @@ object BottomKSample {
       */
     def quantile(q: Double): Long = {
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
-      require(values.nonEmpty, "empty sample")
+      require(pairs.nonEmpty, "empty sample")
       val sorted = values.sorted
       sorted(math.floor(q * (sorted.size - 1)).toInt)
     }
   }
 
   object Sample {
-    def empty(k: Int): Sample = Sample(k, Vector.empty, Vector.empty)
+    def empty(k: Int): Sample = Sample(k, Vector.empty)
   }
 
   /** Typed aggregator over (hash, value) rows; the partial buffer is

@@ -415,7 +415,16 @@ object DedupOps {
     val probes = docs.filter($"doc_id" % 50 === 0)
     val probePks = MinHashLSH.bandSignatures(probes, "doc_id", "text")
       .select($"id".as("probe_id"), format_string("%02d:%s", $"band", $"bsig").as("pk"))
-    val cand = probePks.join(ix.entries().select($"pk", $"sk"), "pk")
+    // hot-bucket guard, same cap as the batch LSH path: a boilerplate
+    // flood sharing one bucket would otherwise fan every probe out to
+    // all its members (quadratic in the flood); capped members still
+    // match through their other 15 bands
+    val sized = ix.entries().select($"pk", $"sk")
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"pk")))
+      .filter($"bn" <= MinHashLSH.DefaultMaxBucketSize)
+      .drop("bn")
+    val cand = probePks.join(sized, "pk")
       .select($"probe_id", $"sk".cast("long").as("match_id"))
       .filter($"probe_id" =!= $"match_id")
       .distinct()
@@ -436,9 +445,14 @@ object DedupOps {
   private val dedupIndexLookupSql = {
     val bands = MinHashLSH.oracleBandsCtes("", numHashes = 64, bands = 16)
     s"""WITH $bands,
+       |bandsc AS (
+       |  SELECT doc_id, band, bsig FROM (
+       |    SELECT doc_id, band, bsig,
+       |      COUNT(*) OVER (PARTITION BY band, bsig) AS bn FROM bands) v
+       |  WHERE bn <= ${MinHashLSH.DefaultMaxBucketSize}),
        |probe AS (SELECT DISTINCT doc_id AS p, band, bsig FROM bands WHERE doc_id % 50 = 0),
        |cand AS (SELECT DISTINCT probe.p AS probe_id, b.doc_id AS match_id
-       |  FROM probe JOIN bands b ON probe.band = b.band AND probe.bsig = b.bsig
+       |  FROM probe JOIN bandsc b ON probe.band = b.band AND probe.bsig = b.bsig
        |    AND b.doc_id <> probe.p),
        |sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
        |o AS (SELECT probe_id, match_id,

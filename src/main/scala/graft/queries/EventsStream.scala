@@ -377,7 +377,7 @@ object EventsStream {
 
   private val evQuantilesBkSql =
     """WITH h AS (
-      |  SELECT event_type,
+      |  SELECT DISTINCT event_type,
       |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
       |  FROM events),

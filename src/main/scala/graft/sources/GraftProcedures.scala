@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL g.system.seal('scope', 'stream')
   *   CALL g.system.save_cut('scope', 'stream', 'name')
   *   CALL g.system.fsck('scope')
+  *   CALL g.system.kv_compact('scope', 'kvt')
+  *   CALL g.system.kv_sweep('scope', 'kvt', 0)
+  *   CALL g.system.kv_fsck('scope', 'kvt')
   *
   * Every procedure returns its outcome as rows (LocalScan), so results
   * compose with SQL (`CALL` output is a relation). All metadata-plane:
@@ -70,6 +73,9 @@ object GraftProcedures {
   def load(name: String, rootDir: String): UnboundProcedure = {
     def g = new GraftStreams(SparkSession.active, rootDir)
     val ss = Seq(in("scope", StringType), in("stream", StringType))
+    // kv_* procedures bind a key-value TABLE, not a stream — the named-
+    // argument SQL surface (`table => 'kt'`) must say so
+    val kvp = Seq(in("scope", StringType), in("table", StringType))
     name match {
       case "compact" =>
         proc("compact", ss, StructType(Seq(
@@ -142,7 +148,7 @@ object GraftProcedures {
           else issues.map(i => Seq(i.kind, i.where, i.detail))
         }
       case "kv_compact" =>
-        proc("kv_compact", ss, StructType(Seq(
+        proc("kv_compact", kvp, StructType(Seq(
           StructField("entries", LongType, nullable = false)))) { r =>
           val eng = g
           val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
@@ -150,7 +156,7 @@ object GraftProcedures {
           Seq(Seq(t.entries().count()))
         }
       case "kv_sweep" =>
-        proc("kv_sweep", ss :+ in("grace_ms", LongType), StructType(Seq(
+        proc("kv_sweep", kvp :+ in("grace_ms", LongType), StructType(Seq(
           StructField("orphans", IntegerType, nullable = false),
           StructField("tombstones", IntegerType, nullable = false)))) { r =>
           val eng = g
@@ -158,7 +164,7 @@ object GraftProcedures {
           Seq(Seq(t.sweepOrphans(r.getLong(2)).size, t.sweepDeletes().size))
         }
       case "kv_fsck" =>
-        proc("kv_fsck", ss, StructType(Seq(
+        proc("kv_fsck", kvp, StructType(Seq(
           StructField("issue", StringType, nullable = false)))) { r =>
           val eng = g
           val issues = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1)).fsck()
