@@ -722,7 +722,57 @@ object TextOps {
       |WHERE w1.w + COALESCE(delta.d, 0) != 0
       |ORDER BY bucket""".stripMargin
 
+  /** The fixed "pretrained" merge table applied by `txt_bpe_encode`, in
+    * priority order (the `txt_bpe_pairs` LEARNING step produces such a
+    * table; applying a pretrained tokenizer to a new corpus is the
+    * canonical training-data op).
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re")
+
+  /** BPE tokenizer APPLY at scale: words char-split into space-joined
+    * symbols, then the merge table applied in priority order — each
+    * merge is one literal replace-all over the symbol string, so the
+    * whole encoder is a chain of codegen'd string expressions (no UDF,
+    * no driver state; the merge table would broadcast if learned).
+    * Replace-all on the space-padded symbol string is symbol-aligned by
+    * construction (symbols are space-separated; patterns carry their
+    * boundary spaces) and left-to-right non-overlapping in both
+    * engines, so the oracle replays the exact chain — every emitted
+    * subword token count is hash-gated. Complements `txt_bpe_pairs`
+    * (the pair-counting LEARNING step) with the APPLY step.
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+    val symbols = concat(lit(" "),
+      trim(regexp_replace($"w", "(.)", "$1 ")), lit(" "))
+    val encoded = bpeMerges.foldLeft(symbols) { case (c, (from, to)) =>
+      org.apache.spark.sql.functions.replace(c, lit(s" $from "), lit(s" $to "))
+    }
+    words.select(explode(split(trim(encoded), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(20)
+  }
+
+  private val bpeEncodeSql = {
+    val chain = bpeMerges.foldLeft("concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')") {
+      case (c, (from, to)) => s"replace($c, ' $from ', ' $to ')"
+    }
+    s"""WITH w AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |f AS (SELECT w FROM w WHERE regexp_full_match(w, '[a-z]+')),
+       |e AS (SELECT unnest(string_split(trim($chain), ' ')) AS tok FROM f)
+       |SELECT tok, COUNT(*) AS n FROM e GROUP BY tok
+       |ORDER BY n DESC, tok LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
     ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
