@@ -51,7 +51,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * batch (GraftStreams.readEvents) surfaces agree on event granularity.
   */
 final case class StreamSub(scope: String, stream: String,
-                           from: Option[StreamCut], to: Option[StreamCut]) {
+                           from: Option[StreamCut], to: Option[StreamCut],
+                           asOf: Option[Long] = None) {
   def key: String = s"$scope/$stream"
 }
 
@@ -67,10 +68,15 @@ final case class GraftSourceConfig(rootDir: String, subs: Seq[StreamSub],
   def multi: Boolean = subs.size > 1
 
   /** Planning metadata: live tail, or the pinned historical manifest
-    * when this is a time-travel scan (`VERSION AS OF` / `asOfVersion`).
+    * when this is a time-travel scan (`VERSION AS OF` / `asOfVersion`;
+    * multi-stream reads pin PER STREAM via `asOfVersion.<scope/stream>`
+    * since manifest versions are per-stream).
     */
+  /** True when ANY subscription is pinned to a historical manifest. */
+  def timeTravel: Boolean = asOfVersion.nonEmpty || subs.exists(_.asOf.nonEmpty)
+
   def metaOf(g: GraftStreams, sub: StreamSub): graft.core.StreamMetadata =
-    asOfVersion match {
+    sub.asOf.orElse(asOfVersion) match {
       case Some(v) => g.catalog.getStreamAt(sub.scope, sub.stream, v)
       case None => g.catalog.getStream(sub.scope, sub.stream)
     }
@@ -98,7 +104,8 @@ object GraftSourceConfig {
             case _ => throw new IllegalArgumentException(
               s"stream name '$name' must be 'stream' or 'scope/stream'")
           }
-          StreamSub(scope, stream, cut(s"fromStreamCut.$name"), cut(s"toStreamCut.$name"))
+          StreamSub(scope, stream, cut(s"fromStreamCut.$name"), cut(s"toStreamCut.$name"),
+            Option(o.get(s"asOfVersion.$name")).map(_.toLong))
         }
       case None =>
         Seq(StreamSub(req("scope"), req("stream"),
@@ -223,7 +230,7 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
   override def truncateTable(): Boolean = {
     require(conf.subs.size == 1,
       s"graft-stream truncate targets exactly one stream, got ${conf.describe}")
-    require(conf.asOfVersion.isEmpty,
+    require(!conf.timeTravel,
       "cannot truncate a time-travel (asOfVersion) table — historical manifests are immutable")
     val sub = conf.subs.head
     val g = new GraftStreams(SparkSession.active, conf.rootDir)
@@ -240,7 +247,7 @@ class GraftStreamTable(baseProps: java.util.Map[String, String]) extends Table
       val k = e.getKey.toLowerCase(java.util.Locale.ROOT)
       if (k.startsWith("fromstreamcut") || k.startsWith("tostreamcut") ||
           k == "maxrowspertrigger" || k == "maxbytespertrigger" ||
-          k == "asofversion" || k == "fromversion" || k == "toversion")
+          k.startsWith("asofversion") || k == "fromversion" || k == "toversion")
         merged.put(e.getKey, e.getValue)
     }
     val scanConf = GraftSourceConfig.from(new CaseInsensitiveStringMap(merged))
@@ -523,7 +530,7 @@ class GraftScan(conf: GraftSourceConfig,
     s"GraftStreamSource[${conf.describe}]$f ReadSchema: ${outSchema.simpleString}"
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(conf.asOfVersion.isEmpty,
+    require(!conf.timeTravel,
       "asOfVersion (time travel) is a batch-read surface; streaming reads tail the live manifest")
     new GraftMicroBatchStream(SparkSession.active, conf)
   }

@@ -81,7 +81,7 @@ final class GraftWriteBuilder(conf: GraftSourceConfig, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   require(conf.subs.size == 1,
     s"graft-stream write targets exactly one stream, got ${conf.describe}")
-  require(conf.asOfVersion.isEmpty,
+  require(!conf.timeTravel,
     "cannot write to a time-travel (asOfVersion) table — historical manifests are immutable")
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }

@@ -104,6 +104,48 @@ class TimeTravelSpec extends AnyFunSuite {
       changes(Map("fromVersion" -> vA.toString, "fromStreamCut" -> "{}")).count())
   }
 
+  test("multi-stream reads pin PER STREAM via asOfVersion.<scope/stream>") {
+    val root = Files.createTempDirectory("graft-ttm").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    def batch(st: String, n: Int) = {
+      g.catalog.createStream("s", st, StreamConfig(initialSegments = 2))
+      (0 until n).map(i => (s"k$i", i.toLong, st))
+        .toDF("routingKey", "eventTime", "p")
+        .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload"))
+    }
+    g.writeEvents("s", "a", batch("a", 10))
+    val vA = g.catalog.getStream("s", "a").version
+    g.writeEvents("s", "a", batch2(g, "a", 5))
+    g.writeEvents("s", "b", batch("b", 20))
+    val vB = g.catalog.getStream("s", "b").version
+    g.writeEvents("s", "b", batch2(g, "b", 7))
+    val df = spark.read.format("graft-stream")
+      .option("rootDir", root).option("streams", "s/a,s/b")
+      .option("asOfVersion.s/a", vA.toString)
+      .option("asOfVersion.s/b", vB.toString)
+      .load()
+    val counts = df.groupBy($"stream").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s/a" -> 10L, "s/b" -> 20L), counts.toString)
+    // per-sub pins also reject streaming reads
+    intercept[Exception] {
+      spark.readStream.format("graft-stream")
+        .option("rootDir", root).option("streams", "s/a,s/b")
+        .option("asOfVersion.s/a", vA.toString)
+        .load()
+        .writeStream.format("memory").queryName("ttm_no").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+  }
+
+  private def batch2(g: GraftStreams, st: String, n: Int) = {
+    (0 until n).map(i => (s"x$i", 100L + i, s"$st-late"))
+      .toDF("routingKey", "eventTime", "p")
+      .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload"))
+  }
+
   test("catalog-table reads honor per-read pacing and version options (whitelist overlay)") {
     val (g, root, vA, _) = fixture()
     spark.conf.set("spark.sql.catalog.gtt3", "graft.sources.GraftCatalog")
