@@ -463,7 +463,76 @@ object DedupOps {
        |ORDER BY probe_id, match_id""".stripMargin
   }
 
+  /** Sketch PERSISTENCE + cross-shard union — the workflow that makes
+    * mergeable summaries worth storing: per-source KMV distinct-token
+    * sketches are serialized into a KeyValueTable (one row per source,
+    * value = the k smallest hashes), read back by a "later job", and
+    * UNIONED into the global estimate. Because a KMV's content is a
+    * pure set function, sketch(union) == merge(stored sketches) exactly
+    * — so the oracle replays both levels (per-source AND global) from
+    * the raw corpus with the same k-th-smallest arithmetic, gating the
+    * serialize → store → load → merge round trip bit for bit. At scale
+    * this is per-day/per-shard corpus statistics unioned without
+    * re-reading history.
+    */
+  private def dedupSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.kv.KeyValueTable
+    import graft.operators.DistinctSketch
+    import graft.operators.DistinctSketch.Kmv
+    val k = 64
+    // job 1: one KMV of distinct tokens per source, persisted to a KVT
+    val perSource = Tables.documents(s, dir)
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"source",
+        conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new DistinctSketch.KmvAgg(k).toColumn)
+      .collect() // one row per source — bounded
+    val work = java.nio.file.Files.createTempDirectory("graft-kmvkv").toString
+    val store = new KeyValueTable(s, work, "sketches", partitionCount = 4)
+    store.put(perSource.toSeq
+      .map { case (src, kmv) => (src, "", kmv.hashes.mkString(",")) }
+      .toDF("pk", "sk", "v")
+      .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    // job 2: load the stored sketches and union them
+    val loaded = store.entries()
+      .select($"pk", decode($"value", "UTF-8").as("v")).collect()
+      .map { r =>
+        val hs = r.getString(1).split(',').filter(_.nonEmpty).map(_.toLong).toVector
+        r.getString(0) -> Kmv(k, hs)
+      }
+    val global = loaded.map(_._2).foldLeft(Kmv.empty(k))(_ merge _)
+    (loaded.toSeq.map { case (src, kmv) => (src, kmv.estimate) } :+
+      ("__all__" -> global.estimate))
+      .toDF("source", "est_distinct")
+      .orderBy($"source")
+  }
+
+  private val dedupSketchUnionSql =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |        FROM documents)),
+      |lv AS (SELECT source, h FROM h
+      |       UNION ALL SELECT '__all__' AS source, h FROM (SELECT DISTINCT h FROM h)),
+      |r AS (SELECT source, h,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |  COUNT(*) OVER (PARTITION BY source) AS d
+      |  FROM lv)
+      |SELECT source,
+      |  CASE WHEN d < 64 THEN CAST(d AS BIGINT)
+      |       ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // h AS BIGINT)
+      |  END AS est_distinct
+      |FROM r WHERE rn = CASE WHEN d < 64 THEN d ELSE 64 END
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_sketch_union",   dedupSketchUnion _, Some(dedupSketchUnionSql)),
     ("dedup_index_lookup",   dedupIndexLookup _, Some(dedupIndexLookupSql)),
     ("dedup_exact",          exact _,         Some(exactSql)),
     ("dedup_containment",    containment _,   Some(containmentSql)),
