@@ -41,7 +41,7 @@ object ScaleBench {
     // text
     "txt_bloom_contamination", "txt_rep_ngrams", "txt_tfidf_top",
     "txt_winnow_overlap", "txt_quality_score", "txt_lang_id",
-    "txt_hash_classifier", "txt_train_perceptron",
+    "txt_hash_classifier", "txt_train_perceptron", "txt_bpe_encode",
     // similarity / embeddings
     "sim_adc_search", "sim_ann_ivf", "sim_hamming_topk", "emb_kmeans_iter",
     "emb_pq_codes",
