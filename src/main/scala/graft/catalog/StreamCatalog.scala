@@ -102,7 +102,6 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       segments = segs, files = Nil, headCut = Map.empty,
       transactions = Map.empty, writerMarks = Map.empty, writerBatches = Map.empty)
     writeManifest(meta)
-    meta
   }
 
   def streamExists(scope: String, stream: String): Boolean =
@@ -159,8 +158,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       val next0 = f(cur)
       val next = next0.copy(version = cur.version + 1)
       try {
-        writeManifest(next)
-        return next
+        return writeManifest(next)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -355,15 +353,29 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       s"manifest $version of $scope/$stream exists but stayed unreadable: $last")
   }
 
-  /** Latest version committed at or before `epochMillis` (manifest-file
-    * commit time), for `TIMESTAMP AS OF`. None if the stream didn't
-    * exist yet.
+  /** Latest version committed at or before `epochMillis`, for
+    * `TIMESTAMP AS OF`. None if the stream didn't exist yet. Resolves
+    * against the `committedAt` stamp written inside each manifest at CAS
+    * time (mtime fallback only for pre-upgrade manifests), scanning
+    * ascending and keeping the LAST version whose commit time <= t — so
+    * a later version carrying an earlier clock (writer skew) can never
+    * smuggle post-t commits into the answer. A manifest deleted
+    * concurrently (stream dropped mid-scan) is skipped, not fatal.
     */
   def versionAtTime(scope: String, stream: String, epochMillis: Long): Option[Long] = {
-    val versions = manifestVersions(scope, stream)
-    versions.reverse.find { v =>
-      fs.getFileStatus(manifestPath(scope, stream, v)).getModificationTime <= epochMillis
+    var best: Option[Long] = None
+    for (v <- manifestVersions(scope, stream)) {
+      try {
+        val stamp = readManifest(scope, stream, v).committedAt match {
+          case 0L => fs.getFileStatus(manifestPath(scope, stream, v)).getModificationTime
+          case t  => t
+        }
+        if (stamp <= epochMillis) best = Some(v)
+      } catch {
+        case _: FileNotFoundException => // concurrently removed: skip
+      }
     }
+    best
   }
 
   private def listVersions(scope: String, stream: String): Seq[Long] = {
@@ -387,7 +399,11 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     finally in.close()
   }
 
-  private def writeManifest(meta: StreamMetadata): Unit = {
+  private def writeManifest(meta0: StreamMetadata): StreamMetadata = {
+    // commit time is stamped INSIDE the manifest at CAS time — the
+    // TIMESTAMP AS OF authority (file mtimes are unreliable: coarse
+    // granularity / writer clock skew can order them against versions)
+    val meta = meta0.copy(committedAt = System.currentTimeMillis())
     val path = manifestPath(meta.scope, meta.name, meta.version)
     fs.mkdirs(path.getParent)
     // overwrite=false → exclusive create; the CAS.
@@ -396,5 +412,6 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       out = CasFiles.createExclusive(fs, path)
       out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
     } finally if (out != null) out.close()
+    meta
   }
 }

@@ -258,7 +258,14 @@ final case class StreamMetadata(
     /** Bounded history of emitted watermarks (the `_MARK` stream analog),
       * newest last — input to per-reader TimeWindow interpolation.
       */
-    watermarks: Seq[WatermarkRecord] = Nil) {
+    watermarks: Seq[WatermarkRecord] = Nil,
+    /** Wall-clock stamped by the committer the instant the manifest CAS
+      * is written — the authority for TIMESTAMP AS OF resolution. File
+      * mtimes are NOT used: coarse FS granularity or writer clock skew
+      * can order them against version numbers. 0 = pre-upgrade manifest
+      * (resolution falls back to the file mtime for those).
+      */
+    committedAt: Long = 0L) {
 
   def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
 

@@ -412,8 +412,12 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     val m = latest()
     val due = m.pendingDeletes.filter(_.notBefore <= now)
     if (due.isEmpty) return Nil
-    due.foreach(p => try fs.delete(new Path(p.path), true) catch { case _: Exception => () })
-    val donePaths = due.map(_.path).toSet
+    // only paths whose delete actually succeeded count as done — a
+    // failed delete keeps its tombstone so the next sweep retries it
+    // (reporting it reclaimed would leak the file forever)
+    val donePaths = due.map(_.path)
+      .filter(p => scala.util.Try(fs.delete(new Path(p), true)).getOrElse(false))
+      .toSet
     try commit(m.copy(version = m.version + 1,
       pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path))))
     catch {
@@ -436,7 +440,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     val victims = orphanDirs(latest())
       .filter(_.getModificationTime <= cutoff)
       .map(_.getPath)
-    victims.foreach(p => try fs.delete(p, true) catch { case _: Exception => () })
-    victims.map(_.toString).sorted
+    // report only what was actually reclaimed — a failed delete stays an
+    // orphan and fsck re-flags it next run, so claiming it swept would
+    // make the admin output lie
+    victims.filter(p => scala.util.Try(fs.delete(p, true)).getOrElse(false))
+      .map(_.toString).sorted
   }
 }

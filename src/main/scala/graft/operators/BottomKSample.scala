@@ -39,9 +39,33 @@ object BottomKSample {
         val (lh, lv) = pairs.last
         h < lh || (h == lh && v < lv)
       }
-      if (pairs.size < k || beatsLast)
-        copy(pairs = (pairs :+ ((h, v))).distinct.sorted.take(k))
-      else this
+      if (pairs.size < k || beatsLast) {
+        // incremental KMV-style insert: binary-search the slot, skip
+        // exact duplicates, drop the new last when over k — identical
+        // content to distinct+sorted+take(k) (the buffer is already
+        // sorted and duplicate-free) without rebuilding/re-sorting a
+        // k-element vector on every accepted row
+        val e = (h, v)
+        val i = lowerBound(e)
+        if (i < pairs.size && pairs(i) == e) this
+        else {
+          val inserted = (pairs.take(i) :+ e) ++ pairs.drop(i)
+          copy(pairs = if (inserted.size > k) inserted.dropRight(1) else inserted)
+        }
+      } else this
+    }
+
+    /** First index whose element is >= e in the (hash, value)-sorted
+      * buffer (the buffer is small — ≤ k — and already sorted).
+      */
+    private def lowerBound(e: (Long, Long)): Int = {
+      val ord = implicitly[Ordering[(Long, Long)]]
+      var lo = 0; var hi = pairs.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(pairs(mid), e)) lo = mid + 1 else hi = mid
+      }
+      lo
     }
 
     def merge(other: Sample): Sample = {

@@ -203,12 +203,7 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    // hot-bucket guard: the window shuffles on the same (band, bsig) key
-    // the candidate join needs, so the exchange is shared, not doubled
-    val sized = banded.withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
-      .filter(col("bn") <= maxBucketSize)
-      .drop("bn")
+    val sized = dropHotBuckets(banded, maxBucketSize)
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
@@ -227,6 +222,25 @@ object MinHashLSH {
     base.unpersist(false)
     banded.unpersist(false)
     pairs
+  }
+
+  /** Hot-bucket guard: exclude (band, bsig) buckets with more than
+    * `maxBucketSize` members. Buckets over the cap are RARE by
+    * construction (the cap is far above any bucket at tested scale and
+    * only boilerplate floods reach it at corpus scale), so the hot set is
+    * computed with a map-combined aggregate — rows shrink to distinct
+    * buckets per map partition before the exchange — and removed with a
+    * broadcast ANTI join: no sort, no second full shuffle of the banded
+    * rows (the r8 window-count guard sorted the whole relation on BOTH
+    * sides of the candidate self-join, ~0.4 s of the 1.3 s quiet-box
+    * wall at sf0.1).
+    */
+  private def dropHotBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bsig"))
+    banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
   }
 
   /** Hot-bucket cap shared by the Scala paths and the oracle generator —
@@ -263,10 +277,7 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val sized = banded.withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
-      .filter(col("bn") <= maxBucketSize)
-      .drop("bn")
+    val sized = dropHotBuckets(banded, maxBucketSize)
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))

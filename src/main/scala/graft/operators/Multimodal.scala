@@ -21,13 +21,16 @@ import javax.imageio.ImageIO
   * stays exercisable on corpora without media bytes.
   *
   * Audio decode is REAL for WAV/PCM16 through the JDK's own
-  * `javax.sound.sampled` ([[decodeWav]]), and video frame sampling is
-  * REAL for two containers: MJPEG-in-AVI (a plain RIFF container walked
-  * by [[demuxAvi]], whose frames are JPEGs the image path already
-  * decodes) and animated GIF (a flat block stream walked by [[demuxGif]],
-  * decoded by `javax.imageio`'s multi-frame GIF reader). Other
-  * audio/video codecs have no pure-JVM decoder and keep the documented
-  * stub fallback.
+  * `javax.sound.sampled` ([[decodeWav]]), and video DEMUX is REAL for
+  * three containers: MJPEG-in-AVI (a plain RIFF container walked by
+  * [[demuxAvi]], whose frames are JPEGs the image path already decodes),
+  * animated GIF (a flat block stream walked by [[demuxGif]], decoded by
+  * `javax.imageio`'s multi-frame GIF reader) and ISO BMFF MP4/MOV
+  * ([[demuxMp4]] — moov/trak/stbl walker recovering codec fourcc, dims,
+  * timescale and every sample's true byte offset from the
+  * stsc/stco/stsz tables; the samples stay codec-compressed since
+  * H.264/HEVC have no pure-JVM decoder). Other payloads keep the
+  * documented stub fallback.
   */
 object Multimodal {
 
@@ -510,22 +513,296 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------ MP4/MOV
+
+  /** Demuxed ISO BMFF (MP4/MOV) video track: codec fourcc + dims from the
+    * `stsd` sample entry, `timescale` from `mdhd`, `sampleDelta` from the
+    * first `stts` run, and every sample's TRUE byte position `(offset,
+    * size)` reconstructed from the `stsc`/`stco`(/`co64`)/`stsz` tables.
+    */
+  final case class Mp4Video(
+      codec: String, width: Int, height: Int,
+      timescale: Long, sampleDelta: Long,
+      frames: IndexedSeq[(Long, Long)])
+
+  /** ISO BMFF magic: a `ftyp` box header at offset 4. */
+  def looksMp4(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p'
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** REAL MP4/MOV demux — the AVI RIFF walker's ISO-BMFF sibling. MP4 is
+    * a box tree (BE32 size + fourCC; size 1 → 64-bit largesize follows,
+    * size 0 → to end of enclosure), so a pure-JVM walker descends
+    * `moov/trak/mdia/minf/stbl` and rebuilds the video track: codec
+    * fourcc + dims from the `stsd` VisualSampleEntry, timescale from
+    * `mdhd` (v0 and v1), per-frame timing from `stts`, and every
+    * sample's true byte offset+size by expanding `stsc` (sample→chunk
+    * runs) against `stco`/`co64` chunk offsets and `stsz` sizes — the
+    * exact tables a seeking player uses. Only the track whose `hdlr` is
+    * `vide` is returned. Sample BYTES stay codec-compressed (H.264/HEVC
+    * need a real decoder — the documented stub boundary); the demux
+    * itself, like the reference's opaque media events
+    * (client/src/main/java/io/pravega/client/stream/EventStreamWriter.java:75),
+    * never inspects them.
+    */
+  def demuxMp4(payload: Array[Byte]): Option[Mp4Video] =
+    if (!looksMp4(payload)) None
+    else try {
+      // generic box walk over [from, to): f(type, bodyStart, bodyEnd)
+      def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val sz0 = be32(payload, p.toInt)
+          val typ = fourCC(payload, p.toInt + 4)
+          var body = p + 8
+          val end = sz0 match {
+            case 0 => to // box runs to the end of its enclosure
+            case 1 => val l = be64(payload, p.toInt + 8); body = p + 16; p + l
+            case s => p + s
+          }
+          if (end < body || end > to) return // corrupt size — stop this level
+          f(typ, body, end)
+          p = end
+        }
+      }
+      var found: Option[Mp4Video] = None
+      walk(0, payload.length) { (typ, moovS, moovE) =>
+        if (typ == "moov") walk(moovS, moovE) { (t2, trakS, trakE) =>
+          if (t2 == "trak" && found.isEmpty) {
+            var handler = ""
+            var timescale = 0L
+            var codec = ""; var w = 0; var h = 0
+            var sampleDelta = 0L
+            var sizes: Array[Long] = Array.empty
+            var chunkOffsets: Array[Long] = Array.empty
+            var stscRuns: Array[(Long, Long)] = Array.empty // (firstChunk, samplesPerChunk)
+            walk(trakS, trakE) { (t3, mdiaS, mdiaE) =>
+              if (t3 == "mdia") walk(mdiaS, mdiaE) { (t4, bS, bE) =>
+                t4 match {
+                  case "mdhd" =>
+                    val v = payload(bS.toInt) & 0xff
+                    timescale = be32(payload, bS.toInt + (if (v == 1) 20 else 12))
+                  case "hdlr" => handler = fourCC(payload, bS.toInt + 8)
+                  case "minf" => walk(bS, bE) { (t5, minfS, minfE) =>
+                    if (t5 == "stbl") walk(minfS, minfE) { (t6, sS, sE) =>
+                      val b = sS.toInt
+                      t6 match {
+                        case "stsd" if be32(payload, b + 4) >= 1 =>
+                          // first sample entry: size+fourcc header, then
+                          // SampleEntry(8) + VisualSampleEntry pre(16),
+                          // width/height BE16 at entry+32/34
+                          val e = b + 8
+                          codec = fourCC(payload, e + 4)
+                          if (sE - e >= 36) {
+                            w = ((payload(e + 32) & 0xff) << 8) | (payload(e + 33) & 0xff)
+                            h = ((payload(e + 34) & 0xff) << 8) | (payload(e + 35) & 0xff)
+                          }
+                        case "stts" if be32(payload, b + 4) >= 1 =>
+                          sampleDelta = be32(payload, b + 12) // first run's delta
+                        case "stsz" =>
+                          val fixed = be32(payload, b + 4)
+                          val n = be32(payload, b + 8).toInt
+                          sizes =
+                            if (fixed != 0) Array.fill(n)(fixed)
+                            else Array.tabulate(n)(i => be32(payload, b + 12 + 4 * i))
+                        case "stco" =>
+                          val n = be32(payload, b + 4).toInt
+                          chunkOffsets = Array.tabulate(n)(i => be32(payload, b + 8 + 4 * i))
+                        case "co64" =>
+                          val n = be32(payload, b + 4).toInt
+                          chunkOffsets = Array.tabulate(n)(i => be64(payload, b + 8 + 8 * i))
+                        case "stsc" =>
+                          val n = be32(payload, b + 4).toInt
+                          stscRuns = Array.tabulate(n)(i =>
+                            (be32(payload, b + 8 + 12 * i), be32(payload, b + 12 + 12 * i)))
+                        case _ => ()
+                      }
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+            }
+            if (handler == "vide" && sizes.nonEmpty && chunkOffsets.nonEmpty) {
+              // expand sample→chunk runs against chunk offsets: samples
+              // pack back to back inside each chunk
+              val frames = IndexedSeq.newBuilder[(Long, Long)]
+              var s = 0
+              var run = 0
+              var c = 0 // 0-based chunk index
+              while (s < sizes.length && c < chunkOffsets.length) {
+                while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= c + 1) run += 1
+                val perChunk = math.max(1L, stscRuns.lift(run).map(_._2).getOrElse(1L)).toInt
+                var off = chunkOffsets(c)
+                var i = 0
+                while (i < perChunk && s < sizes.length) {
+                  frames += ((off, sizes(s)))
+                  off += sizes(s)
+                  s += 1; i += 1
+                }
+                c += 1
+              }
+              val fs = frames.result()
+              if (fs.nonEmpty)
+                found = Some(Mp4Video(codec, w, h, timescale, sampleDelta, fs))
+            }
+          }
+        }
+      }
+      found
+    } catch { case _: Exception => None }
+
+  /** [[demuxMp4]] adapted to the [[frameSample]] contract: frame payload
+    * = the raw (codec-compressed) sample bytes at its true offset.
+    */
+  def demuxMp4AsVideoInfo(payload: Array[Byte]): Option[VideoInfo] =
+    demuxMp4(payload).map { v =>
+      VideoInfo(v.width, v.height,
+        if (v.timescale > 0) v.sampleDelta * 1000000L / v.timescale else 0L,
+        v.frames.collect { case (off, len)
+            if off >= 0 && off + len <= payload.length =>
+          (off, java.util.Arrays.copyOfRange(payload, off.toInt, (off + len).toInt))
+        })
+    }
+
+  /** Minimal ISO-BMFF muxer (the round-trip partner of [[demuxMp4]] for
+    * tests and executor-generated fixtures): `ftyp` (24 bytes) → `mdat`
+    * (samples packed in order, `samplesPerChunk` per chunk) → `moov`
+    * with the full stbl (stsd/stts/stsc/stsz/stco or co64). mdat
+    * PRECEDES moov, so sample offsets are closed-form in the inputs:
+    * sample j starts at 32 + Σ sizes of samples before j — what lets an
+    * external oracle re-derive the walker's offsets arithmetically.
+    */
+  def muxMp4Video(width: Int, height: Int, timescale: Long, sampleDelta: Long,
+                  codec: String, frames: Seq[Array[Byte]],
+                  samplesPerChunk: Int = Int.MaxValue,
+                  useCo64: Boolean = false): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars: $codec")
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8L + body.map(_.length.toLong).sum
+      val bb = java.nio.ByteBuffer.allocate(len.toInt)
+      bb.putInt(len.toInt)
+      bb.put(typ.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+    def full(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n) // big-endian by default
+      fill(bb); bb.array()
+    }
+    val ftyp = box("ftyp", full(16) { bb =>
+      bb.put("isom".getBytes("US-ASCII")); bb.putInt(0x200)
+      bb.put("isom".getBytes("US-ASCII")); bb.put("iso2".getBytes("US-ASCII"))
+    })
+    val mdat = box("mdat", frames.toArray: _*)
+    val mdatDataStart = ftyp.length + 8L
+    val n = frames.size
+    val spc = math.max(1, math.min(samplesPerChunk, n))
+    val chunks = frames.grouped(spc).toSeq
+    // chunk c starts where its first sample lands in the packed mdat
+    val chunkOffs = chunks.scanLeft(mdatDataStart)((o, ch) =>
+      o + ch.map(_.length.toLong).sum).dropRight(1)
+    val duration = sampleDelta * n
+    val mvhd = box("mvhd", full(100) { bb =>
+      bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(timescale.toInt); bb.putInt(duration.toInt)
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+      bb.putLong(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2) // next track id
+    })
+    val tkhd = box("tkhd", full(84) { bb =>
+      bb.putInt(7); bb.putInt(0); bb.putInt(0) // version/flags(enabled|inMovie), times
+      bb.putInt(1); bb.putInt(0); bb.putInt(duration.toInt) // track id, reserved, duration
+      bb.putLong(0); bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(width << 16); bb.putInt(height << 16) // fixed 16.16
+    })
+    val mdhd = box("mdhd", full(24) { bb =>
+      bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(timescale.toInt); bb.putInt(duration.toInt)
+      bb.putShort(0x55c4.toShort); bb.putShort(0) // language 'und'
+    })
+    val hdlr = box("hdlr", full(25) { bb =>
+      bb.putInt(0); bb.putInt(0)
+      bb.put("vide".getBytes("US-ASCII"))
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.put(0.toByte) // reserved + empty name
+    })
+    val vmhd = box("vmhd", full(12) { bb => bb.putInt(1); bb.putLong(0) })
+    val dref = box("dref", full(8) { bb => bb.putInt(0); bb.putInt(1) },
+      box("url ", full(4)(_.putInt(1)))) // self-contained
+    val dinf = box("dinf", dref)
+    val sampleEntry = box(codec, full(78) { bb =>
+      bb.putInt(0); bb.putShort(0); bb.putShort(1) // reserved + data_ref_index
+      (0 until 4).foreach(_ => bb.putInt(0)) // pre_defined/reserved
+      bb.putShort(width.toShort); bb.putShort(height.toShort)
+      bb.putInt(0x00480000); bb.putInt(0x00480000); bb.putInt(0) // 72 dpi, reserved
+      bb.putShort(1) // frame_count
+      (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+      bb.putShort(24); bb.putShort(-1) // depth, pre_defined
+    })
+    val stsd = box("stsd", full(8) { bb => bb.putInt(0); bb.putInt(1) }, sampleEntry)
+    val stts = box("stts", full(16) { bb =>
+      bb.putInt(0); bb.putInt(1); bb.putInt(n); bb.putInt(sampleDelta.toInt)
+    })
+    // one stsc run per distinct samples-per-chunk value change (the last
+    // chunk may be short): runs are (first_chunk, samples_per_chunk, sdi)
+    val runs = chunks.zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc, (ch, i)) =>
+        if (acc.nonEmpty && acc.last._2 == ch.size) acc
+        else acc :+ ((i + 1, ch.size))
+    }
+    val stsc = box("stsc", full(8 + 12 * runs.size) { bb =>
+      bb.putInt(0); bb.putInt(runs.size)
+      runs.foreach { case (fc, s) => bb.putInt(fc); bb.putInt(s); bb.putInt(1) }
+    })
+    val stsz = box("stsz", full(12 + 4 * n) { bb =>
+      bb.putInt(0); bb.putInt(0); bb.putInt(n)
+      frames.foreach(f => bb.putInt(f.length))
+    })
+    val stcoBox =
+      if (useCo64) box("co64", full(8 + 8 * chunkOffs.size) { bb =>
+        bb.putInt(0); bb.putInt(chunkOffs.size); chunkOffs.foreach(bb.putLong)
+      })
+      else box("stco", full(8 + 4 * chunkOffs.size) { bb =>
+        bb.putInt(0); bb.putInt(chunkOffs.size); chunkOffs.foreach(o => bb.putInt(o.toInt))
+      })
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stcoBox)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+
   final case class Frame(doc_id: Long, frameIndex: Int, offsetBytes: Long, payload: Array[Byte])
 
-  /** Frame sampling: REAL for MJPEG-in-AVI and animated-GIF payloads —
-    * [[demuxAvi]] / [[demuxGif]] walk the container and `n` evenly spaced
-    * frames come back with their true byte offsets (`offsetBytes` = the
-    * frame's position in the file; payload = the JPEG chunk for AVI, the
-    * raw image-descriptor slice for GIF). Payloads in neither container
-    * keep the deterministic byte-slice STUB (the 1→N explode shape
-    * without a codec), flatMap'd per partition either way so a demuxer
-    * streams without materializing the corpus.
+  /** Frame sampling: REAL for MJPEG-in-AVI, animated-GIF and MP4/MOV
+    * payloads — [[demuxAvi]] / [[demuxGif]] / [[demuxMp4]] walk the
+    * container and `n` evenly spaced frames come back with their true
+    * byte offsets (`offsetBytes` = the frame's position in the file;
+    * payload = the JPEG chunk for AVI, the raw image-descriptor slice
+    * for GIF, the codec-compressed sample for MP4). Payloads in none of
+    * the containers keep the deterministic byte-slice STUB (the 1→N
+    * explode shape without a codec), flatMap'd per partition either way
+    * so a demuxer streams without materializing the corpus.
     */
   def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        demuxAvi(r.payload).orElse(demuxGif(r.payload)) match {
+        demuxAvi(r.payload).orElse(demuxGif(r.payload))
+            .orElse(demuxMp4AsVideoInfo(r.payload)) match {
           case Some(v) =>
             val k = math.min(n, v.frames.size)
             (0 until k).iterator.map { i =>

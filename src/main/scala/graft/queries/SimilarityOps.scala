@@ -685,6 +685,77 @@ object SimilarityOps {
       |  CAST(k AS BIGINT) AS imgio_total, CAST(1 AS BIGINT) AS sep_ok
       |FROM s ORDER BY case_id, sample_index""".stripMargin
 
+  /** REAL MP4/MOV demux through the driver gate — the third genuine
+    * video container next to MJPEG/AVI and animated GIF. Minimal but
+    * conformant ISO-BMFF files are MUXED executor-side
+    * ([[Multimodal.muxMp4Video]]: ftyp → mdat → moov with full
+    * stsd/stts/stsc/stsz/stco tables, 3 samples per chunk so the
+    * sample→chunk expansion is non-trivial), then
+    * [[Multimodal.demuxMp4]] walks moov/trak/stbl inside `frameSample`
+    * and recovers every sample's TRUE byte offset plus codec fourcc,
+    * dims, timescale and frame timing. Because mdat precedes moov and
+    * frame f is 50+7f deterministic bytes, the oracle re-derives the
+    * walker's offsets in closed form — `32 + 50·src + 7·src·(src−1)/2`
+    * — so a single mis-walked table breaks the hash. Sample bytes stay
+    * codec-compressed (the documented stub boundary for H.264-class
+    * codecs); `first_byte` pins that the demuxed slice really is the
+    * sample at that offset. Reference analog: opaque media events
+    * (client/src/main/java/io/pravega/client/stream/EventStreamWriter.java:75).
+    */
+  private def mmMp4Frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampleN = 4
+    // (case_id, width, height, totalFrames) — case 2 has fewer frames
+    // than the sample count, exercising the k = min(n, total) clamp;
+    // 3-per-chunk packing leaves a short final chunk for cases 0 and 1
+    val cases = Seq((0L, 320, 240, 10), (1L, 128, 96, 7), (2L, 64, 48, 2))
+    val media = s.createDataset(cases).repartition(3).mapPartitions { it =>
+      it.map { case (id, w, h, k) =>
+        val frames = (0 until k).map { f =>
+          Array.tabulate[Byte](50 + 7 * f)(i => ((f * 31 + i) % 256).toByte)
+        }
+        Multimodal.MediaRecord(id, "video/mp4",
+          Multimodal.muxMp4Video(w, h, timescale = 90000L, sampleDelta = 3000L,
+            codec = "mp4v", frames = frames, samplesPerChunk = 3))
+      }
+    }
+    // track metadata via the demuxer itself (not the generation params):
+    // codec/dims/timescale/count all come back out of the walked boxes
+    val meta = media.map { m =>
+      val v = Multimodal.demuxMp4(m.payload)
+        .getOrElse(throw new IllegalStateException(s"mp4 demux failed for case ${m.doc_id}"))
+      (m.doc_id, v.frames.size.toLong, v.codec, v.width.toLong, v.height.toLong,
+        v.timescale, v.sampleDelta * 1000000L / v.timescale)
+    }.toDF("case_id", "total", "codec", "width", "height", "timescale", "us_per_frame")
+    val frames = Multimodal.frameSample(media, sampleN)
+      .map { fr =>
+        (fr.doc_id, fr.frameIndex.toLong, fr.offsetBytes,
+          fr.payload.length.toLong, (fr.payload(0) & 0xff).toLong)
+      }.toDF("case_id", "sample_index", "offset_bytes", "frame_len", "first_byte")
+    frames.join(broadcast(meta), "case_id")
+      .select($"case_id", $"sample_index",
+        expr("CAST(sample_index * total DIV least(4, total) AS BIGINT)").as("src_frame"),
+        $"offset_bytes", $"frame_len", $"first_byte",
+        $"codec", $"width", $"height", $"timescale", $"us_per_frame")
+      .orderBy($"case_id", $"sample_index")
+  }
+
+  private val mmMp4FramesSql =
+    """WITH c(case_id, w, h, k) AS (VALUES
+      |  (0, 320, 240, 10), (1, 128, 96, 7), (2, 64, 48, 2)),
+      |s AS (
+      |  SELECT case_id, w, h, k, least(4, k) AS kk, unnest(range(least(4, k))) AS i
+      |  FROM c),
+      |t AS (SELECT *, i * k // kk AS src FROM s)
+      |SELECT CAST(case_id AS BIGINT) AS case_id, CAST(i AS BIGINT) AS sample_index,
+      |  CAST(src AS BIGINT) AS src_frame,
+      |  CAST(32 + 50 * src + 7 * src * (src - 1) // 2 AS BIGINT) AS offset_bytes,
+      |  CAST(50 + 7 * src AS BIGINT) AS frame_len,
+      |  CAST((src * 31) % 256 AS BIGINT) AS first_byte,
+      |  'mp4v' AS codec, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(90000 AS BIGINT) AS timescale, CAST(33333 AS BIGINT) AS us_per_frame
+      |FROM t ORDER BY case_id, sample_index""".stripMargin
+
   /** Binary sign quantization + Hamming-distance top-k — the 1-bit
     * compression extreme of the quantized-search family (int8 =
     * emb_quantize, PQ/ADC = emb_pq_codes/sim_adc_search): each 64-dim
@@ -820,6 +891,7 @@ object SimilarityOps {
     ("mm_audio_real",    mmAudioReal _,  Some(mmAudioRealSql)),
     ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
     ("mm_gif_frames",    mmGifFrames _,  Some(mmGifFramesSql)),
+    ("mm_mp4_frames",    mmMp4Frames _,  Some(mmMp4FramesSql)),
     ("emb_quantize",     quantize _,     Some(quantizeSql)),
     ("sim_hamming_topk", simHammingTopk _, Some(simHammingTopkSql)),
     ("mm_image_phash",   mmImagePhash _,   Some(mmImagePhashSql)),

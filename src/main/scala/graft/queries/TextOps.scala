@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.QueryRegistry.Qf
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the per-document scalar
@@ -698,6 +698,51 @@ object TextOps {
       .orderBy($"bucket")
   }
 
+  /** N-PASS batch perceptron with a convergence stop — the
+    * generalization of `txt_train_perceptron`'s bounded 2-pass form
+    * (which stays the oracle row; this is the production training loop).
+    * `feats` rows are (doc_id, y ∈ {-1,1}, b, x): per-doc hashed-bucket
+    * counts. Each pass is ONE broadcast weight join + ONE shuffle
+    * aggregate — the weights stay a broadcastable D-vector; the only
+    * driver-side value per pass is the misclassified COUNT (the
+    * convergence probe, like `clusterLabels`' label-sum). Stops at zero
+    * misclassified (a separable set converges by the perceptron theorem)
+    * or after `maxPasses`. Returns (weights(bucket, w), passes run,
+    * misclassified docs after the last pass).
+    */
+  def trainPerceptronLoop(feats0: DataFrame, maxPasses: Int): (DataFrame, Int, Long) = {
+    val feats = feats0.select(col("doc_id"), col("y"), col("b"), col("x"))
+      .localCheckpoint()
+    // pass 1 from w=0: every margin is 0, every doc updates
+    var w = feats.groupBy(col("b")).agg(sum(col("y") * col("x")).as("w"))
+      .localCheckpoint()
+    var passes = 1
+    var wrong = -1L
+    while (wrong != 0L && passes < maxPasses) {
+      val margins = feats.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
+      val upd = margins.filter(col("y") * col("m") <= 0).select(col("doc_id"))
+      wrong = upd.count()
+      if (wrong != 0L) {
+        val delta = feats.join(broadcast(upd), Seq("doc_id"), "left_semi")
+          .groupBy(col("b")).agg(sum(col("y") * col("x")).as("d"))
+        w = w.join(delta, Seq("b"), "full_outer")
+          .select(col("b"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L))).as("w"))
+          .localCheckpoint() // keep pass N's plan free of passes 0..N-1
+        passes += 1
+      }
+    }
+    if (wrong != 0L) { // report the count under the FINAL weights
+      wrong = feats.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
+        .filter(col("y") * col("m") <= 0).count()
+    }
+    (w.filter(col("w") =!= 0), passes, wrong)
+  }
+
   private val trainPerceptronSql =
     """WITH tok AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -771,8 +816,106 @@ object TextOps {
        |ORDER BY n DESC, tok LIMIT 20""".stripMargin
   }
 
+  /** Learned BPE END TO END — closes the `txt_bpe_encode` seam (that
+    * query applies a FIXED merge table; this one LEARNS the table first
+    * with the real iterative BPE training loop, then applies it):
+    *
+    *   round i: count adjacent SYMBOL pairs over the current encoding of
+    *   the train slice → argmax (count desc, pair asc) → merge that pair
+    *   corpus-wide in the slice; repeat K times. Then encode the FULL
+    *   corpus with the K learned merges and emit the top subword tokens.
+    *
+    * Training runs on a bounded, sf-invariant slice (`doc_id < 50` —
+    * present at every scale factor, the sample-based regime real
+    * tokenizer training uses); each round is ONE distributed aggregate
+    * whose single argmax row is the only driver-side state (the merge
+    * string itself). The apply stage is the same codegen'd replace chain
+    * as `txt_bpe_encode` — the learned merges become plan literals, the
+    * broadcast-table shape at scale. The oracle replays BOTH stages: the
+    * learning rounds as chained CTEs whose argmax feeds the next round
+    * via scalar subqueries, and the apply chain referencing those same
+    * subqueries — a single mis-learned merge in either engine breaks the
+    * hash.
+    */
+  private val BpeLearnRounds = 4
+  private val bpeTrainWhere = "doc_id < 50"
+
+  /** Adjacent-symbol pairs of a space-joined symbol string column. */
+  private def symbolPairs(enc: Column): Column = {
+    val syms = split(trim(enc), " ")
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2),
+        i => concat_ws(" ", element_at(syms, i + 1), element_at(syms, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def bpeLearned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def words(where: Column): DataFrame = Tables.documents(s, dir)
+      .filter(where)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+    val charSplit = concat(lit(" "),
+      trim(regexp_replace($"w", "(.)", "$1 ")), lit(" "))
+    val train = words($"doc_id" < 50)
+    var merges = Vector.empty[String]
+    def encoded: Column = merges.foldLeft(charSplit) { (c, pair) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
+    }
+    for (_ <- 1 to BpeLearnRounds) {
+      // one distributed agg per round; the 1-row argmax IS the state
+      val top = train.select(explode(symbolPairs(encoded)).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1)
+        .collect()
+      merges = merges ++ top.map(_.getString(0))
+    }
+    words(lit(true))
+      .select(explode(split(trim(encoded), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(20)
+  }
+
+  private val bpeLearnedSql = {
+    val base = "concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')"
+    // wtrain_i = train slice encoded with merges 1..i; p_i = round-i argmax
+    def mergeStep(prev: String, round: Int): String =
+      s"replace($prev, concat(' ', (SELECT pair FROM p$round), ' '), " +
+        s"concat(' ', replace((SELECT pair FROM p$round), ' ', ''), ' '))"
+    val learnCtes = new StringBuilder(
+      s"""wt0 AS (
+         |  SELECT $base AS s
+         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |        FROM documents WHERE $bpeTrainWhere) t
+         |  WHERE regexp_full_match(w, '[a-z]+'))""".stripMargin)
+    for (r <- 1 to BpeLearnRounds) {
+      learnCtes.append(s""",
+         |p$r AS (
+         |  SELECT pair FROM (
+         |    SELECT unnest(list_transform(range(1, len(sy)),
+         |      i -> sy[i] || ' ' || sy[i+1])) AS pair
+         |    FROM (SELECT string_split(trim(${if (r == 1) "s" else "s" + (r - 1)}), ' ') AS sy
+         |          FROM wt${r - 1})) q
+         |  GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1),
+         |wt$r AS (SELECT ${mergeStep(if (r == 1) "s" else "s" + (r - 1), r)} AS s$r
+         |  FROM wt${r - 1})""".stripMargin)
+    }
+    val applyChain = (1 to BpeLearnRounds).foldLeft(base)(mergeStep)
+    s"""WITH $learnCtes,
+       |corpus AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT unnest(string_split(trim($applyChain), ' ')) AS tok
+       |  FROM corpus WHERE regexp_full_match(w, '[a-z]+'))
+       |SELECT tok, COUNT(*) AS n FROM enc GROUP BY tok
+       |ORDER BY n DESC, tok LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
+    ("txt_bpe_learned",    bpeLearned _,    Some(bpeLearnedSql)),
     ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),

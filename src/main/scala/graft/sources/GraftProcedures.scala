@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL g.system.kv_compact('scope', 'kvt')
   *   CALL g.system.kv_sweep('scope', 'kvt', 0)
   *   CALL g.system.kv_fsck('scope', 'kvt')
+  *   CALL g.system.bs_fsck('', 'scope', 'bytestream')      -- '' = this root
+  *   CALL g.system.bs_sweep('/other/root', 'scope', 'bs', 0)
   *
   * Every procedure returns its outcome as rows (LocalScan), so results
   * compose with SQL (`CALL` output is a relation). All metadata-plane:
@@ -34,7 +36,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "truncate_at", "scale_to",
     "maintenance", "sweep", "seal", "save_cut", "fsck",
-    "kv_compact", "kv_sweep", "kv_fsck")
+    "kv_compact", "kv_sweep", "kv_fsck", "bs_fsck", "bs_sweep")
 
   private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -169,6 +171,29 @@ object GraftProcedures {
           val eng = g
           val issues = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1)).fsck()
           if (issues.isEmpty) Seq(Seq("clean")) else issues.map(i => Seq(i))
+        }
+      // byte streams have no catalog identity (COVERAGE seam: they are
+      // raw chunk dirs under any root), so the bs_* procedures take the
+      // ROOT PATH directly — '' falls back to this catalog's root — and
+      // complete the integrity plane for the third storage primitive
+      case "bs_fsck" =>
+        proc("bs_fsck", Seq(in("root", StringType)) ++ ss, StructType(Seq(
+          StructField("issue", StringType, nullable = false)))) { r =>
+          val root = if (str(r, 0).isEmpty) rootDir else str(r, 0)
+          val bs = new graft.storage.ByteStreams(root,
+            SparkSession.active.sessionState.newHadoopConf())
+          val issues = bs.fsck(str(r, 1), str(r, 2))
+          if (issues.isEmpty) Seq(Seq("clean")) else issues.map(i => Seq(i))
+        }
+      case "bs_sweep" =>
+        proc("bs_sweep", Seq(in("root", StringType)) ++ ss :+ in("grace_ms", LongType),
+          StructType(Seq(
+            StructField("reclaimed", StringType, nullable = false)))) { r =>
+          val root = if (str(r, 0).isEmpty) rootDir else str(r, 0)
+          val bs = new graft.storage.ByteStreams(root,
+            SparkSession.active.sessionState.newHadoopConf())
+          val swept = bs.sweep(str(r, 1), str(r, 2), r.getLong(3))
+          if (swept.isEmpty) Seq(Seq("none")) else swept.map(p => Seq(p))
         }
       case other =>
         throw new IllegalArgumentException(

@@ -131,7 +131,11 @@ object GraftSourceConfig {
           s"asOfVersion $asOf0 conflicts with toVersion $toV")
         require(fromV.isEmpty || toV.isEmpty || fromV.get <= toV.get,
           s"fromVersion ${fromV.get} must be <= toVersion ${toV.get}")
-        val cat = new graft.catalog.StreamCatalog(rootDir)
+        // session-derived Hadoop conf, like every other catalog path —
+        // a default Configuration would drop credentials/settings that
+        // live only in the session conf (e.g. s3a keys)
+        val cat = new graft.catalog.StreamCatalog(rootDir,
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
         val f = fromV.map(v => cat.getStreamAt(sub.scope, sub.stream, v).tailCut)
         val t = toV.map(v => cat.getStreamAt(sub.scope, sub.stream, v).tailCut)
         (Seq(sub.copy(from = f, to = t)), toV.orElse(asOf0))
@@ -819,13 +823,11 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
     // per file — zero file IO), composing with the row cap (min wins)
     // and the chunk-safe snap below.
     val perStreamBytes = conf.maxBytesPerTrigger.map(m => math.max(1L, m / conf.subs.size))
-    def byteRowAllowance(meta: graft.core.StreamMetadata, sid: Long,
+    def byteRowAllowance(segFiles: Seq[graft.core.FileEntry],
                          cur: Long, budget: Long): Long = {
       var rows = 0L
       var rem = budget
-      val files = meta.files.filter(f => f.segmentId == sid && f.endOffset > cur)
-        .sortBy(_.startOffset)
-      val it = files.iterator
+      val it = segFiles.iterator.filter(_.endOffset > cur)
       var exhausted = false
       while (it.hasNext && !exhausted) {
         val f = it.next()
@@ -858,6 +860,12 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
           val segs = meta.segments.map(_.segmentId)
           val perRowsSeg = perStream.map(b => math.max(1L, b / math.max(1, segs.size)))
           val perBytesSeg = perStreamBytes.map(b => math.max(1L, b / math.max(1, segs.size)))
+          // files grouped ONCE per trigger — byteRowAllowance and the
+          // chunk-safe snap below otherwise re-filter + re-sort the whole
+          // manifest file list per segment, O(segments × files log files)
+          // per micro-batch on a many-file manifest
+          val filesBySeg: Map[Long, Seq[graft.core.FileEntry]] =
+            meta.files.groupBy(_.segmentId).map { case (k, v) => k -> v.sortBy(_.startOffset) }
           // lineage gate (SegmentCompleted analog, ReaderGroupState.java:
           // 966 — SURVEY §7's per-key-order-across-scale hard part): a
           // post-scale segment must not enter a batch BEFORE its parents'
@@ -880,12 +888,13 @@ class GraftMicroBatchStream(spark: SparkSession, conf: GraftSourceConfig)
               // and would otherwise stall the segment forever; overrunning
               // it by a partial file matches the bounded batch path, which
               // emits the whole group whose head is below the bound.
+              val segFiles = filesBySeg.getOrElse(sid, Nil)
               val per = math.min(
                 perRowsSeg.getOrElse(Long.MaxValue),
-                perBytesSeg.map(bb => byteRowAllowance(meta, sid, cur, bb))
+                perBytesSeg.map(bb => byteRowAllowance(segFiles, cur, bb))
                   .getOrElse(Long.MaxValue))
               val p = if (per >= t - cur) t else math.min(t, cur + per)
-              val snapped = meta.files.find(f => f.segmentId == sid &&
+              val snapped = segFiles.find(f =>
                   f.maxChunkCount > 1 && f.startOffset < p && p < f.endOffset) match {
                 case Some(f) => f.endOffset
                 case None => p

@@ -196,7 +196,9 @@ class ByteStreams(rootDir: String, hadoopConf: Configuration = new Configuration
         end <= h || (start >= t && s.getModificationTime <= cutoff)
       }
       .map(_.getPath).toSeq
-    victims.foreach(p => try f.delete(p, false) catch { case _: Exception => () })
-    victims.map(_.toString).sorted
+    // only successfully-deleted chunks are reported reclaimed; failures
+    // stay on disk for the next sweep (and fsck) to see
+    victims.filter(p => scala.util.Try(f.delete(p, false)).getOrElse(false))
+      .map(_.toString).sorted
   }
 }

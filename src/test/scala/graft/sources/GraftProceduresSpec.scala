@@ -96,6 +96,38 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(t.get("a").map(p => new String(p._1)) == Some("3"))
   }
 
+  test("byte-stream procedures: bs_fsck names a crashed-writer leak, bs_sweep reclaims it") {
+    val (g, cat) = fixture()
+    val bs = new graft.storage.ByteStreams(g.rootDir)
+    bs.create("s", "bytes")
+    bs.append("s", "bytes", Array.fill[Byte](64)(1))
+    // '' = default to this catalog's root
+    assert(spark.sql(s"CALL $cat.system.bs_fsck('', 's', 'bytes')")
+      .head().getString(0) == "clean")
+    // crashed-writer leftover: an uncommitted chunk past the committed tail
+    val leak = new java.io.File(s"${g.rootDir}/s/bytes/chunk-0000000000000100")
+    java.nio.file.Files.write(leak.toPath, Array.fill[Byte](8)(9))
+    val issues = spark.sql(s"CALL $cat.system.bs_fsck('', 's', 'bytes')")
+      .collect().map(_.getString(0))
+    assert(issues.exists(_.startsWith("uncommitted-chunk")), issues.mkString(";"))
+    val swept = spark.sql(s"CALL $cat.system.bs_sweep('', 's', 'bytes', 0)")
+      .collect().map(_.getString(0))
+    assert(swept.exists(_.contains("chunk-0000000000000100")), swept.mkString(";"))
+    assert(!leak.exists)
+    assert(spark.sql(s"CALL $cat.system.bs_fsck('', 's', 'bytes')")
+      .head().getString(0) == "clean")
+    // explicit-root form: byte streams outside the catalog root are
+    // reachable too (they carry no catalog identity)
+    val other = Files.createTempDirectory("graft-bs-proc").toString
+    val bs2 = new graft.storage.ByteStreams(other)
+    bs2.create("sc", "b2")
+    bs2.append("sc", "b2", Array.fill[Byte](32)(2))
+    assert(spark.sql(s"CALL $cat.system.bs_fsck('$other', 'sc', 'b2')")
+      .head().getString(0) == "clean")
+    assert(spark.sql(s"CALL $cat.system.bs_sweep('$other', 'sc', 'b2', 0)")
+      .head().getString(0) == "none")
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     val (_, cat) = fixture()
     intercept[Exception](spark.sql(s"CALL $cat.system.nope('s')").collect())
