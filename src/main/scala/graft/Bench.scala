@@ -132,19 +132,22 @@ object Bench {
     println(line(results.map { case (k, v) => k -> fmt(v) },
       s""","warm":$warmJson,"cold":$coldJson,"total_cold":${fmt(totalCold)}"""))
     val byTime = results.sortBy(-_._2)
-    // 1650-char query budget ≈ 60+ itemized entries — sized so the
-    // compact line (prefix + entries + suffix) stays under the harness's
-    // 2000-char tail window while itemizing >=80% of total wall time
-    val budget = 1650
-    var used = 0
+    // The compact line must fit the harness's 2000-char tail window
+    // whole, so it is sized EXACTLY: 1-decimal values, no warm/cold
+    // markers (those live on the full line above), and entries greedily
+    // filled slowest-first until the assembled line would cross the
+    // budget — itemizing the maximum share of wall the window can carry.
+    def fmtc(v: Double): String = f"$v%.1f"
+    val lineBudget = 1950 // 50-char margin under the 2000-char window
+    val fixedOverhead = line(Seq.empty).length + ",\"_rest\":".length + 8
+    var used = fixedOverhead
     val kept = byTime.takeWhile { case (k, v) =>
-      used += k.length + fmt(v).length + 4; used <= budget
+      used += k.length + fmtc(v).length + 4; used <= lineBudget
     }
     val rest = byTime.drop(kept.size).map(_._2).sum
-    val compact = kept.map { case (k, v) => k -> fmt(v) } :+
-      ("_rest" -> fmt(rest))
-    println(line(compact.sortBy(_._1),
-      s""","warm_n":${coldLog.size},"total_cold":${fmt(totalCold)}"""))
+    val compact = kept.map { case (k, v) => k -> fmtc(v) } :+
+      ("_rest" -> fmtc(rest))
+    println(line(compact.sortBy(_._1)))
     spark.stop()
   }
 }

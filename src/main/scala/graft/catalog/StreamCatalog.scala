@@ -380,12 +380,33 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
 
   private def listVersions(scope: String, stream: String): Seq[Long] = {
     val p = metaPath(scope, stream)
-    try fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
-        n.stripPrefix("manifest-").stripSuffix(".json").toLong }
-      .toSeq
-    catch { case _: FileNotFoundException => Seq.empty }
+    val listed =
+      try fs.listStatus(p).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-").stripSuffix(".json").toLong }
+        .toSeq
+      catch { case _: FileNotFoundException => Seq.empty }
+    // List-after-write-lag guard for object stores: a freshly-committed
+    // manifest can be invisible to LIST while a direct HEAD on its exact
+    // key is already consistent. The version chain is dense and monotone
+    // (createStream writes 0, every CAS writes max+1), so every
+    // committed-but-unlisted version is recoverable by exists() probes —
+    // the log-store discovery trick: (a) probe PAST the listed max until
+    // the first miss, and (b) probe any HOLE inside the listed span,
+    // because eventually-consistent listings surface objects in no
+    // particular order (a newer manifest can appear before an older
+    // one). Cost on a consistent listing: one exists() miss.
+    val listedSet = listed.toSet
+    val holes =
+      if (listed.isEmpty) Seq.empty[Long]
+      else (listed.min to listed.max)
+        .filterNot(listedSet)
+        .filter(v => fs.exists(manifestPath(scope, stream, v)))
+    var next = if (listed.isEmpty) 0L else listed.max + 1
+    val extra = Seq.newBuilder[Long]
+    while (fs.exists(manifestPath(scope, stream, next))) { extra += next; next += 1 }
+    listed ++ holes ++ extra.result()
   }
 
   private def latestVersion(scope: String, stream: String): Option[Long] = {

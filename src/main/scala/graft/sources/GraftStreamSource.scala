@@ -1345,8 +1345,10 @@ final class GraftTailReader(p: GraftTailPartition,
     */
   private def pollManifest(): Boolean = {
     var opened = false
+    GraftTailReader.pollCount.incrementAndGet()
     cursors.groupBy(c => (c.spec.scope, c.spec.stream)).foreach {
       case ((scope, stream), cs) =>
+        GraftTailReader.manifestReadCount.incrementAndGet()
         val meta = cat.getStream(scope, stream)
         val heads = meta.headStreamCut.positions
         val sealedTails = meta.segments.filter(_.isSealed)
@@ -1445,6 +1447,17 @@ final class GraftTailReader(p: GraftTailPartition,
   override def get(): InternalRow = cur
   override def close(): Unit =
     cursors.foreach(c => if (c.reader != null) c.reader.close())
+}
+
+object GraftTailReader {
+  /** Poll-efficiency counters (observability + the soak-spec bound):
+    * `pollManifest` performs exactly ONE manifest read per owned stream
+    * per poll, however many cursors it multiplexes — the invariant that
+    * keeps an over-subscribed reader group O(streams), not O(segments),
+    * against the metadata store.
+    */
+  val pollCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  val manifestReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 object GraftStreamSource {

@@ -150,8 +150,12 @@ object Fsck {
   }
 
   def checkRoot(rootDir: String, onlyScope: Option[String] = None): Seq[Issue] = {
-    val cat = new StreamCatalog(rootDir)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the active session's Hadoop conf (credentials, custom fs.* impls)
+    // when there is one; a bare Configuration otherwise (CLI use)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val cat = new StreamCatalog(rootDir, conf)
     val scopes = onlyScope.map(Seq(_)).getOrElse(cat.listScopes())
     scopes.flatMap { scope =>
       val streamIssues = cat.listStreams(scope).flatMap { st =>

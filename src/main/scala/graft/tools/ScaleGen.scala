@@ -47,8 +47,13 @@ object ScaleGen {
 
   def generate(spark: SparkSession, in: String, out: String, k: Int): Unit = {
     def raw(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
-    def write(df: DataFrame, name: String, parts: Int): Unit =
+    // output partition counts grow with the replication factor past the
+    // 10× the base counts were sized for, keeping file sizes (and so
+    // per-task memory at read time) roughly constant across decades
+    def write(df: DataFrame, name: String, parts0: Int): Unit = {
+      val parts = parts0 * math.max(1, k / 10)
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
 
     // one input row → k rows tagged rep=0..k-1; rep 0 keeps original values
     def reps(df: DataFrame): DataFrame =

@@ -282,4 +282,69 @@ class RealTimeModeSpec extends AnyFunSuite {
     val got = buf2.toArray(Array.empty[(String, Long, Long, Long)])
     assert(got.length == 10, s"micro-batch resume re-read the real-time range: ${got.length}")
   }
+
+  test("soak: 32 segments on 4 slots, scale mid-trigger — no starvation, " +
+       "one manifest read per stream per poll") {
+    val root = Files.createTempDirectory("graft-rt-soak").toString
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    // 8× over-subscription: 32 segments onto local[4]'s 4 task slots —
+    // the realistic reader-group ratio; every long-running task must
+    // multiplex ~8 cursors and starve none of them
+    g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 32))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "100")
+    val id = java.util.UUID.randomUUID().toString
+    val buf = RealTimeCollector.make(id)
+
+    // 997 routing keys spread rows over all 32 segments
+    def wide(n: Int, base: Long) = spark.range(n).select(
+      concat(lit("u"), col("id") % 997).as("routingKey"),
+      (lit(base) + col("id")).as("eventTime"),
+      encode((lit(base) + col("id")).cast("string"), "UTF-8").as("payload"))
+
+    g.writeEvents("s", "ev", wide(640, 0))
+    val polls0 = GraftTailReader.pollCount.get()
+    val reads0 = GraftTailReader.manifestReadCount.get()
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", root).option("scope", "s").option("stream", "ev")
+      .load()
+      .writeStream
+      .foreach(new CollectingWriter(id))
+      .outputMode("update")
+      .trigger(Trigger.RealTime("2 seconds"))
+      .start()
+    try {
+      assert(awaitCount(buf, 640, 60000), s"backlog not delivered: ${buf.size}/640")
+      val backlog = buf.toArray(Array.empty[(String, Long, Long, Long)])
+      assert(backlog.map(_._2).distinct.length == 32,
+        s"rows from only ${backlog.map(_._2).distinct.length}/32 segments — cursors starved")
+
+      // concurrent scale MID-TRIGGER while the tail tasks are long-polling
+      g.scaleStream("s", "ev", 40)
+      g.writeEvents("s", "ev", wide(320, 10000))
+      assert(awaitCount(buf, 960, 60000), s"post-scale rows not delivered: ${buf.size}/960")
+      val all = buf.toArray(Array.empty[(String, Long, Long, Long)])
+      assert(all.length == 960, s"expected exactly 960 rows, got ${all.length}")
+      assert(all.map(t => (t._2, t._3)).distinct.length == 960,
+        "duplicate (segment, offset) across the epoch hand-off")
+      val epochOf: Long => Long = sid => sid >> 32
+      val parents = all.filter(t => epochOf(t._2) == 0)
+      val children = all.filter(t => epochOf(t._2) > 0)
+      assert(parents.length == 640 && children.length == 320,
+        s"${parents.length} parent-epoch + ${children.length} child-epoch rows")
+      assert(parents.map(_._4).max < children.map(_._4).min,
+        "child-epoch rows overtook parent-epoch rows — SegmentCompleted gate broken")
+    } finally { q.stop(); q.awaitTermination() }
+    // the poll-efficiency bound: ONE manifest read per owned stream per
+    // poll, regardless of how many cursors a task multiplexes — a single
+    // 1-stream query, so reads == polls exactly; a per-cursor poller
+    // would read ~8× that
+    val polls = GraftTailReader.pollCount.get() - polls0
+    val reads = GraftTailReader.manifestReadCount.get() - reads0
+    assert(polls > 0, "tail readers never polled")
+    assert(reads == polls,
+      s"$reads manifest reads over $polls polls — expected exactly one per stream per poll")
+  }
 }

@@ -13,13 +13,27 @@ import scala.concurrent.ExecutionContext.Implicits.global
 /** Concurrent writers + failure cleanup (MultiReaderTxnWriterWithFailover
   * spirit at unit scale): racing commits serialize through the CAS with
   * retries, orphaned staging is swept, nothing is lost or duplicated.
+  *
+  * Parameterized over BOTH filesystem contracts: the local `file:` path
+  * (kernel-atomic CREATE_NEW, list-consistent) and the object-store shim
+  * ([[LaggedObjectStoreFs]]: store-arbitrated conditional put + manifest
+  * list-after-write lag) — losers must retry and land on either.
   */
 class ConcurrencySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("concurrent writers: all batches land exactly once") {
-    val g = new GraftStreams(spark, Files.createTempDirectory("graft-conc").toString)
+  private def mkRoot(contract: String, tag: String): String = contract match {
+    case "local" => Files.createTempDirectory(s"graft-$tag").toString
+    case "objectstore" =>
+      ObjectStoreFixture.install(spark)
+      "oscas://" + Files.createTempDirectory(s"graft-os-$tag").toString
+  }
+
+  for (contract <- Seq("local", "objectstore")) {
+
+  test(s"[$contract] concurrent writers: all batches land exactly once") {
+    val g = new GraftStreams(spark, mkRoot(contract, "conc"))
     g.catalog.createScope("s")
     g.catalog.createStream("s", "x", StreamConfig(initialSegments = 2))
 
@@ -51,8 +65,8 @@ class ConcurrencySpec extends AnyFunSuite {
     all.unpersist()
   }
 
-  test("concurrent txn commits + direct writes: publish CAS re-plans, nothing lost") {
-    val g = new GraftStreams(spark, Files.createTempDirectory("graft-ctxn").toString)
+  test(s"[$contract] concurrent txn commits + direct writes: publish CAS re-plans, nothing lost") {
+    val g = new GraftStreams(spark, mkRoot(contract, "ctxn"))
     g.catalog.createScope("s")
     g.catalog.createStream("s", "x", StreamConfig(initialSegments = 2))
 
@@ -91,8 +105,8 @@ class ConcurrencySpec extends AnyFunSuite {
     all.unpersist()
   }
 
-  test("orphaned staging dirs are invisible and swept; live dirs survive") {
-    val g = new GraftStreams(spark, Files.createTempDirectory("graft-orph").toString)
+  test(s"[$contract] orphaned staging dirs are invisible and swept; live dirs survive") {
+    val g = new GraftStreams(spark, mkRoot(contract, "orph"))
     g.catalog.createScope("s")
     g.catalog.createStream("s", "x", StreamConfig(initialSegments = 1))
     g.writeEvents("s", "x", spark.range(50).select(
@@ -122,5 +136,56 @@ class ConcurrencySpec extends AnyFunSuite {
       lit("k").as("routingKey"), col("id").as("eventTime"),
       encode(col("id").cast("string"), "UTF-8").as("payload")))
     assert(g.readEvents("s", "x").count() == 60L)
+  }
+
+  } // contract loop
+
+  test("object-store contract: probe-past-listing defeats list lag; unreadable newest falls back one version") {
+    val root = mkRoot("objectstore", "lag")
+    val g = new GraftStreams(spark, root)
+    g.catalog.createScope("s")
+    g.catalog.createStream("s", "x", StreamConfig(initialSegments = 1))
+    g.writeEvents("s", "x", spark.range(20).select(
+      lit("k").as("routingKey"), col("id").as("eventTime"),
+      encode(col("id").cast("string"), "UTF-8").as("payload")))
+    val committed = g.catalog.getStream("s", "x").version
+    val prev = LaggedObjectStoreFs.lagMs
+    try {
+      // lag long enough that LIST alone would resolve the stale version
+      LaggedObjectStoreFs.lagMs = 60000L
+      g.writeEvents("s", "x", spark.range(20, 30).select(
+        lit("k").as("routingKey"), col("id").as("eventTime"),
+        encode(col("id").cast("string"), "UTF-8").as("payload")))
+      // the dense-chain probe (exists() on listedMax+1, +2, …) finds the
+      // committed-but-unlisted manifest: readers never go stale
+      val seen = g.catalog.getStream("s", "x")
+      assert(seen.version == committed + 1,
+        s"probe must see the lagged commit, got ${seen.version}")
+      assert(g.readEvents("s", "x").count() == 30L)
+    } finally LaggedObjectStoreFs.lagMs = prev
+    // winner-crashed-mid-write: the newest manifest EXISTS but holds no
+    // bytes — readers retry briefly, then fall back exactly one version
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v = committed + 1
+    val empty = new org.apache.hadoop.fs.Path(
+      root, f"s/x/_meta/manifest-${v + 1}%012d.json")
+    fsys.create(empty, false).close()
+    val fallen = g.catalog.getStream("s", "x")
+    assert(fallen.version == v, s"expected fallback to $v, got ${fallen.version}")
+    assert(g.readEvents("s", "x").count() == 30L)
+    fsys.delete(empty, false)
+  }
+}
+
+/** Registers the `oscas` scheme on the shared session (idempotent) and
+  * arms the default list lag used by the parameterized CAS suites.
+  */
+object ObjectStoreFixture {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (hc.get("fs.oscas.impl") == null)
+      hc.set("fs.oscas.impl", classOf[LaggedObjectStoreFs].getName)
+    if (LaggedObjectStoreFs.lagMs == 0L) LaggedObjectStoreFs.lagMs = 120L
   }
 }

@@ -20,6 +20,11 @@ import java.nio.file.Files
   *   (b) Fsck names the leak,
   *   (c) the sweep reclaims it,
   *   (d) a re-run lands exactly once.
+  *
+  * Parameterized over BOTH filesystem contracts — local `file:` (kernel-
+  * atomic CREATE_NEW) and the object-store shim ([[LaggedObjectStoreFs]]:
+  * store-arbitrated conditional put + manifest list-after-write lag) —
+  * the recovery invariants may not depend on local-FS strength.
   */
 class CrashInjectionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -35,8 +40,13 @@ class CrashInjectionSpec extends AnyFunSuite {
     Thread.sleep(5) // ensure crashed dirs' mod-time is strictly in the past
   }
 
-  private def mk(tag: String): (String, GraftStreams) = {
-    val root = Files.createTempDirectory(s"graft-crash-$tag").toString
+  private def mk(contract: String, tag: String): (String, GraftStreams) = {
+    val root = contract match {
+      case "local" => Files.createTempDirectory(s"graft-crash-$tag").toString
+      case "objectstore" =>
+        ObjectStoreFixture.install(spark)
+        "oscas://" + Files.createTempDirectory(s"graft-oscrash-$tag").toString
+    }
     val g = new GraftStreams(spark, root)
     g.catalog.createScope("s")
     g.catalog.createStream("s", "ev", StreamConfig(initialSegments = 2))
@@ -57,8 +67,10 @@ class CrashInjectionSpec extends AnyFunSuite {
   private def orphansNamed(root: String, marker: String): Seq[Fsck.Issue] =
     Fsck.checkRoot(root).filter(i => i.kind == "orphan-data" && i.detail.contains(marker))
 
-  test("kill between batch staging and CAS: invisible, named, reclaimed, exactly-once rerun") {
-    val (root, g) = mk("w")
+  for (contract <- Seq("local", "objectstore")) {
+
+  test(s"[$contract] kill between batch staging and CAS: invisible, named, reclaimed, exactly-once rerun") {
+    val (root, g) = mk(contract, "w")
     g.writeEvents("s", "ev", batch(0, 1000))
     crashAt("write.staged") {
       g.writeEvents("s", "ev", batch(1000, 2000), Some("w1"), Some(2L))
@@ -75,8 +87,8 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(readIds(g) === (0L until 2000L), "batchId dedup must make the rerun a no-op")
   }
 
-  test("kill between txn merge and publish CAS: resumable, merged orphan reclaimed") {
-    val (root, g) = mk("t")
+  test(s"[$contract] kill between txn merge and publish CAS: resumable, merged orphan reclaimed") {
+    val (root, g) = mk(contract, "t")
     g.writeEvents("s", "ev", batch(0, 500))
     val txn = g.beginTxn("s", "ev")
     g.writeToTxn("s", "ev", txn, batch(500, 1000))
@@ -100,8 +112,8 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(Fsck.checkRoot(root).isEmpty)
   }
 
-  test("kill after publish CAS before staging cleanup: committed once, staging reclaimed") {
-    val (root, g) = mk("p")
+  test(s"[$contract] kill after publish CAS before staging cleanup: committed once, staging reclaimed") {
+    val (root, g) = mk(contract, "p")
     g.writeEvents("s", "ev", batch(0, 500))
     val txn = g.beginTxn("s", "ev")
     g.writeToTxn("s", "ev", txn, batch(500, 1000))
@@ -120,8 +132,8 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(Fsck.checkRoot(root).isEmpty)
   }
 
-  test("kill between compaction rewrite and swap CAS: data intact, rerun compacts") {
-    val (root, g) = mk("c")
+  test(s"[$contract] kill between compaction rewrite and swap CAS: data intact, rerun compacts") {
+    val (root, g) = mk(contract, "c")
     g.writeEvents("s", "ev", batch(0, 600))
     g.writeEvents("s", "ev", batch(600, 1200))
     val filesBefore = g.catalog.getStream("s", "ev").files.map(_.path).toSet
@@ -140,10 +152,10 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(orphansNamed(root, "compact-").isEmpty)
   }
 
-  test("kill inside the streaming sink between engine write and epoch cleanup: " +
+  test(s"[$contract] kill inside the streaming sink between engine write and epoch cleanup: " +
        "redelivered epoch collapses to a no-op") {
     import org.apache.spark.sql.streaming.Trigger
-    val (root, g) = mk("sink")
+    val (root, g) = mk(contract, "sink")
     g.catalog.createStream("s", "dst", StreamConfig(initialSegments = 2))
     g.writeEvents("s", "ev", batch(0, 1200))
     val ckpt = Files.createTempDirectory("graft-crash-ck").toString
@@ -185,8 +197,8 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(Fsck.checkRoot(root).isEmpty)
   }
 
-  test("crash before truncation's physical sweep: tombstones hold, sweep is idempotent") {
-    val (root, g) = mk("tr")
+  test(s"[$contract] crash before truncation's physical sweep: tombstones hold, sweep is idempotent") {
+    val (root, g) = mk(contract, "tr")
     // several small batches → several files per segment, so a 400-row cut
     // strands whole files below the head (tombstone candidates)
     (0 until 5).foreach(i => g.writeEvents("s", "ev", batch(i * 200L, (i + 1) * 200L)))
@@ -218,4 +230,6 @@ class CrashInjectionSpec extends AnyFunSuite {
     g.sweepOrphans("s", "ev", olderThanMillis = 0L)
     assert(Fsck.checkRoot(root).isEmpty)
   }
+
+  } // contract loop
 }
