@@ -60,17 +60,23 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   private def manifestPath(v: Long) = new Path(metaDir, f"manifest-$v%012d.json")
 
   private def latest(): KvManifest = {
-    val versions =
+    val listed =
       try fs.listStatus(metaDir).iterator.map(_.getPath.getName)
         .collect { case n if n.startsWith("manifest-") =>
           n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
       catch { case _: FileNotFoundException => Seq.empty[Long] }
+    // List-after-write-lag guard (same trick as StreamCatalog
+    // .listVersions): the commit chain is dense from 1, so probe
+    // exists() past the listed max — an object store's stale LIST can
+    // never hide a committed manifest from the next reader/committer.
+    var max = if (listed.isEmpty) 0L else listed.max
+    while (fs.exists(manifestPath(max + 1))) max += 1
     // empty table = version 0, so the FIRST commit is version 1: entry
     // versions stay strictly positive and can never collide with the
     // reserved expectedVersion=0 ("must not exist") sentinel
-    if (versions.isEmpty) KvManifest(name, partitionCount, 0L, Nil)
+    if (max == 0L) KvManifest(name, partitionCount, 0L, Nil)
     else {
-      val in = fs.open(manifestPath(versions.max))
+      val in = fs.open(manifestPath(max))
       try Serialization.read[KvManifest](
         new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
       finally in.close()

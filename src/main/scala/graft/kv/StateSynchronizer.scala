@@ -66,10 +66,17 @@ class StateSynchronizer(rootDir: String, name: String,
 
   /** Latest (revision, state); revision -1 = no state yet. */
   def fetch(): (Long, Option[String]) = {
-    val revs =
+    val listed =
       try fs.listStatus(dir).iterator.map(_.getPath.getName)
         .collect { case n if n.startsWith("rev-") => n.stripPrefix("rev-").toLong }.toSeq
       catch { case _: FileNotFoundException => Seq.empty[Long] }
+    // list-after-write-lag guard (same dense-chain probe as the stream
+    // and KV manifests): revisions are 0,1,2,…, so exists() past the
+    // listed max finds commits a stale object-store LIST hides
+    val extra = Seq.newBuilder[Long]
+    var next = if (listed.isEmpty) 0L else listed.max + 1
+    while (fs.exists(revPath(next))) { extra += next; next += 1 }
+    val revs = listed ++ extra.result()
     def read(r: Long): Option[String] = {
       val in = fs.open(revPath(r))
       try {

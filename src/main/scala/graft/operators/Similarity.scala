@@ -79,30 +79,58 @@ object Similarity {
   }
 
   /** IVF-style ANN — the other 100 TB scale path next to LSH: a small
-    * deterministic centroid set (every `centroidMod`-th vector), corpus
-    * vectors assigned once to their nearest centroid (an inverted file),
-    * queries probe the `nprobe` nearest centroids and re-rank exactly
-    * inside those lists. At scale the assignment is one broadcast pass
-    * and searches touch ~nprobe/centroids of the corpus.
+    * deterministic centroid set, corpus vectors assigned once to their
+    * nearest centroid (an inverted file), queries probe the `nprobe`
+    * nearest centroids and re-rank exactly inside those lists. At scale
+    * the assignment is one broadcast pass and searches touch
+    * ~nprobe/centroids of the corpus.
+    *
+    * The centroid COUNT is a fixed deployment knob (`centroidsTarget` —
+    * the nlist of a production IVF index), NOT a fixed sampling stride:
+    * the round-9 sf10 sweep measured the old `vec_id % 40` rule going
+    * quadratic (assignment = N × N/40 cosines, 65× per decade at 100×
+    * data) because the centroid set itself grew with the corpus. The
+    * stride is now derived from the corpus count so C stays ~constant
+    * and every stage is O(N): the ORACLE computes the same stride from
+    * the same COUNT(*) as a scalar subquery, so the two engines pick
+    * identical centroids at every scale factor.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidMod: Int = 40, nprobe: Int = 2): DataFrame = {
+              centroidsTarget: Int = 50, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(col("vec_id") % centroidMod === 0)
+    val mod = math.max(1L, math.round(corpus.count() / centroidsTarget.toDouble))
+    val cents = corpus.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // inverted file: nearest centroid per corpus vector. The scored N×C
-    // cross product NEVER crosses an exchange: each corpus partition joins
-    // the broadcast centroids and partial-aggregates `max_by` map-side, so
-    // the shuffle carries one row per vector (the window/row_number
-    // formulation would sort-shuffle all N×C scored rows). Tie-break
-    // (ccos DESC, c_id ASC) is encoded as max over struct(ccos, -c_id).
-    val assigned = corpus.as("v").join(broadcast(cents), col("c_id").isNotNull)
-      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
-        col("c_id"), cosine(col("v.embedding"), col("c_emb")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("c_id"))
-      .select(col("vec_id"), col("embedding"), col("c_id"))
+    // inverted file: nearest centroid per corpus vector, as a PURE
+    // PROJECTION. The centroid set is tiny by construction
+    // (~centroidsTarget rows), so it collects to the driver and inlines
+    // as one array-of-struct literal (ConstantFolding collapses it to a
+    // single Literal); each corpus row scores all C centroids inside
+    // whole-stage codegen and takes the argmax as array_max over
+    // struct(ccos, -c_id) — the same (ccos DESC, c_id ASC) tie-break the
+    // earlier max_by formulation encoded. No join, no N×C row explosion,
+    // and crucially NO full-corpus shuffle: the round-9 sf10 sweep
+    // measured the previous broadcast-join + groupBy(vec_id) shape going
+    // superlinear at 100× (N embedding-carrying rows through a
+    // million-group hash aggregate). Centroid norms are driver-computed
+    // with the same left-to-right double accumulation as seq_dot, and
+    // dot/(nrm · c_nrm) is the exact float sequence cosine() produced,
+    // so results stay bit-identical to the oracle.
+    val centroids = cents.select(col("c_id"), col("c_emb")).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray
+      val nrm = math.sqrt(emb.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (r.getLong(0), emb, nrm)
+    }
+    val centsLit = array(centroids.map { case (id, emb, nrm) =>
+      struct(lit(id).as("c_id"), lit(emb).as("c_emb"), lit(nrm).as("c_nrm"))
+    }.toIndexedSeq: _*)
+    val assigned = corpus
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("best", array_max(transform(centsLit, c =>
+        struct((dot(col("embedding"), c.getField("c_emb")) /
+            (col("nrm") * c.getField("c_nrm"))).as("ccos"),
+          (-c.getField("c_id")).as("neg")))))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg")).as("c_id"))
     // query probes: nprobe nearest centroids — same aggregate shape
     // (collect_list is bounded by the centroid count, which is small by
     // construction); array_sort on struct(-qcos, c_id) replays the
@@ -129,12 +157,15 @@ object Similarity {
     * probes and ranking).
     */
   def ivfTopKOracleSql(queryMaxVecId: Int, k: Int,
-                       centroidMod: Int = 40, nprobe: Int = 2): String =
+                       centroidsTarget: Int = 50, nprobe: Int = 2): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
-       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id % $centroidMod = 0),
+       |m AS (SELECT GREATEST(1, CAST(round(COUNT(*) / $centroidsTarget.0) AS BIGINT)) AS md
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM n WHERE vec_id % (SELECT md FROM m) = 0),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, c_id FROM (
        |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,

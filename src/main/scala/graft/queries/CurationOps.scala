@@ -255,7 +255,18 @@ object CurationOps {
       .localCheckpoint(eager = false)
     val evalGrams = GramStage.explodeGrams(docs, 6, distinctPerDoc = true)
       .filter($"doc_id" % 10 >= 8)
-    val bloom = BloomPrefilter.build(train, $"g")
+    // the sketch is sized from the ACTUAL train cardinality (the count
+    // materializes the checkpoint the bloom build reads anyway), capped
+    // at 8 MiB — Spark's own runtime-filter ceiling — so it stays
+    // shippable as a plan literal: a fixed 1 MiB sketch saturates once
+    // the train set outgrows ~2^20 grams (FP → 1, the prefilter passes
+    // everything — the round-9 sf10 sweep measured exactly that) while
+    // ~10 bits/item keeps FP ~1% up to ~6M grams and degrades
+    // gracefully past the cap
+    val nTrain = train.count()
+    val bloom = BloomPrefilter.build(train, $"g",
+      estimatedItems = math.max(1L << 20, nTrain),
+      numBits = math.min(1L << 26, math.max(1L << 23, 10L * nTrain)))
     evalGrams.filter(BloomPrefilter.mightContain(bloom, $"g"))
       .join(train, Seq("g"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
@@ -529,37 +540,66 @@ object CurationOps {
     * before mixing (is src A secretly a crawl of src B?). Doc-level
     * twins are dedup_*'s job; this is the source-pair rollup.
     *
-    * Scale: shingles dedupe to (shingle, source) first — one
-    * map-combined distinct — and the self-join shuffles on the shingle;
-    * a shingle shared by all S sources fans out to at most C(S,2) pairs,
-    * bounded by the source count (a handful by definition), never by
-    * corpus size.
+    * Scale: sources map to BITS of one long, so the whole reduction is
+    * codegen'd fixed-width hash aggregation — no per-group object
+    * buffers anywhere:
+    *
+    *   (source-bit, shingle) → groupBy(shingle) BIT_OR → a LongType
+    *   membership mask per distinct shingle (map-side partial OR) →
+    *   groupBy(mask) COUNT → at most 2^S but in practice a few dozen
+    *   rows → per-mask pair/singleton explode over literal arrays.
+    *
+    * ONE wide shuffle of fixed 16-byte rows over the corpus; everything
+    * after the mask count is constant-size. The round-9 sf10 sweep paid
+    * for this design twice over: the original distinct + self-join
+    * computed the shingle pipeline once per join side and sort-merged
+    * the full relation (452 s at 100×), and the first rewrite's
+    * `collect_set(source)` put 60 M groups through ObjectHashAggregate's
+    * per-group object buffers (thread dumps showed every executor in
+    * createNewAggregationBuffer) — a bit-or over longs does the same
+    * job inside whole-stage codegen.
     */
   private def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // shingles are COMPRESSED to 60-bit md5 prefixes before the
-    // distinct+join: the shuffle carries 8-byte longs instead of
-    // ~40-byte strings (≈3× narrower exchanges on the two heaviest
-    // stages). The oracle replays the same fold, so the (astronomically
-    // rare) collision is computed identically on both engines.
-    val sh = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    // the corpus-level source list is tiny by definition (it is the
+    // UNIT of this analysis); one small distinct+collect pins the
+    // source→bit map as plan literals
+    val sources = docs.select($"source").distinct()
+      .orderBy($"source").as[String].collect()
+    require(sources.length <= 63,
+      s"cross-source overlap bitmask supports <= 63 sources, got ${sources.length}")
+    val srcBit = typedLit(sources.zipWithIndex.map { case (n, i) => n -> (1L << i) }.toMap)
+    // shingles are COMPRESSED to 60-bit md5 prefixes: the one wide
+    // shuffle carries (8-byte shingle, 8-byte mask) rows. The oracle
+    // replays the same fold, so the (astronomically rare) collision is
+    // computed identically on both engines.
+    val maskCounts = docs
       .select($"source", toks($"text").as("w"))
       .filter(size($"w") >= 5)
       .select($"source", explode(expr(
         "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")).as("shs"))
-      .select($"source",
+      .select(element_at(srcBit, $"source").as("bit"),
         conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
-      .distinct()
-    // consumed twice (da and db broadcasts) — without the lazy
-    // checkpoint only one side's exchange is reused and the other
-    // replays the whole shingle explode+distinct (seen in the plan:
-    // a second Generate branch); #sources rows, so the checkpoint is free
-    val dsz = sh.groupBy($"source").agg(count(lit(1)).as("ds"))
-      .localCheckpoint(false)
-    sh.as("a").join(sh.as("b"), Seq("sh"))
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
+      .groupBy($"sh").agg(expr("bit_or(bit)").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // few dozen rows; consumed twice below
+    val pairLit = array((for {
+      i <- sources.indices; j <- i + 1 until sources.length
+    } yield struct(lit(sources(i)).as("src_a"), lit(sources(j)).as("src_b"),
+        lit((1L << i) | (1L << j)).as("bits"))): _*)
+    val singleLit = array(sources.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("source"), lit(1L << i).as("bit"))
+    }: _*)
+    val dsz = maskCounts
+      .select(explode(filter(singleLit,
+        p => p.getField("bit").bitwiseAND($"m") === p.getField("bit"))).as("p"), $"cnt")
+      .groupBy($"p.source".as("source")).agg(sum($"cnt").as("ds"))
+    maskCounts
+      .select(explode(filter(pairLit,
+        p => p.getField("bits").bitwiseAND($"m") === p.getField("bits"))).as("p"), $"cnt")
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(sum($"cnt").as("shared"))
       .join(broadcast(dsz.select($"source".as("src_a"), $"ds".as("da"))), Seq("src_a"))
       .join(broadcast(dsz.select($"source".as("src_b"), $"ds".as("db"))), Seq("src_b"))
       .select($"src_a", $"src_b", $"shared",

@@ -767,6 +767,61 @@ object TextOps {
       |WHERE w1.w + COALESCE(delta.d, 0) != 0
       |ORDER BY bucket""".stripMargin
 
+  /** N-pass perceptron ORACLE row (`txt_perceptron_n`): the production
+    * loop [[trainPerceptronLoop]] at maxPasses = 3 over the same hashed
+    * features as `txt_train_perceptron`. The oracle replays a FIXED
+    * 3-pass chained-CTE — which equals the convergence-stop loop
+    * unconditionally, because a pass with zero misclassified docs
+    * contributes an empty delta (w_{r+1} = w_r): stopping early and
+    * applying zero deltas are the same function. So the hash gate
+    * covers the loop's real update rule at every pass, not just the
+    * bounded 2-pass form.
+    */
+  private val PerceptronPasses = 3
+
+  private def trainPerceptronN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+        explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"doc_id", $"y",
+        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 256L).as("b"))
+      .groupBy($"doc_id", $"y", $"b")
+      .agg(count(lit(1)).as("x"))
+    val (w, _, _) = trainPerceptronLoop(feats, maxPasses = PerceptronPasses)
+    w.select($"b".as("bucket"), $"w").orderBy($"bucket")
+  }
+
+  private val trainPerceptronNSql = {
+    val rounds = (2 to PerceptronPasses).map { r =>
+      val prev = s"w${r - 1}"
+      s""",
+         |m$r AS (SELECT f.doc_id, f.y, SUM(f.x * $prev.w) AS m
+         |  FROM feats f JOIN $prev ON f.b = $prev.b GROUP BY 1, 2),
+         |upd$r AS (SELECT doc_id FROM m$r WHERE y * m <= 0),
+         |delta$r AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d
+         |  FROM feats f JOIN upd$r u ON f.doc_id = u.doc_id GROUP BY f.b),
+         |w$r AS (SELECT $prev.b, CAST($prev.w + COALESCE(delta$r.d, 0) AS BIGINT) AS w
+         |  FROM $prev LEFT JOIN delta$r ON $prev.b = delta$r.b)""".stripMargin
+    }.mkString
+    s"""WITH tok AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |bk AS (SELECT doc_id, y,
+       |  ((strpos('0123456789abcdef', substring(md5(t),1,1))-1)*4096 +
+       |   (strpos('0123456789abcdef', substring(md5(t),2,1))-1)*256 +
+       |   (strpos('0123456789abcdef', substring(md5(t),3,1))-1)*16 +
+       |   (strpos('0123456789abcdef', substring(md5(t),4,1))-1)) % 256 AS b
+       |  FROM tok),
+       |feats AS (SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM bk GROUP BY 1, 2, 3),
+       |w1 AS (SELECT b, CAST(SUM(y*x) AS BIGINT) AS w FROM feats GROUP BY b)$rounds
+       |SELECT b AS bucket, w FROM w$PerceptronPasses WHERE w != 0
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** The fixed "pretrained" merge table applied by `txt_bpe_encode`, in
     * priority order (the `txt_bpe_pairs` LEARNING step produces such a
     * table; applying a pretrained tokenizer to a new corpus is the
@@ -917,6 +972,7 @@ object TextOps {
     ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
     ("txt_bpe_learned",    bpeLearned _,    Some(bpeLearnedSql)),
     ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
+    ("txt_perceptron_n",   trainPerceptronN _, Some(trainPerceptronNSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
