@@ -49,13 +49,20 @@ object WriteBench {
     // user_id by i*1e9 so the key population (and thus per-segment
     // routing spread) grows with the data — replaying identical keys
     // would only deepen per-key chains, not widen the key space.
+    // range-crossJoin rather than a copies-way union: the multiset is
+    // identical but the plan stays O(1) in `copies` (a 500x run would
+    // otherwise pay a 500-branch union through analysis/codegen). The
+    // events side is spread across the cores FIRST — sf0.1 arrives as a
+    // handful of parquet files, and the crossJoin inherits the probe
+    // side's partitioning, so without this the cached volume sits in ~4
+    // fat partitions and the timed write path scans on 4 tasks.
     def volume(copies: Int): DataFrame =
-      (0 until copies).map { i =>
-        events.select(
-          ($"user_id" + lit(i.toLong * 1000000000L)).cast("string").as("routingKey"),
+      events.repartition(cpus.toInt)
+        .crossJoin(spark.range(copies).select($"id".as("rep")))
+        .select(
+          ($"user_id" + $"rep" * 1000000000L).cast("string").as("routingKey"),
           unix_millis($"ts".cast("timestamp")).as("eventTime"),
           encode(concat_ws("|", $"event_id", $"event_type", $"props"), "UTF-8").as("payload"))
-      }.reduce(_ union _)
 
     val vBase = volume(1).cache(); val nBase = vBase.count()
     val vBig = volume(k).cache(); val nBig = vBig.count()
