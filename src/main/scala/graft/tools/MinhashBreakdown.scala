@@ -41,7 +41,16 @@ object MinhashBreakdown {
       d.count(); d
     }
     time("signature-again") { sigd.count() }
-    time("full-nearDuplicates") {
+    // three invocations: #1 pays codegen/broadcast warm-up; #2/#3 are the
+    // bench-methodology warm numbers (each invocation re-runs the whole
+    // pipeline — nearDuplicates caches are per-call and released)
+    time("full-nearDuplicates-cold") {
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.35).count()
+    }
+    time("full-nearDuplicates-warm1") {
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.35).count()
+    }
+    time("full-nearDuplicates-warm2") {
       MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.35).count()
     }
     spark.stop()
