@@ -138,7 +138,7 @@ object Bench {
     // filled slowest-first until the assembled line would cross the
     // budget — itemizing the maximum share of wall the window can carry.
     def fmtc(v: Double): String = f"$v%.1f"
-    val lineBudget = 1950 // 50-char margin under the 2000-char window
+    val lineBudget = 1985 // 15-char margin (newline + slack) under the 2000-char window
     val fixedOverhead = line(Seq.empty).length + ",\"_rest\":".length + 8
     var used = fixedOverhead
     val kept = byTime.takeWhile { case (k, v) =>
