@@ -968,7 +968,87 @@ object TextOps {
        |ORDER BY n DESC, tok LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------- BM25 top-k
+
+  /** Fixed query for the BM25 row — terms present in the synthetic corpus
+    * vocabulary at every sf (ScaleGen permutes words, never invents them).
+    */
+  private val Bm25Terms = Seq("spark", "stream", "hash", "window")
+
+  /** BM25 top-k retrieval scoring — the lexical ranking primitive a
+    * training pipeline uses for retrieval-based decontamination and
+    * hard-negative mining. Standard Okapi BM25 with k1 = 1.2, b = 0.75,
+    * computed in EXACT integer arithmetic so the oracle replays it
+    * bit-for-bit: with k1 = 6/5 and b = 3/4, per-term
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)     (avgdl = T/N exact)
+    * which is quantized by a single BIGINT `DIV` after a 10⁴ fixed-point
+    * scale; idf = ln((N−df+½)/(df+½)+1) = ln((2N+2)/(2df+1)) follows the
+    * repo's quantized-ln pattern (floor(ln·10⁴), identical double inputs
+    * on both engines). Scale shape: df/tf aggregate only rows matching
+    * the (tiny, constant) query term set, dl is a projection, N and T are
+    * two broadcast scalars, and the final top-k is a TakeOrdered — no
+    * corpus-wide shuffle anywhere.
+    */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select($"doc_id", size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_toks"))
+    val qtf = docs
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .filter($"tok".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_q",
+        floor(log(($"n_docs" * 2 + lit(2L)).cast("double") / ($"df" * 2 + lit(1L)).cast("double"))
+          * lit(10000.0)).cast("long"))
+      .withColumn("term_fp",
+        $"idf_q" * expr("(22L * tf * t_toks * 10000L) DIV (10L * tf * t_toks + 3L * t_toks + 9L * dl * n_docs)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_fp").as("score_fp"))
+      .orderBy($"score_fp".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_terms", $"score_fp")
+  }
+
+  private val bm25TopKSql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+       |  FROM dl),
+       |qtf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) u
+       |  WHERE tok IN ($terms)
+       |  GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+       |scored AS (
+       |  SELECT qtf.doc_id AS doc_id,
+       |    CAST(floor(ln(CAST(n_docs * 2 + 2 AS DOUBLE) / CAST(df * 2 + 1 AS DOUBLE))
+       |      * 10000.0) AS BIGINT)
+       |      * ((22 * tf * t_toks * 10000)
+       |         // (10 * tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs)) AS term_fp
+       |  FROM qtf
+       |  JOIN dfreq USING (tok)
+       |  JOIN dl ON qtf.doc_id = dl.doc_id
+       |  CROSS JOIN totals)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(term_fp) AS BIGINT) AS score_fp
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_bm25_topk",      bm25TopK _,      Some(bm25TopKSql)),
     ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
     ("txt_bpe_learned",    bpeLearned _,    Some(bpeLearnedSql)),
     ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
