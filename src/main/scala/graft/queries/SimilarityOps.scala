@@ -875,7 +875,72 @@ object SimilarityOps {
       |  (4, 'bmp_solid', 0, 0)) AS v(case_id, kind, hash_lo, hash_hi)
       |ORDER BY case_id""".stripMargin
 
+  // ------------------------------------------------------ hybrid RRF fusion
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion: the lexical arm is the
+    * BM25 ranking (TextOps, fixed query terms), the vector arm is the
+    * brute-force cosine ranking for query vector 0 (`vec_id` aligns with
+    * `doc_id` in the synthetic corpus) — both truncated to their top-50,
+    * then fused with the classic RRF k = 60 as EXACT integers:
+    * `1_000_000 DIV (60 + rank)` per arm, summed, missing membership
+    * contributing 0. Scale shape: each arm ends in a TakeOrdered top-50,
+    * the rank windows run on ≤ 50 surviving rows, and the fusion is a
+    * 50∪50-row outer join — driver-bounded constants regardless of corpus
+    * size. The oracle replays BOTH arms (the shared BM25 CTE chain + the
+    * brute-cosine CTE) and the integer fusion.
+    */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val lexTop = TextOps.bm25Scored(s, dir)
+      .orderBy($"score_fp".desc, $"doc_id").limit(50)
+    val lex = lexTop
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy($"score_fp".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_lex")
+    val e = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0L), k = 50)
+      .select($"cand_id".as("doc_id"), $"rank".cast("long").as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000L DIV (60L + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000L DIV (60L + rank_vec)"), lit(0L)))
+      .select($"doc_id", $"rank_lex", $"rank_vec", $"rrf_fp")
+      .orderBy($"rrf_fp".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val hybridRrfSql =
+    s"""WITH ${TextOps.bm25ScoredCtes},
+       |lex AS (
+       |  SELECT doc_id, rank_lex FROM (
+       |    SELECT doc_id,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank_lex
+       |    FROM bm) t
+       |  WHERE rank_lex <= 50),
+       |nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+       |  FROM nv q JOIN nv c ON q.vec_id = 0 AND q.vec_id <> c.vec_id),
+       |vec AS (
+       |  SELECT doc_id, rank_vec FROM (
+       |    SELECT doc_id,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+       |    FROM vscored) t
+       |  WHERE rank_vec <= 50)
+       |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+       |  CAST(COALESCE(1000000 // (60 + rank_lex), 0)
+       |     + COALESCE(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_fp
+       |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+       |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("sim_hybrid_rrf",   hybridRrf _,    Some(hybridRrfSql)),
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),
     ("sim_ann_lsh",      annLsh _,       Some(Similarity.lshTopKOracleSql(10, 5, nbits = 8))),

@@ -990,7 +990,10 @@ object TextOps {
     * two broadcast scalars, and the final top-k is a TakeOrdered — no
     * corpus-wide shuffle anywhere.
     */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc BM25 aggregate `(doc_id, n_terms, score_fp)` over the fixed
+    * query — shared by `txt_bm25_topk` and the hybrid-RRF fusion row.
+    */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val dl = docs.select($"doc_id", size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))
@@ -1010,14 +1013,23 @@ object TextOps {
         $"idf_q" * expr("(22L * tf * t_toks * 10000L) DIV (10L * tf * t_toks + 3L * t_toks + 9L * dl * n_docs)"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), sum($"term_fp").as("score_fp"))
+  }
+
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Scored(s, dir)
       .orderBy($"score_fp".desc, $"doc_id")
       .limit(20)
       .select($"doc_id", $"n_terms", $"score_fp")
   }
 
-  private val bm25TopKSql = {
+  /** The BM25 CTE chain through the per-doc aggregate `bm(doc_id,
+    * n_terms, score_fp)` — shared by the top-k row's oracle and the
+    * hybrid-RRF oracle.
+    */
+  private[queries] val bm25ScoredCtes = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH dl AS (
+    s"""dl AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
        |  FROM documents),
@@ -1040,12 +1052,17 @@ object TextOps {
        |  FROM qtf
        |  JOIN dfreq USING (tok)
        |  JOIN dl ON qtf.doc_id = dl.doc_id
-       |  CROSS JOIN totals)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-       |  CAST(SUM(term_fp) AS BIGINT) AS score_fp
-       |FROM scored GROUP BY doc_id
-       |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+       |  CROSS JOIN totals),
+       |bm AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(term_fp) AS BIGINT) AS score_fp
+       |  FROM scored GROUP BY doc_id)""".stripMargin
   }
+
+  private val bm25TopKSql =
+    s"""WITH $bm25ScoredCtes
+       |SELECT doc_id, n_terms, score_fp
+       |FROM bm ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_bm25_topk",      bm25TopK _,      Some(bm25TopKSql)),

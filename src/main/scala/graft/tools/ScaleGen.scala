@@ -55,9 +55,13 @@ object ScaleGen {
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
-    // one input row → k rows tagged rep=0..k-1; rep 0 keeps original values
+    // one input row → k rows tagged rep=0..k-1; rep 0 keeps original
+    // values. The input is spread across the cores FIRST: the base tables
+    // arrive as a handful of parquet files, and the explode inherits the
+    // scan's partitioning — at k=1000 that leaves ~4 tasks expanding
+    // hundreds of millions of rows while 28 cores idle.
     def reps(df: DataFrame): DataFrame =
-      df.withColumn("rep", explode(sequence(lit(0L), lit(k - 1L))))
+      df.repartition(32).withColumn("rep", explode(sequence(lit(0L), lit(k - 1L))))
     val off = col("rep") * Off
 
     write(raw("region"), "region", 1)
