@@ -94,12 +94,22 @@ object Similarity {
     * and every stage is O(N): the ORACLE computes the same stride from
     * the same COUNT(*) as a scalar subquery, so the two engines pick
     * identical centroids at every scale factor.
+    *
+    * Selection hashes the id (md5-prefix, the repo's cross-engine
+    * uniform-hash idiom) instead of taking `vec_id % stride` directly:
+    * the sf100 sweep caught the raw-modulo rule resonating with
+    * structured id spaces — ScaleGen replica ids are `rep·10⁸ + base`,
+    * every power-of-ten stride divides 10⁸, so ONLY base id 0 matched
+    * and the centroid set grew one-per-replica again (1000 centroids at
+    * ×1000, 46× third-decade growth). A hash kills any arithmetic
+    * structure: ~centroidsTarget survivors for ANY id distribution.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidsTarget: Int = 50, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mod = math.max(1L, math.round(corpus.count() / centroidsTarget.toDouble))
-    val cents = corpus.filter(col("vec_id") % mod === 0)
+    val idHash = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val cents = corpus.filter(idHash % mod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     // inverted file: nearest centroid per corpus vector, as a PURE
     // PROJECTION. The centroid set is tiny by construction
@@ -121,6 +131,9 @@ object Similarity {
       val nrm = math.sqrt(emb.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
       (r.getLong(0), emb, nrm)
     }
+    require(centroids.nonEmpty,
+      s"IVF centroid hash-selection (md5(vec_id) % $mod == 0) picked zero rows — " +
+        "corpus too small for centroidsTarget; lower centroidsTarget")
     val centsLit = array(centroids.map { case (id, emb, nrm) =>
       struct(lit(id).as("c_id"), lit(emb).as("c_emb"), lit(nrm).as("c_nrm"))
     }.toIndexedSeq: _*)
@@ -165,7 +178,8 @@ object Similarity {
        |m AS (SELECT GREATEST(1, CAST(round(COUNT(*) / $centroidsTarget.0) AS BIGINT)) AS md
        |  FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM n WHERE vec_id % (SELECT md FROM m) = 0),
+       |  FROM n WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % (SELECT md FROM m) = 0),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, c_id FROM (
        |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
