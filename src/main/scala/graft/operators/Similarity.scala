@@ -106,49 +106,74 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidsTarget: Int = 50, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentsDf(corpus, centroidsTarget)
+    val centroids = ivfCentroids(cents)
+    val assigned = ivfAssign(corpus, centroids)
+    val probes = ivfProbes(queries, cents, nprobe)
+    ivfRank(assigned, probes, k)
+  }
+
+  /** The deterministic centroid SET (c_id, c_emb): ~`centroidsTarget`
+    * uniform survivors of the id hash, regardless of id distribution.
+    */
+  def ivfCentsDf(corpus: DataFrame, centroidsTarget: Int = 50): DataFrame = {
     val mod = math.max(1L, math.round(corpus.count() / centroidsTarget.toDouble))
     val idHash = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
-    val cents = corpus.filter(idHash % mod === 0)
+    corpus.filter(idHash % mod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // inverted file: nearest centroid per corpus vector, as a PURE
-    // PROJECTION. The centroid set is tiny by construction
-    // (~centroidsTarget rows), so it collects to the driver and inlines
-    // as one array-of-struct literal (ConstantFolding collapses it to a
-    // single Literal); each corpus row scores all C centroids inside
-    // whole-stage codegen and takes the argmax as array_max over
-    // struct(ccos, -c_id) — the same (ccos DESC, c_id ASC) tie-break the
-    // earlier max_by formulation encoded. No join, no N×C row explosion,
-    // and crucially NO full-corpus shuffle: the round-9 sf10 sweep
-    // measured the previous broadcast-join + groupBy(vec_id) shape going
-    // superlinear at 100× (N embedding-carrying rows through a
-    // million-group hash aggregate). Centroid norms are driver-computed
-    // with the same left-to-right double accumulation as seq_dot, and
-    // dot/(nrm · c_nrm) is the exact float sequence cosine() produced,
-    // so results stay bit-identical to the oracle.
+  }
+
+  /** Collects the (tiny by construction) centroid set to the driver with
+    * norms precomputed — the same left-to-right double accumulation as
+    * `seq_dot`, so literal-inlined cosines stay bit-identical to the
+    * oracle's. Fails loudly on an empty selection.
+    */
+  def ivfCentroids(cents: DataFrame): Array[(Long, Array[Float], Double)] = {
     val centroids = cents.select(col("c_id"), col("c_emb")).collect().map { r =>
       val emb = r.getSeq[Float](1).toArray
       val nrm = math.sqrt(emb.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
       (r.getLong(0), emb, nrm)
     }
     require(centroids.nonEmpty,
-      s"IVF centroid hash-selection (md5(vec_id) % $mod == 0) picked zero rows — " +
+      "IVF centroid hash-selection picked zero rows — " +
         "corpus too small for centroidsTarget; lower centroidsTarget")
+    centroids
+  }
+
+  /** The inverted file: nearest centroid per corpus vector, as a PURE
+    * PROJECTION. The centroid set is tiny by construction
+    * (~centroidsTarget rows), so it inlines as one array-of-struct
+    * literal (ConstantFolding collapses it to a single Literal); each
+    * corpus row scores all C centroids inside whole-stage codegen and
+    * takes the argmax as array_max over struct(ccos, -c_id) — the same
+    * (ccos DESC, c_id ASC) tie-break the earlier max_by formulation
+    * encoded. No join, no N×C row explosion, and crucially NO
+    * full-corpus shuffle: the round-9 sf10 sweep measured the previous
+    * broadcast-join + groupBy(vec_id) shape going superlinear at 100×
+    * (N embedding-carrying rows through a million-group hash aggregate).
+    */
+  def ivfAssign(corpus: DataFrame,
+                centroids: Array[(Long, Array[Float], Double)]): DataFrame = {
     val centsLit = array(centroids.map { case (id, emb, nrm) =>
       struct(lit(id).as("c_id"), lit(emb).as("c_emb"), lit(nrm).as("c_nrm"))
     }.toIndexedSeq: _*)
-    val assigned = corpus
+    corpus
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("best", array_max(transform(centsLit, c =>
         struct((dot(col("embedding"), c.getField("c_emb")) /
             (col("nrm") * c.getField("c_nrm"))).as("ccos"),
           (-c.getField("c_id")).as("neg")))))
       .select(col("vec_id"), col("embedding"), (-col("best.neg")).as("c_id"))
-    // query probes: nprobe nearest centroids — same aggregate shape
-    // (collect_list is bounded by the centroid count, which is small by
-    // construction); array_sort on struct(-qcos, c_id) replays the
-    // (qcos DESC, c_id ASC) probe order without a window sort.
-    val probes = queries.as("q").join(broadcast(cents), col("c_id").isNotNull)
+  }
+
+  /** Query probes: the `nprobe` nearest centroids per query — one
+    * broadcast join against the centroid set (collect_list is bounded by
+    * the centroid count, which is small by construction); array_sort on
+    * struct(-qcos, c_id) replays the (qcos DESC, c_id ASC) probe order
+    * without a window sort. Returns (qid, q_emb, c_id).
+    */
+  def ivfProbes(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    queries.as("q").join(broadcast(cents), col("c_id").isNotNull)
       .select(col("q.vec_id").as("qid"), col("q.embedding").as("q_emb"),
         col("c_id"), cosine(col("q.embedding"), col("c_emb")).as("qcos"))
       .groupBy(col("qid"))
@@ -157,6 +182,13 @@ object Similarity {
           1, nprobe).as("top"))
       .select(col("qid"), col("q_emb"), explode(col("top")).as("t"))
       .select(col("qid"), col("q_emb"), col("t.c_id").as("c_id"))
+
+  /** Exact re-rank inside the probed lists: candidates = assigned rows
+    * sharing a probed centroid, cosine-scored against the query, top-k
+    * per query.
+    */
+  def ivfRank(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("qid") =!= col("vec_id"))
@@ -164,6 +196,48 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-rank DCG discount table in millionths: round(10⁶ / log₂(r+1))
+    * for r = 1..kMax, computed ONCE on the driver and inlined as integer
+    * literals into BOTH engines' plans — transcendental functions never
+    * cross an engine boundary, so the metrics below are integer-exact.
+    */
+  def discountPpm(kMax: Int): IndexedSeq[Long] =
+    (1 to kMax).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality metrics (MRR + NDCG@kMax) of a retrieval system
+    * against graded ground truth — the evaluation loop every retrieval /
+    * ANN index ships with. `truth` carries (query_id, cand_id, rank,
+    * gain): gain is the graded relevance and truth's OWN rank order is
+    * the ideal ranking (true for any top-k truth built by sorting on
+    * relevance). `sys` carries (query_id, cand_id, rank). All sums are
+    * integer (gain × discount in millionths), so results are
+    * bit-reproducible under any partitioning; the single double division
+    * dcg/idcg happens once per row. Queries are driven from TRUTH: a
+    * system returning nothing for a query scores 0, not absence.
+    *
+    * Scale: both inputs are top-k relations (k rows per query), so every
+    * stage is O(queries · k) regardless of corpus size.
+    */
+  def rankingMetrics(sys: DataFrame, truth: DataFrame, kMax: Int): DataFrame = {
+    val disc = lit(discountPpm(kMax).toArray)
+    def discAt(rank: Column): Column = element_at(disc, rank.cast("int"))
+    val hits = sys.join(truth.select(col("query_id"), col("cand_id"),
+          col("gain")), Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain") * discAt(col("rank"))).as("dcg_ppm"),
+        min(col("rank")).as("first_rel"))
+    val ideal = truth.groupBy(col("query_id"))
+      .agg(sum(col("gain") * discAt(col("rank"))).as("idcg_ppm"))
+    ideal.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(expr("1000000L DIV first_rel"), lit(0L)).as("rr_ppm"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
+        col("idcg_ppm"),
+        (coalesce(col("dcg_ppm"), lit(0L)).cast("double") /
+          col("idcg_ppm").cast("double")).as("ndcg"))
+      .orderBy(col("query_id"))
   }
 
   /** DuckDB SQL replaying [[ivfTopK]] (same centroid rule, assignment,

@@ -939,7 +939,117 @@ object SimilarityOps {
        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
        |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin
 
+  /** MRR + NDCG@10 of the LSH index against brute-force graded truth —
+    * the ranking-quality evaluation every retrieval/ANN index ships with
+    * (recall@k alone misses rank ORDER). Truth = exact cosine top-10 with
+    * graded gain 10..1 by true rank; system = the production LSH path.
+    * All DCG sums are integer (gain × driver-inlined discount constants
+    * in millionths — `Similarity.discountPpm` — so no transcendental
+    * function ever crosses an engine boundary); the one double division
+    * dcg/idcg is per-row. Scale: both arms are top-k relations, so the
+    * metric join is O(queries · k) whatever the corpus size.
+    */
+  private def ndcgMrr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(e, probes, k = 10)
+      .select($"query_id", $"cand_id", $"rank", (lit(11L) - $"rank").as("gain"))
+    val sys = Similarity.lshTopK(e, probes, k = 10, nbits = 8)
+      .select($"query_id", $"cand_id", $"rank")
+    Similarity.rankingMetrics(sys, truth, kMax = 10)
+  }
+
+  private lazy val ndcgMrrSql = {
+    val bruteSql =
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, rank FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 10""".stripMargin
+    val discRows = Similarity.discountPpm(10).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH truth AS (
+       |  SELECT query_id, cand_id, rank, CAST(11 - rank AS BIGINT) AS gain
+       |  FROM ($bruteSql) b),
+       |sysq AS (
+       |  SELECT query_id, cand_id, rank
+       |  FROM (${Similarity.lshTopKOracleSql(10, 10, nbits = 8)}) l),
+       |dd AS (SELECT * FROM (VALUES $discRows) AS v(r, disc)),
+       |hit AS (
+       |  SELECT s.query_id, CAST(SUM(t.gain * dd.disc) AS BIGINT) AS dcg_ppm,
+       |    MIN(s.rank) AS first_rel
+       |  FROM sysq s JOIN truth t ON s.query_id = t.query_id AND s.cand_id = t.cand_id
+       |  JOIN dd ON dd.r = s.rank GROUP BY 1),
+       |ideal AS (
+       |  SELECT t.query_id, CAST(SUM(t.gain * dd.disc) AS BIGINT) AS idcg_ppm
+       |  FROM truth t JOIN dd ON dd.r = t.rank GROUP BY 1)
+       |SELECT i.query_id AS query_id,
+       |  CAST(COALESCE(1000000 // h.first_rel, 0) AS BIGINT) AS rr_ppm,
+       |  CAST(COALESCE(h.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+       |  i.idcg_ppm AS idcg_ppm,
+       |  CAST(COALESCE(h.dcg_ppm, 0) AS DOUBLE) / CAST(i.idcg_ppm AS DOUBLE) AS ndcg
+       |FROM ideal i LEFT JOIN hit h ON i.query_id = h.query_id
+       |ORDER BY query_id""".stripMargin
+  }
+
+  /** ANN SERVING through the storage plane: the IVF inverted file
+    * (centroid → member ids) is PERSISTED into a KeyValueTable by an
+    * indexing job, then a separate serving pass answers queries by
+    * reading ONLY the probed buckets back from the store (literal pk
+    * predicates prune to those buckets' files via parquet stats) and
+    * re-ranking inside them — the online sibling of `sim_ann_ivf`, the
+    * same shape `dedup_index_lookup` gives the LSH index. The oracle is
+    * the DIRECT path's SQL: the served result must reproduce
+    * `Similarity.ivfTopK` bit for bit through the
+    * build → store → probe → read → re-rank round trip. The probed
+    * bucket ids collect to the driver (≤ queries × nprobe, bounded by
+    * construction).
+    */
+  private def simIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.kv.KeyValueTable
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val cents = Similarity.ivfCentsDf(e)
+    val centroids = Similarity.ivfCentroids(cents)
+    // indexing job: build the inverted file and persist it
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfkv").toString
+    val ix = new KeyValueTable(s, work, "ivf_index", partitionCount = 8)
+    ix.put(Similarity.ivfAssign(e, centroids)
+      .select(format_string("%020d", $"c_id").as("pk"),
+        format_string("%020d", $"vec_id").as("sk"),
+        encode(lit(""), "UTF-8").as("value")))
+    // serving pass: probe nprobe centroids, read only those buckets
+    val probes = Similarity.ivfProbes(e.filter($"vec_id" < 10), cents, nprobe = 2)
+    val probePks = probes.select(format_string("%020d", $"c_id").as("pk"))
+      .distinct().as[String].collect().toSeq
+    val members = ix.entries().filter($"pk".isin(probePks: _*))
+      .select($"pk".cast("long").as("c_id"), $"sk".cast("long").as("cand_id"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    members.join(broadcast(probes), Seq("c_id"))
+      .filter($"qid" =!= $"cand_id")
+      .join(e.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb")), Seq("cand_id"))
+      .select($"qid".as("query_id"), $"cand_id",
+        Similarity.cosine($"q_emb", $"cand_emb").as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"cand_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("sim_ndcg_mrr",     ndcgMrr _,      Some(ndcgMrrSql)),
+    ("sim_index_lookup", simIndexLookup _, Some(Similarity.ivfTopKOracleSql(10, 5))),
     ("sim_hybrid_rrf",   hybridRrf _,    Some(hybridRrfSql)),
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),

@@ -1064,7 +1064,70 @@ object TextOps {
        |SELECT doc_id, n_terms, score_fp
        |FROM bm ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Lexical SEARCH SERVING through the storage plane — the text-side
+    * sibling of `sim_index_lookup`: an indexing job persists the full
+    * inverted index into a KeyValueTable (pk = term, sk = doc id,
+    * value = "tf:dl", plus one corpus-totals meta row under a pk no
+    * token can collide with — tokens come from a \\s+ split, so they
+    * cannot contain a tab), then a separate serving pass answers the
+    * query by reading ONLY the query terms' buckets (literal pk
+    * pushdown → pruned files) and replaying the exact integer BM25
+    * arithmetic on what it read: df per term is the bucket's own row
+    * count, tf/dl ride in the posting, N/T in the meta row — the
+    * corpus is never rescanned at serve time. The oracle is the BATCH
+    * path's SQL: the served top-k must reproduce `txt_bm25_topk` bit
+    * for bit through the build → store → read → score round trip.
+    * Scale: serve-side cost is Σ df over the query terms (inherent to
+    * any inverted index — idf is what makes the big stop-word buckets
+    * score low, not cheap to read).
+    */
+  private def searchLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.kv.KeyValueTable
+    val MetaPk = "\tmeta"
+    val docs = Tables.documents(s, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft-searchkv").toString
+    val ix = new KeyValueTable(s, work, "postings", partitionCount = 8)
+    // indexing job: full inverted index + one totals row
+    val dl = docs.select($"doc_id",
+      size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))
+    val tf = docs
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    ix.put(tf.join(dl, Seq("doc_id"))
+      .select($"tok".as("pk"), format_string("%020d", $"doc_id").as("sk"),
+        encode(format_string("%d:%d", $"tf", $"dl"), "UTF-8").as("value")))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_toks"))
+      .select(format_string("%d:%d", $"n_docs", $"t_toks")).as[String].head()
+    ix.put(Seq((MetaPk, "", totals)).toDF("pk", "sk", "v")
+      .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    // serving pass: query-term buckets + the meta row, nothing else
+    val read = ix.entries().filter($"pk".isin(Bm25Terms :+ MetaPk: _*))
+      .select($"pk", $"sk", decode($"value", "UTF-8").as("v"))
+    val meta = read.filter($"pk" === MetaPk).select(
+      split($"v", ":").getItem(0).cast("long").as("n_docs"),
+      split($"v", ":").getItem(1).cast("long").as("t_toks"))
+    val posts = read.filter($"pk" =!= MetaPk).select(
+      $"pk".as("tok"), $"sk".cast("long").as("doc_id"),
+      split($"v", ":").getItem(0).cast("long").as("tf"),
+      split($"v", ":").getItem(1).cast("long").as("dl"))
+    val dfreq = posts.groupBy($"tok").agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(meta))
+      .withColumn("idf_q",
+        floor(log(($"n_docs" * 2 + lit(2L)).cast("double") / ($"df" * 2 + lit(1L)).cast("double"))
+          * lit(10000.0)).cast("long"))
+      .withColumn("term_fp",
+        $"idf_q" * expr("(22L * tf * t_toks * 10000L) DIV (10L * tf * t_toks + 3L * t_toks + 9L * dl * n_docs)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_fp").as("score_fp"))
+      .orderBy($"score_fp".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_terms", $"score_fp")
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("txt_search_lookup",  searchLookup _,  Some(bm25TopKSql)),
     ("txt_bm25_topk",      bm25TopK _,      Some(bm25TopKSql)),
     ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
     ("txt_bpe_learned",    bpeLearned _,    Some(bpeLearnedSql)),
