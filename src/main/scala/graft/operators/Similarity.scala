@@ -243,9 +243,12 @@ object Similarity {
   /** DuckDB SQL replaying [[ivfTopK]] (same centroid rule, assignment,
     * probes and ranking).
     */
-  def ivfTopKOracleSql(queryMaxVecId: Int, k: Int,
-                       centroidsTarget: Int = 50, nprobe: Int = 2): String =
-    s"""WITH n AS (
+  /** The centroid-selection + inverted-file CTE block (`n`, `m`,
+    * `cents`, `assigned`) shared by the direct top-k oracle and the
+    * streaming index-maintenance oracle.
+    */
+  def ivfAssignedOracleCtes(centroidsTarget: Int = 50): String =
+    s"""n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
@@ -262,7 +265,11 @@ object Similarity {
        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.nrm * c.c_nrm) DESC,
        |        c.c_id) AS arank
        |    FROM n v CROSS JOIN cents c) t
-       |  WHERE arank = 1),
+       |  WHERE arank = 1)""".stripMargin
+
+  def ivfTopKOracleSql(queryMaxVecId: Int, k: Int,
+                       centroidsTarget: Int = 50, nprobe: Int = 2): String =
+    s"""WITH ${ivfAssignedOracleCtes(centroidsTarget)},
        |probes AS (
        |  SELECT qid, q_emb, q_nrm, c_id FROM (
        |    SELECT q.vec_id AS qid, q.embedding AS q_emb, q.nrm AS q_nrm, c.c_id,

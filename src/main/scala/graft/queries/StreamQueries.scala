@@ -2041,6 +2041,87 @@ object StreamQueries {
        |ORDER BY band, bsig""".stripMargin
   }
 
+  /** One centroid assignment arriving from the stream. */
+  case class IvfIn(cId: Long, vecId: Long)
+  /** Per-centroid streaming state: member count + smallest vec id. */
+  case class IvfState(n: Long, minVec: Long)
+  /** Per-trigger inverted-list update emitted to the sink. */
+  case class IvfOut(cId: Long, n: Long, minVec: Long)
+
+  /** STREAMING IVF index maintenance at ingest — the ANN sibling of
+    * [[streamLshIndex]]: embedding vectors flow through the engine
+    * stream as float-text payloads (Float → string → float is an exact
+    * round trip by the Java shortest-repr contract), each trigger runs
+    * the SAME pure-projection assignment kernel the batch path uses
+    * (`Similarity.ivfAssign` against the offline-trained centroid set —
+    * centroids are a training artifact, assignment is the online work)
+    * and folds the arrivals into keyed state per centroid: inverted-list
+    * size + smallest member id. This is what keeps `sim_index_lookup`'s
+    * serving index FRESH between index rebuilds. State is O(centroids);
+    * counts grow and minima shrink monotonically, so the final index
+    * state is recoverable from append-mode emissions via max/min.
+    *
+    * The oracle replays centroid selection AND every assignment in
+    * DuckDB (the `sim_ann_ivf` CTE prefix) and aggregates per centroid:
+    * a hash match proves the streamed index equals the batch-built one
+    * — engine write, payload codec, paced triggers, cross-trigger state
+    * and exactly-once delivery included.
+    */
+  private def streamIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    // offline-trained artifact: the deterministic centroid set
+    val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfix").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "vecs", StreamConfig(initialSegments = 4))
+    val src = e.select(
+      $"vec_id".cast("string").as("routingKey"),
+      $"vec_id".cast("long").as("eventTime"),
+      encode(concat_ws(",", transform($"embedding", x => x.cast("string"))), "UTF-8")
+        .as("payload"))
+    g.writeEvents("q", "vecs", src)
+    val pace = math.max(100L, g.unreadRows("q", "vecs", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"ivfix_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val fn = (key: Long, it: Iterator[IvfIn], st: GroupState[IvfState]) => {
+      var n = st.getOption.map(_.n).getOrElse(0L)
+      var mn = st.getOption.map(_.minVec).getOrElse(Long.MaxValue)
+      it.foreach { r => n += 1; if (r.vecId < mn) mn = r.vecId }
+      st.update(IvfState(n, mn))
+      Iterator.single(IvfOut(key, n, mn))
+    }
+    val stream = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "vecs")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey".cast("long").as("vec_id"),
+        transform(split(decode($"payload", "UTF-8"), ","), x => x.cast("float"))
+          .as("embedding"))
+    val q = Similarity.ivfAssign(stream, centroids)
+      .select($"c_id".as("cId"), $"vec_id".as("vecId")).as[IvfIn]
+      .groupByKey(_.cId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"cId".as("c_id"))
+      .agg(max($"n").as("n_vecs"), min($"minVec").as("min_vec"))
+      .orderBy($"c_id")
+  }
+
+  private val streamIvfIndexSql =
+    s"""WITH ${graft.operators.Similarity.ivfAssignedOracleCtes()}
+       |SELECT c_id, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       |FROM assigned GROUP BY c_id ORDER BY c_id""".stripMargin
+
   /** Segment attributes with every AttributeUpdateType
     * (AttributeUpdateType.java:27-60; GetSegmentAttribute /
     * UpdateSegmentAttribute wire ops, WireCommands.java:1022,1078),
@@ -2193,6 +2274,7 @@ object StreamQueries {
     ("ev_attr_updates",      attrUpdates _,  Some(attrUpdatesSql)),
     ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
     ("ev_stream_lsh_index",  streamLshIndex _, Some(streamLshIndexSql)),
+    ("ev_stream_ivf_index",  streamIvfIndex _, Some(streamIvfIndexSql)),
     ("ev_stream_hot_keys",   streamHotKeys _, Some(streamHotKeysSql)),
     ("ev_time_travel",       timeTravel _,   Some(timeTravelSql)),
     ("ev_version_changes",   versionChanges _, Some(versionChangesSql)),
