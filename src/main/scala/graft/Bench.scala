@@ -117,10 +117,12 @@ object Bench {
     // One stable shape for "sf": always the stripped last dir segment,
     // always quoted — consumers never see a string/number duality.
     val sfJson = "\"" + sfDir.split('/').last.stripPrefix("sf") + "\""
-    def line(entries: Seq[(String, String)], extra: String = ""): String = {
+    def line(entries: Seq[(String, String)], extra: String = "",
+             nQueries: Boolean = true): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$extra,"sf":$sfJson}"""
+      val nq = if (nQueries) s""""n_queries":${results.size},""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$nq"queries":$qs$extra,"sf":$sfJson}"""
     }
     // Full line carries the warm/cold methodology markers so cross-round
     // consumers can tell the two timing populations apart (warm names are
@@ -138,8 +140,10 @@ object Bench {
     // filled slowest-first until the assembled line would cross the
     // budget — itemizing the maximum share of wall the window can carry.
     def fmtc(v: Double): String = f"$v%.1f"
-    val lineBudget = 1985 // 15-char margin (newline + slack) under the 2000-char window
-    val fixedOverhead = line(Seq.empty).length + ",\"_rest\":".length + 8
+    val lineBudget = 1988 // 12-char margin (newline + slack) under the 2000-char window
+    // n_queries is dropped from the compact line (it lives on the full
+    // line above) — the freed chars itemize one more query
+    val fixedOverhead = line(Seq.empty, nQueries = false).length + ",\"_rest\":".length + 8
     var used = fixedOverhead
     val kept = byTime.takeWhile { case (k, v) =>
       used += k.length + fmtc(v).length + 4; used <= lineBudget
@@ -147,7 +151,7 @@ object Bench {
     val rest = byTime.drop(kept.size).map(_._2).sum
     val compact = kept.map { case (k, v) => k -> fmtc(v) } :+
       ("_rest" -> fmtc(rest))
-    println(line(compact.sortBy(_._1)))
+    println(line(compact.sortBy(_._1), nQueries = false))
     spark.stop()
   }
 }

@@ -1015,21 +1015,32 @@ object SimilarityOps {
     * bucket ids collect to the driver (≤ queries × nprobe, bounded by
     * construction).
     */
-  private def simIndexLookup(s: SparkSession, dir: String): DataFrame = {
+  /** Indexing job half of `sim_index_lookup`: builds the inverted file
+    * and persists it to a fresh KeyValueTable. Exposed so specs can
+    * exercise storage lifecycle (compaction) between build and serve.
+    */
+  private[queries] def buildIvfIndex(s: SparkSession, dir: String): graft.kv.KeyValueTable = {
     import s.implicits._
-    import graft.kv.KeyValueTable
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val cents = Similarity.ivfCentsDf(e)
-    val centroids = Similarity.ivfCentroids(cents)
-    // indexing job: build the inverted file and persist it
+    val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
     val work = java.nio.file.Files.createTempDirectory("graft-ivfkv").toString
-    val ix = new KeyValueTable(s, work, "ivf_index", partitionCount = 8)
+    val ix = new graft.kv.KeyValueTable(s, work, "ivf_index", partitionCount = 8)
     ix.put(Similarity.ivfAssign(e, centroids)
       .select(format_string("%020d", $"c_id").as("pk"),
         format_string("%020d", $"vec_id").as("sk"),
         encode(lit(""), "UTF-8").as("value")))
-    // serving pass: probe nprobe centroids, read only those buckets
+    ix
+  }
+
+  /** Serving half of `sim_index_lookup`: probe nprobe centroids, read
+    * only those buckets from the stored index, re-rank exactly.
+    */
+  private[queries] def serveIvf(s: SparkSession, dir: String,
+                                ix: graft.kv.KeyValueTable): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val cents = Similarity.ivfCentsDf(e)
     val probes = Similarity.ivfProbes(e.filter($"vec_id" < 10), cents, nprobe = 2)
     val probePks = probes.select(format_string("%020d", $"c_id").as("pk"))
       .distinct().as[String].collect().toSeq
@@ -1046,6 +1057,9 @@ object SimilarityOps {
       .select($"query_id", $"cand_id", $"rank", $"cos")
       .orderBy($"query_id", $"rank")
   }
+
+  private def simIndexLookup(s: SparkSession, dir: String): DataFrame =
+    serveIvf(s, dir, buildIvfIndex(s, dir))
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_ndcg_mrr",     ndcgMrr _,      Some(ndcgMrrSql)),

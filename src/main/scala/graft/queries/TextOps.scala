@@ -1081,14 +1081,18 @@ object TextOps {
     * any inverted index — idf is what makes the big stop-word buckets
     * score low, not cheap to read).
     */
-  private def searchLookup(s: SparkSession, dir: String): DataFrame = {
+  private val MetaPk = "\tmeta"
+
+  /** Indexing job half of `txt_search_lookup`: full inverted index +
+    * one corpus-totals meta row, persisted to a fresh KeyValueTable.
+    * Exposed so specs can exercise storage lifecycle (compaction)
+    * between build and serve.
+    */
+  private[queries] def buildSearchIndex(s: SparkSession, dir: String): graft.kv.KeyValueTable = {
     import s.implicits._
-    import graft.kv.KeyValueTable
-    val MetaPk = "\tmeta"
     val docs = Tables.documents(s, dir)
     val work = java.nio.file.Files.createTempDirectory("graft-searchkv").toString
-    val ix = new KeyValueTable(s, work, "postings", partitionCount = 8)
-    // indexing job: full inverted index + one totals row
+    val ix = new graft.kv.KeyValueTable(s, work, "postings", partitionCount = 8)
     val dl = docs.select($"doc_id",
       size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))
     val tf = docs
@@ -1101,7 +1105,14 @@ object TextOps {
       .select(format_string("%d:%d", $"n_docs", $"t_toks")).as[String].head()
     ix.put(Seq((MetaPk, "", totals)).toDF("pk", "sk", "v")
       .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
-    // serving pass: query-term buckets + the meta row, nothing else
+    ix
+  }
+
+  /** Serving half of `txt_search_lookup`: query-term buckets + the meta
+    * row, nothing else; exact integer BM25 on what was read.
+    */
+  private[queries] def serveSearch(s: SparkSession, ix: graft.kv.KeyValueTable): DataFrame = {
+    import s.implicits._
     val read = ix.entries().filter($"pk".isin(Bm25Terms :+ MetaPk: _*))
       .select($"pk", $"sk", decode($"value", "UTF-8").as("v"))
     val meta = read.filter($"pk" === MetaPk).select(
@@ -1125,6 +1136,9 @@ object TextOps {
       .limit(20)
       .select($"doc_id", $"n_terms", $"score_fp")
   }
+
+  private def searchLookup(s: SparkSession, dir: String): DataFrame =
+    serveSearch(s, buildSearchIndex(s, dir))
 
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("txt_search_lookup",  searchLookup _,  Some(bm25TopKSql)),
