@@ -163,7 +163,8 @@ object Similarity {
         struct((dot(col("embedding"), c.getField("c_emb")) /
             (col("nrm") * c.getField("c_nrm"))).as("ccos"),
           (-c.getField("c_id")).as("neg")))))
-      .select(col("vec_id"), col("embedding"), (-col("best.neg")).as("c_id"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg")).as("c_id"),
+        col("best.ccos").as("assign_cos"))
   }
 
   /** Query probes: the `nprobe` nearest centroids per query — one

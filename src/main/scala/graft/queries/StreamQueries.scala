@@ -2122,6 +2122,92 @@ object StreamQueries {
        |SELECT c_id, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
        |FROM assigned GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  /** One scored assignment arriving from the stream. */
+  case class DriftIn(cId: Long, cosFp: Long)
+  /** Per-centroid health state: member count + Σ quantized assign-cos. */
+  case class DriftState(n: Long, sumFp: Long)
+  /** Per-trigger health update emitted to the sink. */
+  case class DriftOut(cId: Long, n: Long, sumFp: Long)
+
+  /** STREAMING index-health / drift monitor — the signal that tells an
+    * IVF deployment WHEN to retrain: per centroid, the running count and
+    * mean assignment cosine of everything ingested since the centroids
+    * were trained. A distribution shift shows up as falling mean
+    * assign-cos (new vectors sit far from every trained centroid) or as
+    * lopsided counts (one centroid absorbs the new mode) — both visible
+    * per trigger, long before batch recall evaluation would notice.
+    * The cosine is quantized driver-side semantics-identically on both
+    * engines (floor(cos·10⁶) of bit-identical doubles), so the state sum
+    * is an exact BIGINT and the final mean is ONE double division.
+    * State is O(centroids); emissions carry cumulative (n, Σ), so the
+    * final state per key is the row with max n — append-mode
+    * recoverable like the index row, no update-mode sink.
+    */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
+    val work = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "vecs", StreamConfig(initialSegments = 4))
+    val src = e.select(
+      $"vec_id".cast("string").as("routingKey"),
+      $"vec_id".cast("long").as("eventTime"),
+      encode(concat_ws(",", transform($"embedding", x => x.cast("string"))), "UTF-8")
+        .as("payload"))
+    g.writeEvents("q", "vecs", src)
+    val pace = math.max(100L, g.unreadRows("q", "vecs", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"drift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val fn = (key: Long, it: Iterator[DriftIn], st: GroupState[DriftState]) => {
+      var n = st.getOption.map(_.n).getOrElse(0L)
+      var sm = st.getOption.map(_.sumFp).getOrElse(0L)
+      it.foreach { r => n += 1; sm += r.cosFp }
+      st.update(DriftState(n, sm))
+      Iterator.single(DriftOut(key, n, sm))
+    }
+    val stream = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "vecs")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select($"routingKey".cast("long").as("vec_id"),
+        transform(split(decode($"payload", "UTF-8"), ","), x => x.cast("float"))
+          .as("embedding"))
+    val q = Similarity.ivfAssign(stream, centroids)
+      .select($"c_id".as("cId"),
+        floor($"assign_cos" * lit(1000000.0)).cast("long").as("cosFp")).as[DriftIn]
+      .groupByKey(_.cId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s2.table(sink)
+      .groupBy($"cId".as("c_id"))
+      .agg(max(struct($"n", $"sumFp")).as("fin"))
+      .select($"c_id", $"fin.n".as("n_vecs"), $"fin.sumFp".as("sum_cos_fp"),
+        ($"fin.sumFp".cast("double") / $"fin.n".cast("double")).as("mean_cos_fp"))
+      .orderBy($"c_id")
+  }
+
+  private val streamDriftSql =
+    s"""WITH ${graft.operators.Similarity.ivfAssignedOracleCtes()},
+       |scored AS (
+       |  SELECT a.c_id AS c_id,
+       |    CAST(floor(list_sum(list_transform(list_zip(a.embedding, c.c_emb),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * c.c_nrm)
+       |      * 1000000.0) AS BIGINT) AS cos_fp
+       |  FROM assigned a JOIN cents c ON a.c_id = c.c_id)
+       |SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(cos_fp) AS BIGINT) AS sum_cos_fp,
+       |  CAST(SUM(cos_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cos_fp
+       |FROM scored GROUP BY c_id ORDER BY c_id""".stripMargin
+
   /** Segment attributes with every AttributeUpdateType
     * (AttributeUpdateType.java:27-60; GetSegmentAttribute /
     * UpdateSegmentAttribute wire ops, WireCommands.java:1022,1078),
@@ -2275,6 +2361,7 @@ object StreamQueries {
     ("ev_checkpoint_cuts",   checkpointCuts _, Some(checkpointCutsSql)),
     ("ev_stream_lsh_index",  streamLshIndex _, Some(streamLshIndexSql)),
     ("ev_stream_ivf_index",  streamIvfIndex _, Some(streamIvfIndexSql)),
+    ("ev_stream_drift",      streamDrift _,    Some(streamDriftSql)),
     ("ev_stream_hot_keys",   streamHotKeys _, Some(streamHotKeysSql)),
     ("ev_time_travel",       timeTravel _,   Some(timeTravelSql)),
     ("ev_version_changes",   versionChanges _, Some(versionChangesSql)),

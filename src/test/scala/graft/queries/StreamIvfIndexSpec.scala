@@ -27,4 +27,17 @@ class StreamIvfIndexSpec extends AnyFunSuite {
     }
     assert(streamed.map(_.getLong(1)).sum === e.count(), "index must cover every vector once")
   }
+
+  test("drift monitor: per-centroid mean is exactly sum/n, bounded by cos range") {
+    val rows = SparkEntry.queries("ev_stream_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 1L)
+      assert(mean === sum.toDouble / n.toDouble)
+      assert(mean >= -1000000.0 && mean <= 1000000.0, "quantized cosine out of range")
+    }
+    val e = graft.Tables.embeddings(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === e.count(), "every ingested vector scored once")
+  }
 }
