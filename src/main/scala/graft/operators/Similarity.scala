@@ -268,8 +268,14 @@ object Similarity {
        |    FROM n v CROSS JOIN cents c) t
        |  WHERE arank = 1)""".stripMargin
 
+  /** `candJoinSql` optionally appends extra joins/predicates to the
+    * scored CTE's candidate side (alias `a`) — the filtered-ANN oracle
+    * injects its metadata predicate there, exactly where the Spark plan
+    * applies it (on candidates, after bucket probing, before ranking).
+    */
   def ivfTopKOracleSql(queryMaxVecId: Int, k: Int,
-                       centroidsTarget: Int = 50, nprobe: Int = 2): String =
+                       centroidsTarget: Int = 50, nprobe: Int = 2,
+                       candJoinSql: String = ""): String =
     s"""WITH ${ivfAssignedOracleCtes(centroidsTarget)},
        |probes AS (
        |  SELECT qid, q_emb, q_nrm, c_id FROM (
@@ -285,7 +291,8 @@ object Similarity {
        |  SELECT DISTINCT p.qid AS query_id, a.vec_id AS cand_id,
        |    list_sum(list_transform(list_zip(p.q_emb, a.embedding),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (p.q_nrm * a.nrm) AS cos
-       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND p.qid <> a.vec_id)
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND p.qid <> a.vec_id
+       |  $candJoinSql)
        |SELECT query_id, cand_id, rank, cos FROM (
        |  SELECT query_id, cand_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank

@@ -1061,9 +1061,38 @@ object SimilarityOps {
   private def simIndexLookup(s: SparkSession, dir: String): DataFrame =
     serveIvf(s, dir, buildIvfIndex(s, dir))
 
+  /** FILTERED vector search — metadata predicate + ANN over ONE shared
+    * index, the most common production retrieval shape ("top-k similar
+    * where label ∈ …"). The index (centroids + assignments) is built
+    * once on the FULL corpus; the predicate applies to CANDIDATES after
+    * bucket probing and before ranking, so any filter composes with the
+    * same index (assignment is per-vector, so filtering candidates
+    * post-probe equals filtering the corpus pre-index — no dedicated
+    * per-filter index needed). The oracle injects the identical
+    * predicate at the identical point of the replayed plan.
+    */
+  private def filteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cents = Similarity.ivfCentsDf(e)
+    val centroids = Similarity.ivfCentroids(cents)
+    val assigned = Similarity.ivfAssign(e, centroids)
+      .join(e.select($"vec_id", $"label"), Seq("vec_id"))
+      .filter($"label" % 2 === 0)
+      .select($"vec_id", $"embedding", $"c_id")
+    val probes = Similarity.ivfProbes(e.filter($"vec_id" < 10), cents, nprobe = 2)
+    Similarity.ivfRank(assigned, probes, k = 5)
+      .select($"query_id", $"cand_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private lazy val filteredAnnSql = Similarity.ivfTopKOracleSql(10, 5,
+    candJoinSql = "JOIN embeddings fm ON a.vec_id = fm.vec_id AND fm.label % 2 = 0")
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
     ("sim_ndcg_mrr",     ndcgMrr _,      Some(ndcgMrrSql)),
     ("sim_index_lookup", simIndexLookup _, Some(Similarity.ivfTopKOracleSql(10, 5))),
+    ("sim_filtered_ann", filteredAnn _,    Some(filteredAnnSql)),
     ("sim_hybrid_rrf",   hybridRrf _,    Some(hybridRrfSql)),
     ("sim_cosine_pairs", cosinePairs _,  Some(cosinePairsSql)),
     ("sim_topk_brute",   topkBrute _,    Some(topkBruteSql)),

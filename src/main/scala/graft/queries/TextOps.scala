@@ -767,6 +767,81 @@ object TextOps {
       |WHERE w1.w + COALESCE(delta.d, 0) != 0
       |ORDER BY bucket""".stripMargin
 
+  /** MODEL REGISTRY through the storage plane — the third artifact kind
+    * next to the ANN index and the postings index: the trained
+    * perceptron's weight vector is PERSISTED into a KeyValueTable
+    * (pk = model name, sk = bucket, value = integer weight), then a
+    * separate inference pass LOADS the model back from the store and
+    * scores the corpus with the loaded weights — train → register →
+    * load → serve, the lifecycle every production quality-gate
+    * deployment runs (training jobs and inference jobs never share a
+    * process). The oracle chains the full training replay with the
+    * inference block directly, so a hash match proves the weight
+    * serialization round trip is exact — and because models live in a
+    * KVT, they inherit versioned history (`entriesAt` = model
+    * rollback) and compaction for free (ModelRegistrySpec).
+    * Scale: the model is O(buckets) — broadcast-trivial; inference is
+    * the hashClassifier shape (map-side projection + one keyed agg).
+    */
+  private def modelRegistry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // training job: the 2-pass batch perceptron (the oracle-replayed form)
+    val w = trainPerceptron(s, dir)
+    // register the model
+    val work = java.nio.file.Files.createTempDirectory("graft-modelkv").toString
+    val reg = new graft.kv.KeyValueTable(s, work, "models", partitionCount = 4)
+    reg.put(w.select(lit("quality_v1").as("pk"),
+      format_string("%05d", $"bucket").as("sk"),
+      encode($"w".cast("string"), "UTF-8").as("value")))
+    // inference job: load the model from the store, score the corpus
+    val loaded = reg.entries().filter($"pk" === "quality_v1")
+      .select($"sk".cast("long").as("b"),
+        decode($"value", "UTF-8").cast("long").as("w"))
+    val feats = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"doc_id",
+        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 256L).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("x"))
+    feats.join(broadcast(loaded), Seq("b"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"x" * coalesce($"w", lit(0L))).as("margin"))
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), Seq("doc_id"))
+      .select(when($"margin" > 0, lit("en")).otherwise(lit("other")).as("pred"),
+        $"lang", $"margin")
+      .groupBy($"pred", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"margin").as("sum_margin"))
+      .orderBy($"pred", $"lang")
+  }
+
+  private val modelRegistrySql =
+    """WITH tok AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |bk AS (SELECT doc_id, y,
+      |  ((strpos('0123456789abcdef', substring(md5(t),1,1))-1)*4096 +
+      |   (strpos('0123456789abcdef', substring(md5(t),2,1))-1)*256 +
+      |   (strpos('0123456789abcdef', substring(md5(t),3,1))-1)*16 +
+      |   (strpos('0123456789abcdef', substring(md5(t),4,1))-1)) % 256 AS b
+      |  FROM tok),
+      |feats AS (SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM bk GROUP BY 1, 2, 3),
+      |w1 AS (SELECT b, CAST(SUM(y*x) AS BIGINT) AS w FROM feats GROUP BY b),
+      |m2 AS (SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS m
+      |  FROM feats f JOIN w1 ON f.b = w1.b GROUP BY 1, 2),
+      |upd AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+      |delta AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d
+      |  FROM feats f JOIN upd u ON f.doc_id = u.doc_id GROUP BY f.b),
+      |wfin AS (SELECT w1.b AS b, CAST(w1.w + COALESCE(delta.d, 0) AS BIGINT) AS w
+      |  FROM w1 LEFT JOIN delta ON w1.b = delta.b
+      |  WHERE w1.w + COALESCE(delta.d, 0) != 0),
+      |inf AS (SELECT f.doc_id, CAST(SUM(f.x * COALESCE(wfin.w, 0)) AS BIGINT) AS margin
+      |  FROM feats f LEFT JOIN wfin ON f.b = wfin.b GROUP BY 1)
+      |SELECT CASE WHEN margin > 0 THEN 'en' ELSE 'other' END AS pred, d.lang AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(margin) AS BIGINT) AS sum_margin
+      |FROM inf JOIN documents d ON inf.doc_id = d.doc_id
+      |GROUP BY 1, 2 ORDER BY pred, lang""".stripMargin
+
   /** N-pass perceptron ORACLE row (`txt_perceptron_n`): the production
     * loop [[trainPerceptronLoop]] at maxPasses = 3 over the same hashed
     * features as `txt_train_perceptron`. The oracle replays a FIXED
@@ -1146,6 +1221,7 @@ object TextOps {
     ("txt_bpe_encode",     bpeEncode _,     Some(bpeEncodeSql)),
     ("txt_bpe_learned",    bpeLearned _,    Some(bpeLearnedSql)),
     ("txt_train_perceptron", trainPerceptron _, Some(trainPerceptronSql)),
+    ("txt_model_registry", modelRegistry _, Some(modelRegistrySql)),
     ("txt_perceptron_n",   trainPerceptronN _, Some(trainPerceptronNSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
