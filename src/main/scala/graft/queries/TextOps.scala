@@ -587,6 +587,109 @@ object TextOps {
       .orderBy($"host")
   }
 
+  /** The deterministic URL injection + host extraction shared by
+    * `txt_url_extract` and `txt_host_pagerank`: (doc_id, host) pairs.
+    */
+  private def docHosts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrls = Tables.documents(s, dir).select($"doc_id",
+      concat(lower($"text"),
+        lit(" see https://www.site"), ($"doc_id" % 13).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".net")),
+          ($"doc_id" % 3 + 1).cast("int")),
+        lit("/p/"), $"doc_id".cast("string"),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" via http://ads.track"), ($"doc_id" % 7).cast("string"),
+            lit(".example.com/x"))).otherwise(lit(""))).as("txt"))
+    withUrls
+      .select($"doc_id", explode(
+        expr(s"regexp_extract_all(txt, '$UrlRe', 0)")).as("url"))
+      .select($"doc_id", regexp_extract($"url", HostRe, 1).as("host"))
+      .distinct()
+  }
+
+  /** The matching DuckDB CTE block ending in `h(doc_id, host)`. */
+  private val docHostsCtes =
+    s"""t AS (
+       |  SELECT doc_id, lower(text) || ' see https://www.site'
+       |    || CAST(doc_id % 13 AS VARCHAR)
+       |    || ['.com', '.org', '.net'][CAST(doc_id % 3 + 1 AS INT)]
+       |    || '/p/' || CAST(doc_id AS VARCHAR)
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' via http://ads.track'
+       |         || CAST(doc_id % 7 AS VARCHAR) || '.example.com/x'
+       |       ELSE '' END AS txt
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(txt, '$UrlRe')) AS url FROM t),
+       |h AS (
+       |  SELECT DISTINCT doc_id, regexp_extract(url, '$HostRe', 1) AS host FROM u)""".stripMargin
+
+  /** Iterative GRAPH analytics — damped PageRank over the host
+    * co-occurrence graph (hosts linked when they appear in the same
+    * document), the link-quality signal web-scale curation pipelines
+    * attach to URLs. Entirely integer arithmetic in millionths:
+    * r₀ = 10⁶, rᵢ₊₁(v) = 150000 + (85 · Σ_{u→v} (rᵢ(u) DIV outdeg(u)))
+    * DIV 100 — every engine computes identical BIGINTs (all values
+    * non-negative, so truncating and flooring division agree), and the
+    * oracle replays each of the $PageRankIters rounds as a chained CTE.
+    * Dangling hosts keep the teleport mass only (the standard
+    * leaked-mass simplification, identical on both sides).
+    *
+    * Scale: each round is one equi-join (edges × ranks, rank side is
+    * O(hosts) — broadcastable) + one keyed aggregate; rounds are
+    * sequential jobs like `emb_kmeans_iter`. Edge multiplicity is
+    * collapsed (DISTINCT src→dst) so the iteration cost is bounded by
+    * the distinct graph, not the corpus.
+    */
+  private val PageRankIters = 3
+
+  private def hostPageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = docHosts(s, dir).localCheckpoint() // edges + nodes both read it
+    val edges = h.as("a").join(h.as("b"), Seq("doc_id"))
+      .filter($"a.host" =!= $"b.host")
+      .select($"a.host".as("src"), $"b.host".as("dst"))
+      .distinct()
+      .localCheckpoint() // every round reads the edge list
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val nodes = h.select($"host").distinct()
+    var r = nodes.select($"host", lit(1000000L).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("host", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select($"dst".as("host"), expr("r DIV od").as("c"))
+        .groupBy($"host").agg(sum($"c").as("s"))
+      r = nodes.join(contrib, Seq("host"), "left")
+        .select($"host",
+          (lit(150000L) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    r.select($"host", $"r".as("rank_ppm"))
+      .orderBy($"rank_ppm".desc, $"host")
+  }
+
+  private val hostPageRankSql = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.host, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS host, SUM(r${i - 1}.r // od.od) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.host
+         |    JOIN od ON e.src = od.src GROUP BY 1) c ON n.host = c.host)""".stripMargin
+    }.mkString
+    // concatenated AFTER stripMargin: docHostsCtes contains '||'
+    // continuation lines that a second stripMargin would mangle
+    "WITH " + docHostsCtes + ",\n" +
+      s"""e AS (SELECT DISTINCT a.host AS src, b.host AS dst
+         |  FROM h a JOIN h b ON a.doc_id = b.doc_id AND a.host <> b.host),
+         |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT host FROM h),
+         |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM n)$rounds
+         |SELECT host, r AS rank_ppm FROM r$PageRankIters
+         |ORDER BY rank_ppm DESC, host""".stripMargin
+  }
+
   private val urlExtractSql =
     s"""WITH t AS (
        |  SELECT doc_id, lower(text) || ' see https://www.site'
@@ -1227,6 +1330,7 @@ object TextOps {
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
+    ("txt_host_pagerank", hostPageRank _,  Some(hostPageRankSql)),
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),
