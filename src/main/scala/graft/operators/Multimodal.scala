@@ -282,6 +282,72 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  final case class AudioWindowFeatures(
+      doc_id: Long, window: Long, nFrames: Long,
+      sumSq: Long, zeroCrossings: Long)
+
+  /** Frame-WINDOWED audio features over the same real WAV decode — the
+    * per-segment energy/ZCR sequence a speech-curation pipeline feeds to
+    * VAD / silence trimming / segment selection (decodeWav's aggregates
+    * tell you ABOUT a clip; the windowed sequence is what lets you CUT
+    * it). Window w covers frames [w·win, min((w+1)·win, n)); sumSq spans
+    * all channels in the window, zero crossings count channel-0 sign
+    * flips between consecutive frames WITHIN the window (flips across a
+    * window boundary belong to the later window, consistent with
+    * decodeWav's global count: Σ window zc ≤ global zc, equal when no
+    * flip lands exactly on a boundary frame pair split). All outputs are
+    * integer-exact, so closed-form oracles replay them (mm_audio_features).
+    */
+  def wavWindowFeatures(r: MediaRecord, windowFrames: Int): Seq[AudioWindowFeatures] =
+    if (!looksWav(r.payload) || windowFrames <= 0) Seq.empty
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Seq.empty
+        else {
+          val ch = fmt.getChannels
+          val bytes = in.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length.toLong / frameSize
+          val big = fmt.isBigEndian
+          def sampleAt(off: Int): Int = {
+            val (b0, b1) = (bytes(off) & 0xff, bytes(off + 1) & 0xff)
+            (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindowFeatures]
+          var w = 0L
+          while (w * windowFrames < nFrames) {
+            val a = w * windowFrames
+            val b = math.min(a + windowFrames, nFrames)
+            var sumSq = 0L
+            var zc = 0L
+            var prev0 = 0
+            var f = a
+            while (f < b) {
+              val base = (f * frameSize).toInt
+              var c = 0
+              while (c < ch) {
+                val s = sampleAt(base + 2 * c)
+                sumSq += s.toLong * s
+                if (c == 0) {
+                  if (f > a && s.toLong * prev0 < 0) zc += 1
+                  prev0 = s
+                }
+                c += 1
+              }
+              f += 1
+            }
+            out += AudioWindowFeatures(r.doc_id, w, b - a, sumSq, zc)
+            w += 1
+          }
+          out.toSeq
+        }
+      } finally in.close()
+    } catch { case _: Exception => Seq.empty }
+
   /** PCM16 → WAV bytes through the SAME JDK codec (round-trip partner of
     * [[decodeWav]]); `samples` is frame-interleaved when `channels` > 1.
     */

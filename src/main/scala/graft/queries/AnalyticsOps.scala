@@ -555,7 +555,62 @@ object AnalyticsOps {
       |FROM c JOIN t ON c.from_type = t.from_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Distributed ORDINARY LEAST SQUARES: per event type, the linear
+    * trend of daily revenue over day index — closed-form normal
+    * equations from five exact integer sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²), so the regression is ONE map-side-combined
+    * aggregate regardless of row count, the textbook
+    * "model fitting as aggregation" shape (each executor folds its
+    * partition's sums; the driver never sees rows). Days are re-indexed
+    * from the corpus minimum so every product stays far inside BIGINT
+    * at any scale factor; slope and intercept are each a single double
+    * division of exact integers, replayed operation-for-operation by
+    * the oracle (IEEE-identical).
+    */
+  private def trendOls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type", ddayCol.cast("long").as("x"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"x").agg(sum($"cents").as("y"))
+    val m = daily.agg(min($"x").as("x0"))
+    daily.crossJoin(broadcast(m))
+      .select($"event_type", ($"x" - $"x0").as("xi"), $"y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"xi").as("sx"), sum($"y").as("sy"),
+        sum($"xi" * $"y").as("sxy"), sum($"xi" * $"xi").as("sxx"))
+      .filter($"n" >= 2) // n distinct day indexes ⇒ variance > 0
+      .withColumn("slope",
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+          $"n".cast("double"))
+      .select($"event_type", $"n".as("n_days"), $"slope", $"intercept")
+      .orderBy($"event_type")
+  }
+
+  private val trendOlsSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT event_type, x, SUM(cents) AS y FROM e GROUP BY 1, 2),
+      |m AS (SELECT MIN(x) AS x0 FROM d),
+      |di AS (SELECT event_type, x - x0 AS xi, y FROM d CROSS JOIN m),
+      |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(xi) AS sx, SUM(y) AS sy, SUM(xi*y) AS sxy, SUM(xi*xi) AS sxx
+      |  FROM di GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM a WHERE n >= 2 ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_trend_ols",         trendOls _,          Some(trendOlsSql)),
     ("ev_ab_lift",           abLift _,            Some(abLiftSql)),
     ("ev_hourly_seasonality", hourlySeasonality _, Some(hourlySeasonalitySql)),
     ("ev_rfm_scores",        rfmScores _,         Some(rfmScoresSql)),

@@ -630,7 +630,48 @@ object CurationOps {
       |FROM p JOIN d da ON p.src_a = da.source JOIN d db ON p.src_b = db.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Z-ORDER layout audit over the events table: the Morton value of two
+    * fixed-domain 8-bit dimensions — time-of-day (minutes DIV 6 ∈ [0,240))
+    * and price (cents DIV 256, clamped) — bucketed by the curve's top 4
+    * bits into 16 slices, with each slice's min/max of BOTH source
+    * dimensions. The row hash-pins the interleave arithmetic
+    * ([[graft.operators.ZOrderLayout.zExprText]] replayed by DuckDB with
+    * `//`) and the property that sells the layout: every curve slice is a
+    * bounded rectangle in (x, y) — exactly the file-footer min/max stats
+    * a z-clustered write hands the scan planner for two-sided pruning
+    * (ZOrderSpec measures the actual file-skip rate on a clustered
+    * write; this row pins the curve itself cross-engine).
+    */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xE = "(hour(ts) * 60 + minute(ts)) DIV 6"
+    val yE = "least(CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 256, 255)"
+    val z = graft.operators.ZOrderLayout.zExprText(xE, yE, 8, "DIV")
+    Tables.events(s, dir)
+      .select(expr(xE).cast("long").as("x"), expr(yE).cast("long").as("y"),
+        expr(z).cast("long").as("z"))
+      .groupBy(expr("z DIV 4096").as("zbin"))
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"zbin")
+  }
+
+  private val zorderLayoutSql = {
+    val xE = "(date_part('hour', ts) * 60 + date_part('minute', ts)) // 6"
+    val yE = "least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 256, 255)"
+    val z = graft.operators.ZOrderLayout.zExprText(xE, yE, 8, "//")
+    s"""WITH p AS (
+       |  SELECT CAST($xE AS BIGINT) AS x, CAST($yE AS BIGINT) AS y,
+       |    CAST($z AS BIGINT) AS z
+       |  FROM events)
+       |SELECT z // 4096 AS zbin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM p GROUP BY 1 ORDER BY zbin""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_zorder_layout",        zorderLayout _,       Some(zorderLayoutSql)),
     ("ds_mix_temperature",      mixTemperature _,     Some(mixTemperatureSql)),
     ("ds_cross_source_overlap", crossSourceOverlap _, Some(crossSourceOverlapSql)),
     ("ds_dataset_card",         datasetCard _,        Some(datasetCardSql)),

@@ -531,7 +531,103 @@ object DedupOps {
       |FROM r WHERE rn = CASE WHEN d < 64 THEN d ELSE 64 END
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ exact prefix-filter join
+
+  /** Jaccard threshold for [[prefixJoin]] as an exact rational (1/2) so
+    * `ceil(θ·|d|)` is integer arithmetic on both engines.
+    */
+  private val PrefixThetaNum = 1
+  private val PrefixThetaDen = 2
+
+  /** EXACT Jaccard set-similarity SELF-JOIN over the FULL corpus via
+    * lossless prefix filtering (the AllPairs/PPJoin family — Bayardo et
+    * al., WWW'07) — the exactness complement to the approximate
+    * [[graft.operators.MinHashLSH]] path, and unlike [[jaccardPairs]]
+    * it never goes all-pairs, so it has no doc-count guard.
+    *
+    * Elements are doc-distinct word 3-grams. Every shingle gets a global
+    * rank by (document frequency ASC, shingle ASC); a document of |d|
+    * shingles keeps only its `|d| − ⌈θ·|d|⌉ + 1` LOWEST-ranked (rarest)
+    * shingles as its prefix. Any pair with J ≥ θ must collide on at
+    * least one prefix shingle of BOTH sides (the standard prefix-filter
+    * theorem), so the equi-join on prefix shingles generates a candidate
+    * superset with zero false negatives — exactness is spec-gated against
+    * the brute-force join (PrefixJoinSpec) and the DuckDB oracle computes
+    * the unfiltered exact answer.
+    *
+    * Scale: document frequency is one map-combined shuffle of vocabulary
+    * size; prefixes join on the RAREST shingles, so candidate bucket
+    * sizes are bounded by low document frequencies (a shingle appearing
+    * in f docs contributes ≤ C(f,2) candidates, and high-f shingles are
+    * exactly the ones prefixes exclude); verification joins sorted
+    * hashed arrays (codegen'd merge intersect) only for distinct
+    * candidate pairs. No step is quadratic in the corpus.
+    */
+  private def prefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.sorted_intersect_size
+    import org.apache.spark.sql.expressions.Window
+    // (doc_id, g): doc-distinct word 3-grams; read thrice (freq, rank,
+    // verify arrays) → checkpoint so the regex split runs once.
+    val toks = GramStage.explodeGrams(
+      Tables.documents(s, dir), 3, distinctPerDoc = true).localCheckpoint()
+    val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val ranked = toks.join(freq, "g")
+      .select($"doc_id", $"g",
+        row_number().over(byDoc.orderBy($"df", $"g")).as("rn"),
+        count(lit(1)).over(byDoc).as("sz"))
+    // prefix length = sz − ceil(θ·sz) + 1, ceil in exact integer DIV
+    // (Column./ is DOUBLE division — a fractional bound here would
+    // shorten the prefix below the lossless length)
+    val prefix = ranked.filter($"rn" <= expr(
+      s"sz - (sz * $PrefixThetaNum + ${PrefixThetaDen - 1}) DIV $PrefixThetaDen + 1"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
+          // size-compatibility: min ≥ θ·max, exact in integers
+          least($"a.sz", $"b.sz") * PrefixThetaDen >=
+            greatest($"a.sz", $"b.sz") * PrefixThetaNum)
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        $"a.sz".as("sa"), $"b.sz".as("sb"))
+      .distinct()
+    val arrs = toks.groupBy($"doc_id")
+      .agg(array_sort(collect_list(xxhash64($"g"))).as("hs"))
+    cand
+      .join(arrs.select($"doc_id".as("a_id"), $"hs".as("a_hs")), "a_id")
+      .join(arrs.select($"doc_id".as("b_id"), $"hs".as("b_hs")), "b_id")
+      .withColumn("inter", sorted_intersect_size($"a_hs", $"b_hs"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"sa" + $"sb" - $"inter"))
+      .filter($"jaccard" * PrefixThetaDen >= PrefixThetaNum)
+      .select($"a_id", $"b_id", $"inter", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** The oracle computes the exact answer directly (shingle equi-join →
+    * intersection counts → threshold), no prefix machinery — matching it
+    * IS the losslessness proof at the driver's scale factors.
+    */
+  private val prefixJoinSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+      |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM t GROUP BY 1),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM p JOIN s sa ON p.a_id = sa.doc_id JOIN s sb ON p.b_id = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 2 >= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_prefix_join",    prefixJoin _,    Some(prefixJoinSql)),
     ("dedup_sketch_union",   dedupSketchUnion _, Some(dedupSketchUnionSql)),
     ("dedup_index_lookup",   dedupIndexLookup _, Some(dedupIndexLookupSql)),
     ("dedup_exact",          exact _,         Some(exactSql)),

@@ -395,7 +395,70 @@ object EventsStream {
       |  CAST(MAX(n) AS BIGINT) AS n_sample
       |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** COUNT-MIN point-frequency sketch — the fourth member of the
+    * deterministic mergeable-summary family (frequencies-above-budget =
+    * Misra–Gries, cardinality = KMV, samples/quantiles = bottom-k;
+    * Count-Min answers point estimates for ANY key, not just the heavy
+    * ones, with a one-sided overcount). Depth 4 × width 64 with
+    * md5-derived row hashes, built as a fully declarative plan: each key
+    * explodes into its 4 (row, cell) coordinates, the sketch is the
+    * map-combined GROUP BY over them — O(depth·width) crosses the
+    * shuffle regardless of key cardinality — and a point estimate is the
+    * MIN over one probe per row. Cell-wise addition merges sketches
+    * across shards/days (it's just a further GROUP BY), and the fixed
+    * hash family is why the oracle can replay every cell and every probe
+    * bit for bit.
+    */
+  private def evCountminPoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 4
+    val w = 64
+    def cellOf(key: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(r.cast("string"), lit(":"), key)), 1, 15), 16, 10)
+        .cast("long") % w
+    val rowsArr = array((0 until d).map(lit): _*)
+    val ev = Tables.events(s, dir).select($"user_id".cast("string").as("k"))
+    val cells = ev.select(explode(rowsArr).as("r"), $"k")
+      .select($"r", cellOf($"k", $"r").as("cell"))
+      .groupBy($"r", $"cell").agg(count(lit(1)).as("cnt"))
+    val probes = s.range(10).select($"id".cast("string").as("qk"))
+      .select($"qk", explode(rowsArr).as("r"))
+      .select($"qk", $"r", cellOf($"qk", $"r").as("cell"))
+    val est = probes.join(cells, Seq("r", "cell"), "left")
+      .groupBy($"qk").agg(min(coalesce($"cnt", lit(0L))).as("est"))
+    val exact = ev.groupBy($"k").agg(count(lit(1)).as("n_exact"))
+    est.join(exact.withColumnRenamed("k", "qk"), Seq("qk"), "left")
+      .select($"qk".cast("long").as("user_id"),
+        coalesce($"n_exact", lit(0L)).as("n_exact"), $"est",
+        ($"est" - coalesce($"n_exact", lit(0L))).as("overcount"))
+      .orderBy($"user_id")
+  }
+
+  private val evCountminPointSql =
+    """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+      |rr AS (SELECT unnest(range(4)) AS r),
+      |cells AS (
+      |  SELECT r, CAST(concat('0x',
+      |      substring(md5(concat(CAST(r AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) % 64 AS cell,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev CROSS JOIN rr GROUP BY 1, 2),
+      |qk AS (SELECT unnest(range(10)) AS uid),
+      |probes AS (
+      |  SELECT uid, r, CAST(concat('0x',
+      |      substring(md5(concat(CAST(r AS VARCHAR), ':', CAST(uid AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS cell
+      |  FROM qk CROSS JOIN rr),
+      |est AS (
+      |  SELECT uid, MIN(COALESCE(cnt, 0)) AS est
+      |  FROM probes LEFT JOIN cells USING (r, cell) GROUP BY uid),
+      |ex AS (SELECT CAST(k AS BIGINT) AS uid, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |       FROM ev GROUP BY 1)
+      |SELECT CAST(uid AS BIGINT) AS user_id,
+      |  COALESCE(n_exact, CAST(0 AS BIGINT)) AS n_exact, CAST(est AS BIGINT) AS est,
+      |  CAST(est - COALESCE(n_exact, 0) AS BIGINT) AS overcount
+      |FROM est LEFT JOIN ex USING (uid) ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_countmin_point",  evCountminPoint _,  Some(evCountminPointSql)),
     ("ev_quantiles_bk",    evQuantilesBk _,    Some(evQuantilesBkSql)),
     ("ev_distinct_kmv",    evDistinctKmv _,    Some(evDistinctKmvSql)),
     ("ev_heavy_hitters",   evHeavyHitters _,   Some(evHeavyHittersSql)),

@@ -456,7 +456,57 @@ object KvQueries {
       |  string_agg(op || '@' || CAST(version AS VARCHAR), ',' ORDER BY version) AS chain
       |FROM d GROUP BY pk ORDER BY pk""".stripMargin
 
+  /** SCD TYPE-2 dimension history materialized from the table's change
+    * feed: each PUT becomes a validity interval `[valid_from, valid_to)`
+    * in commit versions, closed by the key's NEXT change (a newer PUT or
+    * a REMOVE); `valid_to = 0` marks the open (current) interval —
+    * versions are strictly positive, so 0 is a safe open sentinel that
+    * keeps the column NULL-free for hashing. The standard
+    * warehouse-dimension build over a Debezium-style feed, run directly
+    * on the engine's delta surface.
+    *
+    * Scale: the delta read is manifest-pruned, and the interval closing
+    * is one window over (pk) ordered by version — state per key is the
+    * key's own change count, shuffled once on pk; no self-join, no
+    * driver state.
+    */
+  private def kvScd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pk").orderBy($"version")
+    build(s, dir).deltaSince(0L)
+      .select($"pk", $"op", decode($"value", "UTF-8").as("val"), $"version")
+      .withColumn("valid_to", coalesce(lead($"version", 1).over(w), lit(0L)))
+      .filter($"op" === "PUT")
+      .select($"pk", $"val", $"version".as("valid_from"), $"valid_to",
+        ($"valid_to" === 0L).cast("boolean").as("is_current"))
+      .orderBy($"pk", $"valid_from")
+  }
+
+  private val kvScd2HistorySql =
+    """WITH d AS (
+      |  SELECT format('{:08d}', c_custkey) AS pk, 'PUT' AS op,
+      |    CAST(c_acctbal AS VARCHAR) AS val, CAST(1 AS BIGINT) AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT format('{:08d}', c_custkey), 'PUT',
+      |    concat('upd:', CAST(c_acctbal AS VARCHAR)), 2
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT format('{:08d}', c_custkey), 'REMOVE', NULL, 3
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |v AS (
+      |  SELECT pk, op, val, version,
+      |    COALESCE(LEAD(version) OVER (PARTITION BY pk ORDER BY version),
+      |             CAST(0 AS BIGINT)) AS valid_to
+      |  FROM d)
+      |SELECT pk, val, version AS valid_from, valid_to,
+      |  valid_to = 0 AS is_current
+      |FROM v WHERE op = 'PUT'
+      |ORDER BY pk, valid_from""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("kv_scd2_history", kvScd2History _, Some(kvScd2HistorySql)),
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),
     ("kv_range_scan", kvRangeScan _, Some(kvRangeScanSql)),

@@ -543,6 +543,59 @@ object SimilarityOps {
       |  CAST((n - 1) // half AS BIGINT) AS zero_crossings
       |FROM c ORDER BY case_id""".stripMargin
 
+  /** Frame-WINDOWED audio features (energy + ZCR per 100-frame segment)
+    * through the real WAV codec — the VAD/silence-trim input sequence,
+    * over the same square-wave cases as `mm_audio_real`. Closed-form
+    * oracle: window [a, b) has `sum_sq = (b−a)·amp²·ch` (the wave never
+    * decays) and channel-0 flips at every multiple of the half-period
+    * strictly inside the window: `(b−1) DIV half − a DIV half`.
+    *
+    * Scale: windowing is a flatMap inside the decode stage — one row per
+    * segment, no shuffle until the consumer aggregates; segment counts
+    * are bounded by clip length, never corpus size.
+    */
+  private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = 100
+    val cases = (0 until 6).map { i =>
+      (i.toLong, 1000 * (i + 1), 3 + i, 240 * (i + 1), 8000 * (1 + i % 3), 1)
+    } ++ Seq((100L, 9000, 5, 1000, 44100, 2), (101L, 12000, 7, 630, 16000, 2))
+    s.createDataset(cases).repartition(4).mapPartitions { it =>
+      it.flatMap { case (id, amp, half, n, rate, ch) =>
+        val samples = new Array[Short](n * ch)
+        var f = 0
+        while (f < n) {
+          val v = (if ((f / half) % 2 == 0) amp else -amp).toShort
+          var c = 0
+          while (c < ch) { samples(f * ch + c) = v; c += 1 }
+          f += 1
+        }
+        val wav = Multimodal.encodeWavPcm16(rate, ch, samples)
+        val ws = Multimodal.wavWindowFeatures(
+          Multimodal.MediaRecord(id, "audio/wav", wav), win)
+        if (ws.isEmpty) throw new IllegalStateException(s"windowed WAV decode failed for case $id")
+        ws.map(w => (w.doc_id, w.window, w.nFrames, w.sumSq, w.zeroCrossings))
+      }
+    }.toDF("case_id", "win_idx", "n_frames", "sum_sq", "zero_crossings")
+      .orderBy($"case_id", $"win_idx")
+  }
+
+  private val mmAudioFeaturesSql =
+    """WITH c(case_id, amp, half, n, rate, ch) AS (VALUES
+      |  (0, 1000, 3, 240, 8000, 1), (1, 2000, 4, 480, 16000, 1),
+      |  (2, 3000, 5, 720, 24000, 1), (3, 4000, 6, 960, 8000, 1),
+      |  (4, 5000, 7, 1200, 16000, 1), (5, 6000, 8, 1440, 24000, 1),
+      |  (100, 9000, 5, 1000, 44100, 2), (101, 12000, 7, 630, 16000, 2)),
+      |w AS (SELECT case_id, amp, half, n, ch,
+      |        unnest(range((n + 99) // 100)) AS win_idx FROM c),
+      |b AS (SELECT case_id, amp, half, ch, win_idx,
+      |        win_idx * 100 AS a, least(win_idx * 100 + 100, n) AS b FROM w)
+      |SELECT CAST(case_id AS BIGINT) AS case_id, CAST(win_idx AS BIGINT) AS win_idx,
+      |  CAST(b - a AS BIGINT) AS n_frames,
+      |  CAST((b - a) * amp * amp * ch AS BIGINT) AS sum_sq,
+      |  CAST((b - 1) // half - a // half AS BIGINT) AS zero_crossings
+      |FROM b ORDER BY case_id, win_idx""".stripMargin
+
   /** REAL video frame sampling through the driver gate: MJPEG AVIs are
     * muxed executor-side (`Multimodal.muxAviMjpeg` — JPEG frames from the
     * same `javax.imageio` encoder `mm_decode_real` uses), then
@@ -1107,6 +1160,7 @@ object SimilarityOps {
     ("mm_frames",        mmFrames _,     Some(mmFramesSql)),
     ("mm_decode_real",   mmDecodeReal _, Some(mmDecodeRealSql)),
     ("mm_audio_real",    mmAudioReal _,  Some(mmAudioRealSql)),
+    ("mm_audio_features", mmAudioFeatures _, Some(mmAudioFeaturesSql)),
     ("mm_video_real",    mmVideoReal _,  Some(mmVideoRealSql)),
     ("mm_gif_frames",    mmGifFrames _,  Some(mmGifFramesSql)),
     ("mm_mp4_frames",    mmMp4Frames _,  Some(mmMp4FramesSql)),

@@ -690,6 +690,79 @@ object TextOps {
          |ORDER BY rank_ppm DESC, host""".stripMargin
   }
 
+  /** Triangle counting over the host co-occurrence graph with DEGREE
+    * ORIENTATION — the second iterative-graph analytic next to
+    * [[hostPageRank]], and the standard local-clustering signal link
+    * analysis attaches to hosts. Each undirected edge is directed from
+    * its endpoint with the smaller (degree, host) to the larger — a
+    * strict total order, so every edge appears exactly once and every
+    * triangle has exactly one "rooted" orientation a→b, a→c, b→c and is
+    * counted exactly once. Output: per-host triangle participation.
+    *
+    * Scale: the classic bound — wedge enumeration (e1⋈e2 on the shared
+    * middle vertex) fans out by ORIENTED out-degree, which degree
+    * orientation caps at O(√m) per vertex regardless of skew (a celebrity
+    * host receives its edges instead of emitting them), so the join
+    * output is O(m^1.5) worst-case instead of Σdeg² — the
+    * Suri–Vassilvitskii MapReduce triangle scheme expressed as two
+    * self-equi-joins Catalyst plans as ordinary shuffled hash joins.
+    */
+  private def hostTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Co-occurrence at CRAWL-BATCH granularity (20 consecutive docs):
+    // per-document the synthetic corpus injects ≤2 hosts, which makes the
+    // doc-level graph bipartite (zero triangles by construction); batches
+    // hold ~20 distinct hosts, giving overlapping cliques — and the batch
+    // scope is also what bounds the pair fan-out: C(hosts-in-batch, 2),
+    // never corpus-wide.
+    val h = docHosts(s, dir)
+      .select(expr("doc_id DIV 20").as("grp"), $"host")
+      .distinct()
+      .localCheckpoint() // read twice below
+    val und = h.as("a").join(h.as("b"), Seq("grp"))
+      .filter($"a.host" < $"b.host")
+      .select($"a.host".as("u"), $"b.host".as("v"))
+      .distinct()
+    val deg = und.select($"u".as("host"))
+      .union(und.select($"v".as("host")))
+      .groupBy($"host").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, host) → high; u < v already, so ties keep u→v
+    val e = und
+      .join(deg.select($"host".as("u"), $"deg".as("du")), Seq("u"))
+      .join(deg.select($"host".as("v"), $"deg".as("dv")), Seq("v"))
+      .select(
+        when($"du" <= $"dv", $"u").otherwise($"v").as("src"),
+        when($"du" <= $"dv", $"v").otherwise($"u").as("dst"))
+      .localCheckpoint() // wedge join reads it three times
+    val tri = e.as("e1").join(e.as("e2"), $"e1.dst" === $"e2.src")
+      .join(e.as("e3"),
+        $"e3.src" === $"e1.src" && $"e3.dst" === $"e2.dst")
+      .select($"e1.src".as("h1"), $"e1.dst".as("h2"), $"e2.dst".as("h3"))
+    tri.select(explode(array($"h1", $"h2", $"h3")).as("host"))
+      .groupBy($"host").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"host")
+  }
+
+  private val hostTrianglesSql =
+    "WITH " + docHostsCtes + ",\n" +
+      s"""hg AS (SELECT DISTINCT doc_id // 20 AS grp, host FROM h),
+         |e0 AS (SELECT DISTINCT a.host AS u, b.host AS v
+         |  FROM hg a JOIN hg b ON a.grp = b.grp AND a.host < b.host),
+         |dg AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS host FROM e0 UNION ALL SELECT v AS host FROM e0) x
+         |  GROUP BY host),
+         |e AS (SELECT
+         |    CASE WHEN du.deg <= dv.deg THEN u ELSE v END AS src,
+         |    CASE WHEN du.deg <= dv.deg THEN v ELSE u END AS dst
+         |  FROM e0 JOIN dg du ON e0.u = du.host JOIN dg dv ON e0.v = dv.host),
+         |tr AS (SELECT e1.src AS h1, e1.dst AS h2, e2.dst AS h3
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT h1 AS host FROM tr UNION ALL SELECT h2 AS host FROM tr
+         |      UNION ALL SELECT h3 AS host FROM tr) x
+         |GROUP BY host ORDER BY host""".stripMargin
+
   private val urlExtractSql =
     s"""WITH t AS (
        |  SELECT doc_id, lower(text) || ' see https://www.site'
@@ -1331,6 +1404,7 @@ object TextOps {
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
     ("txt_host_pagerank", hostPageRank _,  Some(hostPageRankSql)),
+    ("txt_host_triangles", hostTriangles _, Some(hostTrianglesSql)),
     ("txt_token_count",   tokenCount _,    Some(tokenCountSql)),
     ("txt_top_tokens",    topTokens _,     Some(topTokensSql)),
     ("txt_quality_score", qualityScore _,  Some(qualityScoreSql)),

@@ -35,6 +35,7 @@ object ScaleBench {
     // dedup (scale paths only — brute verifiers are loudly bounded)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_keep_best", "dedup_span_removal", "dedup_semdedup",
+    "dedup_prefix_join",
     // curation / dataset ops
     "ds_cross_source_overlap", "ds_dataset_card", "ds_pack_sequences",
     "ds_pipeline_yield", "ds_token_budget",
@@ -49,7 +50,7 @@ object ScaleBench {
     "ev_anomaly_mad", "ev_funnel", "ev_sessionize", "ev_rfm_cutoffs",
     "ev_top_paths", "ev_markov_transitions", "ev_asof_join",
     "ev_salted_enrich", "ev_retention_cohorts", "ev_heavy_hitters",
-    "ev_distinct_kmv")
+    "ev_distinct_kmv", "ev_trend_ols", "ds_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering: curve golden values, and the MEASURED data-skipping
+  * claim — a z-clustered parquet layout lets file-level min/max stats
+  * prune a two-sided box predicate that a single-column sort cannot.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zValue golden values (8-bit interleave)") {
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (255L, 0L), (0L, 255L), (255L, 255L), (170L, 85L))
+      .toDF("x", "y")
+      .select(ZOrderLayout.zValue("x", "y", 8).cast("long").as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x contributes odd bit positions, y even: z(x,0)=spread(x)<<1, z(0,y)=spread(y)
+    assert(z == Seq(0L, 2L, 1L, 3L, 0xAAAAL, 0x5555L, 0xFFFFL,
+      // 170 = 10101010b -> odd positions; 85 = 01010101b -> even positions
+      (0 until 8).map(i => ((170L >> i) & 1L) << (2 * i + 1) |
+        ((85L >> i) & 1L) << (2 * i)).sum))
+  }
+
+  test("z-clustered layout prunes a 2-D box predicate; 1-D sort cannot") {
+    // Uniform synthetic points in [0,256)²: x sequential, y decorrelated
+    // via a Knuth-multiplicative scramble.
+    val n = 65536
+    val pts = spark.range(n).select(
+      ($"id" % 256).as("x"),
+      (($"id" * 2654435761L) % 256).as("y"))
+    val files = 16
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zord").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    ZOrderLayout.clusteredWrite(pts, ZOrderLayout.zValue("x", "y", 8), zdir, files)
+    // the 1-D alternative: same file count, sorted by x only
+    pts.repartitionByRange(files, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(ldir)
+
+    // file-level min/max footer stats, as a scan planner would read them
+    def bounds(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      fs.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // 2-D box: one quarter of each dimension -> 1/16 of the space
+    val (x0, x1, y0, y1) = (64L, 127L, 128L, 191L)
+    def touched(bs: Seq[(Long, Long, Long, Long)]): Int =
+      bs.count { case (mnx, mxx, mny, mxy) =>
+        mxx >= x0 && mnx <= x1 && mxy >= y0 && mny <= y1 }
+    val zb = bounds(zdir); val lb = bounds(ldir)
+    assert(zb.size == files && lb.size == files)
+    val (zt, lt) = (touched(zb), touched(lb))
+    // x-sort prunes x (4/16 files) but every surviving file spans all of
+    // y; the z layout bounds BOTH dims, touching ~area-fraction of files.
+    assert(zt < lt, s"z-order touched $zt files, x-sort $lt — no win")
+    assert(zt <= files / 2, s"z-order touched $zt of $files files")
+    // and on a predicate over the UNSORTED dimension alone, the x-sorted
+    // layout reads everything while z-order still prunes
+    def touchedY(bs: Seq[(Long, Long, Long, Long)]): Int =
+      bs.count { case (_, _, mny, mxy) => mxy >= y0 && mny <= y1 }
+    assert(touchedY(lb) == files, "x-sorted layout should be blind to y")
+    assert(touchedY(zb) < files, "z layout must bound y too")
+  }
+}
