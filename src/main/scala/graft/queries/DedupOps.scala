@@ -563,6 +563,21 @@ object DedupOps {
     * hashed arrays (codegen'd merge intersect) only for distinct
     * candidate pairs. No step is quadratic in the corpus.
     */
+  /** Loud plan-time ceiling on the prefix join's candidate volume,
+    * Σ C(df_prefix, 2) over prefix shingles — one cheap aggregate before
+    * the join. On natural corpora vocabulary grows with the corpus and
+    * prefix (rare-shingle) document frequencies stay small, so the
+    * estimate grows ~linearly; on a SATURATING token space (the sandbox
+    * corpus has a fixed 31-word vocabulary, so every df scales with the
+    * corpus) candidate volume is inherently quadratic — at that point
+    * the EXACT join is the wrong tool by problem statement, not by
+    * implementation (qualifying pairs themselves go quadratic), and the
+    * guard routes the caller to the capped LSH path instead of silently
+    * spilling a candidate shuffle to death (measured: 100× ScaleGen
+    * replicas → Σdf² ×10⁴ → ~28 B candidate rows, >70 GB spill).
+    */
+  val MaxPrefixCandidates: Long = 2_000_000_000L
+
   private def prefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
@@ -582,6 +597,13 @@ object DedupOps {
     // shorten the prefix below the lossless length)
     val prefix = ranked.filter($"rn" <= expr(
       s"sz - (sz * $PrefixThetaNum + ${PrefixThetaDen - 1}) DIV $PrefixThetaDen + 1"))
+      .localCheckpoint() // guard estimate + both join sides read it
+    val estimated = prefix.groupBy($"g").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L))).head().getLong(0)
+    require(estimated <= MaxPrefixCandidates,
+      s"prefix-join candidate estimate $estimated exceeds $MaxPrefixCandidates — " +
+        "the shingle space has saturated (qualifying pairs are inherently " +
+        "quadratic here); use MinHashLSH.nearDuplicates with its bucket cap")
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
           // size-compatibility: min ≥ θ·max, exact in integers

@@ -297,6 +297,85 @@ object KvQueries {
   private val ixCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, KeyValueTable]]
 
+  /** Value category the maintained index is keyed on — the one field of
+    * the mutation history that actually CHANGES (commit 2 rewrites every
+    * %3 key's value to `upd:*`), so maintenance has real churn to apply.
+    */
+  private[queries] def ixCat(val_ : org.apache.spark.sql.Column) =
+    when(val_.startsWith("upd:"), lit("upd")).otherwise(lit("bas"))
+
+  /** The closed category set [[ixCat]] maps into. */
+  private val IxCats = Seq("bas", "upd")
+
+  /** INCREMENTAL secondary-index maintenance from the CDC feed: instead
+    * of rebuilding `category:pk` from the resolved table, the index
+    * applies the delta feed — per touched key, the final PUT's category
+    * gets an entry and every OTHER category gets a tombstone (CDC
+    * compaction by key, the Debezium-sink apply rule; REMOVE'd keys
+    * retract all categories). The delta feed carries no pre-images, so
+    * retraction sweeps the key's full category ENUM — sound because the
+    * category set is closed and tiny (the enum-index case; a general
+    * value index maintains from pre-image-bearing change events, which
+    * is exactly why Debezium emits them). The served entries are
+    * identical to a full rebuild — IndexMaintenanceSpec proves
+    * increments-from-v1 == rebuild — but the maintenance job reads ONLY
+    * the delta: at scale, touching the changed 0.1% instead of
+    * rescanning the table.
+    *
+    * Scale: one window over (pk, version) on the DELTA (manifest-pruned
+    * to commits > from), one put batch + one remove batch sized
+    * O(changes · |categories|), never O(table).
+    */
+  private[queries] def maintainIndex(ix: KeyValueTable, delta: DataFrame): Unit = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pk").orderBy($"version".desc)
+    val rows = delta
+      .select($"pk", $"op", decode($"value", "UTF-8").as("val"), $"version")
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint() // final-state and touched-keys both read it
+    val finalEntries = rows.filter($"rn" === 1 && $"op" === "PUT")
+      .select(concat(ixCat($"val"), lit(":"), $"pk").as("ixpk"))
+    val allCats = rows.select($"pk").distinct()
+      .crossJoin(IxCats.toDF("cat"))
+      .select(concat($"cat", lit(":"), $"pk").as("ixpk"))
+    ix.put(finalEntries.select($"ixpk".as("pk"), lit("").as("sk"),
+      encode(lit(""), "UTF-8").as("value")))
+    ix.remove(allCats.except(finalEntries).select($"ixpk".as("pk"), lit("").as("sk")))
+  }
+
+  /** Serving read through the incrementally-maintained index: the index
+    * starts from the commit-1 state (every key `bas`) and then applies
+    * ONLY `deltaSince(1)` — the two mutation commits — before the `upd`
+    * category is prefix-scanned and joined into the resolved table. The
+    * oracle recomputes the expected category membership from `customer`
+    * directly, so a stale entry (missed retraction) or a lost update
+    * (missed insert) both break the hash.
+    */
+  private def kvIndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kvim").toString
+    val ix = new KeyValueTable(s, work, "cust_by_cat", partitionCount = 8)
+    val t = build(s, dir)
+    // seed: the index as a batch job would have built it after commit 1
+    ix.put(Tables.customer(s, dir).select(
+      format_string("bas:%08d", $"c_custkey").as("pk"),
+      lit("").as("sk"), encode(lit(""), "UTF-8").as("value")))
+    // incremental catch-up from the CDC feed only
+    maintainIndex(ix, t.deltaSince(1L))
+    val hits = ix.scanPrefix("upd:").select(substring($"pk", 5, 8).as("pk"))
+    t.entries().join(hits, "pk")
+      .select($"pk", decode($"value", "UTF-8").as("val"), $"version")
+      .orderBy($"pk")
+  }
+
+  private val kvIndexMaintainSql =
+    """SELECT format('{:08d}', c_custkey) AS pk,
+      |  concat('upd:', CAST(c_acctbal AS VARCHAR)) AS val, 2 AS version
+      |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+      |ORDER BY pk""".stripMargin
+
   private val kvIndexLookupSql =
     """SELECT format('{:08d}', c_custkey) AS pk,
       |  CASE WHEN c_custkey % 3 = 0 THEN concat('upd:', CAST(c_acctbal AS VARCHAR))
@@ -516,6 +595,7 @@ object KvQueries {
     ("kv_atomic_batch", kvAtomicBatch _, Some(kvAtomicBatchSql)),
     ("kv_asof_resolve", kvAsofResolve _, Some(kvAsofResolveSql)),
     ("kv_index_lookup", kvIndexLookup _, Some(kvIndexLookupSql)),
+    ("kv_index_maintain", kvIndexMaintain _, Some(kvIndexMaintainSql)),
     ("kv_enrich_join",  kvEnrichJoin _,  Some(kvEnrichJoinSql)),
     ("kv_stream_view",  kvStreamView _,  Some(kvStreamViewSql)),
     ("kv_cdc_export",   kvCdcExport _,   Some(kvCdcExportSql)),
