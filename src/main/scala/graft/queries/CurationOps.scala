@@ -670,7 +670,71 @@ object CurationOps {
        |FROM p GROUP BY 1 ORDER BY zbin""".stripMargin
   }
 
+  /** Declarative DATA-QUALITY constraint report (the Deequ-style
+    * validation gate a pipeline runs before accepting a data drop): five
+    * row-level constraints compile into ONE aggregate over events
+    * ([[graft.operators.DataQuality.report]]), plus the two set-level
+    * rows (event_id uniqueness; user_id referential integrity against
+    * customer) that need their own aggregate/anti-join by nature. The
+    * check mix is deliberately half-failing (`value ≤ 400` and the
+    * accepted-type list excluding 'error' have real violations) so both
+    * report branches are hash-pinned. All counts exact BIGINTs.
+    *
+    * Scale: N row-level checks = one scan + a 1-row shuffle; uniqueness
+    * = one count-distinct; referential = one distinct-build + left join
+    * (broadcastable dim). Nothing is table-quadratic or sampled.
+    */
+  private def dqReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    import graft.operators.DataQuality.Check
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val rowChecks = DataQuality.report(ev, Seq(
+      Check("completeness_props", $"props".isNull || $"props" === ""),
+      Check("value_positive", $"value" <= 0.0),
+      Check("value_le_400", $"value" > 400.0),
+      Check("accepted_types_no_error",
+        !$"event_type".isin("click", "purchase", "signup", "view")),
+      Check("props_json_shape", !$"props".rlike("^\\{\"k\": [0-9]+\\}$"))))
+    val uniq = DataQuality.uniquenessRow(ev, "unique_event_id", $"event_id")
+    val ref = DataQuality.referentialRow(ev, "ref_user_in_customer",
+      $"user_id", Tables.customer(s, dir), $"c_custkey")
+    rowChecks.unionAll(uniq).unionAll(ref).orderBy($"check_name")
+  }
+
+  private val dqReportSql =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+      |r AS (
+      |  SELECT 'completeness_props' AS check_name,
+      |    CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value_positive',
+      |    CAST(SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'value_le_400',
+      |    CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'accepted_types_no_error',
+      |    CAST(SUM(CASE WHEN event_type NOT IN ('click','purchase','signup','view')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'props_json_shape',
+      |    CAST(SUM(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'unique_event_id',
+      |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'ref_user_in_customer',
+      |    CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+      |      WHERE c.c_custkey = e.user_id) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events e)
+      |SELECT check_name, n_violations, n_rows, n_violations = 0 AS pass
+      |FROM r CROSS JOIN n ORDER BY check_name""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_dq_report",            dqReport _,           Some(dqReportSql)),
     ("ds_zorder_layout",        zorderLayout _,       Some(zorderLayoutSql)),
     ("ds_mix_temperature",      mixTemperature _,     Some(mixTemperatureSql)),
     ("ds_cross_source_overlap", crossSourceOverlap _, Some(crossSourceOverlapSql)),
