@@ -609,7 +609,122 @@ object AnalyticsOps {
       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
       |FROM a WHERE n >= 2 ORDER BY event_type""".stripMargin
 
+  /** Multi-touch LINEAR ATTRIBUTION: each purchase's revenue splits
+    * equally across the user's click/view touchpoints in the 7 days
+    * before it; purchases with no touches stay in the '(direct)' bucket.
+    * Exact integer division — each touch gets `cents DIV n`, the
+    * remainder goes to the FIRST touch (by ts, then event_id), so the
+    * attributed total reconciles to revenue to the cent and the whole
+    * split is oracle-replayable (no floating shares).
+    *
+    * Scale: the touch window rides an EQUI-join on user_id with a time
+    * residual — fan-out per purchase is the user's own touch count in
+    * the window, never corpus-wide; the split is one window over each
+    * purchase's matched touches (per-purchase cardinality). Same bound
+    * as `ev_asof_join`'s keyed shape.
+    */
+  private def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 7L * 86400L * 1000000L
+    val e = Tables.events(s, dir).select($"event_id", $"user_id", $"event_type",
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"tus".as("pts"), $"cents")
+    val t = e.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_id".as("tid"), $"tus".as("tts"),
+        $"event_type".as("touch_type"))
+    val j = p.join(t, Seq("user_id"))
+      .filter($"tts" < $"pts" && $"tts" >= $"pts" - windowUs)
+    val perP = org.apache.spark.sql.expressions.Window.partitionBy($"pid")
+    val split = j
+      .withColumn("n", count(lit(1)).over(perP))
+      .withColumn("rn", row_number().over(perP.orderBy($"tts", $"tid")))
+      .select($"touch_type",
+        (expr("cents DIV n") + when($"rn" === 1, expr("cents % n"))
+          .otherwise(lit(0L))).as("att"))
+    val direct = p.join(j.select($"pid").distinct(), Seq("pid"), "left_anti")
+      .select(lit("(direct)").as("touch_type"), $"cents".as("att"))
+    split.unionAll(direct)
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_credits"), sum($"att").as("attributed_cents"))
+      .orderBy($"touch_type")
+  }
+
+  private val attributionLinearSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS pid, tus AS pts, cents
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS tid, tus AS tts, event_type AS touch_type
+      |      FROM e WHERE event_type IN ('click', 'view')),
+      |j AS (
+      |  SELECT p.pid, p.cents, t.touch_type, t.tts, t.tid
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - 604800000000),
+      |s AS (
+      |  SELECT touch_type,
+      |    cents // COUNT(*) OVER (PARTITION BY pid)
+      |      + CASE WHEN ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) = 1
+      |             THEN cents % (COUNT(*) OVER (PARTITION BY pid)) ELSE 0 END AS att
+      |  FROM j),
+      |d AS (
+      |  SELECT '(direct)' AS touch_type, cents AS att FROM p
+      |  WHERE pid NOT IN (SELECT pid FROM j)),
+      |u AS (SELECT * FROM s UNION ALL SELECT * FROM d)
+      |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |  CAST(SUM(att) AS BIGINT) AS attributed_cents
+      |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** Event-time DISORDER statistics — the measurement that picks a
+    * watermark delay: per user (the keyed-arrival stream the engine's
+    * per-routing-key order contract actually governs), the running max
+    * of event time over arrival order (event_id) minus each event's own
+    * time = how late it arrived relative to its key's high-water mark;
+    * rolled up per event type. All integer microseconds.
+    *
+    * Scale: one window keyed by user_id (state = running max, partitions
+    * = users, never a global sort) + one keyed rollup — the same shape
+    * at any corpus size. A global-order disorder stat would be a
+    * single-reducer sort; the keyed definition is both the scalable one
+    * and the one that matches per-key watermarking.
+    */
+  private def disorderStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .withColumn("late_us", max($"tus").over(w) - $"tus")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        sum($"late_us").as("sum_late_us"))
+      .orderBy($"event_type")
+  }
+
+  private val disorderStatsSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    MAX(tus) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS late_us
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_attribution_linear", attributionLinear _, Some(attributionLinearSql)),
+    ("ev_disorder_stats",    disorderStats _,     Some(disorderStatsSql)),
     ("ev_trend_ols",         trendOls _,          Some(trendOlsSql)),
     ("ev_ab_lift",           abLift _,            Some(abLiftSql)),
     ("ev_hourly_seasonality", hourlySeasonality _, Some(hourlySeasonalitySql)),

@@ -71,6 +71,24 @@ class PrefixJoinSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("ev_attribution_linear: attributed cents reconcile to purchase revenue exactly") {
+    val r = SparkEntry.queries("ev_attribution_linear")(spark, sf)
+    val attributed = r.agg(sum($"attributed_cents")).head().getLong(0)
+    val revenue = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).head().getLong(0)
+    assert(attributed === revenue,
+      s"attribution leaked cents: $attributed attributed vs $revenue revenue")
+  }
+
+  test("ev_disorder_stats: late counts bounded; per-user definition yields non-negative lateness") {
+    val r = SparkEntry.queries("ev_disorder_stats")(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"n_late" > $"n_events").count() === 0L)
+    assert(r.filter($"max_late_us" < 0L || $"sum_late_us" < 0L).count() === 0L)
+    r.unpersist()
+  }
+
   test("ev_countmin_point: one-sided overcount, bounded by the corpus") {
     val r = SparkEntry.queries("ev_countmin_point")(spark, sf).cache()
     assert(r.count() === 10L) // the fixed probe set, present keys or not
