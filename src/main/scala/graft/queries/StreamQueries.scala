@@ -1261,6 +1261,85 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** STREAMING data-quality gate via Spark's `observe()` API — the
+    * production mechanism for in-flight constraint metrics (observed
+    * metrics ride each micro-batch's QueryProgress; dashboards and
+    * circuit-breakers read them without a second pass over the data).
+    * Events flow through the engine stream; the streaming query carries
+    * two violation counters and a row counter as observed metrics; the
+    * per-batch readings are summed off `recentProgress` after the
+    * AvailableNow drain. Only batch-boundary-INVARIANT totals are
+    * emitted (sums commute with any trigger pacing), which is what
+    * makes the row oracle-hashable.
+    *
+    * Scale: observe() is a zero-shuffle agg folded into each batch's
+    * existing plan — the metrics cost nothing beyond the scan the batch
+    * already does; progress objects are O(metrics), not O(rows).
+    */
+  private def streamDq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sdq").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "ev", Tables.events(s, dir).filter($"user_id" < 150).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode(concat($"event_type", lit(":"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").cast("string")), "UTF-8")
+        .as("payload")))
+    val pace = math.max(500L, g.unreadRows("q", "ev", StreamCut(Map.empty)) / 3L)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"sdq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s2.readStream.format("graft-stream")
+      .option("rootDir", work).option("scope", "q").option("stream", "ev")
+      .option("maxRowsPerTrigger", pace.toString)
+      .load()
+      .select(split(decode($"payload", "UTF-8"), ":").as("p"))
+      .select($"p".getItem(0).as("etype"), $"p".getItem(1).cast("long").as("cents"))
+      .observe("dq",
+        sum(when($"cents" > 40000L, 1L).otherwise(0L)).as("v_value_le_400"),
+        sum(when($"etype" === "error", 1L).otherwise(0L)).as("v_no_error"),
+        count(lit(1)).as("n_rows"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val totals = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("dq")))
+      .map { r =>
+        // an empty final batch reports null sums — count it as zero
+        def l(f: String) = { val i = r.fieldIndex(f); if (r.isNullAt(i)) 0L else r.getLong(i) }
+        (l("v_value_le_400"), l("v_no_error"), l("n_rows"))
+      }
+    require(totals.nonEmpty, "no observed metrics surfaced in query progress")
+    val (v1, v2, n) = totals.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+    }
+    Seq(("no_error_events", v2, n), ("value_le_400", v1, n))
+      .toDF("check_name", "n_violations", "n_rows")
+      .withColumn("pass", $"n_violations" === 0L)
+      .orderBy($"check_name")
+  }
+
+  private val streamDqSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 150),
+      |r AS (
+      |  SELECT 'no_error_events' AS check_name,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM e
+      |  UNION ALL
+      |  SELECT 'value_le_400',
+      |    CAST(SUM(CASE WHEN cents > 40000 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM e)
+      |SELECT check_name, n_violations, n_rows, n_violations = 0 AS pass
+      |FROM r ORDER BY check_name""".stripMargin
+
   /** Per-key batch input to the writer-sequence state machine. */
   case class SeqIn(routingKey: String, offset: Long, seq: Long, eid: Long)
   /** One long per key — the writer's last accepted event number
@@ -2387,6 +2466,7 @@ object StreamQueries {
     ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
+    ("ev_stream_dq",         streamDq _,     Some(streamDqSql)),
     ("ev_stream_join_late",  streamJoinLate _, Some(streamJoinLateSql)),
     ("stream_pipe_resume",   pipeResume _,   Some(pipeResumeSql)),
     ("stream_pipe_roundtrip", pipeRoundtrip _, Some(pipeRoundtripSql)),
