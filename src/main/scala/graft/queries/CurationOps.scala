@@ -733,7 +733,39 @@ object CurationOps {
       |SELECT check_name, n_violations, n_rows, n_violations = 0 AS pass
       |FROM r CROSS JOIN n ORDER BY check_name""".stripMargin
 
+  /** Shuffle-BALANCE audit — the pre-flight skew measurement that decides
+    * whether a key needs salting before the big join/agg: rows per
+    * md5-derived hash bucket (32 buckets, the reducer shape a shuffle on
+    * this key would take) with each bucket's exact ppm share. A flat
+    * profile clears the key; a spiked one is the `ev_salted_enrich`
+    * trigger. Integer-exact (`n·10⁶ DIV total`) so the oracle hash-pins
+    * the whole profile.
+    *
+    * Scale: one map-combined groupBy over 32 buckets + a broadcast
+    * 1-row total — O(buckets) shuffle at any corpus size.
+    */
+  private def partitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.events(s, dir)
+      .select((conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 32L).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_rows"))
+    b.crossJoin(broadcast(b.agg(sum($"n_rows").as("total"))))
+      .select($"bucket", $"n_rows", expr("n_rows * 1000000 DIV total").as("ppm"))
+      .orderBy($"bucket")
+  }
+
+  private val partitionStatsSql =
+    """WITH b AS (
+      |  SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+      |SELECT bucket, n_rows, n_rows * 1000000 // total AS ppm
+      |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_partition_stats",      partitionStats _,     Some(partitionStatsSql)),
     ("ds_dq_report",            dqReport _,           Some(dqReportSql)),
     ("ds_zorder_layout",        zorderLayout _,       Some(zorderLayoutSql)),
     ("ds_mix_temperature",      mixTemperature _,     Some(mixTemperatureSql)),

@@ -648,7 +648,48 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 2 >= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Duplicate-GAP histogram — the measurement that sizes a streaming
+    * dedup window: for every exact-duplicate pair adjacent in doc_id
+    * order, the gap between occurrences, bucketed by bit length
+    * (`length(bin(gap))` = ⌊log2⌋+1, integer-exact in both engines). A
+    * mass at small buckets says `dropDuplicatesWithinWatermark` with a
+    * short horizon catches nearly everything; a long tail quantifies
+    * what a bounded window forfeits vs the batch pass.
+    *
+    * Scale: one fingerprint shuffle + a lag window per fingerprint
+    * (state = one row), then a histogram-width aggregate.
+    *
+    * The fingerprint is the BAG-OF-WORDS canonical form (sorted distinct
+    * tokens) — the standard order/whitespace-insensitive dedup key,
+    * which also gives the histogram mass at every scale factor (byte-
+    * exact duplicates only appear at sf0.1+ in this corpus).
+    */
+  private def gapHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(trim($"text")), "\\s+"))))).as("fp"))
+      .withColumn("prev", lag($"doc_id", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select(length(bin($"doc_id" - $"prev")).cast("long").as("bucket_bits"))
+      .groupBy($"bucket_bits").agg(count(lit(1)).as("n_gaps"))
+      .orderBy($"bucket_bits")
+  }
+
+  private val gapHistSql =
+    """WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents),
+      |g AS (SELECT doc_id - LAG(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS gp
+      |      FROM f)
+      |SELECT CAST(length(bin(gp)) AS BIGINT) AS bucket_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps
+      |FROM g WHERE gp IS NOT NULL GROUP BY 1 ORDER BY bucket_bits""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_gap_hist",       gapHist _,       Some(gapHistSql)),
     ("dedup_prefix_join",    prefixJoin _,    Some(prefixJoinSql)),
     ("dedup_sketch_union",   dedupSketchUnion _, Some(dedupSketchUnionSql)),
     ("dedup_index_lookup",   dedupIndexLookup _, Some(dedupIndexLookupSql)),

@@ -291,7 +291,51 @@ object EmbeddingOps {
       |SELECT qid AS query_id, vec_id AS cand_id, CAST(adc AS BIGINT) AS adc_fp, rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to 8 dims with a ±1
+    * (Achlioptas) sign matrix derived from md5(pos:j) — the cheap
+    * dimensionality reduction that precedes LSH/clustering when PCA's
+    * data-dependent basis is overkill. The projection matrix is never
+    * materialized (each sign is a pure function of its coordinates, the
+    * hashing-trick analog for projections), inputs quantize to the
+    * family's fixed-point longs, and each output component is an exact
+    * integer sum — so the oracle replays the full matrix multiply.
+    *
+    * Scale: one generator explode (dims × k per row, k = 8) + one keyed
+    * sum — shuffle carries vecs·k longs; no matrix broadcast, no
+    * per-row allocation beyond the generator.
+    */
+  private def randomProj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" < 50)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        floor($"x".cast("double") * lit(1000000.0)).cast("long").as("xq"))
+      .select($"vec_id", $"pos", $"xq", explode(expr("sequence(0L, 7L)")).as("j"))
+      .withColumn("sgn",
+        (conv(substring(md5(concat($"pos".cast("string"), lit(":"),
+          $"j".cast("string"))), 1, 15), 16, 10).cast("long") % 2L) * 2L - 1L)
+      .groupBy($"vec_id", $"j")
+      .agg(sum($"xq" * $"sgn").as("p"))
+      .orderBy($"vec_id", $"j")
+  }
+
+  private val randomProjSql =
+    """WITH xq AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings WHERE vec_id < 50),
+      |e AS (
+      |  SELECT vec_id, pos, xq, CAST(j AS BIGINT) AS j
+      |  FROM xq CROSS JOIN (SELECT unnest(range(8)) AS j) r)
+      |SELECT vec_id, j,
+      |  CAST(SUM(xq * ((CAST(concat('0x', substring(md5(
+      |    concat(CAST(pos AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+      |    % 2) * 2 - 1)) AS BIGINT) AS p
+      |FROM e GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("emb_random_proj",   randomProj _,   Some(randomProjSql)),
     ("emb_norm_stats",    normStats _,    Some(normStatsSql)),
     ("emb_pca_power",     pcaPower _,     Some(pcaPowerSql)),
     ("emb_centroid_dist", centroidDist _, Some(centroidDistSql)),
