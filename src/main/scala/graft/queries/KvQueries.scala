@@ -323,8 +323,10 @@ object KvQueries {
     * rescanning the table.
     *
     * Scale: one window over (pk, version) on the DELTA (manifest-pruned
-    * to commits > from), one put batch + one remove batch sized
-    * O(changes · |categories|), never O(table).
+    * to commits > from), then ONE ATOMIC mixed batch (inserts +
+    * retractions commit together via [[KeyValueTable.update]] — a crash
+    * can never leave the index with new entries visible but stale ones
+    * unretracted) sized O(changes · |categories|), never O(table).
     */
   private[queries] def maintainIndex(ix: KeyValueTable, delta: DataFrame): Unit = {
     val s = delta.sparkSession
@@ -340,9 +342,14 @@ object KvQueries {
     val allCats = rows.select($"pk").distinct()
       .crossJoin(IxCats.toDF("cat"))
       .select(concat($"cat", lit(":"), $"pk").as("ixpk"))
-    ix.put(finalEntries.select($"ixpk".as("pk"), lit("").as("sk"),
-      encode(lit(""), "UTF-8").as("value")))
-    ix.remove(allCats.except(finalEntries).select($"ixpk".as("pk"), lit("").as("sk")))
+    val puts = finalEntries.select($"ixpk".as("pk"), lit("").as("sk"),
+      encode(lit(""), "UTF-8").as("value"), lit("PUT").as("op"),
+      lit(-1L).as("expectedVersion"))
+    val removes = allCats.except(finalEntries)
+      .select($"ixpk".as("pk"), lit("").as("sk"),
+        lit(null).cast("binary").as("value"), lit("REMOVE").as("op"),
+        lit(-1L).as("expectedVersion"))
+    ix.update(puts.unionAll(removes))
   }
 
   /** Serving read through the incrementally-maintained index: the index
