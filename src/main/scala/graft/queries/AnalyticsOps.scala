@@ -722,7 +722,60 @@ object AnalyticsOps {
       |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Seasonal-naive FORECAST BACKTEST — the baseline every time-series
+    * model must beat, and the shape a capacity-planning pipeline runs
+    * nightly: hourly revenue per type, forecast(h) = actual(h − horizon)
+    * for the daily (24 h) and weekly (168 h) seasons, scored by exact
+    * integer absolute-error sums over the overlap. The forecast join is
+    * an EQUI-join on (type, h − horizon) — gap-proof (a missing source
+    * hour simply yields no forecast), unlike a row-offset lag which
+    * silently misaligns across gaps.
+    *
+    * Scale: the corpus-linear part is the one hourly aggregation; the
+    * backtest then runs on the SERIES (hours × types), which grows with
+    * time, not data volume — the defining economy of forecast scoring.
+    */
+  private def forecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"h").agg(sum($"cents").as("y"))
+      .localCheckpoint() // actuals and both forecast horizons read it
+    val horizons = Seq(24L, 168L)
+    horizons.map { hz =>
+      hourly.as("a").join(
+          hourly.select($"event_type", ($"h" + hz).as("h"), $"y".as("f")).as("b"),
+          Seq("event_type", "h"))
+        .select($"event_type", lit(hz).as("horizon_h"),
+          abs($"y" - $"f").as("abs_err"))
+        .groupBy($"event_type", $"horizon_h")
+        .agg(count(lit(1)).as("n_hours"),
+          sum($"abs_err").as("sum_abs_err"), max($"abs_err").as("max_abs_err"))
+    }.reduce(_ unionAll _)
+      .orderBy($"event_type", $"horizon_h")
+  }
+
+  private val forecastSnaiveSql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT event_type, h, CAST(SUM(cents) AS BIGINT) AS y
+      |      FROM e GROUP BY 1, 2),
+      |hz(horizon_h) AS (VALUES (CAST(24 AS BIGINT)), (CAST(168 AS BIGINT))),
+      |j AS (
+      |  SELECT a.event_type, hz.horizon_h, abs(a.y - b.y) AS abs_err
+      |  FROM d a CROSS JOIN hz
+      |  JOIN d b ON b.event_type = a.event_type AND b.h = a.h - hz.horizon_h)
+      |SELECT event_type, horizon_h, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+      |  CAST(MAX(abs_err) AS BIGINT) AS max_abs_err
+      |FROM j GROUP BY 1, 2 ORDER BY event_type, horizon_h""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_forecast_snaive",    forecastSnaive _,    Some(forecastSnaiveSql)),
     ("ev_attribution_linear", attributionLinear _, Some(attributionLinearSql)),
     ("ev_disorder_stats",    disorderStats _,     Some(disorderStatsSql)),
     ("ev_trend_ols",         trendOls _,          Some(trendOlsSql)),
