@@ -1261,6 +1261,48 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Right-to-be-forgotten through the driver gate: events land in the
+    * engine stream, user 7's payloads are REDACTED
+    * ([[GraftStreams.redactStream]] — rewrite-with-redaction, the only
+    * deletion discipline an offset-addressed immutable log admits), and
+    * the read-back proves the three contract halves at once: redacted
+    * rows still EXIST with their offsets/counts (chains and StreamCuts
+    * stay valid), their payload bytes are GONE (empty), and every other
+    * key's payload chain is byte-identical to the source. The oracle
+    * recomputes all three from the events table directly.
+    */
+  private def redactedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rgt").toString
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
+    g.writeEvents("q", "ev", Tables.events(s, dir).filter($"user_id" < 150).select(
+      $"user_id".cast("string").as("routingKey"),
+      unix_millis($"ts".cast("timestamp")).as("eventTime"),
+      encode($"event_id".cast("string"), "UTF-8").as("payload")))
+    val nRedacted = g.redactStream("q", "ev", "7")
+    require(nRedacted > 0L, "redaction should match user 7's rows")
+    g.readEvents("q", "ev")
+      .select($"routingKey", decode($"payload", "UTF-8").as("pl"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(length($"pl") === 0, 1L).otherwise(0L)).as("n_redacted"),
+        md5(concat_ws(",", array_sort(collect_list(
+          when(length($"pl") > 0, $"pl"))))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val redactedReadSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN user_id = 7 THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_redacted,
+      |  md5(COALESCE(string_agg(CASE WHEN user_id <> 7
+      |        THEN CAST(event_id AS VARCHAR) END, ','
+      |        ORDER BY CAST(event_id AS VARCHAR)), '')) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   /** STREAMING data-quality gate via Spark's `observe()` API — the
     * production mechanism for in-flight constraint metrics (observed
     * metrics ride each micro-batch's QueryProgress; dashboards and
@@ -2466,6 +2508,7 @@ object StreamQueries {
     ("ev_successor_lineage", successorLineage _, Some(successorLineageSql)),
     ("stream_truncate_read", truncateRead _, Some(truncateReadSql)),
     ("ev_stream_join",       streamJoin _,   Some(streamJoinSql)),
+    ("stream_redacted_read", redactedRead _, Some(redactedReadSql)),
     ("ev_stream_dq",         streamDq _,     Some(streamDqSql)),
     ("ev_stream_join_late",  streamJoinLate _, Some(streamJoinLateSql)),
     ("stream_pipe_resume",   pipeResume _,   Some(pipeResumeSql)),

@@ -14,6 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * API (cli/admin command tree; controller/.../rest), surfaced where a
   * Spark user actually lives: plain SQL.
   *
+  *   CALL g.system.redact('scope', 'stream', 'routingKey')
   *   CALL g.system.compact('scope', 'stream')
   *   CALL g.system.truncate_at('scope', 'stream', 1000)
   *   CALL g.system.scale_to('scope', 'stream', 8)
@@ -34,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("compact", "truncate_at", "scale_to",
+  val names: Seq[String] = Seq("redact", "compact", "truncate_at", "scale_to",
     "maintenance", "sweep", "seal", "save_cut", "fsck",
     "kv_compact", "kv_sweep", "kv_fsck", "bs_fsck", "bs_sweep")
 
@@ -79,6 +80,12 @@ object GraftProcedures {
     // argument SQL surface (`table => 'kt'`) must say so
     val kvp = Seq(in("scope", StringType), in("table", StringType))
     name match {
+      case "redact" =>
+        // right-to-be-forgotten: CALL g.system.redact('scope', 'stream', 'key')
+        proc("redact", ss :+ in("routing_key", StringType), StructType(Seq(
+          StructField("rows_redacted", LongType, nullable = false)))) { r =>
+          Seq(Seq(g.redactStream(str(r, 0), str(r, 1), str(r, 2))))
+        }
       case "compact" =>
         proc("compact", ss, StructType(Seq(
           StructField("files_before", LongType, nullable = false),

@@ -810,6 +810,59 @@ class GraftStreams(val spark: SparkSession, val rootDir: String) {
     (meta.files.size, updated.files.size)
   }
 
+  /** Right-to-be-forgotten REDACTION — the GDPR scrub on an append-only
+    * log: rewrites the files of every segment whose key range covers the
+    * routing key, replacing matching rows' payloads with EMPTY bytes
+    * while preserving row count, offsets, event times and chunk layout —
+    * readers keep exact offset arithmetic, StreamCuts stay valid, and
+    * per-key ordering chains survive; only the forgotten bytes are gone
+    * (the standard deletion discipline for immutable logs — rewrite-with-
+    * redaction, since in-place row deletes would break every offset).
+    * Rides compaction's machinery: atomic manifest swap, CAS
+    * revalidation against concurrent appends, reader-grace tombstones
+    * for the replaced files. Segments the key cannot route to are never
+    * read or rewritten (manifest-level key-range pruning — at scale the
+    * scrub touches 1/segments of the stream). Returns redacted rows.
+    */
+  def redactStream(scope: String, stream: String, routingKey: String): Long = {
+    val meta = catalog.getStream(scope, stream)
+    val h = RoutingKeyHash.hashToRange(routingKey)
+    val targetSegs = meta.segments.filter(_.range.contains(h)).map(_.segmentId).toSet
+    val targets = meta.files.filter(f => targetSegs.contains(f.segmentId))
+      .groupBy(_.segmentId)
+    if (targets.isEmpty) return 0L
+    val oldPaths = targets.values.flatten.map(_.path).toSeq
+    val src = spark.read.schema(GraftStreams.storageSchema).parquet(oldPaths: _*)
+    val n = src.filter(col("routingKey") === routingKey).count()
+    if (n == 0L) return 0L
+    val redactDir = new Path(catalog.dataDir(scope, stream), s"compact-${UUID.randomUUID()}")
+    src
+      .withColumn("payload", when(col("routingKey") === routingKey,
+        lit(Array.empty[Byte])).otherwise(col("payload")))
+      .withColumn("segId", col("segmentId"))
+      .repartition(col("segmentId"))
+      .sortWithinPartitions(col("segmentId"), col("offset"))
+      .write.partitionBy("segId").parquet(redactDir.toString)
+    val newEntries = statsFromFooters(redactDir)
+    GraftStreams.kp("redact.staged") // crash here = rewritten files, no swap
+    val deadline = System.currentTimeMillis() + graft.catalog.StreamCatalog.DefaultDeleteGraceMillis
+    try catalog.update(scope, stream) { m =>
+      val changed = targets.exists { case (sid, fs) =>
+        m.files.filter(_.segmentId == sid).map(_.path).toSet != fs.map(_.path).toSet
+      }
+      if (changed) throw new ConditionalCheckFailedException(
+        s"$scope/$stream files changed during redaction")
+      m.copy(files = m.files.filterNot(f => targets.contains(f.segmentId)) ++ newEntries,
+        pendingDeletes = m.pendingDeletes ++ oldPaths.map(p => PendingDelete(p, deadline)))
+    } catch {
+      case e: ConditionalCheckFailedException =>
+        redactDir.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(redactDir, true)
+        throw e
+    }
+    n
+  }
+
   // ------------------------------------------------------------- watermarks
 
   /** noteTime (EventStreamWriter.java:117 + Controller.java:468

@@ -38,6 +38,17 @@ class GraftProceduresSpec extends AnyFunSuite {
     (g, cat)
   }
 
+  test("redact scrubs one routing key's payloads through SQL") {
+    val (g, cat) = fixture()
+    val row = spark.sql(s"CALL $cat.system.redact('s', 'ev', 'k5')").head()
+    assert(row.getLong(0) === 3L) // one row per write batch
+    val k5 = g.readEvents("s", "ev").filter($"routingKey" === "k5")
+    assert(k5.count() === 3L, "redacted rows must survive with their offsets")
+    assert(k5.filter(length($"payload") > 0).count() === 0L)
+    assert(g.readEvents("s", "ev").filter(length($"payload") === 0).count() === 3L,
+      "only the target key may be scrubbed")
+  }
+
   test("compact folds the manifest and reports before/after file counts") {
     val (g, cat) = fixture()
     val before = g.catalog.getStream("s", "ev").files.size
