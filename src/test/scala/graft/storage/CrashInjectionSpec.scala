@@ -152,6 +152,31 @@ class CrashInjectionSpec extends AnyFunSuite {
     assert(orphansNamed(root, "compact-").isEmpty)
   }
 
+  test(s"[$contract] kill between redaction rewrite and swap CAS: payloads intact, rerun scrubs") {
+    val (root, g) = mk(contract, "r")
+    g.writeEvents("s", "ev", batch(0, 600))
+    val filesBefore = g.catalog.getStream("s", "ev").files.map(_.path).toSet
+    crashAt("redact.staged") { g.redactStream("s", "ev", "k7") }
+    assert(g.catalog.getStream("s", "ev").files.map(_.path).toSet === filesBefore,
+      "the swap CAS never ran — manifest must still reference the old files")
+    assert(g.readEvents("s", "ev").filter(length($"payload") === 0).count() === 0L,
+      "no payload may appear scrubbed before the swap")
+    assert(orphansNamed(root, "compact-").size === 1,
+      "Fsck must name the leaked rewrite dir")
+    assert(g.redactStream("s", "ev", "k7") > 0L, "the re-run redaction must land")
+    assert(g.readEvents("s", "ev").filter($"routingKey" === "k7")
+      .filter(length($"payload") > 0).count() === 0L)
+    assert(g.readEvents("s", "ev").count() === 600L, "redaction preserves every row")
+    val survivors = g.readEvents("s", "ev").filter(length($"payload") > 0)
+      .select(decode($"payload", "UTF-8").cast("long").as("id"))
+      .as[Long].collect().toSeq.sorted
+    assert(survivors === (0L until 600L).filterNot(_ % 13 == 7),
+      "non-target payloads must be byte-identical")
+    Thread.sleep(5)
+    assert(g.sweepOrphans("s", "ev", olderThanMillis = 0L).nonEmpty)
+    assert(orphansNamed(root, "compact-").isEmpty)
+  }
+
   test(s"[$contract] kill inside the streaming sink between engine write and epoch cleanup: " +
        "redelivered epoch collapses to a no-op") {
     import org.apache.spark.sql.streaming.Trigger
