@@ -774,7 +774,109 @@ object AnalyticsOps {
       |  CAST(MAX(abs_err) AS BIGINT) AS max_abs_err
       |FROM j GROUP BY 1, 2 ORDER BY event_type, horizon_h""".stripMargin
 
+  /** WINSORIZATION at exact percentile fences — the robust-preprocessing
+    * clip every metrics pipeline applies before means/regressions: per
+    * event type, p01/p99 cutoffs from the exact HISTOGRAM (the
+    * `ev_anomaly_mad`/`ev_rfm_cutoffs` trick — cumulative window over
+    * distinct cents values, cardinality = histogram width, never rows),
+    * then clamp and report clipped counts + exact sums before/after.
+    * Everything integer; the cutoffs themselves are emitted so the
+    * clamp is auditable.
+    */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type",
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"cents")
+    val hist = e.groupBy($"event_type", $"cents").agg(count(lit(1)).as("n"))
+      .withColumn("c", sum($"n").over(w))
+    val tot = e.groupBy($"event_type").agg(count(lit(1)).as("t"))
+    val cuts = hist.join(tot, "event_type").groupBy($"event_type").agg(
+      min(when($"c" >= expr("(t * 1 + 99) DIV 100"), $"cents")).as("p01"),
+      min(when($"c" >= expr("(t * 99 + 99) DIV 100"), $"cents")).as("p99"))
+    e.join(cuts, "event_type")
+      .select($"event_type", $"cents", $"p01", $"p99",
+        greatest($"p01", least($"p99", $"cents")).as("clipped"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"cents" < $"p01", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"cents" > $"p99", 1L).otherwise(0L)).as("n_clip_hi"),
+        min($"p01").as("p01"), min($"p99").as("p99"),
+        sum($"cents").as("sum_before"), sum($"clipped").as("sum_after"))
+      .orderBy($"event_type")
+  }
+
+  private val winsorizeSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |h AS (SELECT event_type, cents, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |hc AS (SELECT event_type, cents,
+      |  SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS c FROM h),
+      |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1),
+      |cuts AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN c >= (t * 1 + 99) // 100 THEN cents END) AS p01,
+      |    MIN(CASE WHEN c >= (t * 99 + 99) // 100 THEN cents END) AS p99
+      |  FROM hc JOIN t USING (event_type) GROUP BY event_type)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN cents < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  CAST(MIN(p01) AS BIGINT) AS p01, CAST(MIN(p99) AS BIGINT) AS p99,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_before,
+      |  CAST(SUM(greatest(p01, least(p99, cents))) AS BIGINT) AS sum_after
+      |FROM e JOIN cuts USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** TRAIN/TEST SPLIT LEAKAGE AUDIT — the ML-hygiene check that a split
+    * key must be the ENTITY, not the row: under the by-user md5 split
+    * every user's events land wholly in one side (leaked users = 0, by
+    * construction — the audit MEASURES it), while the naive by-event
+    * split leaks almost every active user into both sides. Both schemes
+    * are measured in one row so the contrast is hash-pinned.
+    *
+    * Scale: two keyed aggregates over (user, side-seen flags) — a
+    * boolean OR rollup per user, one shuffle each.
+    */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id", $"event_id")
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 10L
+    def audit(scheme: String, side: org.apache.spark.sql.Column) =
+      e.select($"user_id", (side < 8L).cast("long").as("tr"))
+        .groupBy($"user_id")
+        .agg(max($"tr").as("has_train"), max(lit(1L) - $"tr").as("has_test"))
+        .agg(count(lit(1)).as("n_users"),
+          sum($"has_train" * $"has_test").as("n_leaked"))
+        .select(lit(scheme).as("scheme"), $"n_users", $"n_leaked")
+    audit("by_user", h($"user_id")).unionAll(audit("by_event", h($"event_id")))
+      .orderBy($"scheme")
+  }
+
+  private val splitLeakageSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hu,
+      |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS he
+      |  FROM events),
+      |u AS (SELECT user_id,
+      |    MAX(CASE WHEN hu < 8 THEN 1 ELSE 0 END) AS tr_u,
+      |    MAX(CASE WHEN hu >= 8 THEN 1 ELSE 0 END) AS te_u,
+      |    MAX(CASE WHEN he < 8 THEN 1 ELSE 0 END) AS tr_e,
+      |    MAX(CASE WHEN he >= 8 THEN 1 ELSE 0 END) AS te_e
+      |  FROM e GROUP BY user_id)
+      |SELECT 'by_event' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(tr_e * te_e) AS BIGINT) AS n_leaked FROM u
+      |UNION ALL
+      |SELECT 'by_user', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(tr_u * te_u) AS BIGINT) FROM u
+      |ORDER BY scheme""".stripMargin
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ev_winsorize",          winsorize _,         Some(winsorizeSql)),
+    ("ds_split_leakage",      splitLeakage _,      Some(splitLeakageSql)),
     ("ev_forecast_snaive",    forecastSnaive _,    Some(forecastSnaiveSql)),
     ("ev_attribution_linear", attributionLinear _, Some(attributionLinearSql)),
     ("ev_disorder_stats",    disorderStats _,     Some(disorderStatsSql)),

@@ -832,6 +832,57 @@ object TextOps {
       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       |FROM d GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** CALIBRATION CURVE (reliability diagram) for the hashed linear
+    * classifier against the language ground truth — the model-eval step
+    * that turns a raw score into a usable keep/drop THRESHOLD: per
+    * fixed-width score bin (5000-wide, clamped to ±6), document count,
+    * positives (lang = 'en') and exact precision. Monotone-ish precision
+    * over bins = a calibratable score; the fixed bins (not quantiles)
+    * keep the curve comparable across corpus versions.
+    *
+    * Scale: rides the classifier's one explode + keyed-sum pass, then a
+    * ≤13-bin aggregate; the ground-truth join is by doc_id.
+    */
+  private def calibrationCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val scores = docs
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .select($"doc_id",
+        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 1024L).as("b"))
+      .select($"doc_id", (($"b" * 2654435761L) % 2001L - 1000L).as("w"))
+      .groupBy($"doc_id").agg(sum($"w").as("score"))
+    // clamp BEFORE dividing and shift non-negative: Spark's DIV truncates
+    // toward zero while DuckDB's // floors — they only agree on ≥ 0
+    scores.join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("pos")), "doc_id")
+      .select(expr("(greatest(-30000L, least(34999L, score)) + 30000L) DIV 5000").as("bin"),
+        $"pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"pos").as("n_pos"))
+      .withColumn("precision", $"n_pos".cast("double") / $"n_docs")
+      .orderBy($"bin")
+  }
+
+  private val calibrationCurveSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |h AS (SELECT doc_id, substring(md5(t), 1, 4) AS h4 FROM tok),
+      |b AS (SELECT doc_id,
+      |  ((strpos('0123456789abcdef', substring(h4,1,1))-1)*4096 +
+      |   (strpos('0123456789abcdef', substring(h4,2,1))-1)*256 +
+      |   (strpos('0123456789abcdef', substring(h4,3,1))-1)*16 +
+      |   (strpos('0123456789abcdef', substring(h4,4,1))-1)) % 1024 AS b FROM h),
+      |w AS (SELECT doc_id, (b*2654435761) % 2001 - 1000 AS w FROM b),
+      |d AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY doc_id),
+      |j AS (SELECT (greatest(-30000, least(34999, score)) + 30000) // 5000 AS bin,
+      |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |      FROM d JOIN documents USING (doc_id))
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS precision
+      |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+
   /** DISTRIBUTED TRAINING of a linear quality classifier — the batch
     * perceptron over hashed token features, integer-exact end to end
     * (the training-side complement of `txt_hash_classifier`'s fixed-table
@@ -1400,6 +1451,7 @@ object TextOps {
     ("txt_model_registry", modelRegistry _, Some(modelRegistrySql)),
     ("txt_perceptron_n",   trainPerceptronN _, Some(trainPerceptronNSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
+    ("txt_calibration_curve", calibrationCurve _, Some(calibrationCurveSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
