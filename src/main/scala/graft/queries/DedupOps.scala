@@ -578,14 +578,21 @@ object DedupOps {
     */
   val MaxPrefixCandidates: Long = 2_000_000_000L
 
-  private def prefixJoin(s: SparkSession, dir: String): DataFrame = {
+  private def prefixJoin(s: SparkSession, dir: String): DataFrame =
+    prefixJoinImpl(Tables.documents(s, dir), MaxPrefixCandidates)
+
+  /** Testable core of [[prefixJoin]]: `maxCandidates` overrides the guard
+    * ceiling so the saturation failure mode is spec-exercisable without a
+    * saturated corpus (PrefixJoinSpec trips it with a ceiling of 0).
+    */
+  private[queries] def prefixJoinImpl(docs: DataFrame, maxCandidates: Long): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
     import org.apache.spark.sql.expressions.Window
     // (doc_id, g): doc-distinct word 3-grams; read thrice (freq, rank,
     // verify arrays) → checkpoint so the regex split runs once.
-    val toks = GramStage.explodeGrams(
-      Tables.documents(s, dir), 3, distinctPerDoc = true).localCheckpoint()
+    val toks = GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint()
     val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val ranked = toks.join(freq, "g")
@@ -600,8 +607,8 @@ object DedupOps {
       .localCheckpoint() // guard estimate + both join sides read it
     val estimated = prefix.groupBy($"g").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L))).head().getLong(0)
-    require(estimated <= MaxPrefixCandidates,
-      s"prefix-join candidate estimate $estimated exceeds $MaxPrefixCandidates — " +
+    require(estimated <= maxCandidates,
+      s"prefix-join candidate estimate $estimated exceeds $maxCandidates — " +
         "the shingle space has saturated (qualifying pairs are inherently " +
         "quadratic here); use MinHashLSH.nearDuplicates with its bucket cap")
     val cand = prefix.as("a").join(prefix.as("b"),

@@ -40,6 +40,17 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(fast.count() > 0, "smoke corpus should contain near-dup pairs at θ=0.5")
   }
 
+  test("prefix-join saturation guard trips loudly before the candidate join") {
+    val docs = Tables.documents(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.prefixJoinImpl(docs, maxCandidates = 0L).count()
+    }
+    assert(e.getMessage.contains("exceeds 0"), e.getMessage)
+    assert(e.getMessage.contains("MinHashLSH"), "the error must name the escape path")
+    // and the real ceiling admits the smoke corpus
+    assert(DedupOps.prefixJoinImpl(docs, DedupOps.MaxPrefixCandidates).count() > 0)
+  }
+
   test("txt_host_triangles: counts are non-negative and bounded by C(hosts-1, 2)") {
     val r = SparkEntry.queries("txt_host_triangles")(spark, sf).cache()
     assert(r.count() > 0, "the synthetic host graph is dense — triangles must exist")
