@@ -25,6 +25,26 @@ class ZOrderSpec extends AnyFunSuite {
         ((85L >> i) & 1L) << (2 * i)).sum))
   }
 
+  test("8-bit interleave is a bijection onto [0, 65536) with quadrant locality") {
+    val grid = spark.range(65536).select(
+      ($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val z = grid.select($"x", $"y",
+      ZOrderLayout.zValue("x", "y", 8).cast("long").as("z")).cache()
+    // bijection: every 16-bit value hit exactly once
+    assert(z.select($"z").distinct().count() === 65536L)
+    val mm = z.agg(min($"z"), max($"z")).head()
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === 65535L)
+    // quadrant locality — the data-skipping property in closed form:
+    // each top-4-bit curve slice fixes 2 high bits of EACH dim, so over
+    // the full grid every slice spans exactly a 64×64 rectangle
+    val quad = z.groupBy(expr("z DIV 4096").as("zbin"))
+      .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"),
+        count(lit(1)).as("n"))
+    assert(quad.count() === 16L)
+    assert(quad.filter($"xr" =!= 63L || $"yr" =!= 63L || $"n" =!= 4096L).isEmpty)
+    z.unpersist()
+  }
+
   test("z-clustered layout prunes a 2-D box predicate; 1-D sort cannot") {
     // Uniform synthetic points in [0,256)²: x sequential, y decorrelated
     // via a Knuth-multiplicative scramble.
