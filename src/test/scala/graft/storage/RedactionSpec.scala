@@ -57,6 +57,45 @@ class RedactionSpec extends AnyFunSuite {
     }
   }
 
+  test("redaction races a concurrent writer: CAS retries win, final scrub is total") {
+    val (g, _) = freshStream()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get() && i < 8) {
+        val rows = (0 until 50).map(j => (s"k${j % 10}", (5000 + i * 50 + j).toLong, s"race-$i-$j"))
+          .toDF("routingKey", "eventTime", "pl")
+          .select($"routingKey", $"eventTime", encode($"pl", "UTF-8").as("payload"))
+        g.writeEvents("s", "ev", rows)
+        appended.addAndGet(50L)
+        i += 1
+      }
+    })
+    writer.start()
+    // redact under contention: a concurrent append to a covered segment
+    // fails the CAS revalidation loudly; the caller's retry loop wins
+    var scrubbed = 0L
+    var attempts = 0
+    try {
+      while (scrubbed == 0L && attempts < 50) {
+        attempts += 1
+        try scrubbed = g.redactStream("s", "ev", "k3")
+        catch { case _: graft.core.ConditionalCheckFailedException => Thread.sleep(10) }
+      }
+    } finally { stop.set(true); writer.join() }
+    assert(scrubbed > 0L, s"redaction never won in $attempts attempts")
+    // the writer kept appending k3 rows after the successful scrub —
+    // a final quiet-state pass must leave the key fully scrubbed
+    g.redactStream("s", "ev", "k3")
+    val all = g.readEvents("s", "ev")
+    assert(all.count() === 200L + appended.get(), "no row lost under the race")
+    assert(all.filter($"routingKey" === "k3")
+      .filter(length($"payload") > 0).count() === 0L, "final scrub must be total")
+    assert(all.filter($"routingKey" =!= "k3")
+      .filter(length($"payload") === 0).count() === 0L, "only the target key scrubbed")
+  }
+
   test("redacting an absent key is a no-op; redaction survives compaction") {
     val (g, _) = freshStream()
     val v0 = g.catalog.getStream("s", "ev").version
