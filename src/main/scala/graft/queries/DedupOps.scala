@@ -695,7 +695,92 @@ object DedupOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_gaps
       |FROM g WHERE gp IS NOT NULL GROUP BY 1 ORDER BY bucket_bits""".stripMargin
 
+  /** LSH QUALITY EVAL through the driver gate — recall of the production
+    * MinHash+LSH config against the operator's DUAL-METRIC ground truth
+    * on the bounded slice (the number LlmOpsSpec asserts a ≥0.8 floor
+    * on, here hash-pinned as a measurement): truth = pairs near-dup
+    * under BOTH similarities the pipeline composes — word-set Jaccard
+    * (what verification filters on) AND shingle-set Jaccard (what the
+    * signatures estimate); word-order-scrambled rewrites are out of
+    * contract by design. `n_lsh` and `n_truth_word_only` are emitted
+    * alongside so the contract boundary itself is visible in the row.
+    *
+    * Scale: the exact side is the loudly BOUNDED brute verifier
+    * ([[BruteForceMaxDocs]]); production corpora get this number from
+    * sampled slices exactly like this one.
+    */
+  private def lshEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.sorted_intersect_size
+    val theta = 0.35
+    val docs = Tables.documents(s, dir).filter($"doc_id" < 1200)
+    val n = docs.limit((BruteForceMaxDocs + 1).toInt).count()
+    require(n <= BruteForceMaxDocs, s"eval slice exceeds $BruteForceMaxDocs docs")
+    val lsh = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = theta)
+      .select($"a_id", $"b_id")
+    val t = docs
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("tk"))
+      .select($"doc_id",
+        array_sort(array_distinct(transform($"tk", x => xxhash64(x)))).as("toks"),
+        array_sort(array_distinct(transform(
+          when(size($"tk") >= 3,
+            transform(sequence(lit(0), size($"tk") - 3),
+              i => concat_ws(" ", slice($"tk", i + 1, lit(3)))))
+            .otherwise(array(concat_ws(" ", $"tk"))),
+          x => xxhash64(x)))).as("shin"))
+    val a = t.repartition($"doc_id").select(
+      $"doc_id".as("a_id"), $"toks".as("a_toks"), $"shin".as("a_shin"))
+    val b = broadcast(t.select(
+      $"doc_id".as("b_id"), $"toks".as("b_toks"), $"shin".as("b_shin")))
+    def jacc(i: org.apache.spark.sql.Column,
+             x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      i.cast("double") / (size(x) + size(y) - i.cast("double"))
+    val scored = a.join(b, $"a_id" < $"b_id")
+      .withColumn("jw", jacc(sorted_intersect_size($"a_toks", $"b_toks"), $"a_toks", $"b_toks"))
+      .withColumn("js", jacc(sorted_intersect_size($"a_shin", $"b_shin"), $"a_shin", $"b_shin"))
+    val truth = scored.filter($"jw" >= theta && $"js" >= theta).select($"a_id", $"b_id")
+    val wordOnly = scored.filter($"jw" >= theta && $"js" < theta)
+    val common = truth.join(lsh, Seq("a_id", "b_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+        wordOnly.agg(count(lit(1)).as("n_truth_word_only"))).crossJoin(
+        lsh.agg(count(lit(1)).as("n_lsh"))).crossJoin(
+        common.agg(count(lit(1)).as("n_common")))
+      .select($"n_truth", $"n_truth_word_only", $"n_lsh", $"n_common",
+        when($"n_truth" > 0, $"n_common".cast("double") / $"n_truth")
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
+  private val lshEvalSql = {
+    val ctes = MinHashLSH.oraclePairsCtes("doc_id < 1200", 64, 16, 0.35)
+    s"""WITH $ctes,
+       |shs AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+       |scored AS (
+       |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+       |    CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+       |      (len(sa.ts) + len(sb.ts) - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)) AS jw,
+       |    CAST(len(list_intersect(ha.ss, hb.ss)) AS DOUBLE) /
+       |      (len(ha.ss) + len(hb.ss) - CAST(len(list_intersect(ha.ss, hb.ss)) AS DOUBLE)) AS js
+       |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+       |  JOIN shs ha ON ha.doc_id = sa.doc_id
+       |  JOIN shs hb ON hb.doc_id = sb.doc_id),
+       |truth AS (SELECT a_id, b_id FROM scored WHERE jw >= 0.35 AND js >= 0.35),
+       |wo AS (SELECT a_id, b_id FROM scored WHERE jw >= 0.35 AND js < 0.35),
+       |lsh AS (SELECT a_id, b_id FROM pairs),
+       |common AS (SELECT a_id, b_id FROM truth INTERSECT SELECT a_id, b_id FROM lsh),
+       |c AS (SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wo) AS n_truth_word_only,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM common) AS n_common)
+       |SELECT n_truth, n_truth_word_only, n_lsh, n_common,
+       |  CASE WHEN n_truth > 0 THEN CAST(n_common AS DOUBLE) / n_truth
+       |       ELSE CAST(0 AS DOUBLE) END AS recall
+       |FROM c""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("dedup_lsh_eval",       lshEval _,       Some(lshEvalSql)),
     ("dedup_gap_hist",       gapHist _,       Some(gapHistSql)),
     ("dedup_prefix_join",    prefixJoin _,    Some(prefixJoinSql)),
     ("dedup_sketch_union",   dedupSketchUnion _, Some(dedupSketchUnionSql)),
