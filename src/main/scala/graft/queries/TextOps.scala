@@ -832,6 +832,72 @@ object TextOps {
       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       |FROM d GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** HTML/BOILERPLATE STRIPPING — the markup-removal stage every
+    * web-crawl corpus passes through before any text analysis: each doc
+    * is wrapped in deterministic HTML (head/style/nav/script/footer with
+    * entities), then the strip chain runs — script/style block removal,
+    * tag removal, entity decode (AFTER tags, so decoded '<' can't form
+    * fake tags), whitespace collapse — all chained codegen'd
+    * regexp_replace, zero shuffle until the per-source rollup. The
+    * oracle replays injection AND the full chain, and the per-source
+    * md5 over the ordered cleaned texts pins every byte of the output,
+    * not just the lengths.
+    */
+  private def htmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>.x{color:red}</style></head><body>"),
+      lit("<nav>home &amp; about</nav><div class=\"main\"><p>"), $"text",
+      lit("</p></div><script>var x = 1 &lt; 2;</script><footer>&quot;site"),
+      ($"doc_id" % 13).cast("string"), lit("&quot;</footer></body></html>"))
+    val noScript = regexp_replace(regexp_replace(html,
+      "<script[^>]*>.*?</script>", " "), "<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(noTags,
+      "&amp;", "&"), "&lt;", "<"), "&quot;", "\"")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", length(html).as("raw_len"),
+        length(clean).as("clean_len"), clean.as("clean"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"raw_len").as("sum_raw"), sum($"clean_len").as("sum_clean"),
+        expr("SUM(raw_len - clean_len) * 1000000 DIV SUM(raw_len)").as("markup_ppm"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct($"doc_id", $"clean"))),
+          x => x.getField("clean")))).as("content_md5"))
+      .orderBy($"source")
+  }
+
+  private val htmlStripSql =
+    """WITH w AS (
+      |  SELECT source, doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title><style>.x{color:red}</style></head><body>'
+      |    || '<nav>home &amp; about</nav><div class="main"><p>' || text
+      |    || '</p></div><script>var x = 1 &lt; 2;</script><footer>&quot;site'
+      |    || CAST(doc_id % 13 AS VARCHAR) || '&quot;</footer></body></html>' AS html
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, length(html) AS raw_len,
+      |    trim(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(regexp_replace(html,
+      |            '<script[^>]*>.*?</script>', ' ', 'g'),
+      |          '<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '<[^>]+>', ' ', 'g'),
+      |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&quot;', '"', 'g'),
+      |    '\s+', ' ', 'g')) AS clean
+      |  FROM w)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(raw_len) AS BIGINT) AS sum_raw,
+      |  CAST(SUM(length(clean)) AS BIGINT) AS sum_clean,
+      |  CAST(SUM(raw_len - length(clean)) * 1000000 // SUM(raw_len) AS BIGINT) AS markup_ppm,
+      |  md5(string_agg(clean, '' ORDER BY doc_id)) AS content_md5
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** CALIBRATION CURVE (reliability diagram) for the hashed linear
     * classifier against the language ground truth — the model-eval step
     * that turns a raw score into a usable keep/drop THRESHOLD: per
@@ -1452,6 +1518,7 @@ object TextOps {
     ("txt_perceptron_n",   trainPerceptronN _, Some(trainPerceptronNSql)),
     ("txt_hash_classifier", hashClassifier _, Some(hashClassifierSql)),
     ("txt_calibration_curve", calibrationCurve _, Some(calibrationCurveSql)),
+    ("txt_html_strip",    htmlStrip _,     Some(htmlStripSql)),
     ("txt_filter_attrition", filterAttrition _, Some(filterAttritionSql)),
     ("txt_pii_redact",    piiRedact _,     Some(piiRedactSql)),
     ("txt_url_extract",   urlExtract _,    Some(urlExtractSql)),
