@@ -25,7 +25,12 @@ object DataQuality {
   /** One row per check: (check_name, n_violations, n_rows, pass). */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
-    require(checks.forall(c => !c.name.contains("'")), "check names must be quote-free")
+    // names are interpolated into a stack() SQL expression and v_<name>
+    // aliases — anything beyond identifier characters yields confusing
+    // parse/analysis failures downstream, so reject it here
+    require(checks.forall(c => c.name.matches("[A-Za-z0-9_]+")),
+      s"check names must match [A-Za-z0-9_]+; got: " +
+        checks.map(_.name).filterNot(_.matches("[A-Za-z0-9_]+")).mkString(", "))
     val aggs = checks.map(c =>
       sum(when(c.violation, 1L).otherwise(0L)).as(s"v_${c.name}")) :+
       count(lit(1)).as("n_rows")

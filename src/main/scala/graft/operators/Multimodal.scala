@@ -292,10 +292,10 @@ object Multimodal {
     * tell you ABOUT a clip; the windowed sequence is what lets you CUT
     * it). Window w covers frames [w·win, min((w+1)·win, n)); sumSq spans
     * all channels in the window, zero crossings count channel-0 sign
-    * flips between consecutive frames WITHIN the window (flips across a
-    * window boundary belong to the later window, consistent with
-    * decodeWav's global count: Σ window zc ≤ global zc, equal when no
-    * flip lands exactly on a boundary frame pair split). All outputs are
+    * flips between consecutive frames WITHIN the window (a flip whose
+    * frame pair straddles a window boundary is DROPPED — neither window
+    * counts it — hence Σ window zc ≤ decodeWav's global zc, equal when
+    * no flip lands exactly on a boundary split). All outputs are
     * integer-exact, so closed-form oracles replay them (mm_audio_features).
     */
   def wavWindowFeatures(r: MediaRecord, windowFrames: Int): Seq[AudioWindowFeatures] =

@@ -1356,6 +1356,11 @@ object StreamQueries {
         (l("v_value_le_400"), l("v_no_error"), l("n_rows"))
       }
     require(totals.nonEmpty, "no observed metrics surfaced in query progress")
+    // the memory sink registers a global temp table in the child session;
+    // drop it so repeated runs in a long-lived driver don't accumulate
+    // batch rows (the child session itself shares the SparkContext, so it
+    // must NOT be stop()ped — it is plain garbage once unreferenced)
+    s2.catalog.dropTempView(sink)
     val (v1, v2, n) = totals.foldLeft((0L, 0L, 0L)) {
       case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
     }

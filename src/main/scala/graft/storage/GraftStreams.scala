@@ -832,7 +832,14 @@ class GraftStreams(val spark: SparkSession, val rootDir: String) {
       .groupBy(_.segmentId)
     if (targets.isEmpty) return 0L
     val oldPaths = targets.values.flatten.map(_.path).toSeq
+    // shed truncated rows exactly like compactStream: rows below the head
+    // StreamCut are dead to every reader, so the rewrite drops them
+    // instead of carrying dead pre-head data (and its payloads for
+    // non-target keys) forward into the redacted files
+    val head = meta.headStreamCut.positions
     val src = spark.read.schema(GraftStreams.storageSchema).parquet(oldPaths: _*)
+      .filter(targets.keySet.map(sid =>
+        col("segmentId") === sid && col("offset") >= head.getOrElse(sid, 0L)).reduce(_ || _))
     val n = src.filter(col("routingKey") === routingKey).count()
     if (n == 0L) return 0L
     val redactDir = new Path(catalog.dataDir(scope, stream), s"compact-${UUID.randomUUID()}")

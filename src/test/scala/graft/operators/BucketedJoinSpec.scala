@@ -40,13 +40,16 @@ class BucketedJoinSpec extends AnyFunSuite {
             $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_custkey")
           .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
-        // value parity with the plain (shuffled) join — also materializes
-        // the query so the AQE-final plan is inspectable below
+        // value parity with the plain (shuffled) join
         val plain = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_custkey")
           .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
         assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty,
           "bucketed join result differs from the shuffled join")
+        // execute joined's OWN QueryExecution (exceptAll above ran a
+        // different one) so the plan inspected below is the AQE-final
+        // plan, not the initial static plan
+        joined.collect()
         val plan = joined.queryExecution.executedPlan.toString
         // the join itself must consume the bucket layout directly: no
         // shuffle below the join (the groupBy above it may exchange —
