@@ -7,7 +7,19 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   */
 object Bench {
+  /** 1-minute load average — lets the artifact self-document whether the
+    * box was quiet (r8/r9 both recorded load-inflated walls with nothing
+    * in the artifact to prove it; now load_start/load_end ride along).
+    */
+  private def loadAvg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+      f"${s.toDouble}%.2f"
+    } catch { case _: Throwable => "-1" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -87,7 +99,9 @@ object Bench {
       "ev_attr_updates", "ev_checkpoint_cuts", "ev_stream_lsh_index",
       "ev_stream_hot_keys", "ev_stream_curate", "ev_avro_roundtrip",
       "ev_json_roundtrip", "ev_time_travel", "ev_version_changes",
-      "dedup_index_lookup")
+      "dedup_index_lookup",
+      // round 10: engine-write rows (fresh stream / registered kvt per run)
+      "ds_pipeline_full", "kv_sql_select", "kv_sql_asof", "kv_sql_changes")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {
@@ -134,16 +148,19 @@ object Bench {
     println(line(results.map { case (k, v) => k -> fmt(v) },
       s""","warm":$warmJson,"cold":$coldJson,"total_cold":${fmt(totalCold)}"""))
     val byTime = results.sortBy(-_._2)
-    // The compact line must fit the harness's 2000-char tail window
-    // whole, so it is sized EXACTLY: 1-decimal values, no warm/cold
-    // markers (those live on the full line above), and entries greedily
-    // filled slowest-first until the assembled line would cross the
-    // budget — itemizing the maximum share of wall the window can carry.
+    // The compact line must land WHOLE inside the harness's 2000-char
+    // tail window — r9's 1988-char line missed because the window also
+    // has to hold whatever prints AFTER it (sbt's "[success] Total
+    // time…" epilogue, shutdown warnings), which pushed the line's head
+    // out and left `parsed: null`. Budget 1200 chars → ~800 chars of
+    // epilogue headroom, still itemizing the ~45 slowest rows; the rest
+    // sums into "_rest". load_start/load_end (1-min /proc/loadavg) make
+    // the artifact self-document host contention.
     def fmtc(v: Double): String = f"$v%.1f"
-    val lineBudget = 1988 // 12-char margin (newline + slack) under the 2000-char window
-    // n_queries is dropped from the compact line (it lives on the full
-    // line above) — the freed chars itemize one more query
-    val fixedOverhead = line(Seq.empty, nQueries = false).length + ",\"_rest\":".length + 8
+    val lineBudget = 1200
+    val loadJson = s""","load_start":$loadStart,"load_end":${loadAvg()}"""
+    val fixedOverhead = line(Seq.empty, extra = loadJson).length +
+      ",\"_rest\":".length + 8
     var used = fixedOverhead
     val kept = byTime.takeWhile { case (k, v) =>
       used += k.length + fmtc(v).length + 4; used <= lineBudget
@@ -151,7 +168,7 @@ object Bench {
     val rest = byTime.drop(kept.size).map(_._2).sum
     val compact = kept.map { case (k, v) => k -> fmtc(v) } :+
       ("_rest" -> fmtc(rest))
-    println(line(compact.sortBy(_._1), nQueries = false))
+    println(line(compact.sortBy(_._1), extra = loadJson))
     spark.stop()
   }
 }

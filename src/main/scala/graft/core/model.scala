@@ -285,6 +285,14 @@ final case class StreamMetadata(
 
 class GraftException(msg: String) extends RuntimeException(msg)
 class NoSuchStreamException(msg: String) extends GraftException(msg)
+/** A manifest BELOW the requested version is missing from the log —
+  * replay cannot reach a checkpoint. Manifests are never individually
+  * deleted in production (only whole-stream deletes), so this is
+  * storage corruption: surfaced loudly instead of letting readers fall
+  * back to a deep-stale committed state. `tools.Fsck` reports it as a
+  * `manifest-chain` issue.
+  */
+class ManifestChainBrokenException(msg: String) extends GraftException(msg)
 class StreamSealedException(msg: String) extends GraftException(msg)
 class TruncatedDataException(msg: String) extends GraftException(msg)
 class ConditionalCheckFailedException(msg: String) extends GraftException(msg)

@@ -315,18 +315,24 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     * snapshot older than the last sweep may reference deleted files
     * (the standard retention-bounded time-travel contract).
     */
-  def entriesAt(version: Long): DataFrame = {
-    if (version <= 0L)
-      return resolved(KvManifest(name, partitionCount, 0L, Nil))
-    val p = manifestPath(version)
-    if (!fs.exists(p))
-      throw new IllegalArgumentException(
-        s"kv table $name has no commit $version (latest ${latest().version})")
-    val in = fs.open(p)
-    val m = try Serialization.read[KvManifest](
-      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-    finally in.close()
-    resolved(m)
+  def entriesAt(version: Long): DataFrame = resolved(manifestAt(Some(version)))
+
+  /** The committed manifest at `version` (None = latest) — the planning
+    * surface for the SQL read path (`sources.GraftKvTable`), which needs
+    * FILE LISTS, not DataFrames, to build its own co-located partitions.
+    */
+  private[graft] def manifestAt(version: Option[Long]): KvManifest = version match {
+    case None => latest()
+    case Some(v) if v <= 0L => KvManifest(name, partitionCount, 0L, Nil)
+    case Some(v) =>
+      val p = manifestPath(v)
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(
+          s"kv table $name has no commit $v (latest ${latest().version})")
+      val in = fs.open(p)
+      try Serialization.read[KvManifest](
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      finally in.close()
   }
 
   /** Integrity audit of this table's own storage (the KVT counterpart

@@ -764,7 +764,138 @@ object CurationOps {
       |SELECT bucket, n_rows, n_rows * 1000000 // total AS ppm
       |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------- composed pipeline DAG
+
+  /** The COMPOSED curation DAG as one registered row (the full path a
+    * 100-TB user actually runs, not the per-operator slices): ingest
+    * through the ENGINE write path → exact dedup → MinHash-LSH near-dup
+    * (production banded path, keep-first policy) → token-band quality
+    * gate → exact-fingerprint decontamination against a benchmark set →
+    * per-source cap + deterministic hash split → stage-attrition yield
+    * report. The oracle replays EVERY stage in DuckDB, including the
+    * full LSH pipeline (`MinHashLSH.oraclePairsCtes` over the
+    * exact-dedup survivors), so a drift anywhere in the composition
+    * hash-mismatches.
+    *
+    * Plan shape (the stage-boundary decisions that only show up
+    * composed): the parsed corpus is cached ONCE after the engine read
+    * — every downstream stage (keep-set, LSH, flags, eval set) reuses
+    * it instead of re-scanning the stream; attrition is computed as
+    * cumulative alive-flags in ONE pass over the corpus (never one
+    * count-job per stage); the near-dup drop set and eval fingerprints
+    * are broadcast (both tiny relative to the corpus); the only wide
+    * exchanges are the fingerprint groupBy, LSH's banded bucket join
+    * and the per-source pack window.
+    */
+  private def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pipefull").toString
+    val g = new graft.storage.GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "docs", graft.core.StreamConfig(initialSegments = 8))
+    g.writeEvents("q", "docs", Tables.documents(s, dir).select(
+      $"source".as("routingKey"), $"doc_id".as("eventTime"),
+      encode($"text", "UTF-8").as("payload")))
+    val d = g.readEvents("q", "docs")
+      .select($"eventTime".as("doc_id"), $"routingKey".as("source"),
+        decode($"payload", "UTF-8").as("text"))
+      .select($"doc_id", $"source", $"text",
+        md5(lower(trim($"text"))).as("fp"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .cache()
+    val keepFp = d.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val exactKept = d.join(
+      keepFp.select($"fp", $"keep_id".as("doc_id")), Seq("fp", "doc_id"), "left_semi")
+    val nearDrop = graft.operators.MinHashLSH
+      .nearDuplicates(exactKept, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.35)
+      .select($"b_id".as("doc_id")).distinct()
+    val evalFp = d.filter($"doc_id" % 97 === 0).select($"fp").distinct()
+    val flagged = d
+      .join(keepFp, Seq("fp"))
+      .join(broadcast(nearDrop.withColumn("nd", lit(1L))), Seq("doc_id"), "left")
+      .join(broadcast(evalFp.withColumn("ev", lit(1L))), Seq("fp"), "left")
+      .withColumn("alive2", $"doc_id" === $"keep_id")
+      .withColumn("alive3", $"alive2" && $"nd".isNull)
+      .withColumn("alive4", $"alive3" && $"n_tok".between(20L, 200L))
+      .withColumn("alive5", $"alive4" && $"ev".isNull)
+    val packed = flagged.filter($"alive5")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"rk" <= 400)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+    val stages = flagged.agg(
+        count(lit(1)).as("c1"), sum($"n_tok").as("t1"),
+        sum(when($"alive2", 1L).otherwise(0L)).as("c2"),
+        sum(when($"alive2", $"n_tok").otherwise(0L)).as("t2"),
+        sum(when($"alive3", 1L).otherwise(0L)).as("c3"),
+        sum(when($"alive3", $"n_tok").otherwise(0L)).as("t3"),
+        sum(when($"alive4", 1L).otherwise(0L)).as("c4"),
+        sum(when($"alive4", $"n_tok").otherwise(0L)).as("t4"),
+        sum(when($"alive5", 1L).otherwise(0L)).as("c5"),
+        sum(when($"alive5", $"n_tok").otherwise(0L)).as("t5"))
+      .select(expr("""stack(5,
+        '1_ingested',    c1, t1,
+        '2_exact_dedup', c2, t2,
+        '3_near_dedup',  c3, t3,
+        '4_quality',     c4, t4,
+        '5_decontam',    c5, t5) AS (stage, n_docs, n_tokens)"""))
+    val packRows = packed
+      .groupBy(concat(lit("6_pack_"), $"split").as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    stages.unionByName(packRows).orderBy($"stage")
+  }
+
+  private val pipelineFullSql = {
+    val lsh = graft.operators.MinHashLSH.oraclePairsCtes(
+      "doc_id IN (SELECT keep_id FROM keep)", numHashes = 64, bands = 16,
+      threshold = 0.35)
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp),
+       |$lsh,
+       |neardrop AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+       |evalfp AS (SELECT DISTINCT fp FROM d WHERE doc_id % 97 = 0),
+       |flags AS (
+       |  SELECT d.doc_id, d.source, d.n_tok,
+       |    (d.doc_id = k.keep_id) AS alive2,
+       |    (d.doc_id = k.keep_id AND nd.doc_id IS NULL) AS alive3,
+       |    (d.doc_id = k.keep_id AND nd.doc_id IS NULL
+       |      AND d.n_tok BETWEEN 20 AND 200) AS alive4,
+       |    (d.doc_id = k.keep_id AND nd.doc_id IS NULL
+       |      AND d.n_tok BETWEEN 20 AND 200 AND e.fp IS NULL) AS alive5
+       |  FROM d JOIN keep k ON d.fp = k.fp
+       |  LEFT JOIN neardrop nd ON d.doc_id = nd.doc_id
+       |  LEFT JOIN evalfp e ON d.fp = e.fp),
+       |packed AS (
+       |  SELECT source, n_tok,
+       |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 AS bucket
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |        FROM flags WHERE alive5) x
+       |  WHERE rk <= 400),
+       |stages AS (
+       |  SELECT '1_ingested' AS stage, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM flags
+       |  UNION ALL SELECT '2_exact_dedup', COUNT(*), SUM(n_tok) FROM flags WHERE alive2
+       |  UNION ALL SELECT '3_near_dedup', COUNT(*), SUM(n_tok) FROM flags WHERE alive3
+       |  UNION ALL SELECT '4_quality', COUNT(*), SUM(n_tok) FROM flags WHERE alive4
+       |  UNION ALL SELECT '5_decontam', COUNT(*), SUM(n_tok) FROM flags WHERE alive5
+       |  UNION ALL SELECT concat('6_pack_',
+       |      CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |           ELSE 'test' END),
+       |    COUNT(*), SUM(n_tok) FROM packed GROUP BY 1)
+       |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM stages ORDER BY stage""".stripMargin
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("ds_pipeline_full",        pipelineFull _,       Some(pipelineFullSql)),
     ("ds_partition_stats",      partitionStats _,     Some(partitionStatsSql)),
     ("ds_dq_report",            dqReport _,           Some(dqReportSql)),
     ("ds_zorder_layout",        zorderLayout _,       Some(zorderLayoutSql)),

@@ -591,7 +591,83 @@ object KvQueries {
       |FROM v WHERE op = 'PUT'
       |ORDER BY pk, valid_from""".stripMargin
 
+  // ---------------- SQL read surface (sources.GraftKvTable, round 10)
+
+  /** One catalog-REGISTERED kvt per (session, sfDir) with the same
+    * three-commit mutation history as [[build]] — created through
+    * StreamCatalog's KeyValueTableManager analog so `SELECT` resolves it
+    * by name (`<cat>.q.cust`), the way a reference user lists and opens
+    * tables (KeyValueTableManager.java:60,79).
+    */
+  private val sqlCache = scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def buildSqlKvt(s: SparkSession, dir: String): String =
+    sqlCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft-kvsql").toString
+      val sc = new graft.catalog.StreamCatalog(work)
+      sc.createScope("q")
+      sc.createKeyValueTable("q", "cust", graft.catalog.KvTableConfig(partitionCount = 8))
+      val t = sc.openKeyValueTable(s, "q", "cust")
+      val c = Tables.customer(s, dir).select(
+        format_string("%08d", $"c_custkey").as("pk"), lit("").as("sk"),
+        $"c_custkey", $"c_acctbal")
+      t.put(c.select($"pk", $"sk", encode($"c_acctbal".cast("string"), "UTF-8").as("value")))
+      t.put(c.filter($"c_custkey" % 3 === 0)
+        .select($"pk", $"sk",
+          encode(concat(lit("upd:"), $"c_acctbal".cast("string")), "UTF-8").as("value")))
+      t.remove(c.filter($"c_custkey" % 7 === 0).select($"pk", $"sk"))
+      // root-derived catalog name: collision-free AND stable per root
+      // (Spark caches catalog instances by name for the session)
+      val cat = "gkv" + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(work).substring(0, 8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.rootDir", work)
+      cat
+    })
+
+  /** `SELECT * FROM <cat>.<scope>.<kvt>` — the resolved LSM state read
+    * through plain SQL (KeyValueTable.java:119 as a queryable table).
+    * Same mutation history and oracle as kv_resolve, but the read path
+    * is the DSv2 scan: one co-located partition per part index, in-reader
+    * latest-wins resolution, no shuffle/window — a wrong-layout partition
+    * or a tombstone leak hash-mismatches against the API twin's oracle.
+    */
+  private def kvSqlSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = buildSqlKvt(s, dir)
+    s.sql(s"""SELECT pk, decode(value, 'UTF-8') AS val, version
+             |FROM $cat.q.cust ORDER BY pk""".stripMargin)
+  }
+
+  /** `VERSION AS OF 2` through SQL — the entriesAt(2) state (post-
+    * overwrite, pre-remove), proving the catalog pins the scan to the
+    * historical manifest's file list (kv_asof_resolve's API twin).
+    */
+  private def kvSqlAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = buildSqlKvt(s, dir)
+    s.sql(s"""SELECT pk, decode(value, 'UTF-8') AS val, version
+             |FROM $cat.q.cust VERSION AS OF 2 ORDER BY pk""".stripMargin)
+  }
+
+  /** Delta feed through the SQL table: `fromVersion` read option →
+    * deltaSince semantics (ReadTableEntriesDelta, WireCommands.java:2718)
+    * — raw PUT/REMOVE rows with commit version > 1, directories wholly
+    * before the floor pruned at plan time (kv_delta_feed's API twin).
+    */
+  private def kvSqlChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = buildSqlKvt(s, dir)
+    s.read.option("fromVersion", "1").table(s"$cat.q.cust")
+      .select($"pk", $"op", $"version")
+      .orderBy($"version", $"pk")
+  }
+
   val defs: Seq[(String, Qf, Option[String])] = Seq(
+    ("kv_sql_select",  kvSqlSelect _,  Some(kvResolveSql)),
+    ("kv_sql_asof",    kvSqlAsof _,    Some(kvAsofResolveSql)),
+    ("kv_sql_changes", kvSqlChanges _, Some(kvDeltaFeedSql)),
     ("kv_scd2_history", kvScd2History _, Some(kvScd2HistorySql)),
     ("kv_resolve",    kvResolve _,   Some(kvResolveSql)),
     ("kv_paged_scan", kvPagedScan _, Some(kvPagedScanSql)),

@@ -73,13 +73,29 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     val scope = scopeOf(namespace)
     if (!cat.scopeExists(scope))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
-    cat.listStreams(scope).map(st => Identifier.of(namespace, st)).toArray
+    // streams and KV tables share the namespace (their physical homes —
+    // <scope>/<name>/_meta vs <scope>/_kvt/<name> — keep them disjoint,
+    // so a name can never resolve to both)
+    (cat.listStreams(scope) ++ cat.listKeyValueTables(scope))
+      .map(st => Identifier.of(namespace, st)).toArray
+  }
+
+  /** KeyValueTable analog (client/.../tables/KeyValueTable.java:119) as
+    * a queryable SQL table: resolved LSM state; reads only. See
+    * [[GraftKvTable]].
+    */
+  private def loadKvTable(scope: String, name: String, asOf: Option[Long]): Table = {
+    val cfg = cat.getKeyValueTableConfig(scope, name)
+    new GraftKvTable(rootDir, scope, name, cfg.partitionCount, asOf)
   }
 
   override def loadTable(ident: Identifier): Table = {
     val scope = scopeOf(ident.namespace())
-    if (!cat.streamExists(scope, ident.name()))
+    if (!cat.streamExists(scope, ident.name())) {
+      if (cat.keyValueTableExists(scope, ident.name()))
+        return loadKvTable(scope, ident.name(), None)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
     val props = new java.util.HashMap[String, String]()
     props.put("rootDir", rootDir)
     props.put("scope", scope)
@@ -100,8 +116,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
         s"graft time travel versions are manifest numbers; got '$version'")
     }
     val scope = scopeOf(ident.namespace())
-    if (!cat.streamExists(scope, ident.name()))
+    if (!cat.streamExists(scope, ident.name())) {
+      if (cat.keyValueTableExists(scope, ident.name())) {
+        // fail at resolution, not scan — mirrors the stream path
+        new graft.kv.KeyValueTable(org.apache.spark.sql.SparkSession.active,
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(rootDir, scope), "_kvt").toString,
+          ident.name()).manifestAt(Some(v))
+        return loadKvTable(scope, ident.name(), Some(v))
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
     cat.getStreamAt(scope, ident.name(), v) // fail at resolution, not scan
     val props = new java.util.HashMap[String, String]()
     props.put("rootDir", rootDir)
@@ -116,8 +141,14 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val scope = scopeOf(ident.namespace())
-    if (!cat.streamExists(scope, ident.name()))
+    if (!cat.streamExists(scope, ident.name())) {
+      if (cat.keyValueTableExists(scope, ident.name()))
+        throw new UnsupportedOperationException(
+          s"kv table $scope/${ident.name()}: TIMESTAMP AS OF is not supported " +
+            "(kv manifests carry commit versions, not wall-clock stamps) — " +
+            "use VERSION AS OF <commitVersion>")
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
     val millis = timestamp / 1000L
     val v = cat.versionAtTime(scope, ident.name(), millis).getOrElse(
       throw new IllegalArgumentException(
@@ -127,7 +158,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().length == 1 && cat.streamExists(ident.namespace()(0), ident.name())
+    ident.namespace().length == 1 &&
+      (cat.streamExists(ident.namespace()(0), ident.name()) ||
+        cat.keyValueTableExists(ident.namespace()(0), ident.name()))
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
@@ -244,7 +277,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
       cat.sealStream(scope, ident.name())
       cat.deleteStream(scope, ident.name())
       true
-    } catch { case _: NoSuchStreamException => false }
+    } catch {
+      case _: NoSuchStreamException =>
+        // DROP TABLE on a KVT = deleteKeyValueTable — unconditional like
+        // the reference (KeyValueTableManager.java:70; no seal step)
+        cat.deleteKeyValueTable(scope, ident.name())
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

@@ -159,11 +159,22 @@ object Fsck {
     val scopes = onlyScope.map(Seq(_)).getOrElse(cat.listScopes())
     scopes.flatMap { scope =>
       val streamIssues = cat.listStreams(scope).flatMap { st =>
-        try checkStream(cat, cat.getStream(scope, st), conf)
-        catch {
-          case e: Exception =>
-            Seq(Issue(s"$scope/$st", "manifest-unreadable", e.toString))
-        }
+        // chain density from the version LISTING alone, independent of
+        // state reconstruction: with the incremental manifest log a
+        // mid-chain hole makes getStream fail loudly
+        // (ManifestChainBrokenException) rather than reconstruct, so the
+        // chain report must not depend on it
+        val listed = cat.manifestVersions(scope, st)
+        val chainIssues =
+          if (listed.isEmpty) Seq.empty
+          else (0L to listed.max).filterNot(listed.toSet).map(v =>
+            Issue(s"$scope/$st", "manifest-chain", s"missing manifest version $v"))
+        chainIssues ++ (
+          try checkStream(cat, cat.getStream(scope, st), conf)
+          catch {
+            case e: Exception =>
+              Seq(Issue(s"$scope/$st", "manifest-unreadable", e.toString))
+          })
       }
       // KVT registrations: config must parse (the tables' own manifests
       // live under their storage roots and are resolved per read — the

@@ -1,0 +1,149 @@
+package graft.catalog
+
+import graft.core._
+import org.json4s.DefaultFormats
+import org.json4s.jackson.JsonMethods
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** Incremental manifest log (delta records + periodic checkpoints):
+  * on-disk cadence, exact state reconstruction through mixed operations,
+  * as-of reads at delta versions, torn-tip vs broken-chain distinction,
+  * and cross-instance tailing. ManifestBench carries the wall-clock
+  * evidence (p50 commit flat 2–5 ms from 10^3 to 10^6 live files); this
+  * spec carries the semantics.
+  */
+class ManifestLogSpec extends AnyFunSuite {
+  private implicit val fmts: DefaultFormats.type = DefaultFormats
+
+  private def fresh(interval: Int = 4): (String, StreamCatalog) = {
+    val root = Files.createTempDirectory("graft-mlog").toString
+    (root, new StreamCatalog(rootDir = root, checkpointInterval = interval))
+  }
+
+  private def rawKind(root: String, v: Long): String = {
+    val p = Paths.get(root, "s", "x", "_meta", f"manifest-$v%012d.json")
+    val jv = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    jv \ "kind" match {
+      case org.json4s.JString(k) => k
+      case _ => "legacy-full"
+    }
+  }
+
+  private def fe(i: Int, seg: Long = 0L, off: Long = -1L): FileEntry =
+    FileEntry(seg, s"data/part-$i-${java.util.UUID.randomUUID()}.parquet",
+      if (off >= 0) off else i * 100L, 100L, 0L, 99L, 1, 1024L)
+
+  test("cadence: checkpoint every interval-th version, deltas between") {
+    val (root, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 2))
+    for (i <- 1 to 9)
+      c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    assert(rawKind(root, 0) == ManifestRecord.Full)      // createStream
+    for (v <- Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
+      assert(rawKind(root, v) == ManifestRecord.Delta, s"v$v should be delta")
+    for (v <- Seq(4L, 8L))
+      assert(rawKind(root, v) == ManifestRecord.Full, s"v$v should be checkpoint")
+  }
+
+  test("mixed append/remove/small-field ops reconstruct exactly") {
+    val (root, c) = fresh(interval = 5)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 2))
+    // appends (prefix fast path)
+    for (i <- 1 to 3)
+      c.update("s", "x")(m => m.copy(files = m.files ++ Seq(fe(i, seg = 0), fe(100 + i, seg = 1))))
+    // a removal + tombstone (slow-path diff), like truncate/compaction
+    val before = c.getStream("s", "x")
+    val victim = before.files.head
+    c.update("s", "x") { m =>
+      m.copy(files = m.files.filterNot(_.path == victim.path),
+        pendingDeletes = m.pendingDeletes :+ PendingDelete(victim.path, 1L))
+    }
+    // small-field updates ride wholesale
+    c.updateStreamTags("s", "x", Set("tagged"))
+    val last = c.update("s", "x")(m => m.copy(files = m.files :+ fe(999)))
+
+    // a FRESH instance (no cache) replays the chain to the same state
+    val c2 = new StreamCatalog(root, checkpointInterval = 5)
+    val replayed = c2.getStream("s", "x")
+    assert(replayed == last, "replayed state must equal the writer's committed state")
+    assert(replayed.files.size == 6 && !replayed.files.exists(_.path == victim.path))
+    assert(replayed.pendingDeletes.map(_.path) == Seq(victim.path))
+    assert(replayed.tags == Set("tagged"))
+  }
+
+  test("as-of reads resolve at delta versions; cache stays tip-monotone") {
+    val (root, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    val states = (1 to 7).map { i =>
+      c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    }
+    val c2 = new StreamCatalog(root, checkpointInterval = 4)
+    // read an OLD delta version first…
+    val v3 = c2.getStreamAt("s", "x", 3L)
+    assert(v3 == states(2), "as-of state at a delta version")
+    assert(v3.files.size == 3)
+    // …then the tip still reads as the tip (old read must not shadow it)
+    assert(c2.getStream("s", "x") == states.last)
+    // and every version is individually addressable
+    for ((st, i) <- states.zipWithIndex)
+      assert(c2.getStreamAt("s", "x", i + 1L) == st, s"as-of v${i + 1}")
+  }
+
+  test("torn tip falls back one version; broken chain fails loudly") {
+    val (root, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    for (i <- 1 to 6) c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+
+    // torn tip: version 7 exists with zero bytes (CAS winner crashed)
+    val torn = Paths.get(root, "s", "x", "_meta", f"manifest-${7L}%012d.json")
+    Files.write(torn, Array.empty[Byte])
+    val c2 = new StreamCatalog(root, checkpointInterval = 4)
+    assert(c2.getStream("s", "x").version == 6L, "torn tip → fall back one version")
+    Files.delete(torn)
+
+    // broken chain: delete a committed mid-chain delta (v5, between the
+    // v4 checkpoint and the v6 tip) — reconstruction must fail loudly,
+    // not silently serve v4
+    val hole: Path = Paths.get(root, "s", "x", "_meta", f"manifest-${5L}%012d.json")
+    Files.delete(hole)
+    val c3 = new StreamCatalog(root, checkpointInterval = 4)
+    assertThrows[ManifestChainBrokenException](c3.getStream("s", "x"))
+    assertThrows[ManifestChainBrokenException](c3.getStreamAt("s", "x", 6L))
+    // versions at or below the checkpoint stay readable
+    assert(c3.getStreamAt("s", "x", 4L).files.size == 4)
+  }
+
+  test("cross-instance tailing applies one delta per new version") {
+    val (root, c) = fresh(interval = 8)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    val reader = new StreamCatalog(root, checkpointInterval = 8)
+    assert(reader.getStream("s", "x").version == 0L)
+    for (i <- 1 to 5) {
+      c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      val seen = reader.getStream("s", "x")
+      assert(seen.version == i.toLong && seen.files.size == i)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves from record-level committedAt stamps") {
+    val (_, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    val v1 = c.update("s", "x")(m => m.copy(files = m.files :+ fe(1)))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    c.update("s", "x")(m => m.copy(files = m.files :+ fe(2)))
+    assert(c.versionAtTime("s", "x", mid).contains(v1.version))
+    assert(c.versionAtTime("s", "x", System.currentTimeMillis() + 1000L).contains(v1.version + 1))
+  }
+}
