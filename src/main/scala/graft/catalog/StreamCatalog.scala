@@ -104,14 +104,17 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
   private implicit val fmts: Formats = DefaultFormats
 
-  /** Newest reconstructed state per stream, version-monotone. Manifests
-    * are immutable once written, so a cached state is never WRONG, at
-    * most behind — and `getStream` always re-lists versions first, so
-    * staleness is impossible too. Makes the steady state cheap: a
-    * committer's read-modify-write touches zero manifest bytes on the
-    * read side (cache hit) and O(delta) on the write side; a tailing
-    * reader pays one delta-record read per NEW version and zero when
-    * nothing changed.
+  /** Newest reconstructed state per stream, version-monotone WITHIN a
+    * stream incarnation. Manifests are immutable once written, so within
+    * an incarnation a cached state is never WRONG, at most behind — and
+    * `getStream` always re-lists versions first, so staleness is
+    * impossible too. Across incarnations (delete+recreate of the same
+    * name by ANOTHER catalog instance) version numbers collide, so
+    * `reconstruct` validates every cache use against the on-disk record's
+    * `incarnation` stamp before trusting it. Steady state: a committer's
+    * read-modify-write reads one tip record (the validation GET) and
+    * writes O(delta); a tailing reader pays one LIST + one small record
+    * read per poll — O(1), independent of file count.
     */
   private val tipCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), StreamMetadata]
@@ -170,6 +173,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
     val meta = StreamMetadata(
       scope = scope, name = stream, config = config, version = 0L, createdAt = now,
+      incarnation = java.util.UUID.randomUUID().toString,
       isSealed = false, tags = tags,
       epochs = Seq(EpochRecord(0, segs.map(_.segmentId), now)),
       segments = segs, files = Nil, headCut = Map.empty,
@@ -481,14 +485,17 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // (createStream writes 0, every CAS writes max+1), so every
     // committed-but-unlisted version is recoverable by exists() probes —
     // the log-store discovery trick: (a) probe PAST the listed max until
-    // the first miss, and (b) probe any HOLE inside the listed span,
-    // because eventually-consistent listings surface objects in no
-    // particular order (a newer manifest can appear before an older
-    // one). Cost on a consistent listing: one exists() miss.
+    // the first miss, and (b) probe any HOLE from version 0 (chains
+    // start at 0, so a listing whose min is above 0 is itself lagging)
+    // to the listed max, because eventually-consistent listings surface
+    // objects in no particular order (a newer manifest can appear before
+    // an older one). Cost on a consistent listing: one exists() miss.
+    // Fsck's chain-density check reads this same compensated listing, so
+    // it never reports a LIST-lag hole as corruption.
     val listedSet = listed.toSet
     val holes =
       if (listed.isEmpty) Seq.empty[Long]
-      else (listed.min to listed.max)
+      else (0L to listed.max)
         .filterNot(listedSet)
         .filter(v => fs.exists(manifestPath(scope, stream, v)))
     var next = if (listed.isEmpty) 0L else listed.max + 1
@@ -518,41 +525,74 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
   }
 
+  /** Read one record BELOW the requested version during a chain walk.
+    * Every such record was readable by the committer that built on it, so
+    * any persistent failure — missing file OR corrupt/truncated bytes —
+    * means the chain cannot replay: that is storage corruption,
+    * distinguished as [[ManifestChainBrokenException]] so callers never
+    * silently fall back to a deep-stale state instead. A bounded retry
+    * absorbs transient IO first.
+    */
+  private def readChainRecord(scope: String, stream: String, v: Long,
+                              requested: Long): ManifestRecord = {
+    var last: Exception = null
+    for (_ <- 1 to 3) {
+      try return readRecord(scope, stream, v)
+      catch { case e: Exception => last = e; Thread.sleep(5) }
+    }
+    throw new ManifestChainBrokenException(
+      s"manifest chain of $scope/$stream broken: version $v unreadable " +
+        s"below requested $requested ($last)")
+  }
+
   /** Reconstruct the committed state at `version`: walk delta records
     * backward to the nearest full checkpoint (≤ checkpointInterval steps
     * by construction) or to this instance's cached state, whichever is
     * nearer, then replay forward. Every record on the walk except
-    * possibly `version` itself was readable by the committer that built
-    * on it, so a torn read can only happen at the requested version —
-    * the caller's retry/fallback loops handle that exactly as before.
+    * `version` itself was readable by the committer that built on it, so
+    * a torn read can only happen at the requested version — the caller's
+    * retry/fallback loops handle that exactly as before; unreadable
+    * records BELOW it are chain corruption ([[readChainRecord]]).
+    *
+    * The record at the requested version is ALWAYS read from disk, even
+    * on a cache hit at the exact version: the cache can hold a DEAD
+    * incarnation (another catalog instance deleted+recreated this stream;
+    * chains restart at 0, so version numbers collide across
+    * incarnations). One small record read validates the cached state's
+    * `incarnation` stamp against disk before any cached bytes are
+    * trusted — the tailing reader's steady state is thus one LIST plus
+    * one tip-record GET, still O(1) and independent of file count.
     */
   private def reconstruct(scope: String, stream: String, version: Long): StreamMetadata = {
     val key = (scope, stream)
-    val cached = tipCache.get(key).filter(_.version <= version)
+    // a missing/unreadable record at the REQUESTED version is the
+    // torn-tip case (CAS winner crashed mid-write) — throw as-is and
+    // let the caller's retry/fall-back-one-version loop handle it
+    val tip = readRecord(scope, stream, version)
+    val cached = tipCache.get(key)
+      .filter(_.version <= version)
+      .filter { c =>
+        val live = c.incarnation == tip.meta.incarnation
+        // dead incarnation: drop it so the monotone guard can't keep it
+        if (!live) tipCache.remove(key)
+        live
+      }
     cached match {
       case Some(c) if c.version == version => return c
       case _ =>
     }
     var base: StreamMetadata = null
     var chain: List[ManifestRecord] = Nil
-    var v = version
+    if (tip.kind == ManifestRecord.Full) base = tip.meta
+    else {
+      require(version > 0, s"delta record at version 0 of $scope/$stream")
+      chain = List(tip)
+    }
+    var v = version - 1
     while (base == null) {
       if (cached.exists(_.version == v)) base = cached.get
       else {
-        // a missing/unreadable record at the REQUESTED version is the
-        // torn-tip case (CAS winner crashed mid-write) — throw as-is and
-        // let the caller's retry/fall-back-one-version loop handle it; a
-        // missing record BELOW it means the chain cannot replay: that is
-        // corruption, distinguished so callers never silently serve a
-        // deep-stale state instead
-        val rec =
-          try readRecord(scope, stream, v)
-          catch {
-            case e: FileNotFoundException if v != version =>
-              throw new ManifestChainBrokenException(
-                s"manifest chain of $scope/$stream broken: version $v " +
-                  s"missing below requested $version ($e)")
-          }
+        val rec = readChainRecord(scope, stream, v, version)
         if (rec.kind == ManifestRecord.Full) base = rec.meta
         else {
           require(v > 0, s"delta record at version 0 of $scope/$stream")
@@ -579,11 +619,15 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   }
 
   /** Version-monotone cache install (an as-of read of an OLD version
-    * must never displace a newer cached tip).
+    * must never displace a newer cached tip). Monotonicity only holds
+    * WITHIN an incarnation: a state read from a different (i.e. newly
+    * recreated) incarnation reflects what is on disk NOW and replaces the
+    * dead tip regardless of version number.
     */
   private def cacheForward(key: (String, String), state: StreamMetadata): Unit =
     tipCache.updateWith(key) {
-      case Some(old) if old.version >= state.version => Some(old)
+      case Some(old) if old.incarnation == state.incarnation &&
+        old.version >= state.version => Some(old)
       case _ => Some(state)
     }
 
@@ -591,8 +635,11 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
                             prev: Option[StreamMetadata]): StreamMetadata = {
     // commit time is stamped INSIDE the manifest at CAS time — the
     // TIMESTAMP AS OF authority (file mtimes are unreliable: coarse
-    // granularity / writer clock skew can order them against versions)
-    val meta = meta0.copy(committedAt = System.currentTimeMillis())
+    // granularity / writer clock skew can order them against versions).
+    // The incarnation id is force-carried from the previous version so no
+    // update closure can accidentally drop or rewrite the stream identity.
+    val meta = meta0.copy(committedAt = System.currentTimeMillis(),
+      incarnation = prev.map(_.incarnation).getOrElse(meta0.incarnation))
     val rec = prev match {
       case Some(p) if meta.version % checkpointInterval != 0L =>
         // Two tiers. Fast path: append-only commits (the writeEvents /

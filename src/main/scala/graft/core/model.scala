@@ -265,7 +265,17 @@ final case class StreamMetadata(
       * can order them against version numbers. 0 = pre-upgrade manifest
       * (resolution falls back to the file mtime for those).
       */
-    committedAt: Long = 0L) {
+    committedAt: Long = 0L,
+    /** Creation identity, stamped once at createStream and carried
+      * verbatim in every manifest record. Delete+recreate of the same
+      * stream NAME restarts the version chain at 0, so version numbers
+      * collide across incarnations — this id is what lets a catalog
+      * instance detect that its cached tip belongs to a DEAD incarnation
+      * (the reference distinguishes incarnations the same way: each
+      * created stream gets fresh controller metadata, never a version
+      * continuation). "" = pre-upgrade manifest.
+      */
+    incarnation: String = "") {
 
   def currentEpoch: EpochRecord = epochs.maxBy(_.epoch)
 

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{array, element_at, expr, least, lit}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Z-ORDER (Morton-curve) clustering — the multi-dimensional data-skipping
   * layout (Delta/Iceberg `ZORDER BY`): interleaving the bits of two
@@ -19,10 +20,15 @@ import org.apache.spark.sql.functions.expr
   * non-negative and below 2^bits (clamp upstream); both engines then agree
   * exactly (truncating vs flooring division coincide on non-negatives).
   *
-  * Scale: [[clusteredWrite]] is ONE range shuffle on z (Spark samples
-  * range bounds — no driver pass) + an in-partition sort; the curve value
-  * itself is a per-row projection. This is the write-amortized layout
-  * pass a lakehouse table runs at compaction time, not per query.
+  * Scale: [[clusteredWrite]] is ONE hash shuffle on a DETERMINISTIC curve
+  * slice (no boundary sampling — the curve is a bounded integer, so slice
+  * `numFiles` equal-width bins of it) + an in-partition sort; the curve
+  * value itself is a per-row projection. Determinism matters operationally:
+  * the same data always yields the same file rectangles, so the layout's
+  * pruning behavior is reproducible and auditable — `repartitionByRange`
+  * would sample boundaries with an RDD-id-derived seed, shifting file
+  * rectangles run to run. This is the write-amortized layout pass a
+  * lakehouse table runs at compaction time, not per query.
   */
 object ZOrderLayout {
 
@@ -41,13 +47,43 @@ object ZOrderLayout {
   def zValue(x: String, y: String, bits: Int = 16): Column =
     expr(zExprText(x, y, bits, "DIV"))
 
-  /** Z-clustered parquet layout: range-partition on the curve value into
-    * `numFiles` contiguous curve slices, sort inside each, write one file
-    * per slice — every file's (x, y) min/max footer stats then bound a
-    * tight rectangle (ZOrderSpec measures the pruning this buys).
+  /** Z-clustered parquet layout: slice the curve's value range `[0, zSpan)`
+    * into `numFiles` equal-width contiguous bins, shuffle each bin to its
+    * own partition, sort inside each, write one file per bin — every file's
+    * (x, y) min/max footer stats then bound a tight rectangle (ZOrderSpec
+    * measures the pruning this buys). `zSpan` is `4^bits` for a 2-D
+    * `bits`-bit interleave.
+    *
+    * The bin → partition mapping must be DETERMINISTIC (same data → same
+    * file rectangles). `repartition(n, col)` is hash partitioning
+    * (`pmod(murmur3(col), n)`), so we remap each bin id to a precomputed
+    * integer whose Murmur3 hash lands it alone in its own partition — a
+    * driver-side O(numFiles) search, then a plain codegen'd projection.
     */
-  def clusteredWrite(df: DataFrame, z: Column, path: String, numFiles: Int): Unit =
-    df.repartitionByRange(numFiles, z)
+  def clusteredWrite(df: DataFrame, z: Column, path: String, numFiles: Int,
+                     zSpan: Long): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    require(zSpan >= numFiles, s"zSpan $zSpan smaller than numFiles $numFiles")
+    val binW = (zSpan + numFiles - 1) / numFiles
+    // z < zSpan (doc contract) => bin <= (zSpan-1)/binW <= numFiles-1;
+    // least() clamps defensively for out-of-contract values.
+    val bin = least((z.cast("long") / binW).cast("int"), lit(numFiles - 1))
+    // Invert Spark's partitioner: smallest non-negative int per target
+    // partition with pmod(murmur3(v, 42), numFiles) == partition. Seed 42
+    // and hashInt match Catalyst's Murmur3Hash over IntegerType.
+    val reps = new Array[Int](numFiles)
+    val seen = new Array[Boolean](numFiles)
+    var v = 0
+    var found = 0
+    while (found < numFiles) {
+      val h = Murmur3_x86_32.hashInt(v, 42)
+      val b = ((h % numFiles) + numFiles) % numFiles
+      if (!seen(b)) { seen(b) = true; reps(b) = v; found += 1 }
+      v += 1
+    }
+    val mapped = element_at(array(reps.map(lit(_)): _*), bin + lit(1))
+    df.repartition(numFiles, mapped)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
+  }
 }

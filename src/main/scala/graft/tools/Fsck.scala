@@ -159,11 +159,15 @@ object Fsck {
     val scopes = onlyScope.map(Seq(_)).getOrElse(cat.listScopes())
     scopes.flatMap { scope =>
       val streamIssues = cat.listStreams(scope).flatMap { st =>
-        // chain density from the version LISTING alone, independent of
-        // state reconstruction: with the incremental manifest log a
-        // mid-chain hole makes getStream fail loudly
+        // chain density from the version listing, independent of state
+        // reconstruction: with the incremental manifest log a mid-chain
+        // hole makes getStream fail loudly
         // (ManifestChainBrokenException) rather than reconstruct, so the
-        // chain report must not depend on it
+        // chain report must not depend on it. manifestVersions is the
+        // LAG-COMPENSATED listing (every hole from 0 to max confirmed by
+        // a direct exists() probe), so an object-store listing that
+        // surfaces a newer manifest before an older one never reads as
+        // corruption here
         val listed = cat.manifestVersions(scope, st)
         val chainIssues =
           if (listed.isEmpty) Seq.empty

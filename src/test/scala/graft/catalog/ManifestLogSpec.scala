@@ -109,16 +109,23 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(c2.getStream("s", "x").version == 6L, "torn tip → fall back one version")
     Files.delete(torn)
 
-    // broken chain: delete a committed mid-chain delta (v5, between the
-    // v4 checkpoint and the v6 tip) — reconstruction must fail loudly,
-    // not silently serve v4
+    // broken chain: CORRUPT a committed mid-chain delta (v5, between the
+    // v4 checkpoint and the v6 tip) — present but truncated bytes must
+    // classify exactly like a missing record (a parse failure below the
+    // requested version is storage corruption, not a torn tip), never
+    // silently serve v4
     val hole: Path = Paths.get(root, "s", "x", "_meta", f"manifest-${5L}%012d.json")
-    Files.delete(hole)
+    val intact = Files.readAllBytes(hole)
+    Files.write(hole, intact.take(intact.length / 2))
     val c3 = new StreamCatalog(root, checkpointInterval = 4)
     assertThrows[ManifestChainBrokenException](c3.getStream("s", "x"))
     assertThrows[ManifestChainBrokenException](c3.getStreamAt("s", "x", 6L))
+    // …and the same for a missing mid-chain record
+    Files.delete(hole)
+    val c4 = new StreamCatalog(root, checkpointInterval = 4)
+    assertThrows[ManifestChainBrokenException](c4.getStream("s", "x"))
     // versions at or below the checkpoint stay readable
-    assert(c3.getStreamAt("s", "x", 4L).files.size == 4)
+    assert(c4.getStreamAt("s", "x", 4L).files.size == 4)
   }
 
   test("cross-instance tailing applies one delta per new version") {
@@ -131,6 +138,49 @@ class ManifestLogSpec extends AnyFunSuite {
       c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
       val seen = reader.getStream("s", "x")
       assert(seen.version == i.toLong && seen.files.size == i)
+    }
+  }
+
+  // delete+recreate restarts the version chain at 0, so version numbers
+  // collide across incarnations — a cached tip of the DEAD incarnation
+  // must never be served once another instance recreates the stream.
+  // Parameterized over both FS contracts like ConcurrencySpec.
+  for (contract <- Seq("local", "objectstore")) {
+    test(s"[$contract] recreate across instances invalidates the cached tip") {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      if (contract == "objectstore")
+        conf.set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
+      val dir = Files.createTempDirectory(s"graft-mlog-rc-$contract").toString
+      val root = if (contract == "objectstore") "oscas://" + dir else dir
+      val a = new StreamCatalog(root, conf, checkpointInterval = 4)
+      a.createScope("s")
+      a.createStream("s", "x", StreamConfig(initialSegments = 1))
+      for (i <- 1 to 3) a.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      val oldTip = a.getStream("s", "x") // instance A caches tip v3 (a delta)
+      assert(oldTip.version == 3L && oldTip.incarnation.nonEmpty)
+
+      // instance B: seal + delete + recreate the SAME name, then commit
+      // the new chain to the colliding version 3
+      val b = new StreamCatalog(root, conf, checkpointInterval = 4)
+      b.sealStream("s", "x")
+      b.deleteStream("s", "x")
+      b.createStream("s", "x", StreamConfig(initialSegments = 2))
+      for (i <- 1 to 3) b.update("s", "x")(m => m.copy(files = m.files :+ fe(100 + i)))
+      val newTip = b.getStream("s", "x")
+      assert(newTip.version == 3L && newTip.incarnation != oldTip.incarnation)
+
+      // A's cache holds the dead incarnation at the SAME version — the
+      // equality fast path must detect and replace it
+      val seenAtCollision = a.getStream("s", "x")
+      assert(seenAtCollision == newTip,
+        "instance A served the dead incarnation's cached tip")
+
+      // and the delta-base path (cached version < requested) too
+      val v4 = b.update("s", "x")(m => m.copy(files = m.files :+ fe(104)))
+      assert(a.getStream("s", "x") == v4)
+      // as-of reads address the NEW incarnation's history
+      assert(a.getStreamAt("s", "x", 1L).files.map(_.path) ==
+        b.getStreamAt("s", "x", 1L).files.map(_.path))
     }
   }
 

@@ -55,7 +55,8 @@ class ZOrderSpec extends AnyFunSuite {
     val files = 16
     val zdir = java.nio.file.Files.createTempDirectory("graft-zord").toString
     val ldir = java.nio.file.Files.createTempDirectory("graft-lin").toString
-    ZOrderLayout.clusteredWrite(pts, ZOrderLayout.zValue("x", "y", 8), zdir, files)
+    ZOrderLayout.clusteredWrite(pts, ZOrderLayout.zValue("x", "y", 8), zdir, files,
+      zSpan = 65536L)
     // the 1-D alternative: same file count, sorted by x only
     pts.repartitionByRange(files, $"x").sortWithinPartitions($"x")
       .write.mode("overwrite").parquet(ldir)
@@ -88,5 +89,30 @@ class ZOrderSpec extends AnyFunSuite {
       bs.count { case (_, _, mny, mxy) => mxy >= y0 && mny <= y1 }
     assert(touchedY(lb) == files, "x-sorted layout should be blind to y")
     assert(touchedY(zb) < files, "z layout must bound y too")
+  }
+
+  test("clustered layout is deterministic: same data, same file rectangles") {
+    val pts = spark.range(65536).select(
+      ($"id" % 256).as("x"), (($"id" * 2654435761L) % 256).as("y"))
+    val dirs = Seq.fill(2)(
+      java.nio.file.Files.createTempDirectory("graft-zdet").toString)
+    dirs.foreach { d =>
+      ZOrderLayout.clusteredWrite(pts, ZOrderLayout.zValue("x", "y", 8), d, 16,
+        zSpan = 65536L)
+    }
+    def rects(dir: String): Set[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+        .map { (f: String) =>
+          val r = spark.read.parquet(f)
+            .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val Seq(a, b) = dirs.map(rects)
+    assert(a == b, "file rectangles must not depend on run history")
+    // equal-width curve bins fix the top 2 bits of EACH dim: every file
+    // is (a subset of) one 64x64 quadrant-of-quadrant rectangle
+    assert(a.forall { case (mnx, mxx, mny, mxy) =>
+      mnx / 64 == mxx / 64 && mny / 64 == mxy / 64 })
   }
 }
