@@ -24,14 +24,15 @@ import java.nio.charset.StandardCharsets
   *
   * Scale note: stream state is O(live files) — at 100 TB with ~1 GB
   * files, ~10^5 entries per stream. The manifest chain is therefore an
-  * incremental LOG (see [[ManifestRecord]]): each commit writes an
-  * O(delta) record, a full checkpoint lands every `checkpointInterval`
-  * versions, and readers replay ≤ one interval of deltas from the
-  * nearest checkpoint (or from this instance's version-monotone tip
-  * cache — zero manifest reads when nothing changed, one delta read per
-  * new version when tailing). `tools.ManifestBench` measures both
-  * designs; COVERAGE.md carries the table. Retention/compaction keeps
-  * the file list bounded; nothing here is per-row or per-executor state.
+  * incremental LOG (see [[ManifestRecord]]): EVERY commit writes an
+  * O(delta) record; a full checkpoint sidecar lands OUT-OF-BAND (async,
+  * after the CAS) every `checkpointInterval` versions, and readers
+  * replay ≤ one interval of deltas from the nearest sidecar/cached
+  * state (a tailing reader pays one small record read per poll).
+  * `tools.ManifestBench` measures all three designs (full-list, inline
+  * checkpoints, out-of-band); COVERAGE.md carries the table.
+  * Retention/compaction keeps the file list bounded; nothing here is
+  * per-row or per-executor state.
   */
 /** KeyValueTableConfiguration analog (client/.../tables/
   * KeyValueTableConfiguration.java:39). Only partitionCount carries over:
@@ -41,8 +42,11 @@ import java.nio.charset.StandardCharsets
   */
 final case class KvTableConfig(partitionCount: Int = 16)
 
-/** One committed manifest version on disk — either a FULL checkpoint
-  * (complete `StreamMetadata`) or a DELTA against the previous version.
+/** One committed manifest version on disk — either a FULL record
+  * (complete `StreamMetadata`: version 0, pre-upgrade manifests, and the
+  * rare diff-fallback commit) or a DELTA against the previous version.
+  * Periodic full checkpoints live OUTSIDE the chain as out-of-band
+  * `checkpoint-%012d.json` sidecars written after the delta CAS lands.
   *
   * Motivation (measured by `tools.ManifestBench` on the pre-log design):
   * a full-list manifest costs O(live files) JSON parse + serialize per
@@ -52,8 +56,10 @@ final case class KvTableConfig(partitionCount: Int = 16)
   * either: the controller's metadata store is event-sourced per-key
   * table updates (controller/.../store/stream/
   * PravegaTablesStreamMetadataStore.java). This is the same shape as the
-  * Delta/Iceberg log-plus-checkpoint: per-commit delta records, a full
-  * checkpoint every `checkpointInterval` versions to bound replay.
+  * Delta/Iceberg log-plus-checkpoint: per-commit delta records, an
+  * out-of-band full checkpoint sidecar every `checkpointInterval`
+  * versions to bound replay without ever putting O(files) work on the
+  * commit path.
   *
   * Only the two O(files) collections (`files`, `pendingDeletes`) are
   * diffed; every bounded-size field (segments, epochs, transactions,
@@ -88,14 +94,28 @@ object StreamCatalog {
     */
   val DefaultDeleteGraceMillis: Long = 15 * 60 * 1000L
 
-  /** A full checkpoint manifest is written every this-many versions;
-    * versions in between are delta records. Bounds a cold reader's
-    * backward walk (≤ interval single-record reads — on an object store,
-    * that many GETs) while keeping the common commit O(delta):
-    * ManifestBench measures p50 commit 1.08 s → 3.3 ms at 10^5 live
-    * files (amortized ~30 ms including the every-16th checkpoint).
+  /** A full checkpoint SIDECAR (`checkpoint-%012d.json`) is written every
+    * this-many versions; the chain itself is all delta records (plus the
+    * v0 full). Bounds a cold reader's backward walk (≤ interval
+    * single-record reads — on an object store, that many GETs) while
+    * keeping EVERY in-line commit O(delta): the sidecar is written
+    * out-of-band AFTER the delta CAS lands (the Iceberg
+    * log-plus-checkpoint shape), so ManifestBench's `commit_max` no
+    * longer spikes O(files) on every interval-th commit (2.4 s at
+    * 3×10^5 live files, 9.5 s at 10^6 under the old inline design).
     */
   val DefaultCheckpointInterval: Int = 16
+
+  /** One shared daemon thread serializes all out-of-band checkpoint
+    * writes — sidecars are an optimization (readers fall back to delta
+    * replay), so they must never hold up a commit or keep the JVM alive.
+    */
+  private[catalog] val ckptExec: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-manifest-checkpointer")
+      t.setDaemon(true)
+      t
+    })
 }
 
 class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configuration(),
@@ -127,6 +147,10 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   private def metaPath(scope: String, stream: String) = new Path(streamPath(scope, stream), "_meta")
   private def manifestPath(scope: String, stream: String, version: Long) =
     new Path(metaPath(scope, stream), f"manifest-$version%012d.json")
+  // the name deliberately does NOT match the `manifest-*.json` pattern:
+  // sidecars are invisible to listVersions and to Fsck's chain check
+  private def checkpointPath(scope: String, stream: String, version: Long) =
+    new Path(metaPath(scope, stream), f"checkpoint-$version%012d.json")
   def dataDir(scope: String, stream: String): Path = new Path(streamPath(scope, stream), "data")
   def txnDir(scope: String, stream: String, txnId: String): Path =
     new Path(streamPath(scope, stream), s"txn-$txnId")
@@ -153,6 +177,9 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val ok = fs.delete(scopePath(scope), true)
     // recreated streams under a recreated scope restart their chains at 0
     tipCache.keysIterator.filter(_._1 == scope).foreach(tipCache.remove)
+    // drop queued checkpoint sidecars so the async writer can't
+    // resurrect a deleted stream's _meta dir
+    pendingCkpt.keySet.removeIf(_._1 == scope)
     ok
   }
 
@@ -226,8 +253,9 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       throw new GraftException(s"stream $scope/$stream must be sealed before delete")
     fs.delete(streamPath(scope, stream), true)
     // a recreated stream restarts its version chain at 0 — the old tip
-    // must not shadow it
+    // must not shadow it; a queued sidecar must not resurrect _meta
     tipCache.remove((scope, stream))
+    pendingCkpt.remove((scope, stream)): Unit
   }
 
   /** Optimistic-concurrency update: transform the latest manifest and
@@ -545,34 +573,113 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
         s"below requested $requested ($last)")
   }
 
+  private def checkpointEligible(v: Long): Boolean =
+    v > 0 && v % checkpointInterval == 0
+
+  /** Try the out-of-band checkpoint sidecar at `v`. None (fall back to
+    * delta replay) when missing — the checkpointer is asynchronous, so a
+    * crash between the delta CAS and the sidecar write legitimately
+    * leaves a hole — or torn mid-write, or from a dead incarnation.
+    */
+  private def readSidecar(scope: String, stream: String, v: Long,
+                          incarnation: String): Option[StreamMetadata] =
+    try {
+      val in = fs.open(checkpointPath(scope, stream, v))
+      val meta =
+        try Serialization.read[StreamMetadata](
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        finally in.close()
+      if (meta.incarnation == incarnation && meta.version == v) Some(meta) else None
+    } catch { case _: Exception => None }
+
+  /** Write the checkpoint sidecar for a just-committed state: temp file +
+    * rename for atomic visibility; failures are swallowed (the sidecar
+    * only shortens replay — correctness never depends on it). Concurrent
+    * writers of the same version produce identical content (state is a
+    * pure function of the delta chain), so lost renames are harmless.
+    */
+  private def writeSidecar(meta: StreamMetadata): Unit =
+    try {
+      val dst = checkpointPath(meta.scope, meta.name, meta.version)
+      val tmp = new Path(dst.getParent,
+        dst.getName + ".tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, true)
+      try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false): Unit
+    } catch { case _: Exception => () }
+
+  /** Pending checkpoint states, coalesced per stream: if commits outrun
+    * the checkpointer, only the NEWEST eligible state per stream is
+    * written (an older checkpoint is strictly redundant once a newer one
+    * exists), so the queue depth is bounded by live streams.
+    */
+  private val pendingCkpt = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), StreamMetadata]()
+
+  private def scheduleCheckpoint(meta: StreamMetadata): Unit = {
+    pendingCkpt.put((meta.scope, meta.name), meta)
+    StreamCatalog.ckptExec.submit(new Runnable {
+      override def run(): Unit = {
+        val m = pendingCkpt.remove((meta.scope, meta.name))
+        if (m != null) writeSidecar(m)
+      }
+    }): Unit
+  }
+
+  /** Block until every checkpoint scheduled so far has been written —
+    * for benches/tests that measure or assert the steady state.
+    */
+  def flushCheckpoints(): Unit =
+    StreamCatalog.ckptExec.submit(new Runnable { override def run(): Unit = () })
+      .get(): Unit
+
+  /** The CURRENT incarnation id of a stream, read from the v0 record —
+    * tiny (creation writes files = Nil) and immutable for the life of an
+    * incarnation, so this is an O(1)-byte GET regardless of how large
+    * any later record grew (validating against the TIP record would cost
+    * O(tip bytes): ManifestBench measured 8.4 s when the tip was a
+    * 10^6-entry bulk-ingest delta). None when unreadable — callers must
+    * then distrust any cached state.
+    */
+  private def streamIncarnation(scope: String, stream: String): Option[String] =
+    try Some(readRecord(scope, stream, 0L).meta.incarnation)
+    catch { case _: Exception => None }
+
   /** Reconstruct the committed state at `version`: walk delta records
-    * backward to the nearest full checkpoint (≤ checkpointInterval steps
-    * by construction) or to this instance's cached state, whichever is
-    * nearer, then replay forward. Every record on the walk except
-    * `version` itself was readable by the committer that built on it, so
-    * a torn read can only happen at the requested version — the caller's
-    * retry/fallback loops handle that exactly as before; unreadable
-    * records BELOW it are chain corruption ([[readChainRecord]]).
+    * backward to the nearest checkpoint SIDECAR, inline full record (v0,
+    * pre-upgrade chains, diff-fallback commits) or this instance's
+    * cached state, whichever is nearer, then replay forward. Every
+    * record on the walk except `version` itself was readable by the
+    * committer that built on it, so a torn read can only happen at the
+    * requested version — the caller's retry/fallback loops handle that
+    * exactly as before; unreadable records BELOW it are chain corruption
+    * ([[readChainRecord]]). A missing sidecar is NOT corruption (the
+    * checkpointer is async and crash-lossy): the walk just continues to
+    * the next older base, so a crash between delta CAS and sidecar write
+    * is invisible.
     *
-    * The record at the requested version is ALWAYS read from disk, even
-    * on a cache hit at the exact version: the cache can hold a DEAD
-    * incarnation (another catalog instance deleted+recreated this stream;
-    * chains restart at 0, so version numbers collide across
-    * incarnations). One small record read validates the cached state's
-    * `incarnation` stamp against disk before any cached bytes are
-    * trusted — the tailing reader's steady state is thus one LIST plus
-    * one tip-record GET, still O(1) and independent of file count.
+    * Cached state is NEVER trusted without an on-disk identity check:
+    * the cache can hold a DEAD incarnation (another catalog instance
+    * deleted+recreated this stream; chains restart at 0, so version
+    * numbers collide across incarnations). [[streamIncarnation]] — one
+    * O(1)-byte v0 read — validates the cached `incarnation` stamp, so
+    * the tailing reader's steady state is one LIST plus one tiny GET,
+    * independent of file count and of tip-record size.
     */
   private def reconstruct(scope: String, stream: String, version: Long): StreamMetadata = {
     val key = (scope, stream)
-    // a missing/unreadable record at the REQUESTED version is the
-    // torn-tip case (CAS winner crashed mid-write) — throw as-is and
-    // let the caller's retry/fall-back-one-version loop handle it
-    val tip = readRecord(scope, stream, version)
+    // lazily fetched at most once per call: needed only when a cached
+    // state or a checkpoint sidecar is a candidate base
+    var inc: Option[Option[String]] = None
+    def incarnation(): Option[String] = {
+      if (inc.isEmpty) inc = Some(streamIncarnation(scope, stream))
+      inc.get
+    }
     val cached = tipCache.get(key)
       .filter(_.version <= version)
       .filter { c =>
-        val live = c.incarnation == tip.meta.incarnation
+        val live = incarnation().contains(c.incarnation)
         // dead incarnation: drop it so the monotone guard can't keep it
         if (!live) tipCache.remove(key)
         live
@@ -583,21 +690,29 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
     var base: StreamMetadata = null
     var chain: List[ManifestRecord] = Nil
-    if (tip.kind == ManifestRecord.Full) base = tip.meta
-    else {
-      require(version > 0, s"delta record at version 0 of $scope/$stream")
-      chain = List(tip)
-    }
-    var v = version - 1
+    var v = version
     while (base == null) {
       if (cached.exists(_.version == v)) base = cached.get
       else {
-        val rec = readChainRecord(scope, stream, v, version)
-        if (rec.kind == ManifestRecord.Full) base = rec.meta
-        else {
-          require(v > 0, s"delta record at version 0 of $scope/$stream")
-          chain ::= rec
-          v -= 1
+        val side =
+          if (checkpointEligible(v))
+            incarnation().flatMap(i => readSidecar(scope, stream, v, i))
+          else None
+        side match {
+          case Some(st) => base = st
+          case None =>
+            // a missing/unreadable record at the REQUESTED version is
+            // the torn-tip case (CAS winner crashed mid-write) — throw
+            // as-is for the caller's retry/fall-back-one-version loop
+            val rec =
+              if (v == version) readRecord(scope, stream, v)
+              else readChainRecord(scope, stream, v, version)
+            if (rec.kind == ManifestRecord.Full) base = rec.meta
+            else {
+              require(v > 0, s"delta record at version 0 of $scope/$stream")
+              chain ::= rec
+              v -= 1
+            }
         }
       }
     }
@@ -641,7 +756,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val meta = meta0.copy(committedAt = System.currentTimeMillis(),
       incarnation = prev.map(_.incarnation).getOrElse(meta0.incarnation))
     val rec = prev match {
-      case Some(p) if meta.version % checkpointInterval != 0L =>
+      case Some(p) =>
         // Two tiers. Fast path: append-only commits (the writeEvents /
         // txn-merge shape, i.e. almost every commit) keep the previous
         // list as a prefix — element instances are SHARED after `++`/`:+`
@@ -686,8 +801,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
     } finally if (out != null) out.close()
     // seed the cache with what was just committed: the writer's next
-    // read-modify-write round trip then touches no manifest bytes at all
+    // read-modify-write round trip touches only the tip record
     cacheForward((meta.scope, meta.name), meta)
+    // out-of-band checkpoint: the in-line commit above stayed O(delta);
+    // the O(files) full-state serialize happens on the checkpointer
+    // thread AFTER the CAS landed. A crash before the sidecar lands is
+    // invisible — readers replay deltas to the previous base.
+    if (checkpointEligible(meta.version)) scheduleCheckpoint(meta)
     meta
   }
 }

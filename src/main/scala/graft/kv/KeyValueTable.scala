@@ -34,7 +34,13 @@ final case class KvFile(path: String, kind: String, commitVersion: Long)
 final case class KvPendingDelete(path: String, notBefore: Long)
 final case class KvManifest(name: String, partitionCount: Int, version: Long,
                             files: Seq[KvFile],
-                            pendingDeletes: Seq[KvPendingDelete] = Nil)
+                            pendingDeletes: Seq[KvPendingDelete] = Nil,
+                            /** Wall-clock stamped at commit (CAS) time —
+                              * the TIMESTAMP AS OF authority, mirroring
+                              * StreamMetadata.committedAt. 0 = pre-upgrade
+                              * manifest (resolution falls back to mtime).
+                              */
+                            committedAt: Long = 0L)
 
 object KeyValueTable {
   /** Conditional batches up to this many touched keys are validated with
@@ -83,7 +89,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     }
   }
 
-  private def commit(m: KvManifest): KvManifest = {
+  private def commit(m0: KvManifest): KvManifest = {
+    // commit time stamped INSIDE the manifest at CAS time (file mtimes
+    // are unreliable across stores) — the TIMESTAMP AS OF authority
+    val m = m0.copy(committedAt = System.currentTimeMillis())
     fs.mkdirs(metaDir)
     val out = graft.catalog.CasFiles.createExclusive(fs, manifestPath(m.version)) // exclusive → CAS
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
@@ -316,6 +325,28 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     * (the standard retention-bounded time-travel contract).
     */
   def entriesAt(version: Long): DataFrame = resolved(manifestAt(Some(version)))
+
+  /** Latest commit version stamped at or before `epochMillis` — the
+    * `TIMESTAMP AS OF` resolution surface, mirroring
+    * `StreamCatalog.versionAtTime`: scan ascending, keep the LAST
+    * version whose commit stamp <= t (so clock skew between racing
+    * committers can never smuggle post-t commits in), mtime fallback for
+    * pre-upgrade manifests. O(versions) small-manifest reads, bounded by
+    * table history.
+    */
+  def versionAtTime(epochMillis: Long): Option[Long] = {
+    var best: Option[Long] = None
+    for (v <- 1L to latest().version) {
+      try {
+        val m = manifestAt(Some(v))
+        val stamp =
+          if (m.committedAt != 0L) m.committedAt
+          else fs.getFileStatus(manifestPath(v)).getModificationTime
+        if (stamp <= epochMillis) best = Some(v)
+      } catch { case _: Exception => } // concurrently removed: skip
+    }
+    best
+  }
 
   /** The committed manifest at `version` (None = latest) — the planning
     * surface for the SQL read path (`sources.GraftKvTable`), which needs

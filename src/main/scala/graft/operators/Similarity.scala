@@ -89,20 +89,18 @@ object Similarity {
     * the nlist of a production IVF index), NOT a fixed sampling stride:
     * the round-9 sf10 sweep measured the old `vec_id % 40` rule going
     * quadratic (assignment = N × N/40 cosines, 65× per decade at 100×
-    * data) because the centroid set itself grew with the corpus. The
-    * stride is now derived from the corpus count so C stays ~constant
-    * and every stage is O(N): the ORACLE computes the same stride from
-    * the same COUNT(*) as a scalar subquery, so the two engines pick
-    * identical centroids at every scale factor.
-    *
-    * Selection hashes the id (md5-prefix, the repo's cross-engine
-    * uniform-hash idiom) instead of taking `vec_id % stride` directly:
-    * the sf100 sweep caught the raw-modulo rule resonating with
-    * structured id spaces — ScaleGen replica ids are `rep·10⁸ + base`,
-    * every power-of-ten stride divides 10⁸, so ONLY base id 0 matched
-    * and the centroid set grew one-per-replica again (1000 centroids at
-    * ×1000, 46× third-decade growth). A hash kills any arithmetic
-    * structure: ~centroidsTarget survivors for ANY id distribution.
+    * data) because the centroid set itself grew with the corpus.
+    * Selection is bottom-k by id HASH (md5-prefix, the repo's
+    * cross-engine uniform-hash idiom; vec_id tie-break): exactly
+    * min(N, centroidsTarget) uniform survivors for ANY id distribution
+    * at ANY scale — the hash kills arithmetic structure in id spaces
+    * (the sf100 sweep caught a raw-modulo rule resonating with ScaleGen
+    * replica ids), and bottom-k needs no corpus COUNT at all, so the
+    * whole selection is ONE TakeOrderedAndProject pass (per-partition
+    * partial top-k, no shuffle, no separate count job — the earlier
+    * hash-mod rule derived its stride from an extra COUNT(*) job). The
+    * ORACLE replays the same ORDER BY hash LIMIT k rule, so the two
+    * engines pick identical centroids at every scale factor.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidsTarget: Int = 50, nprobe: Int = 2): DataFrame = {
@@ -113,14 +111,17 @@ object Similarity {
     ivfRank(assigned, probes, k)
   }
 
-  /** The deterministic centroid SET (c_id, c_emb): ~`centroidsTarget`
-    * uniform survivors of the id hash, regardless of id distribution.
+  /** The deterministic centroid SET (c_id, c_emb): the `centroidsTarget`
+    * smallest id hashes (vec_id tie-break), i.e. a uniform fixed-size
+    * sample regardless of id distribution — one TakeOrderedAndProject
+    * pass, no count job.
     */
   def ivfCentsDf(corpus: DataFrame, centroidsTarget: Int = 50): DataFrame = {
-    val mod = math.max(1L, math.round(corpus.count() / centroidsTarget.toDouble))
     val idHash = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
-    corpus.filter(idHash % mod === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        idHash.as("h"))
+      .orderBy(col("h"), col("c_id")).limit(centroidsTarget)
+      .select(col("c_id"), col("c_emb"))
   }
 
   /** Collects the (tiny by construction) centroid set to the driver with
@@ -135,8 +136,7 @@ object Similarity {
       (r.getLong(0), emb, nrm)
     }
     require(centroids.nonEmpty,
-      "IVF centroid hash-selection picked zero rows — " +
-        "corpus too small for centroidsTarget; lower centroidsTarget")
+      "IVF centroid selection picked zero rows — empty corpus")
     centroids
   }
 
@@ -253,11 +253,9 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
-       |m AS (SELECT GREATEST(1, CAST(round(COUNT(*) / $centroidsTarget.0) AS BIGINT)) AS md
-       |  FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM n WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-       |    AS BIGINT) % (SELECT md FROM m) = 0),
+       |  FROM n ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT), vec_id LIMIT $centroidsTarget),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, c_id FROM (
        |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,

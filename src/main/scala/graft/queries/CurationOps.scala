@@ -789,7 +789,7 @@ object CurationOps {
     */
   private def pipelineFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-pipefull").toString
+    val work = graft.util.WorkDirs.temp("graft-pipefull")
     val g = new graft.storage.GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "docs", graft.core.StreamConfig(initialSegments = 8))

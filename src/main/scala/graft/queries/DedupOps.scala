@@ -407,7 +407,7 @@ object DedupOps {
     import s.implicits._
     import graft.kv.KeyValueTable
     val docs = Tables.documents(s, dir)
-    val work = java.nio.file.Files.createTempDirectory("graft-lshkv").toString
+    val work = graft.util.WorkDirs.temp("graft-lshkv")
     val ix = new KeyValueTable(s, work, "lsh_bands", partitionCount = 8)
     ix.put(MinHashLSH.bandSignatures(docs, "doc_id", "text")
       .select(format_string("%02d:%s", $"band", $"bsig").as("pk"),
@@ -491,7 +491,7 @@ object DedupOps {
       .mapValues(_._2)
       .agg(new DistinctSketch.KmvAgg(k).toColumn)
       .collect() // one row per source — bounded
-    val work = java.nio.file.Files.createTempDirectory("graft-kmvkv").toString
+    val work = graft.util.WorkDirs.temp("graft-kmvkv")
     val store = new KeyValueTable(s, work, "sketches", partitionCount = 4)
     store.put(perSource.toSeq
       .map { case (src, kmv) => (src, "", kmv.hashes.mkString(",")) }

@@ -1076,7 +1076,7 @@ object SimilarityOps {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
-    val work = java.nio.file.Files.createTempDirectory("graft-ivfkv").toString
+    val work = graft.util.WorkDirs.temp("graft-ivfkv")
     val ix = new graft.kv.KeyValueTable(s, work, "ivf_index", partitionCount = 8)
     ix.put(Similarity.ivfAssign(e, centroids)
       .select(format_string("%020d", $"c_id").as("pk"),

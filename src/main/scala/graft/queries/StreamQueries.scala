@@ -20,7 +20,7 @@ object StreamQueries {
 
   private def roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val work = graft.util.WorkDirs.temp("graft-rtq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 8))
@@ -51,7 +51,7 @@ object StreamQueries {
     */
   private def txnRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-rtx").toString
+    val work = graft.util.WorkDirs.temp("graft-rtx")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -99,7 +99,7 @@ object StreamQueries {
   private def chainAcrossScale(s: SparkSession, dir: String,
                                initialSegments: Int, scaledSegments: Int): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ord").toString
+    val work = graft.util.WorkDirs.temp("graft-ord")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments))
@@ -152,7 +152,7 @@ object StreamQueries {
     */
   private def largeEvent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-lrg").toString
+    val work = graft.util.WorkDirs.temp("graft-lrg")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -202,7 +202,7 @@ object StreamQueries {
     */
   private def nextCut(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-cut").toString
+    val work = graft.util.WorkDirs.temp("graft-cut")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 1))
@@ -238,7 +238,7 @@ object StreamQueries {
     */
   private def byteStreamRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-bs").toString
+    val work = graft.util.WorkDirs.temp("graft-bs")
     val bs = new graft.storage.ByteStreams(work)
     bs.create("q", "b")
     // 200 events * 8 ASCII bytes, appended in event_id order — bounded
@@ -292,7 +292,7 @@ object StreamQueries {
     */
   private def multiStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-msq").toString
+    val work = graft.util.WorkDirs.temp("graft-msq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "x", StreamConfig(initialSegments = 2))
@@ -340,7 +340,7 @@ object StreamQueries {
     */
   private def compactedRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-cpq").toString
+    val work = graft.util.WorkDirs.temp("graft-cpq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -391,7 +391,7 @@ object StreamQueries {
     */
   private def autoscalePolicy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-asq").toString
+    val work = graft.util.WorkDirs.temp("graft-asq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     val t0 = 1700000000000L
@@ -449,7 +449,7 @@ object StreamQueries {
     */
   private def retentionPolicy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val work = graft.util.WorkDirs.temp("graft-rtq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     val now0 = 10000000L
@@ -491,7 +491,7 @@ object StreamQueries {
     * scope (the bench re-runs this).
     */
   private lazy val sqlRoot: String =
-    java.nio.file.Files.createTempDirectory("graft-sqlw").toString
+    graft.util.WorkDirs.temp("graft-sqlw")
 
   private def sqlInsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -538,7 +538,7 @@ object StreamQueries {
     */
   private def stateSyncFold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ssf").toString
+    val work = graft.util.WorkDirs.temp("graft-ssf")
     val ids = Tables.events(s, dir).orderBy($"event_id").limit(80)
       .select($"event_id".cast("long")).as[Long].collect()
     val sync = new graft.kv.StateSynchronizer(work, "fold",
@@ -576,7 +576,7 @@ object StreamQueries {
     */
   private def maintenancePass(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+    val work = graft.util.WorkDirs.temp("graft-mnt")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev",
@@ -635,7 +635,7 @@ object StreamQueries {
     */
   private def checkpointResume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ckp").toString
+    val work = graft.util.WorkDirs.temp("graft-ckp")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 6))
@@ -679,7 +679,7 @@ object StreamQueries {
     */
   private def successorLineage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val work = graft.util.WorkDirs.temp("graft-lin")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -723,7 +723,7 @@ object StreamQueries {
     */
   private def truncateRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-trn").toString
+    val work = graft.util.WorkDirs.temp("graft-trn")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 1))
@@ -773,7 +773,7 @@ object StreamQueries {
     */
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val work = graft.util.WorkDirs.temp("graft-ssj")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "a", StreamConfig(initialSegments = 2))
@@ -866,7 +866,7 @@ object StreamQueries {
     */
   private def streamJoinLate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ssjl").toString
+    val work = graft.util.WorkDirs.temp("graft-ssjl")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "a", StreamConfig(initialSegments = 1))
@@ -960,7 +960,7 @@ object StreamQueries {
     */
   private def pipeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val work = graft.util.WorkDirs.temp("graft-pipe")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "src", StreamConfig(initialSegments = 2))
@@ -970,7 +970,7 @@ object StreamQueries {
       $"event_id".as("eventTime"),
       encode($"event_id".cast("string"), "UTF-8").as("payload")))
     val pace = math.max(500L, g.unreadRows("q", "src", StreamCut(Map.empty)) / 3L)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-pipeck").toString
+    val ckpt = graft.util.WorkDirs.temp("graft-pipeck")
     val q = s.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("stream", "src")
       .option("maxRowsPerTrigger", pace.toString)
@@ -1017,7 +1017,7 @@ object StreamQueries {
     */
   private def pipeResume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-piper").toString
+    val work = graft.util.WorkDirs.temp("graft-piper")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "src", StreamConfig(initialSegments = 2))
@@ -1029,7 +1029,7 @@ object StreamQueries {
         encode($"event_id".cast("string"), "UTF-8").as("payload")))
     // ≥4 paced triggers, so the first-stop always leaves work to resume
     val pace = math.max(400L, g.unreadRows("q", "src", StreamCut(Map.empty)) / 4L)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-piperck").toString
+    val ckpt = graft.util.WorkDirs.temp("graft-piperck")
     def launch() = s.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("stream", "src")
       .option("maxRowsPerTrigger", pace.toString)
@@ -1082,7 +1082,7 @@ object StreamQueries {
     */
   private def concurrentWriters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ccw").toString
+    val work = graft.util.WorkDirs.temp("graft-ccw")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1125,7 +1125,7 @@ object StreamQueries {
     */
   private def sealRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-seal").toString
+    val work = graft.util.WorkDirs.temp("graft-seal")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 3))
@@ -1168,7 +1168,7 @@ object StreamQueries {
     */
   private def streamWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-swin").toString
+    val work = graft.util.WorkDirs.temp("graft-swin")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -1220,7 +1220,7 @@ object StreamQueries {
     */
   private def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    val work = graft.util.WorkDirs.temp("graft-sdd")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -1273,7 +1273,7 @@ object StreamQueries {
     */
   private def redactedRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-rgt").toString
+    val work = graft.util.WorkDirs.temp("graft-rgt")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -1320,7 +1320,7 @@ object StreamQueries {
     */
   private def streamDq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-sdq").toString
+    val work = graft.util.WorkDirs.temp("graft-sdq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -1420,7 +1420,7 @@ object StreamQueries {
   private def streamStateDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val work = java.nio.file.Files.createTempDirectory("graft-ssd2").toString
+    val work = graft.util.WorkDirs.temp("graft-ssd2")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1520,7 +1520,7 @@ object StreamQueries {
     */
   private def realtimeTail(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-rtq").toString
+    val work = graft.util.WorkDirs.temp("graft-rtq")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1577,7 +1577,7 @@ object StreamQueries {
     */
   private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-sst").toString
+    val work = graft.util.WorkDirs.temp("graft-sst")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 2))
@@ -1625,7 +1625,7 @@ object StreamQueries {
     */
   private def scanPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-spr").toString
+    val work = graft.util.WorkDirs.temp("graft-spr")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1672,7 +1672,7 @@ object StreamQueries {
     */
   private def manifestCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-mct").toString
+    val work = graft.util.WorkDirs.temp("graft-mct")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 8))
@@ -1706,7 +1706,7 @@ object StreamQueries {
     */
   private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-jrt").toString
+    val work = graft.util.WorkDirs.temp("graft-jrt")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1772,7 +1772,7 @@ object StreamQueries {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     import org.apache.avro.io.{DecoderFactory, EncoderFactory}
-    val work = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val work = graft.util.WorkDirs.temp("graft-avro")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -1848,7 +1848,7 @@ object StreamQueries {
     */
   private def streamCurate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val work = graft.util.WorkDirs.temp("graft-cur")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "raw", StreamConfig(initialSegments = 4))
@@ -1863,7 +1863,7 @@ object StreamQueries {
         encode($"text", "UTF-8").as("payload"))
     g.writeEvents("q", "raw", feed)
     val pace = math.max(200L, g.unreadRows("q", "raw", StreamCut(Map.empty)) / 3L)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-curck").toString
+    val ckpt = graft.util.WorkDirs.temp("graft-curck")
     // dropDuplicates keeps one state store per shuffle partition per
     // trigger — run the streaming leg with fewer partitions (state
     // sizing is a deployment knob, not a semantic), like ev_stream_join
@@ -1973,7 +1973,7 @@ object StreamQueries {
     */
   private def versionChanges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-vdiff").toString
+    val work = graft.util.WorkDirs.temp("graft-vdiff")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -2031,7 +2031,7 @@ object StreamQueries {
     import s.implicits._
     import graft.operators.FrequencySketch.Sketch
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val work = java.nio.file.Files.createTempDirectory("graft-hotk").toString
+    val work = graft.util.WorkDirs.temp("graft-hotk")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -2116,7 +2116,7 @@ object StreamQueries {
   private def streamLshIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val work = java.nio.file.Files.createTempDirectory("graft-lshix").toString
+    val work = graft.util.WorkDirs.temp("graft-lshix")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "docs", StreamConfig(initialSegments = 4))
@@ -2200,7 +2200,7 @@ object StreamQueries {
     val e = Tables.embeddings(s, dir)
     // offline-trained artifact: the deterministic centroid set
     val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
-    val work = java.nio.file.Files.createTempDirectory("graft-ivfix").toString
+    val work = graft.util.WorkDirs.temp("graft-ivfix")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "vecs", StreamConfig(initialSegments = 4))
@@ -2275,7 +2275,7 @@ object StreamQueries {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, dir)
     val centroids = Similarity.ivfCentroids(Similarity.ivfCentsDf(e))
-    val work = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val work = graft.util.WorkDirs.temp("graft-drift")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "vecs", StreamConfig(initialSegments = 4))
@@ -2352,7 +2352,7 @@ object StreamQueries {
   private def attrUpdates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.core.{AttributeUpdate => AU, Attributes, ConditionalCheckFailedException}
-    val work = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val work = graft.util.WorkDirs.temp("graft-attr")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
@@ -2441,7 +2441,7 @@ object StreamQueries {
     */
   private def checkpointCuts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-ckcut").toString
+    val work = graft.util.WorkDirs.temp("graft-ckcut")
     val g = new GraftStreams(s, work)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))

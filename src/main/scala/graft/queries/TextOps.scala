@@ -1081,7 +1081,7 @@ object TextOps {
     // training job: the 2-pass batch perceptron (the oracle-replayed form)
     val w = trainPerceptron(s, dir)
     // register the model
-    val work = java.nio.file.Files.createTempDirectory("graft-modelkv").toString
+    val work = graft.util.WorkDirs.temp("graft-modelkv")
     val reg = new graft.kv.KeyValueTable(s, work, "models", partitionCount = 4)
     reg.put(w.select(lit("quality_v1").as("pk"),
       format_string("%05d", $"bucket").as("sk"),
@@ -1459,7 +1459,7 @@ object TextOps {
   private[queries] def buildSearchIndex(s: SparkSession, dir: String): graft.kv.KeyValueTable = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val work = java.nio.file.Files.createTempDirectory("graft-searchkv").toString
+    val work = graft.util.WorkDirs.temp("graft-searchkv")
     val ix = new graft.kv.KeyValueTable(s, work, "postings", partitionCount = 8)
     val dl = docs.select($"doc_id",
       size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))

@@ -137,16 +137,24 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   }
 
   /** `TIMESTAMP AS OF <t>` (micros): the latest manifest committed at or
-    * before t, by manifest-file commit time.
+    * before t, by the commit stamp written inside each manifest at CAS
+    * time — for streams AND key-value tables (KV manifests carry
+    * record-level `committedAt` exactly like stream manifests).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val scope = scopeOf(ident.namespace())
     if (!cat.streamExists(scope, ident.name())) {
-      if (cat.keyValueTableExists(scope, ident.name()))
-        throw new UnsupportedOperationException(
-          s"kv table $scope/${ident.name()}: TIMESTAMP AS OF is not supported " +
-            "(kv manifests carry commit versions, not wall-clock stamps) — " +
-            "use VERSION AS OF <commitVersion>")
+      if (cat.keyValueTableExists(scope, ident.name())) {
+        val kvt = new graft.kv.KeyValueTable(org.apache.spark.sql.SparkSession.active,
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(rootDir, scope), "_kvt").toString,
+          ident.name())
+        val v = kvt.versionAtTime(timestamp / 1000L).getOrElse(
+          throw new IllegalArgumentException(
+            s"kv table $scope/${ident.name()} has no commit at or before " +
+              s"${java.time.Instant.ofEpochMilli(timestamp / 1000L)}"))
+        return loadKvTable(scope, ident.name(), Some(v))
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
     val millis = timestamp / 1000L

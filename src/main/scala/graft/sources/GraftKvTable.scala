@@ -53,6 +53,16 @@ object GraftKvTable {
   def partIndexOf(fileName: String): Int =
     if (!fileName.startsWith("part-") || fileName.length < 10) -1
     else try fileName.substring(5, 10).toInt catch { case _: NumberFormatException => -1 }
+
+  /** Default cap on one partition's resolved-key working set. The
+    * resolved-mode reader folds latest-per-key in an in-heap map bounded
+    * by live keys / partitionCount — a creation-time layout assumption
+    * (the reference's fixed table-partition count makes the same one). A
+    * misconfigured partitionCount must fail LOUDLY naming the remedy,
+    * not OOM the executor; override per read with the
+    * `resolvedBudgetBytes` option.
+    */
+  val DefaultResolvedBudgetBytes: Long = 2L << 30
 }
 
 class GraftKvTable(rootDir: String, scope: String, tableName: String,
@@ -77,21 +87,27 @@ class GraftKvTable(rootDir: String, scope: String, tableName: String,
       "toVersion requires fromVersion (the delta feed reads (from, to])")
     require(fromV.isEmpty || asOf.isEmpty,
       "fromVersion/toVersion (delta feed) and VERSION AS OF are mutually exclusive")
-    new GraftKvScanBuilder(spark, kvt, asOf, fromV, toV)
+    val budget = Option(options.get("resolvedBudgetBytes")).map(_.toLong)
+      .getOrElse(GraftKvTable.DefaultResolvedBudgetBytes)
+    new GraftKvScanBuilder(spark, kvt, asOf, fromV, toV, budget)
   }
 }
 
 class GraftKvScanBuilder(spark: SparkSession, kvt: KeyValueTable,
-                         asOf: Option[Long], fromV: Option[Long], toV: Option[Long])
+                         asOf: Option[Long], fromV: Option[Long], toV: Option[Long],
+                         budgetBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftKvTable.schema
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new GraftKvScan(spark, kvt, asOf, fromV, toV, required)
+  override def build(): Scan =
+    new GraftKvScan(spark, kvt, asOf, fromV, toV, required, budgetBytes)
 }
 
 class GraftKvScan(spark: SparkSession, kvt: KeyValueTable,
                   asOf: Option[Long], fromV: Option[Long], toV: Option[Long],
-                  required: StructType) extends Scan with Batch {
+                  required: StructType,
+                  budgetBytes: Long = GraftKvTable.DefaultResolvedBudgetBytes)
+    extends Scan with Batch {
   private val delta = fromV.isDefined
   // parquet read set: requested columns plus what the mode itself keys
   // on — resolution needs (pk, sk, op, version); the delta filter needs
@@ -144,7 +160,8 @@ class GraftKvScan(spark: SparkSession, kvt: KeyValueTable,
       ParquetShim.parquetReaderFactory(spark, GraftKvTable.schema,
         new StructType(), parquetReadSchema, filters),
       parquetReadSchema.fieldNames, required.fieldNames,
-      delta, fromV.getOrElse(-1L), toV.getOrElse(Long.MaxValue))
+      delta, fromV.getOrElse(-1L), toV.getOrElse(Long.MaxValue),
+      budgetBytes, kvt.partitionCount)
   }
 }
 
@@ -158,7 +175,9 @@ final case class GraftKvInputPartition(partIdx: Int, files: FilePartition)
   */
 final class GraftKvReaderFactory(delegate: PartitionReaderFactory,
     readNames: Array[String], outNames: Array[String],
-    delta: Boolean, fromV: Long, toV: Long) extends PartitionReaderFactory {
+    delta: Boolean, fromV: Long, toV: Long,
+    budgetBytes: Long = GraftKvTable.DefaultResolvedBudgetBytes,
+    partitionCount: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(p.asInstanceOf[GraftKvInputPartition].files)
@@ -193,6 +212,21 @@ final class GraftKvReaderFactory(delegate: PartitionReaderFactory,
       private var it: Iterator[InternalRow] = _
       private def resolveAll(): Iterator[InternalRow] = {
         val m = new java.util.HashMap[(String, String), (Long, Long, Boolean, Array[Byte])]()
+        // retained-bytes estimate (keys + values + per-entry overhead):
+        // fail LOUDLY naming the remedy instead of OOMing the executor
+        // when the creation-time layout assumption is violated
+        var retained = 0L
+        def guard(): Unit =
+          if (retained > budgetBytes) throw new graft.core.GraftException(
+            s"resolved-mode KV scan: one partition's live-key working set " +
+              s"exceeded the $budgetBytes-byte budget (${m.size} keys so far). " +
+              s"The table was created with partitionCount=$partitionCount — " +
+              s"recreate it with a higher partitionCount so live keys / " +
+              s"partition fit in memory, or raise the resolvedBudgetBytes " +
+              s"read option if the executor heap allows.")
+        def entryBytes(key: (String, String), value: Array[Byte]): Long =
+          2L * (key._1.length + key._2.length) +
+            (if (value == null) 0L else value.length.toLong) + 120L
         while (inner.next()) {
           val r = inner.get()
           val key = (r.getUTF8String(pkO).toString,
@@ -204,7 +238,10 @@ final class GraftKvReaderFactory(delegate: PartitionReaderFactory,
             val value =
               if (vaO < 0 || !isPut || r.isNullAt(vaO)) null
               else r.getBinary(vaO).clone()
+            if (prev != null) retained -= entryBytes(key, prev._4)
+            retained += entryBytes(key, value)
             m.put(key, (v, if (bkO >= 0) r.getLong(bkO) else -1L, isPut, value))
+            guard()
           }
         }
         val rows = Vector.newBuilder[InternalRow]

@@ -34,9 +34,15 @@ object ManifestBench {
       if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1000, 10000, 100000, 300000, 1000000)
     val commits = 24
+    // GRAFT_MB_INTERVAL overrides the checkpoint cadence (e.g. a huge
+    // value isolates pure-delta commit cost from checkpointer CPU/GC
+    // interference; the default exercises the production cadence)
+    val interval = sys.env.get("GRAFT_MB_INTERVAL").map(_.toInt)
+      .getOrElse(StreamCatalog.DefaultCheckpointInterval)
+    val verbose = sys.env.contains("GRAFT_MB_VERBOSE")
     for (n <- sizes) {
       val work = Files.createTempDirectory("graft-mb").toString
-      val cat = new StreamCatalog(work)
+      val cat = new StreamCatalog(work, checkpointInterval = interval)
       cat.createScope("b")
       cat.createStream("b", "s", StreamConfig(initialSegments = 32))
       // install the N-file baseline in one untimed commit
@@ -47,7 +53,7 @@ object ManifestBench {
       }
       cat.update("b", "s")(m => m.copy(files = seed))
       // timed: single-file append commits — the writeEvents batch shape
-      val walls = (0 until commits).map { j =>
+      val rawWalls = (0 until commits).map { j =>
         val t0 = System.nanoTime()
         cat.update("b", "s") { m =>
           m.copy(files = m.files :+ FileEntry(j % 32,
@@ -55,7 +61,13 @@ object ManifestBench {
             900000000L + j * 1000L, 1000L, 0L, 999L, 1, 4L << 20))
         }
         (System.nanoTime() - t0) / 1e6
-      }.sorted
+      }
+      if (verbose) println(rawWalls.map(w => f"$w%.1f").mkString("walls_ms=[", ",", "]"))
+      val walls = rawWalls.sorted
+      // steady state: let the out-of-band checkpointer drain before the
+      // read measurements (commit timings above exclude it by design —
+      // that asynchrony IS the feature under test)
+      cat.flushCheckpoints()
       // cold read: a fresh catalog instance plans a scan from scratch
       val cold = {
         val c2 = new StreamCatalog(work)

@@ -37,17 +37,35 @@ class ManifestLogSpec extends AnyFunSuite {
     FileEntry(seg, s"data/part-$i-${java.util.UUID.randomUUID()}.parquet",
       if (off >= 0) off else i * 100L, 100L, 0L, 99L, 1, 1024L)
 
-  test("cadence: checkpoint every interval-th version, deltas between") {
+  test("cadence: every commit is a delta; checkpoints land out-of-band") {
     val (root, c) = fresh(interval = 4)
     c.createScope("s")
     c.createStream("s", "x", StreamConfig(initialSegments = 2))
     for (i <- 1 to 9)
       c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
     assert(rawKind(root, 0) == ManifestRecord.Full)      // createStream
-    for (v <- Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
+    // the chain itself never carries O(files) records after v0
+    for (v <- 1L to 9L)
       assert(rawKind(root, v) == ManifestRecord.Delta, s"v$v should be delta")
-    for (v <- Seq(4L, 8L))
-      assert(rawKind(root, v) == ManifestRecord.Full, s"v$v should be checkpoint")
+    // full checkpoints are SIDECARS at the interval cadence, written
+    // after the delta CAS by the async checkpointer
+    c.flushCheckpoints()
+    for (v <- Seq(4L, 8L)) {
+      val p = Paths.get(root, "s", "x", "_meta", f"checkpoint-$v%012d.json")
+      assert(Files.exists(p), s"sidecar for v$v missing")
+      val st = JsonMethods.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .extract[StreamMetadata]
+      assert(st.version == v && st.files.size == v.toInt)
+    }
+    assert(!Files.exists(
+      Paths.get(root, "s", "x", "_meta", f"checkpoint-${9L}%012d.json")))
+    // a deleted sidecar is an OPTIMIZATION loss, not corruption: reads
+    // fall back to delta replay transparently
+    Files.delete(Paths.get(root, "s", "x", "_meta", f"checkpoint-${8L}%012d.json"))
+    val c2 = new StreamCatalog(root, checkpointInterval = 4)
+    assert(c2.getStream("s", "x").files.size == 9)
+    assert(c2.getStreamAt("s", "x", 8L).files.size == 8)
   }
 
   test("mixed append/remove/small-field ops reconstruct exactly") {

@@ -54,6 +54,26 @@ class GraftKvTableSpec extends AnyFunSuite {
     assert(sql.find(_._1 == "k01").get == (("k01", "1", 1L)))
   }
 
+  test("TIMESTAMP AS OF resolves from manifest commit stamps") {
+    val (cat, root, t) = mk()
+    // the commit stamps are the authority: an instant at commit 2's own
+    // stamp must yield exactly the VERSION AS OF 2 state
+    val t2 = new StreamCatalog(root).openKeyValueTable(spark, "s", "t")
+      .manifestAt(Some(2L)).committedAt
+    assert(t2 > 0L, "commit stamp missing from KV manifest")
+    val byTime = spark.sql(
+      s"SELECT pk, version FROM $cat.s.t TIMESTAMP AS OF timestamp_millis(${t2}L)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byTime.size == 60 && byTime("k05") == 1L && byTime("k03") == 2L)
+    // an instant far in the future resolves to the latest commit
+    val late = spark.sql(
+      s"SELECT pk FROM $cat.s.t TIMESTAMP AS OF timestamp_millis(${t2 + 3600000L}L)")
+    assert(late.count() == 48L)
+    // API twin: versionAtTime mirrors StreamCatalog semantics
+    assert(t.versionAtTime(t2).contains(2L))
+    assert(t.versionAtTime(0L).isEmpty)
+  }
+
   test("VERSION AS OF pins the historical manifest; bad version fails at resolution") {
     val (cat, _, t) = mk()
     val asof = spark.sql(s"SELECT pk, version FROM $cat.s.t VERSION AS OF 2")
@@ -131,14 +151,30 @@ class GraftKvTableSpec extends AnyFunSuite {
           Files.createTempDirectory("graft-kvtbl-ck").toString)
         .start().stop()
     }
+    // TIMESTAMP AS OF is supported (see the dedicated test) but a
+    // pre-creation instant resolves to no commit and fails loudly
     val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.s.t TIMESTAMP AS OF '2026-01-01'").collect())
-    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage)
+      spark.sql(s"SELECT * FROM $cat.s.t TIMESTAMP AS OF '2001-01-01'").collect())
+    assert(e.getMessage.contains("no commit at or before"), e.getMessage)
     // delta feed and AS OF are mutually exclusive
     val e2 = intercept[Exception](
       spark.read.option("fromVersion", "1").option("asOfVersion", "2")
         .table(s"$cat.s.t").collect())
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+
+  test("resolved reader fails loudly, naming partitionCount, when a " +
+    "partition's working set exceeds the budget") {
+    val (cat, _, _) = mk(partitions = 2)
+    // a budget far below the ~60-key working set trips the guard
+    val e = intercept[Exception](
+      spark.read.option("resolvedBudgetBytes", "256")
+        .table(s"$cat.s.t").collect())
+    val msg = Option(e.getCause).fold(e.getMessage)(c => e.getMessage + c.getMessage)
+    assert(msg.contains("partitionCount"), s"remedy not named: $msg")
+    assert(msg.contains("resolvedBudgetBytes"), s"override knob not named: $msg")
+    // the default budget is far above the test table: same read succeeds
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.s.t").as[Long].head() == 48L)
   }
 
   test("resolution survives compaction and stays SQL-visible") {
