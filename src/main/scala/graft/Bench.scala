@@ -101,7 +101,9 @@ object Bench {
       "ev_json_roundtrip", "ev_time_travel", "ev_version_changes",
       "dedup_index_lookup",
       // round 10: engine-write rows (fresh stream / registered kvt per run)
-      "ds_pipeline_full", "kv_sql_select", "kv_sql_asof", "kv_sql_changes")
+      "ds_pipeline_full", "kv_sql_select", "kv_sql_asof", "kv_sql_changes",
+      // round 11
+      "kv_sql_timeof")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` is perturbed by `rep * 1e-3` per component so
   *    replicated vectors don't collapse into exact top-k ties.
   *
-  * Usage: runMain graft.tools.ScaleGen <inSfDir> <outDir> [k=10]
+  * Usage: runMain graft.tools.ScaleGen <inSfDir> <outDir> [k=10] [tables]
+  * `tables` (comma list) limits generation — a fourth-decade probe only
+  * needs the tables its flat queries read, not 33 GB of lineitem.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val in = args(0)
     val out = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,22 +43,24 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, in, out, k)
+    generate(spark, in, out, k, only)
     spark.stop()
   }
 
   /** Key offset between replicas — far above any base-data key at sf≤1. */
   val Off = 100000000L
 
-  def generate(spark: SparkSession, in: String, out: String, k: Int): Unit = {
+  def generate(spark: SparkSession, in: String, out: String, k: Int,
+               only: Option[Set[String]] = None): Unit = {
     def raw(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     // output partition counts grow with the replication factor past the
     // 10× the base counts were sized for, keeping file sizes (and so
     // per-task memory at read time) roughly constant across decades
-    def write(df: DataFrame, name: String, parts0: Int): Unit = {
-      val parts = parts0 * math.max(1, k / 10)
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+    def write(df: => DataFrame, name: String, parts0: Int): Unit =
+      if (only.forall(_.contains(name))) {
+        val parts = parts0 * math.max(1, k / 10)
+        df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
 
     // one input row → k rows tagged rep=0..k-1; rep 0 keeps original
     // values. The input is spread across the cores FIRST: the base tables
