@@ -88,6 +88,20 @@ object ManifestRecord {
   val Delta = "delta"
 }
 
+/** Manifest-log retention marker (`_meta/floor.json`): versions in
+  * (0, floor) have been garbage-collected — the log-retention contract
+  * every production log-plus-checkpoint table needs (Delta's
+  * logRetentionDuration, Iceberg's expire_snapshots), or the chain
+  * grows one file per commit forever. Version 0 is always retained
+  * (the tiny identity record the incarnation guard validates against);
+  * `floor` itself is always a checkpoint-eligible version whose sidecar
+  * was verified readable BEFORE anything was deleted, so every retained
+  * version still reconstructs. Written before the deletes (a floor
+  * claiming more than was deleted is harmless; the reverse would turn
+  * GC holes into phantom lag probes).
+  */
+final case class ManifestFloor(floor: Long, incarnation: String)
+
 object StreamCatalog {
   /** Default reader-grace before tombstoned files are physically deleted
     * (long enough for any in-flight scan planned from an older manifest).
@@ -147,10 +161,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   private def metaPath(scope: String, stream: String) = new Path(streamPath(scope, stream), "_meta")
   private def manifestPath(scope: String, stream: String, version: Long) =
     new Path(metaPath(scope, stream), f"manifest-$version%012d.json")
-  // the name deliberately does NOT match the `manifest-*.json` pattern:
-  // sidecars are invisible to listVersions and to Fsck's chain check
+  // the names deliberately do NOT match the `manifest-*.json` pattern:
+  // sidecars and the GC floor are invisible to listVersions's version
+  // collection and to Fsck's chain check
   private def checkpointPath(scope: String, stream: String, version: Long) =
     new Path(metaPath(scope, stream), f"checkpoint-$version%012d.json")
+  private def floorPath(scope: String, stream: String) =
+    new Path(metaPath(scope, stream), "floor.json")
   def dataDir(scope: String, stream: String): Path = new Path(streamPath(scope, stream), "data")
   def txnDir(scope: String, stream: String, txnId: String): Path =
     new Path(streamPath(scope, stream), s"txn-$txnId")
@@ -174,12 +191,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def deleteScope(scope: String, recursive: Boolean = false): Boolean = {
     if (!recursive && (listStreams(scope).nonEmpty || listKeyValueTables(scope).nonEmpty))
       throw new GraftException(s"scope $scope not empty")
+    // dequeue + drain the checkpointer BEFORE deleting (see deleteStream:
+    // an in-flight sidecar write must not resurrect a deleted _meta dir)
+    pendingCkpt.keySet.removeIf(_._1 == scope)
+    flushCheckpoints()
     val ok = fs.delete(scopePath(scope), true)
     // recreated streams under a recreated scope restart their chains at 0
     tipCache.keysIterator.filter(_._1 == scope).foreach(tipCache.remove)
-    // drop queued checkpoint sidecars so the async writer can't
-    // resurrect a deleted stream's _meta dir
-    pendingCkpt.keySet.removeIf(_._1 == scope)
     ok
   }
 
@@ -251,11 +269,18 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val meta = getStream(scope, stream)
     if (!meta.isSealed)
       throw new GraftException(s"stream $scope/$stream must be sealed before delete")
+    // Drain this instance's async checkpointer BEFORE deleting: the seal
+    // commit above may itself have queued a sidecar write (seal bumps the
+    // version, which can be checkpoint-eligible), and an in-flight write
+    // landing after the delete would resurrect _meta — making a
+    // subsequent createStream of the same name fail "already exists".
+    // Dequeue first so nothing NEW starts, then barrier on the in-flight.
+    pendingCkpt.remove((scope, stream))
+    flushCheckpoints()
     fs.delete(streamPath(scope, stream), true)
     // a recreated stream restarts its version chain at 0 — the old tip
-    // must not shadow it; a queued sidecar must not resurrect _meta
-    tipCache.remove((scope, stream))
-    pendingCkpt.remove((scope, stream)): Unit
+    // must not shadow it
+    tipCache.remove((scope, stream)): Unit
   }
 
   /** Optimistic-concurrency update: transform the latest manifest and
@@ -517,15 +542,24 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // start at 0, so a listing whose min is above 0 is itself lagging)
     // to the listed max, because eventually-consistent listings surface
     // objects in no particular order (a newer manifest can appear before
-    // an older one). Cost on a consistent listing: one exists() miss.
+    // an older one). Versions in (0, floor) are GC-RETIRED, not lagged
+    // — skipped without probes (the floor marker is read only when the
+    // listing actually has holes, so the common dense case costs
+    // nothing). Cost on a consistent listing: one exists() miss.
     // Fsck's chain-density check reads this same compensated listing, so
-    // it never reports a LIST-lag hole as corruption.
+    // it never reports a LIST-lag hole (or a GC hole) as corruption.
     val listedSet = listed.toSet
     val holes =
       if (listed.isEmpty) Seq.empty[Long]
-      else (0L to listed.max)
-        .filterNot(listedSet)
-        .filter(v => fs.exists(manifestPath(scope, stream, v)))
+      else {
+        val holes0 = (0L to listed.max).filterNot(listedSet)
+        if (holes0.isEmpty) holes0
+        else {
+          val floor = manifestFloor(scope, stream)
+          holes0.filter(v => v == 0L || v >= floor)
+            .filter(v => fs.exists(manifestPath(scope, stream, v)))
+        }
+      }
     var next = if (listed.isEmpty) 0L else listed.max + 1
     val extra = Seq.newBuilder[Long]
     while (fs.exists(manifestPath(scope, stream, next))) { extra += next; next += 1 }
@@ -600,6 +634,10 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     */
   private def writeSidecar(meta: StreamMetadata): Unit =
     try {
+      // never resurrect a deleted stream's _meta dir: the chain record
+      // this sidecar summarizes must still exist (read-repair and the
+      // async queue can both race a concurrent deleteStream)
+      if (!fs.exists(manifestPath(meta.scope, meta.name, meta.version))) return
       val dst = checkpointPath(meta.scope, meta.name, meta.version)
       val tmp = new Path(dst.getParent,
         dst.getName + ".tmp-" + java.util.UUID.randomUUID())
@@ -633,6 +671,76 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def flushCheckpoints(): Unit =
     StreamCatalog.ckptExec.submit(new Runnable { override def run(): Unit = () })
       .get(): Unit
+
+  /** The stream's GC floor: versions in (0, floor) are retired. 0 =
+    * never GC'd (no marker file). See [[ManifestFloor]].
+    */
+  def manifestFloor(scope: String, stream: String): Long =
+    readFloor(scope, stream).fold(0L)(_.floor)
+
+  private def readFloor(scope: String, stream: String): Option[ManifestFloor] =
+    try {
+      val in = fs.open(floorPath(scope, stream))
+      try Some(Serialization.read[ManifestFloor](
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8)))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  private def writeFloor(scope: String, stream: String, f: ManifestFloor): Unit = {
+    val dst = floorPath(scope, stream)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(Serialization.write(f).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+  }
+
+  /** Retire manifest history older than `keepVersions` behind the tip —
+    * log retention, the piece that keeps `_meta/` from growing one file
+    * per commit forever (at one commit/second a year of history is
+    * 3×10^7 objects in one listing). The floor lands on the largest
+    * checkpoint-eligible version ≤ (tip − keepVersions) whose SIDECAR is
+    * verified readable (read-repaired on the spot if the checkpointer
+    * had crashed), the marker file commits the new floor, and only then
+    * are records and sidecars strictly below it — except the v0 identity
+    * record — physically deleted. As-of reads below the floor fail
+    * loudly at resolution (the same retention-bounded time-travel
+    * contract as data-file sweeps); everything at or above the floor
+    * reconstructs exactly as before. Returns the retired versions.
+    */
+  def gcManifests(scope: String, stream: String, keepVersions: Int): Seq[Long] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val versions = listVersions(scope, stream)
+    if (versions.isEmpty)
+      throw new NoSuchStreamException(s"stream $scope/$stream does not exist")
+    val tip = versions.max
+    val cut = tip - keepVersions
+    val curFloor = manifestFloor(scope, stream)
+    // the floor only ever moves up, in checkpoint-interval steps
+    val cv = (cut / checkpointInterval) * checkpointInterval
+    if (cv <= curFloor || cv <= 0) return Nil
+    val inc = streamIncarnation(scope, stream).getOrElse(
+      throw new GraftException(
+        s"gc aborted for $scope/$stream: identity record unreadable"))
+    // the new floor must carry a readable base BEFORE anything is
+    // deleted; a crashed checkpointer's hole is repaired synchronously
+    if (readSidecar(scope, stream, cv, inc).isEmpty) {
+      writeSidecar(getStreamAt(scope, stream, cv))
+      if (readSidecar(scope, stream, cv, inc).isEmpty)
+        throw new GraftException(
+          s"gc aborted for $scope/$stream: could not establish a checkpoint base at v$cv")
+    }
+    writeFloor(scope, stream, ManifestFloor(cv, inc))
+    val retired = versions.filter(v => v > 0 && v < cv).sorted
+    retired.foreach { v =>
+      try fs.delete(manifestPath(scope, stream, v), false)
+      catch { case _: Exception => () } // idempotent: re-run finishes the job
+      if (checkpointEligible(v))
+        try fs.delete(checkpointPath(scope, stream, v), false)
+        catch { case _: Exception => () }
+    }
+    retired
+  }
 
   /** The CURRENT incarnation id of a stream, read from the v0 record —
     * tiny (creation writes files = Nil) and immutable for the life of an
@@ -691,6 +799,12 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     var base: StreamMetadata = null
     var chain: List[ManifestRecord] = Nil
     var v = version
+    // eligible versions whose sidecar the walk found MISSING — the
+    // checkpointer that should have written them crashed. Repaired
+    // below from the replayed states (read-repair), otherwise a
+    // read-mostly stream would replay those deltas on every cold read
+    // forever (no further commits ever heal it).
+    var repair = Set.empty[Long]
     while (base == null) {
       if (cached.exists(_.version == v)) base = cached.get
       else {
@@ -701,13 +815,37 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
         side match {
           case Some(st) => base = st
           case None =>
+            if (checkpointEligible(v)) repair += v
             // a missing/unreadable record at the REQUESTED version is
             // the torn-tip case (CAS winner crashed mid-write) — throw
             // as-is for the caller's retry/fall-back-one-version loop
             val rec =
               if (v == version) readRecord(scope, stream, v)
-              else readChainRecord(scope, stream, v, version)
-            if (rec.kind == ManifestRecord.Full) base = rec.meta
+              else try readChainRecord(scope, stream, v, version)
+              catch {
+                case e: ManifestChainBrokenException =>
+                  // the record may be GC-RETIRED rather than corrupt:
+                  // the floor marker's sidecar is then the mandated
+                  // base — checked by the FLOOR version, not by this
+                  // instance's checkpointInterval, so a catalog with a
+                  // different interval still reads GC'd streams
+                  val fl = manifestFloor(scope, stream)
+                  val side =
+                    if (fl > v)
+                      incarnation().flatMap(i => readSidecar(scope, stream, fl, i))
+                    else None
+                  side match {
+                    case Some(st) =>
+                      base = st
+                      // records at or below the floor are already folded
+                      // into the sidecar state
+                      chain = chain.dropWhile(_.meta.version <= st.version)
+                      null
+                    case None => throw e
+                  }
+              }
+            if (base != null) ()
+            else if (rec.kind == ManifestRecord.Full) base = rec.meta
             else {
               require(v > 0, s"delta record at version 0 of $scope/$stream")
               chain ::= rec
@@ -716,7 +854,11 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
         }
       }
     }
-    val state = chain.foldLeft(base)(applyDelta)
+    val state = chain.foldLeft(base) { (st, rec) =>
+      val next = applyDelta(st, rec)
+      if (repair.contains(next.version)) scheduleCheckpoint(next)
+      next
+    }
     cacheForward(key, state)
     state
   }

@@ -64,13 +64,18 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   // ------------------------------------------------------------- manifest io
 
   private def manifestPath(v: Long) = new Path(metaDir, f"manifest-$v%012d.json")
+  // name deliberately outside the `manifest-*` pattern (invisible to the
+  // version listing): records the GC retention floor, see gcManifests
+  private def floorFilePath = new Path(metaDir, "floor.json")
+
+  private def listedVersions(): Seq[Long] =
+    try fs.listStatus(metaDir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-") =>
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
+    catch { case _: FileNotFoundException => Seq.empty[Long] }
 
   private def latest(): KvManifest = {
-    val listed =
-      try fs.listStatus(metaDir).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("manifest-") =>
-          n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
-      catch { case _: FileNotFoundException => Seq.empty[Long] }
+    val listed = listedVersions()
     // List-after-write-lag guard (same trick as StreamCatalog
     // .listVersions): the commit chain is dense from 1, so probe
     // exists() past the listed max — an object store's stale LIST can
@@ -310,6 +315,48 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
   def currentVersion: Long = latest().version
 
+  /** The GC retention floor: manifest versions below it are retired.
+    * 0 = never GC'd.
+    */
+  def manifestFloor: Long =
+    try {
+      val in = fs.open(floorFilePath)
+      try (org.json4s.jackson.JsonMethods.parse(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8)) \ "floor")
+        .extract[Long]
+      finally in.close()
+    } catch { case _: Exception => 0L }
+
+  /** Retire manifest history older than `keepVersions` behind the tip —
+    * the KVT side of manifest-log retention (the chain otherwise grows
+    * one file per commit forever). KV manifests are SELF-CONTAINED full
+    * state, so unlike the stream log no checkpoint base is needed: any
+    * retained version reconstructs alone. The floor marker commits
+    * first (crash-safe: a floor claiming more than was deleted only
+    * skips some lag probes), then manifests strictly below it are
+    * deleted. As-of reads (`entriesAt`, SQL `VERSION AS OF`) below the
+    * floor fail loudly at resolution; `deltaSince` and live reads only
+    * ever read the LATEST manifest and are unaffected. Returns the
+    * retired versions.
+    */
+  def gcManifests(keepVersions: Int): Seq[Long] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val m = latest()
+    val cut = m.version - keepVersions
+    if (cut <= manifestFloor || cut <= 0) return Nil
+    val tmp = new Path(metaDir, s"floor.json.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"floor":$cut}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, floorFilePath)) { fs.delete(tmp, false); () }
+    val retired = listedVersions().filter(v => v >= 1 && v < cut).sorted
+    retired.foreach { v =>
+      try fs.delete(manifestPath(v), false)
+      catch { case _: Exception => () } // idempotent: a re-run finishes
+    }
+    retired
+  }
+
   /** Snapshot (time-travel) read: the table as of commit `version`.
     * Every commit writes an immutable `manifest-v` (the same history the
     * delta feed walks), so an as-of read is just latest-version resolution
@@ -381,7 +428,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   def fsck(): Seq[String] = {
     val issues = Seq.newBuilder[String]
     val m = latest()
-    (1L to m.version).foreach { v =>
+    // versions below the GC floor are retired by contract, not holes
+    (math.max(1L, manifestFloor) to m.version).foreach { v =>
       if (!fs.exists(manifestPath(v)))
         issues += s"manifest-chain: missing version $v of ${m.version}"
     }

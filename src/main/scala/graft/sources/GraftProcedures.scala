@@ -36,8 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] = Seq("redact", "compact", "truncate_at", "scale_to",
-    "maintenance", "sweep", "seal", "save_cut", "fsck",
-    "kv_compact", "kv_sweep", "kv_fsck", "bs_fsck", "bs_sweep")
+    "maintenance", "sweep", "seal", "save_cut", "fsck", "gc_manifests",
+    "kv_compact", "kv_sweep", "kv_fsck", "kv_gc_manifests",
+    "bs_fsck", "bs_sweep")
 
   private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
 
@@ -126,6 +127,15 @@ object GraftProcedures {
           val rep = new Maintenance(g).run(str(r, 0), str(r, 1))
           Seq(Seq(rep.sweptTxns.size, rep.reclaimedFiles.size, rep.reclaimedOrphans.size))
         }
+      case "gc_manifests" =>
+        // manifest-log retention: CALL g.system.gc_manifests('s','x', 1000)
+        proc("gc_manifests", ss :+ in("keep_versions", IntegerType), StructType(Seq(
+          StructField("retired", LongType, nullable = false),
+          StructField("floor", LongType, nullable = false)))) { r =>
+          val eng = g
+          val n = eng.catalog.gcManifests(str(r, 0), str(r, 1), r.getInt(2)).size.toLong
+          Seq(Seq(n, eng.catalog.manifestFloor(str(r, 0), str(r, 1))))
+        }
       case "sweep" =>
         proc("sweep", ss :+ in("grace_ms", LongType), StructType(Seq(
           StructField("reclaimed", StringType, nullable = false)))) { r =>
@@ -171,6 +181,14 @@ object GraftProcedures {
           val eng = g
           val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
           Seq(Seq(t.sweepOrphans(r.getLong(2)).size, t.sweepDeletes().size))
+        }
+      case "kv_gc_manifests" =>
+        proc("kv_gc_manifests", kvp :+ in("keep_versions", IntegerType), StructType(Seq(
+          StructField("retired", LongType, nullable = false),
+          StructField("floor", LongType, nullable = false)))) { r =>
+          val eng = g
+          val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
+          Seq(Seq(t.gcManifests(r.getInt(2)).size.toLong, t.manifestFloor))
         }
       case "kv_fsck" =>
         proc("kv_fsck", kvp, StructType(Seq(

@@ -35,9 +35,11 @@ object Fsck {
     val where = s"${meta.scope}/${meta.name}"
     val issues = Seq.newBuilder[Issue]
 
-    // manifest history (delta feed / as-of read dependency)
+    // manifest history (delta feed / as-of read dependency); versions in
+    // (0, floor) are GC-retired by contract, not holes
     val versions = cat.manifestVersions(meta.scope, meta.name).toSet
-    (1L to meta.version).filterNot(versions.contains).foreach(v =>
+    val floor = cat.manifestFloor(meta.scope, meta.name)
+    (1L to meta.version).filterNot(versions.contains).filter(_ >= floor).foreach(v =>
       issues += Issue(where, "manifest-chain", s"missing manifest version $v"))
 
     // file existence + recorded sizes
@@ -169,11 +171,27 @@ object Fsck {
         // surfaces a newer manifest before an older one never reads as
         // corruption here
         val listed = cat.manifestVersions(scope, st)
+        // versions in (0, floor) are GC-retired by contract, not holes;
+        // the floor itself must still carry its base (v0 + the retained
+        // chain reconstruct everything at or above it)
+        val floor = cat.manifestFloor(scope, st)
         val chainIssues =
           if (listed.isEmpty) Seq.empty
-          else (0L to listed.max).filterNot(listed.toSet).map(v =>
-            Issue(s"$scope/$st", "manifest-chain", s"missing manifest version $v"))
-        chainIssues ++ (
+          else (0L to listed.max).filterNot(listed.toSet)
+            .filter(v => v == 0L || v >= floor)
+            .map(v =>
+              Issue(s"$scope/$st", "manifest-chain", s"missing manifest version $v"))
+        // a GC'd stream's oldest retained versions reconstruct from the
+        // floor's checkpoint sidecar — if that base was lost after GC,
+        // they are unreadable: corruption, not retention
+        val floorIssues =
+          if (floor <= 0L) Seq.empty
+          else try { cat.getStreamAt(scope, st, floor); Seq.empty[Issue] }
+          catch {
+            case e: Exception => Seq(Issue(s"$scope/$st", "gc-floor-base",
+              s"floor v$floor does not reconstruct (checkpoint base lost after gc): $e"))
+          }
+        chainIssues ++ floorIssues ++ (
           try checkStream(cat, cat.getStream(scope, st), conf)
           catch {
             case e: Exception =>

@@ -177,6 +177,31 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(t.fsck().exists(_.startsWith("file-missing")))
   }
 
+  test("gcManifests retires as-of history below the floor; live reads unaffected") {
+    val t = fresh(parts = 4)
+    for (i <- 1 to 8) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.currentVersion == 8L)
+    // keep 3 behind tip 8 → floor 5, manifests 1..4 retired
+    assert(t.gcManifests(keepVersions = 3) == Seq(1L, 2L, 3L, 4L))
+    assert(t.manifestFloor == 5L)
+    // live reads, delta feed, point reads: unaffected (latest-only)
+    assert(t.entries().count() == 8L)
+    assert(t.deltaSince(0L).count() == 8L)
+    assert(t.get("k3").map(v => new String(v._1, "UTF-8")).contains("v3"))
+    // retained as-of reads still work; below-floor fails loudly
+    assert(t.entriesAt(5L).count() == 5L)
+    val e = intercept[IllegalArgumentException](t.entriesAt(2L))
+    assert(e.getMessage.contains("no commit 2"), e.getMessage)
+    // fsck sees retention, not corruption
+    assert(t.fsck().isEmpty, t.fsck().mkString("; "))
+    // idempotent/monotone; commits continue normally
+    assert(t.gcManifests(keepVersions = 3).isEmpty)
+    t.put(kv("k9" -> "v9"))
+    assert(t.currentVersion == 9L && t.entries().count() == 9L)
+    // TIMESTAMP AS OF resolution skips retired versions gracefully
+    assert(t.versionAtTime(System.currentTimeMillis() + 1000L).contains(9L))
+  }
+
   test("getAll multiget prunes the scan to the touched buckets") {
     val t = fresh(parts = 8)
     t.put(kv((0 until 400).map(i => s"k$i" -> s"v$i"): _*))

@@ -49,6 +49,38 @@ class GraftProceduresSpec extends AnyFunSuite {
       "only the target key may be scrubbed")
   }
 
+  test("gc_manifests retires stream log history through SQL") {
+    val (g, cat) = fixture() // 3 write batches → tip v3
+    (3 until 20).foreach { i =>
+      g.writeEvents("s", "ev", Seq((s"k$i", i.toLong, s"b$i")).toDF("routingKey", "eventTime", "p")
+        .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload")))
+    }
+    val tip = g.catalog.getStream("s", "ev").version
+    g.catalog.flushCheckpoints()
+    val row = spark.sql(s"CALL $cat.system.gc_manifests('s', 'ev', 2)").head()
+    val floor = row.getLong(1)
+    assert(row.getLong(0) > 0L && floor > 0L && floor <= tip - 2)
+    assert(floor % 16 == 0L, "floor must land on a checkpoint-eligible version")
+    // data reads unaffected; as-of below the floor fails loudly
+    assert(g.readEvents("s", "ev").count() == 300L + 17L)
+    intercept[Exception](g.catalog.getStreamAt("s", "ev", 1L))
+    assert(spark.sql(s"CALL $cat.system.fsck('s')")
+      .select("kind").as[String].head() == "clean")
+  }
+
+  test("kv_gc_manifests retires kv history through SQL") {
+    val (g, cat) = fixture()
+    g.catalog.createKeyValueTable("s", "kt", graft.catalog.KvTableConfig(partitionCount = 4))
+    val t = g.catalog.openKeyValueTable(spark, "s", "kt")
+    for (i <- 1 to 6)
+      t.put(Seq((s"k$i", "", s"v$i")).toDF("pk", "sk", "v")
+        .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    val row = spark.sql(s"CALL $cat.system.kv_gc_manifests('s', 'kt', 2)").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 4L) // 1..3 retired, floor 4
+    assert(t.entries().count() == 6L)
+    assert(spark.sql(s"CALL $cat.system.kv_fsck('s', 'kt')").as[String].head() == "clean")
+  }
+
   test("compact folds the manifest and reports before/after file counts") {
     val (g, cat) = fixture()
     val before = g.catalog.getStream("s", "ev").files.size
