@@ -103,7 +103,7 @@ object Bench {
       // round 10: engine-write rows (fresh stream / registered kvt per run)
       "ds_pipeline_full", "kv_sql_select", "kv_sql_asof", "kv_sql_changes",
       // round 11
-      "kv_sql_timeof")
+      "kv_sql_timeof", "stream_gc_read")
     val coldLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmTimed(name)) {

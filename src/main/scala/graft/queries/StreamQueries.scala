@@ -378,6 +378,52 @@ object StreamQueries {
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
+  /** Manifest-log retention through the driver gate: the events slice
+    * lands in TWENTY separate commits (deep version chain), the async
+    * checkpointer drains, `gcManifests` retires everything below the
+    * floor (which lands on a checkpoint-eligible version whose sidecar
+    * was verified), and a FRESH engine instance — no tip cache, must
+    * plan from the floor's checkpoint base — reads the whole stream
+    * back. The per-key payload chain in engine order must match the
+    * oracle's write-interleaving replay: GC is metadata-only, so one
+    * lost row, scrambled chain or wrong base breaks the hash.
+    */
+  private def gcRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = graft.util.WorkDirs.temp("graft-gcq")
+    val g = new GraftStreams(s, work)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
+    val src = Tables.events(s, dir)
+      .filter($"user_id" < 150)
+      .orderBy($"event_id")
+      .select(
+        $"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"),
+        $"event_id")
+    for (i <- 0 until 20)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 20 === i).drop("event_id"))
+    g.catalog.flushCheckpoints()
+    val retired = g.catalog.gcManifests("q", "ev", keepVersions = 2)
+    require(retired.nonEmpty, "stream_gc_read: GC retired nothing — version chain too short")
+    val g2 = new GraftStreams(s, work) // cold: replans from the GC floor's base
+    g2.readEvents("q", "ev")
+      .select($"routingKey", $"offset",
+        decode($"payload", "UTF-8").cast("long").as("pid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list(struct($"offset", $"pid"))),
+          x => x.getField("pid").cast("string")))).as("chain"))
+      .orderBy($"routingKey")
+  }
+
+  private val gcReadSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 20, event_id)) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
   /** Auto-scale policy arithmetic through the driver gate
     * (AutoScaleProcessor.java:286-302 thresholds + the epoch/lineage
     * model): a 6-segment stream gets hand-injected EWMA rates covering
@@ -2500,6 +2546,7 @@ object StreamQueries {
     ("ev_sql_insert_roundtrip", sqlInsertRoundtrip _, Some(sqlInsertRoundtripSql)),
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
+    ("stream_gc_read", gcRead _, Some(gcReadSql)),
     ("ev_autoscale_policy",  autoscalePolicy _, Some(autoscalePolicySql)),
     ("ev_retention_policy",  retentionPolicy _, Some(retentionPolicySql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),
