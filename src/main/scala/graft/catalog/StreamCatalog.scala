@@ -230,6 +230,42 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     latestVersion(scope, stream).isDefined
 
   def getStream(scope: String, stream: String): StreamMetadata = {
+    // Dense-chain fast path: with a cached tip, the current tip is found
+    // by probing exact keys FORWARD from it — no directory LIST at all.
+    // VersionsBench measured the `_meta` listing dominating EVERY warm
+    // read and commit past ~10^3 chain versions (160 ms/commit at 10^4:
+    // each CAS round trip re-listed the whole chain); exact-key probes
+    // are O(new versions) and, on object stores, read-after-write
+    // consistent where LIST is not. Soundness: the chain is dense and
+    // GC only deletes below the floor marker (written BEFORE deletes),
+    // so a probe walk that stopped at a concurrent-GC hole lands below
+    // the floor read AFTERWARDS — detected, falls back to the LIST
+    // path. reconstruct() itself still validates the cache against the
+    // v0 identity record, so a delete+recreate collision is caught
+    // exactly as on the slow path.
+    tipCache.get((scope, stream)).foreach { c =>
+      if (fs.exists(manifestPath(scope, stream, c.version))) {
+        var max = c.version
+        while (fs.exists(manifestPath(scope, stream, max + 1))) max += 1
+        if (max >= manifestFloor(scope, stream)) {
+          // torn-tip handling mirrors the LIST path: retry the newest
+          // briefly, fall back one version (never below the cached tip,
+          // which reconstructed successfully once already)
+          val candidates = (math.max(c.version, max - 1) to max).reverse
+          for ((v, idx) <- candidates.zipWithIndex) {
+            val retries = if (idx == 0) 20 else 1
+            for (_ <- 1 to retries) {
+              try return reconstruct(scope, stream, v)
+              catch {
+                case e: ManifestChainBrokenException => throw e
+                case _: Exception => Thread.sleep(10)
+              }
+            }
+          }
+          // exhausted: fall through to the LIST path for full semantics
+        }
+      }
+    }
     val versions = listVersions(scope, stream)
     if (versions.isEmpty)
       throw new NoSuchStreamException(s"stream $scope/$stream does not exist")

@@ -41,15 +41,18 @@ class ManifestLogSpec extends AnyFunSuite {
     val (root, c) = fresh(interval = 4)
     c.createScope("s")
     c.createStream("s", "x", StreamConfig(initialSegments = 2))
-    for (i <- 1 to 9)
+    for (i <- 1 to 9) {
       c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      // drain per commit: the checkpointer COALESCES per stream (newest
+      // pending wins), so without a flush a lagging executor would only
+      // write the newest eligible sidecar — this test asserts the
+      // per-version cadence, so keep it in lockstep
+      c.flushCheckpoints()
+    }
     assert(rawKind(root, 0) == ManifestRecord.Full)      // createStream
     // the chain itself never carries O(files) records after v0
     for (v <- 1L to 9L)
       assert(rawKind(root, v) == ManifestRecord.Delta, s"v$v should be delta")
-    // full checkpoints are SIDECARS at the interval cadence, written
-    // after the delta CAS by the async checkpointer
-    c.flushCheckpoints()
     for (v <- Seq(4L, 8L)) {
       val p = Paths.get(root, "s", "x", "_meta", f"checkpoint-$v%012d.json")
       assert(Files.exists(p), s"sidecar for v$v missing")
@@ -254,8 +257,10 @@ class ManifestLogSpec extends AnyFunSuite {
     c.createStream("s", "x", StreamConfig(initialSegments = 1))
     for (i <- 1 to 14) c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
     c.flushCheckpoints()
-    // simulate the checkpointer having crashed at v8's write
-    Files.delete(Paths.get(root, "s", "x", "_meta", f"checkpoint-${8L}%012d.json"))
+    // simulate the checkpointer having crashed at v8's write (under a
+    // lagging shared executor the coalescer may have skipped v8 anyway —
+    // same scenario, so a missing file is fine)
+    Files.deleteIfExists(Paths.get(root, "s", "x", "_meta", f"checkpoint-${8L}%012d.json"))
     val retired = c.gcManifests("s", "x", keepVersions = 5)
     assert(retired == (1L to 7L))
     // the base was re-established synchronously before any delete
