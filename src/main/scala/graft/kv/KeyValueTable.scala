@@ -74,7 +74,33 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
         n.stripPrefix("manifest-").stripSuffix(".json").toLong }.toSeq
     catch { case _: FileNotFoundException => Seq.empty[Long] }
 
+  /** Newest version this instance has SEEN — the probe-forward hint that
+    * keeps warm reads and commits LIST-free (VersionsBench measured the
+    * `_meta` listing at ~150 ms once a chain passes 10^4 versions, paid
+    * by EVERY read and CAS round trip). Only a hint: a stale or retired
+    * value falls back to the listing path, never to a wrong answer.
+    */
+  @volatile private var tipHint: Long = 0L
+
   private def latest(): KvManifest = {
+    // Dense-chain fast path: probe exact keys forward from the hint — no
+    // LIST. Sound because the chain is dense, exact-key reads are
+    // read-after-write consistent on object stores, manifests are
+    // SELF-CONTAINED (whatever version the probe lands on, reading it
+    // yields exactly that version's full state — delete+recreate of the
+    // same name can never mix incarnations), and a probe walk stopped at
+    // a concurrent-GC hole lands below the floor marker (written before
+    // any delete) — detected, falls back to the listing.
+    val hint = tipHint
+    if (hint > 0L && fs.exists(manifestPath(hint))) {
+      var max = hint
+      while (fs.exists(manifestPath(max + 1))) max += 1
+      if (max >= manifestFloor) {
+        val m = readManifest(max)
+        tipHint = max
+        return m
+      }
+    }
     val listed = listedVersions()
     // List-after-write-lag guard (same trick as StreamCatalog
     // .listVersions): the commit chain is dense from 1, so probe
@@ -87,11 +113,17 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // reserved expectedVersion=0 ("must not exist") sentinel
     if (max == 0L) KvManifest(name, partitionCount, 0L, Nil)
     else {
-      val in = fs.open(manifestPath(max))
-      try Serialization.read[KvManifest](
-        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-      finally in.close()
+      val m = readManifest(max)
+      tipHint = max
+      m
     }
+  }
+
+  private def readManifest(v: Long): KvManifest = {
+    val in = fs.open(manifestPath(v))
+    try Serialization.read[KvManifest](
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    finally in.close()
   }
 
   private def commit(m0: KvManifest): KvManifest = {
@@ -102,6 +134,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     val out = graft.catalog.CasFiles.createExclusive(fs, manifestPath(m.version)) // exclusive → CAS
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // the committer's next read-modify-write probes forward from here
+    tipHint = m.version
     m
   }
 

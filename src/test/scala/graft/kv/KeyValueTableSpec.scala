@@ -202,6 +202,26 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(t.versionAtTime(System.currentTimeMillis() + 1000L).contains(9L))
   }
 
+  test("probe-forward tip hint: stale hints fall back; recreates stay exact") {
+    val work = Files.createTempDirectory("graft-kvpf").toString
+    val a = new KeyValueTable(spark, work, "t", 4)
+    for (i <- 1 to 6) a.put(kv(s"k$i" -> s"v$i"))
+    assert(a.currentVersion == 6L) // a's probe hint now points at v6
+    // another actor deletes + recreates the table with a SHORTER chain
+    val p = new org.apache.hadoop.fs.Path(work, "t")
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    val b = new KeyValueTable(spark, work, "t", 4)
+    b.put(kv("x1" -> "y1")); b.put(kv("x2" -> "y2"))
+    // a's hint points at a missing manifest → listing fallback, no ghost
+    assert(a.currentVersion == 2L)
+    assert(a.entries().count() == 2L)
+    // a recreate that REACHES the old hint's version is exact too: KV
+    // manifests are self-contained, so whatever version a probe lands on
+    // reads as precisely that version's state
+    for (i <- 3 to 7) b.put(kv(s"x$i" -> s"y$i"))
+    assert(a.currentVersion == 7L && a.entries().count() == 7L)
+  }
+
   test("getAll multiget prunes the scan to the touched buckets") {
     val t = fresh(parts = 8)
     t.put(kv((0 until 400).map(i => s"k$i" -> s"v$i"): _*))
