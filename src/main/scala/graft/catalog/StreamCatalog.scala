@@ -40,7 +40,13 @@ import java.nio.charset.StandardCharsets
   * its hand-rolled sorted table segments work; here parquet + string keys
   * subsume the layout (SURVEY §2.6 fixed-key row).
   */
-final case class KvTableConfig(partitionCount: Int = 16)
+final case class KvTableConfig(
+    partitionCount: Int = 16,
+    /** Manifest-log retention policy (see StreamConfig.manifestKeepVersions):
+      * applied by `Maintenance.runKvTables` / honored by compaction's
+      * housekeeping. 0 = manual `CALL g.system.kv_gc_manifests` only.
+      */
+    manifestKeepVersions: Int = 0)
 
 /** One committed manifest version on disk — either a FULL record
   * (complete `StreamMetadata`: version 0, pre-upgrade manifests, and the
@@ -120,6 +126,7 @@ object StreamCatalog {
     */
   val DefaultCheckpointInterval: Int = 16
 
+
   /** One shared daemon thread serializes all out-of-band checkpoint
     * writes — sidecars are an optimization (readers fall back to delta
     * replay), so they must never hold up a commit or keep the JVM alive.
@@ -130,6 +137,22 @@ object StreamCatalog {
       t.setDaemon(true)
       t
     })
+
+  /** Per-stream serialization of manifest GC within this JVM. The floor
+    * marker is a rename-replaced file (no CAS on rename exists on any
+    * store), so two UNSERIALIZED gcs with different keepVersions could
+    * interleave floor writes and regress the marker below committed
+    * deletes. In-process races are fully serialized here; across JVMs
+    * the reference's deployment contract applies — retention runs under
+    * bucket OWNERSHIP (one controller owns a stream's periodic jobs,
+    * controller/.../server/bucket/BucketManager.java), mirrored by
+    * running one maintenance owner per stream — and gcManifests
+    * additionally re-checks the floor right before writing, so a raced
+    * marker needs a sub-ms cross-JVM interleaving and self-heals on the
+    * next pass (floors only grow; deletes are idempotent).
+    */
+  private[catalog] val gcLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
 class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configuration(),
@@ -209,8 +232,20 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def createStream(scope: String, stream: String, config: StreamConfig = StreamConfig(),
                    tags: Set[String] = Set.empty): StreamMetadata = {
     require(scopeExists(scope), s"scope $scope does not exist")
-    if (fs.exists(metaPath(scope, stream)))
-      throw new GraftException(s"stream $scope/$stream already exists")
+    if (fs.exists(metaPath(scope, stream))) {
+      // Existence is keyed on the v0 chain record (exact-key probe —
+      // read-after-write consistent; GC always retains v0), NOT on the
+      // _meta dir: a checkpointer on ANOTHER instance racing a
+      // deleteStream can re-materialize _meta containing only a sidecar
+      // (TOCTOU between its manifest-exists guard and the rename).
+      // Such residue is a deleted stream, not a live one — clear it so
+      // the name is creatable again instead of stuck "already exists"
+      // with zero manifests. Two RACING creators are still arbitrated
+      // by the exclusive v0 create below, never by this cleanup.
+      if (fs.exists(manifestPath(scope, stream, 0L)))
+        throw new GraftException(s"stream $scope/$stream already exists")
+      fs.delete(metaPath(scope, stream), true)
+    }
     val now = System.currentTimeMillis()
     val n = config.initialSegments
     val segs = RoutingKeyHash.evenRanges(n).zipWithIndex.map { case (r, i) =>
@@ -245,19 +280,32 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // exactly as on the slow path.
     tipCache.get((scope, stream)).foreach { c =>
       if (fs.exists(manifestPath(scope, stream, c.version))) {
+        // The walk is CAPPED: each probe is one exists() GET, so an
+        // instance whose cache is far behind (idle a day against a
+        // 1-commit/sec stream ≈ 86k missed versions) must not pay one
+        // sequential round trip per missed version — past ~2 checkpoint
+        // intervals of probes, one LIST page is cheaper and the slow
+        // path below already handles arbitrarily deep gaps.
+        val cap = c.version + math.max(2L * checkpointInterval, 8L)
         var max = c.version
-        while (fs.exists(manifestPath(scope, stream, max + 1))) max += 1
-        if (max >= manifestFloor(scope, stream)) {
+        while (max < cap && fs.exists(manifestPath(scope, stream, max + 1))) max += 1
+        if (max < cap && max >= manifestFloor(scope, stream)) {
           // torn-tip handling mirrors the LIST path: retry the newest
           // briefly, fall back one version (never below the cached tip,
-          // which reconstructed successfully once already)
+          // which reconstructed successfully once already). A broken
+          // chain here falls THROUGH to the LIST path rather than
+          // throwing: a probe racing concurrent GC deletes can hit a
+          // same-instant hole that a fresh listing (with the new floor
+          // visible) resolves cleanly — genuine corruption throws the
+          // same exception from the LIST path below.
           val candidates = (math.max(c.version, max - 1) to max).reverse
-          for ((v, idx) <- candidates.zipWithIndex) {
+          var broken = false
+          for ((v, idx) <- candidates.zipWithIndex if !broken) {
             val retries = if (idx == 0) 20 else 1
-            for (_ <- 1 to retries) {
+            for (_ <- 1 to retries if !broken) {
               try return reconstruct(scope, stream, v)
               catch {
-                case e: ManifestChainBrokenException => throw e
+                case _: ManifestChainBrokenException => broken = true
                 case _: Exception => Thread.sleep(10)
               }
             }
@@ -293,7 +341,12 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def listStreams(scope: String): Seq[String] = {
     val p = scopePath(scope)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_meta")))
+    // keyed on the v0 chain record, not the bare _meta dir: a stale
+    // checkpointer racing a delete can leave a _meta holding only a
+    // sidecar — listing that residue would make listStreamsByTag (which
+    // getStream's each listed name) throw on a stream that is GONE
+    else fs.listStatus(p).filter(s => s.isDirectory &&
+        fs.exists(new Path(new Path(s.getPath, "_meta"), f"manifest-${0L}%012d.json")))
       .map(_.getPath.getName).toSeq.sorted
   }
 
@@ -525,6 +578,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       catch {
         // retrying can heal a torn not-yet-written tip, never corruption
         case e: ManifestChainBrokenException => throw e
+        // the version can be RETIRED between the existence check above
+        // and the read (a concurrent gc advancing the floor): that is
+        // the retention miss, not an unreadable manifest
+        case e: FileNotFoundException
+            if !fs.exists(manifestPath(scope, stream, version)) =>
+          throw new NoSuchStreamException(
+            s"version $version of $scope/$stream was garbage-collected mid-read ($e)")
         case e: Exception => last = e; Thread.sleep(10)
       }
     }
@@ -533,30 +593,85 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   }
 
   /** Latest version committed at or before `epochMillis`, for
-    * `TIMESTAMP AS OF`. None if the stream didn't exist yet. Resolves
-    * against the `committedAt` stamp written inside each manifest at CAS
-    * time (mtime fallback only for pre-upgrade manifests), scanning
-    * ascending and keeping the LAST version whose commit time <= t — so
-    * a later version carrying an earlier clock (writer skew) can never
-    * smuggle post-t commits into the answer. A manifest deleted
-    * concurrently (stream dropped mid-scan) is skipped, not fatal.
+    * `TIMESTAMP AS OF`. None if the stream didn't exist yet at t;
+    * [[TruncatedDataException]] if the instant falls inside manifest
+    * history that [[gcManifests]] retired (resolving it to the v0
+    * creation state would silently answer with an EMPTY stream — the
+    * retention contract demands a loud failure instead, exactly like the
+    * KV path). The answer is max{v : stamp(v) <= t} where `stamp` is the
+    * `committedAt` written inside each record at CAS time (mtime
+    * fallback only for pre-upgrade manifests) — a later version carrying
+    * an earlier clock (writer skew) can never smuggle post-t commits in.
+    *
+    * Cost: commit stamps are MONOTONE by construction — every CAS clamps
+    * `committedAt` to at least the previous version's stamp (see
+    * [[writeManifest]]) — so resolution is a pure binary search for the
+    * last stamp <= t: O(log n) record GETs at any retained chain depth,
+    * vs the previous O(n) full-chain scan (a 10^4-version chain paid
+    * 10^4 GETs per time-travel query; VersionsBench `time_resolve_ms`).
+    * A short backward verify-walk absorbs local inversions in chains
+    * whose stamps predate the clamp (mtime-fallback manifests included);
+    * on clamped chains it never takes a step. Concurrent GC/delete
+    * mid-search falls back to one linear pass over what remains.
     */
   def versionAtTime(scope: String, stream: String, epochMillis: Long): Option[Long] = {
-    var best: Option[Long] = None
-    for (v <- manifestVersions(scope, stream)) {
-      try {
-        // record-level read: committedAt rides in every record's `meta`
-        // (delta or full), so resolution never reconstructs file lists
-        val stamp = readRecord(scope, stream, v).meta.committedAt match {
+    val vs = manifestVersions(scope, stream).toIndexedSeq
+    if (vs.isEmpty) return None
+    def stampOf(v: Long): Long = {
+      def once(): Long =
+        readRecord(scope, stream, v).meta.committedAt match {
           case 0L => fs.getFileStatus(manifestPath(scope, stream, v)).getModificationTime
           case t  => t
         }
-        if (stamp <= epochMillis) best = Some(v)
-      } catch {
-        case _: FileNotFoundException => // concurrently removed: skip
+      // a TORN read (CAS winner still streaming bytes — only possible at
+      // the chain tip) reads as "not committed yet": stamp +∞ keeps the
+      // bisection sound and simply excludes the in-flight commit. A
+      // missing file (concurrent gc/delete) propagates for the caller's
+      // linear fallback.
+      for (_ <- 1 to 3) {
+        try return once()
+        catch {
+          case e: FileNotFoundException => throw e
+          case _: Exception => Thread.sleep(5)
+        }
       }
+      Long.MaxValue
     }
-    best
+    def gated(best: Option[Long]): Option[Long] = {
+      val floor = manifestFloor(scope, stream)
+      if (floor > 0L && best.exists(_ < floor))
+        throw new TruncatedDataException(
+          s"stream $scope/$stream history at ${java.time.Instant.ofEpochMilli(epochMillis)} " +
+            s"was garbage-collected (manifest retention floor is version $floor)")
+      best
+    }
+    def linear(): Option[Long] = {
+      var best: Option[Long] = None
+      for (v <- vs) {
+        try if (stampOf(v) <= epochMillis) best = Some(v)
+        catch { case _: FileNotFoundException => } // concurrently removed: skip
+      }
+      gated(best)
+    }
+    try {
+      // first index with stamp > t (stamps ascend with version)
+      var lo = 0
+      var hi = vs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (stampOf(vs(mid)) > epochMillis) hi = mid else lo = mid + 1
+      }
+      // verify-walk for pre-clamp local inversions; 0 steps on clamped
+      // chains (vs(lo-1) was read as <= t by the search itself)
+      var i = lo - 1
+      while (i >= 0 && stampOf(vs(i)) > epochMillis) i -= 1
+      gated(if (i < 0) None else Some(vs(i)))
+    } catch {
+      // a version retired by concurrent GC (or the stream dropped) mid-
+      // search breaks the bisection invariants — re-resolve linearly
+      // over whatever the compensated listing now returns
+      case _: FileNotFoundException => linear()
+    }
   }
 
   private def listVersions(scope: String, stream: String): Seq[Long] = {
@@ -681,6 +796,16 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, dst)) fs.delete(tmp, false): Unit
+      // the guard above is check-then-act: a concurrent deleteStream on
+      // ANOTHER instance can finish between it and the rename, leaving
+      // the rename to resurrect _meta with only this sidecar inside.
+      // Re-verify after the rename and self-delete the orphan sidecar
+      // (deleting ONLY the file, never the dir — a concurrent recreate
+      // may already own _meta again). A residual v0-less _meta dir is
+      // additionally tolerated everywhere: createStream clears it,
+      // listStreams skips it.
+      if (!fs.exists(manifestPath(meta.scope, meta.name, meta.version)))
+        fs.delete(dst, false): Unit
     } catch { case _: Exception => () }
 
   /** Pending checkpoint states, coalesced per stream: if commits outrun
@@ -728,7 +853,19 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val out = fs.create(tmp, true)
     try out.write(Serialization.write(f).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+    // rename-onto-existing is NOT portable: POSIX replaces, HDFS-semantics
+    // stores (incl. Hive's proxy local FS) return false — which would
+    // silently pin the floor at its FIRST value forever while deletes
+    // keep advancing (exactly the divergence GcRaceSpec caught). Replace
+    // via delete+rename on those stores: floor writes are serialized per
+    // stream (gcLocks), so the missing-marker window is a microsecond
+    // single-writer seam; readers treat a missing floor as 0 (extra lag
+    // probes, loud-retry reads — never a silently wrong answer) and the
+    // next gc pass rewrites it.
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+    }
   }
 
   /** Retire manifest history older than `keepVersions` behind the tip —
@@ -746,6 +883,13 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     */
   def gcManifests(scope: String, stream: String, keepVersions: Int): Seq[Long] = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    val lock = StreamCatalog.gcLocks.computeIfAbsent(
+      s"$root#$scope/$stream", _ => new Object)
+    lock.synchronized { gcManifestsLocked(scope, stream, keepVersions) }
+  }
+
+  private def gcManifestsLocked(scope: String, stream: String,
+                                keepVersions: Int): Seq[Long] = {
     val versions = listVersions(scope, stream)
     if (versions.isEmpty)
       throw new NoSuchStreamException(s"stream $scope/$stream does not exist")
@@ -759,21 +903,36 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       throw new GraftException(
         s"gc aborted for $scope/$stream: identity record unreadable"))
     // the new floor must carry a readable base BEFORE anything is
-    // deleted; a crashed checkpointer's hole is repaired synchronously
+    // deleted; a crashed checkpointer's hole is repaired synchronously.
+    // A CONCURRENT gc with a larger cut may retire cv itself mid-flight —
+    // that is supersession, not failure: their floor covers ours.
     if (readSidecar(scope, stream, cv, inc).isEmpty) {
-      writeSidecar(getStreamAt(scope, stream, cv))
-      if (readSidecar(scope, stream, cv, inc).isEmpty)
+      try writeSidecar(getStreamAt(scope, stream, cv))
+      catch { case _: NoSuchStreamException => }
+      if (readSidecar(scope, stream, cv, inc).isEmpty) {
+        if (manifestFloor(scope, stream) >= cv) return Nil // superseded
         throw new GraftException(
           s"gc aborted for $scope/$stream: could not establish a checkpoint base at v$cv")
+      }
     }
+    // floors only move UP: re-check right before the marker write so a
+    // slower gc racing a larger-cut gc cannot regress the floor (a
+    // regression would turn the winner's deletes into phantom listing
+    // holes until the next pass heals it)
+    if (manifestFloor(scope, stream) >= cv) return Nil
     writeFloor(scope, stream, ManifestFloor(cv, inc))
     val retired = versions.filter(v => v > 0 && v < cv).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(scope, stream, v), false)
       catch { case _: Exception => () } // idempotent: re-run finishes the job
-      if (checkpointEligible(v))
-        try fs.delete(checkpointPath(scope, stream, v), false)
-        catch { case _: Exception => () }
+      // UNCONDITIONAL sidecar delete (a no-op when absent): eligibility
+      // is a per-instance notion — a catalog configured with a different
+      // checkpointInterval may have written sidecars at versions THIS
+      // instance considers ineligible, and those are invisible to
+      // listVersions, so gating the delete on this instance's interval
+      // would leak them below the floor forever.
+      try fs.delete(checkpointPath(scope, stream, v), false)
+      catch { case _: Exception => () }
     }
     retired
   }
@@ -866,6 +1025,14 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
                   // instance's checkpointInterval, so a catalog with a
                   // different interval still reads GC'd streams
                   val fl = manifestFloor(scope, stream)
+                  // a floor ABOVE the requested version means the
+                  // request itself was retired (a concurrent gc overtook
+                  // this walk): the retention miss, never the floor
+                  // state masquerading as the requested version
+                  if (fl > version)
+                    throw new NoSuchStreamException(
+                      s"version $version of $scope/$stream was garbage-collected " +
+                        s"mid-read (manifest retention floor is now $fl)")
                   val side =
                     if (fl > v)
                       incarnation().flatMap(i => readSidecar(scope, stream, fl, i))
@@ -928,10 +1095,20 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
                             prev: Option[StreamMetadata]): StreamMetadata = {
     // commit time is stamped INSIDE the manifest at CAS time — the
     // TIMESTAMP AS OF authority (file mtimes are unreliable: coarse
-    // granularity / writer clock skew can order them against versions).
+    // granularity / writer clock skew can order them against versions) —
+    // and CLAMPED to never precede the previous version's stamp: the CAS
+    // serializes commits and every committer reconstructs the previous
+    // state first, so the clamp costs nothing and makes the stamp
+    // sequence monotone BY CONSTRUCTION even across skewed writer clocks
+    // (a commit sequenced after a post-t commit can never be pre-t in
+    // any consistent timeline). Monotone stamps are what let
+    // versionAtTime resolve by pure binary search — O(log n) record GETs
+    // at any chain depth (VersionsBench `time_resolve_ms`).
     // The incarnation id is force-carried from the previous version so no
     // update closure can accidentally drop or rewrite the stream identity.
-    val meta = meta0.copy(committedAt = System.currentTimeMillis(),
+    val meta = meta0.copy(
+      committedAt = prev.fold(System.currentTimeMillis())(p =>
+        math.max(System.currentTimeMillis(), p.committedAt)),
       incarnation = prev.map(_.incarnation).getOrElse(meta0.incarnation))
     val rec = prev match {
       case Some(p) =>
@@ -972,11 +1149,21 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
     val path = manifestPath(meta.scope, meta.name, meta.version)
     fs.mkdirs(path.getParent)
-    // overwrite=false → exclusive create; the CAS.
+    // overwrite=false → exclusive create; the CAS. One retry on a
+    // vanished parent: createStream's residue cleanup (a _meta dir with
+    // no v0 record) can race the nanoseconds between our mkdirs and the
+    // exclusive create — re-mkdir and go again; arbitration is still the
+    // exclusive create itself.
+    val bytes = Serialization.write(rec).getBytes(StandardCharsets.UTF_8)
     var out: OutputStream = null
     try {
-      out = CasFiles.createExclusive(fs, path)
-      out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
+      out = try CasFiles.createExclusive(fs, path)
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: FileNotFoundException =>
+          fs.mkdirs(path.getParent)
+          CasFiles.createExclusive(fs, path)
+      }
+      out.write(bytes)
     } finally if (out != null) out.close()
     // seed the cache with what was just committed: the writer's next
     // read-modify-write round trip touches only the tip record

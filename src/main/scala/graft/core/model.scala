@@ -103,7 +103,18 @@ final case class StreamConfig(
     scaleFactor: Int = 2,
     minSegments: Int = 1,
     retentionMillis: Long = 0L, // 0 = infinite
-    retentionMaxRows: Long = 0L)
+    retentionMaxRows: Long = 0L,
+    /** Manifest-LOG retention policy: keep at most this many versions of
+      * chain history behind the tip; older records are retired by the
+      * maintenance pass (`StreamCatalog.gcManifests`) on the same cadence
+      * as DATA retention — the reference runs both as periodic controller
+      * bucket jobs (controller/.../server/bucket/PeriodicRetention.java:51).
+      * 0 = no policy (manual `CALL g.system.gc_manifests` only). Without
+      * a cadence the chain grows one object per commit forever (a
+      * 1-commit/sec stream is 3×10^7 `_meta` objects/year — the listing
+      * itself becomes the bottleneck, measured by tools.VersionsBench).
+      */
+    manifestKeepVersions: Int = 0)
 
 /** A consistent position across the whole key space:
   * segmentId → row offset (client/.../stream/StreamCut.java). A cut is

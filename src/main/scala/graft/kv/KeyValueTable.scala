@@ -48,6 +48,24 @@ object KeyValueTable {
     * to a broadcast semi-join below the versioning window.
     */
   val ConditionPruneLimit: Int = 1024
+
+  /** Per-table serialization of manifest GC within this JVM (same
+    * rationale as `StreamCatalog.gcLocks`: the floor marker is a
+    * rename-replaced file, so unserialized concurrent gcs could regress
+    * it; cross-JVM the one-retention-owner deployment contract plus the
+    * pre-write re-check apply).
+    */
+  private[kv] val gcLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cap on the probe-forward tip walk: each probe is one exists() GET,
+    * so an instance whose hint is FAR behind (idle against a busy table)
+    * must fall back to one LIST rather than pay a sequential round trip
+    * per missed version. 32 probes ≈ a few LIST pages' worth of latency
+    * — past that the listing wins.
+    */
+  val ProbeWalkCap: Int = 32
+
 }
 
 class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
@@ -93,9 +111,13 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // any delete) — detected, falls back to the listing.
     val hint = tipHint
     if (hint > 0L && fs.exists(manifestPath(hint))) {
+      // capped walk: a hint that is ProbeWalkCap+ versions behind falls
+      // back to the listing (one LIST beats thousands of serial GETs;
+      // the worst case otherwise inverts the warm-path optimization)
+      val cap = hint + KeyValueTable.ProbeWalkCap
       var max = hint
-      while (fs.exists(manifestPath(max + 1))) max += 1
-      if (max >= manifestFloor) {
+      while (max < cap && fs.exists(manifestPath(max + 1))) max += 1
+      if (max < cap && max >= manifestFloor) {
         val m = readManifest(max)
         tipHint = max
         return m
@@ -126,10 +148,16 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     finally in.close()
   }
 
-  private def commit(m0: KvManifest): KvManifest = {
+  private def commit(m0: KvManifest, prevCommittedAt: Long): KvManifest = {
     // commit time stamped INSIDE the manifest at CAS time (file mtimes
-    // are unreliable across stores) — the TIMESTAMP AS OF authority
-    val m = m0.copy(committedAt = System.currentTimeMillis())
+    // are unreliable across stores) — the TIMESTAMP AS OF authority —
+    // and CLAMPED to never precede the previous commit's stamp: the CAS
+    // serializes commits, so the sequence is monotone by construction
+    // even across skewed writer clocks, which is what lets versionAtTime
+    // resolve by pure binary search (same contract as
+    // StreamCatalog.writeManifest)
+    val m = m0.copy(committedAt =
+      math.max(System.currentTimeMillis(), prevCommittedAt))
     fs.mkdirs(metaDir)
     val out = graft.catalog.CasFiles.createExclusive(fs, manifestPath(m.version)) // exclusive → CAS
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
@@ -202,7 +230,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
       try {
         commit(m.copy(version = commitVersion,
-          files = m.files :+ KvFile(deltaDir.toString, "delta", commitVersion)))
+          files = m.files :+ KvFile(deltaDir.toString, "delta", commitVersion)),
+          m.committedAt)
         return commitVersion
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
@@ -375,14 +404,30 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     */
   def gcManifests(keepVersions: Int): Seq[Long] = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    val lock = KeyValueTable.gcLocks.computeIfAbsent(
+      tableDir.toString, _ => new Object)
+    lock.synchronized { gcManifestsLocked(keepVersions) }
+  }
+
+  private def gcManifestsLocked(keepVersions: Int): Seq[Long] = {
     val m = latest()
     val cut = m.version - keepVersions
     if (cut <= manifestFloor || cut <= 0) return Nil
+    // floors only move up: re-read right before the marker write so a
+    // slower gc racing a larger-cut concurrent gc cannot regress it
+    if (manifestFloor >= cut) return Nil
     val tmp = new Path(metaDir, s"floor.json.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(s"""{"floor":$cut}""".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, floorFilePath)) { fs.delete(tmp, false); () }
+    // portable replace: HDFS-semantics stores refuse rename onto an
+    // existing key (POSIX replaces) — without the delete+rename fallback
+    // the floor would silently pin at its first value while deletes
+    // advance (see StreamCatalog.writeFloor; serialized by gcLocks)
+    if (!fs.rename(tmp, floorFilePath)) {
+      fs.delete(floorFilePath, false)
+      if (!fs.rename(tmp, floorFilePath)) { fs.delete(tmp, false); () }
+    }
     val retired = listedVersions().filter(v => v >= 1 && v < cut).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(v), false)
@@ -409,24 +454,77 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
   /** Latest commit version stamped at or before `epochMillis` — the
     * `TIMESTAMP AS OF` resolution surface, mirroring
-    * `StreamCatalog.versionAtTime`: scan ascending, keep the LAST
-    * version whose commit stamp <= t (so clock skew between racing
+    * `StreamCatalog.versionAtTime`: the answer is max{v : stamp(v) <= t}
+    * (ascending-scan-keep-last semantics — clock skew between racing
     * committers can never smuggle post-t commits in), mtime fallback for
-    * pre-upgrade manifests. O(versions) small-manifest reads, bounded by
-    * table history.
+    * pre-upgrade manifests. None if the table had no commit yet at t;
+    * throws [[graft.core.TruncatedDataException]] when the instant falls
+    * inside GC-retired history (floor > 0 and nothing retained
+    * qualifies) — the retention contract fails loudly instead of
+    * guessing.
+    *
+    * Cost: commit stamps are MONOTONE by construction (every CAS clamps
+    * the stamp to at least the previous commit's — see [[commit]]), so
+    * resolution is a pure binary search over the RETAINED range
+    * [max(1,floor), tip]: O(log n) manifest GETs, and retired versions
+    * are never probed at all (the old linear scan paid one exists miss
+    * plus an exception per retired version). A short backward
+    * verify-walk absorbs local inversions in pre-clamp history; on
+    * clamped chains it never takes a step.
     */
   def versionAtTime(epochMillis: Long): Option[Long] = {
-    var best: Option[Long] = None
-    for (v <- 1L to latest().version) {
-      try {
-        val m = manifestAt(Some(v))
-        val stamp =
-          if (m.committedAt != 0L) m.committedAt
-          else fs.getFileStatus(manifestPath(v)).getModificationTime
-        if (stamp <= epochMillis) best = Some(v)
-      } catch { case _: Exception => } // concurrently removed: skip
+    val floor = manifestFloor
+    val tip = latest().version
+    val lo0 = math.max(1L, floor)
+    def gated(best: Option[Long]): Option[Long] = {
+      if (best.isEmpty && floor > 0L)
+        throw new graft.core.TruncatedDataException(
+          s"kv table $name history at ${java.time.Instant.ofEpochMilli(epochMillis)} " +
+            s"was garbage-collected (manifest retention floor is version $floor)")
+      best
     }
-    best
+    if (tip < lo0) return gated(None)
+    def stampOf(v: Long): Long = {
+      def once(): Long = {
+        val m = readManifest(v)
+        if (m.committedAt != 0L) m.committedAt
+        else fs.getFileStatus(manifestPath(v)).getModificationTime
+      }
+      // torn read at the chain tip (CAS winner mid-write) = "not
+      // committed yet": +∞ keeps the bisection sound; a missing file
+      // (concurrent gc) propagates for the linear fallback
+      for (_ <- 1 to 3) {
+        try return once()
+        catch {
+          case e: java.io.FileNotFoundException => throw e
+          case _: Exception => Thread.sleep(5)
+        }
+      }
+      Long.MaxValue
+    }
+    def linear(): Option[Long] = {
+      var best: Option[Long] = None
+      for (v <- lo0 to tip) {
+        try if (stampOf(v) <= epochMillis) best = Some(v)
+        catch { case _: Exception => } // concurrently removed: skip
+      }
+      gated(best)
+    }
+    try {
+      var lo = lo0
+      var hi = tip + 1 // first version with stamp > t, or tip+1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (stampOf(mid) > epochMillis) hi = mid else lo = mid + 1
+      }
+      var v = lo - 1
+      while (v >= lo0 && stampOf(v) > epochMillis) v -= 1
+      gated(if (v < lo0) None else Some(v))
+    } catch {
+      // concurrent GC (floor moved) or drop mid-search: one linear pass
+      // over what remains keeps the old skip-on-missing semantics
+      case _: FileNotFoundException => linear()
+    }
   }
 
   /** The committed manifest at `version` (None = latest) — the planning
@@ -439,8 +537,12 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     case Some(v) =>
       val p = manifestPath(v)
       if (!fs.exists(p))
+        // deliberately no latest() in the message: resolving the tip
+        // costs a probe walk/LIST, and error paths (e.g. probing retired
+        // versions) must stay O(1) — the floor covers the common cause
         throw new IllegalArgumentException(
-          s"kv table $name has no commit $v (latest ${latest().version})")
+          s"kv table $name has no commit $v" +
+            (if (manifestFloor > 0L) s" (versions below ${manifestFloor} are GC-retired)" else ""))
       val in = fs.open(p)
       try Serialization.read[KvManifest](
         new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
@@ -521,7 +623,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       val deadline = System.currentTimeMillis() + deleteGraceMillis
       commit(KvManifest(name, partitionCount, m.version + 1,
         Seq(KvFile(baseDir.toString, "base", m.version)),
-        m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline))))
+        m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline))),
+        m.committedAt)
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
         fs.delete(baseDir, true)
@@ -544,7 +647,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       .filter(p => scala.util.Try(fs.delete(new Path(p), true)).getOrElse(false))
       .toSet
     try commit(m.copy(version = m.version + 1,
-      pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path))))
+      pendingDeletes = m.pendingDeletes.filterNot(p => donePaths.contains(p.path))),
+      m.committedAt)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
         () // lost the CAS: files are gone, tombstones clear on a later sweep

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{array, element_at, expr, least, lit}
+import org.apache.spark.sql.functions.{array, call_function, element_at, expr, least, lit}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Z-ORDER (Morton-curve) clustering — the multi-dimensional data-skipping
@@ -66,8 +66,14 @@ object ZOrderLayout {
     require(zSpan >= numFiles, s"zSpan $zSpan smaller than numFiles $numFiles")
     val binW = (zSpan + numFiles - 1) / numFiles
     // z < zSpan (doc contract) => bin <= (zSpan-1)/binW <= numFiles-1;
-    // least() clamps defensively for out-of-contract values.
-    val bin = least((z.cast("long") / binW).cast("int"), lit(numFiles - 1))
+    // least() clamps defensively for out-of-contract values. INTEGRAL
+    // division (`div`, the same IntegralDivide the interleave uses):
+    // `/` coerces to double, and past 2^52 (bits > 26 for the 2-D
+    // interleave) double precision can misplace boundary rows into the
+    // neighboring bin, breaking the equal-width file-rectangle guarantee.
+    val bin = least(
+      call_function("div", z.cast("long"), lit(binW)).cast("int"),
+      lit(numFiles - 1))
     // Invert Spark's partitioner: smallest non-negative int per target
     // partition with pmod(murmur3(v, 42), numFiles) == partition. Seed 42
     // and hashInt match Catalyst's Murmur3Hash over IntegerType.

@@ -379,19 +379,21 @@ object StreamQueries {
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
   /** Manifest-log retention through the driver gate: the events slice
-    * lands in TWENTY separate commits (deep version chain), the async
-    * checkpointer drains, `gcManifests` retires everything below the
-    * floor (which lands on a checkpoint-eligible version whose sidecar
-    * was verified), and a FRESH engine instance — no tip cache, must
-    * plan from the floor's checkpoint base — reads the whole stream
-    * back. The per-key payload chain in engine order must match the
-    * oracle's write-interleaving replay: GC is metadata-only, so one
-    * lost row, scrambled chain or wrong base breaks the hash.
+    * lands in TWELVE separate commits (deep version chain — 12 exercises
+    * exactly the same floor/replay logic as more would, at ~60% of the
+    * fixture cost), the async checkpointer drains, `gcManifests` retires
+    * everything below the floor (which lands on a checkpoint-eligible
+    * version whose sidecar was verified), and a FRESH engine instance —
+    * no tip cache, must plan from the floor's checkpoint base — reads
+    * the whole stream back. The per-key payload chain in engine order
+    * must match the oracle's write-interleaving replay: GC is
+    * metadata-only, so one lost row, scrambled chain or wrong base
+    * breaks the hash.
     */
   private def gcRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val work = graft.util.WorkDirs.temp("graft-gcq")
-    val g = new GraftStreams(s, work)
+    val g = new GraftStreams(s, work, checkpointInterval = 8)
     g.catalog.createScope("q")
     g.catalog.createStream("q", "ev", StreamConfig(initialSegments = 4))
     val src = Tables.events(s, dir)
@@ -402,12 +404,12 @@ object StreamQueries {
         $"event_id".as("eventTime"),
         encode($"event_id".cast("string"), "UTF-8").as("payload"),
         $"event_id")
-    for (i <- 0 until 20)
-      g.writeEvents("q", "ev", src.filter($"event_id" % 20 === i).drop("event_id"))
+    for (i <- 0 until 12)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 12 === i).drop("event_id"))
     g.catalog.flushCheckpoints()
     val retired = g.catalog.gcManifests("q", "ev", keepVersions = 2)
     require(retired.nonEmpty, "stream_gc_read: GC retired nothing — version chain too short")
-    val g2 = new GraftStreams(s, work) // cold: replans from the GC floor's base
+    val g2 = new GraftStreams(s, work, checkpointInterval = 8) // cold: replans from the GC floor's base
     g2.readEvents("q", "ev")
       .select($"routingKey", $"offset",
         decode($"payload", "UTF-8").cast("long").as("pid"))
@@ -420,7 +422,67 @@ object StreamQueries {
 
   private val gcReadSql =
     """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
-      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 20, event_id)) AS chain
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 12, event_id)) AS chain
+      |FROM events WHERE user_id < 150
+      |GROUP BY user_id ORDER BY routingKey""".stripMargin
+
+  /** POLICY-driven manifest-log retention through the driver gate (the
+    * reference runs retention as periodic controller bucket jobs,
+    * controller/.../server/bucket/PeriodicRetention.java:51 — here the
+    * `manifestKeepVersions` StreamConfig knob applied by the maintenance
+    * pass): phase A lands in 10 commits, a maintenance pass retires
+    * history under the policy, phase B lands in 8 more, a SECOND pass
+    * advances the floor again, and a fresh engine instance reads the
+    * whole stream back through the floor's checkpoint base. The result
+    * carries the per-key payload chain (hash-matched against the
+    * oracle's write-interleaving replay) plus the observed floor
+    * progression as constant columns — floor monotonicity and both
+    * retire events are part of the hash.
+    */
+  private def maintenanceGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = graft.util.WorkDirs.temp("graft-mgcq")
+    val g = new GraftStreams(s, work, checkpointInterval = 4)
+    g.catalog.createScope("q")
+    g.catalog.createStream("q", "ev",
+      StreamConfig(initialSegments = 4, manifestKeepVersions = 4))
+    val src = Tables.events(s, dir)
+      .filter($"user_id" < 150)
+      .orderBy($"event_id")
+      .select(
+        $"user_id".cast("string").as("routingKey"),
+        $"event_id".as("eventTime"),
+        encode($"event_id".cast("string"), "UTF-8").as("payload"),
+        $"event_id")
+    val maint = new graft.storage.Maintenance(g, compactMinFiles = 9999)
+    for (i <- 0 until 10)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 18 === i).drop("event_id"))
+    val r1 = maint.run("q", "ev")
+    val floor1 = g.catalog.manifestFloor("q", "ev")
+    for (i <- 10 until 18)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 18 === i).drop("event_id"))
+    val r2 = maint.run("q", "ev")
+    val floor2 = g.catalog.manifestFloor("q", "ev")
+    require(r1.retiredManifests.nonEmpty && r2.retiredManifests.nonEmpty,
+      s"ev_maintenance_gc: policy retired nothing (${r1.retiredManifests.size}/${r2.retiredManifests.size})")
+    val g2 = new GraftStreams(s, work, checkpointInterval = 4) // cold read through the floor base
+    g2.readEvents("q", "ev")
+      .select($"routingKey", $"offset",
+        decode($"payload", "UTF-8").cast("long").as("pid"))
+      .groupBy($"routingKey")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", transform(array_sort(collect_list(struct($"offset", $"pid"))),
+          x => x.getField("pid").cast("string")))).as("chain"))
+      .withColumn("retired_twice",
+        lit(if (r1.retiredManifests.nonEmpty && r2.retiredManifests.nonEmpty) 1L else 0L))
+      .withColumn("floor_advanced", lit(if (floor2 > floor1 && floor1 > 0L) 1L else 0L))
+      .orderBy($"routingKey")
+  }
+
+  private val maintenanceGcSql =
+    """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 18, event_id)) AS chain,
+      |  CAST(1 AS BIGINT) AS retired_twice, CAST(1 AS BIGINT) AS floor_advanced
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin
 
@@ -2547,6 +2609,7 @@ object StreamQueries {
     ("ev_multistream",       multiStream _,  Some(multiStreamSql)),
     ("stream_compacted_roundtrip", compactedRoundtrip _, Some(compactedRoundtripSql)),
     ("stream_gc_read", gcRead _, Some(gcReadSql)),
+    ("ev_maintenance_gc", maintenanceGc _, Some(maintenanceGcSql)),
     ("ev_autoscale_policy",  autoscalePolicy _, Some(autoscalePolicySql)),
     ("ev_retention_policy",  retentionPolicy _, Some(retentionPolicySql)),
     ("stream_txn_roundtrip", txnRoundtrip _, Some(txnRoundtripSql)),

@@ -118,11 +118,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     val scope = scopeOf(ident.namespace())
     if (!cat.streamExists(scope, ident.name())) {
       if (cat.keyValueTableExists(scope, ident.name())) {
-        // fail at resolution, not scan — mirrors the stream path
-        new graft.kv.KeyValueTable(org.apache.spark.sql.SparkSession.active,
-          new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(rootDir, scope), "_kvt").toString,
-          ident.name()).manifestAt(Some(v))
+        // fail at resolution, not scan — mirrors the stream path. Opened
+        // through the catalog so the PERSISTED partitionCount rides
+        // along (a default-layout instance on a non-default table would
+        // silently mis-bucket any layout-dependent call).
+        cat.openKeyValueTable(org.apache.spark.sql.SparkSession.active,
+          scope, ident.name()).manifestAt(Some(v))
         return loadKvTable(scope, ident.name(), Some(v))
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -145,10 +146,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     val scope = scopeOf(ident.namespace())
     if (!cat.streamExists(scope, ident.name())) {
       if (cat.keyValueTableExists(scope, ident.name())) {
-        val kvt = new graft.kv.KeyValueTable(org.apache.spark.sql.SparkSession.active,
-          new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(rootDir, scope), "_kvt").toString,
-          ident.name())
+        val kvt = cat.openKeyValueTable(
+          org.apache.spark.sql.SparkSession.active, scope, ident.name())
         val v = kvt.versionAtTime(timestamp / 1000L).getOrElse(
           throw new IllegalArgumentException(
             s"kv table $scope/${ident.name()} has no commit at or before " +
@@ -256,13 +255,16 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
         case "retentionmaxrows" =>
           val v = longOr(key, value, defaults.retentionMaxRows)
           st: State => (st._1.copy(retentionMaxRows = v), st._2)
+        case "manifestkeepversions" =>
+          val v = intOr(key, value, defaults.manifestKeepVersions)
+          st: State => (st._1.copy(manifestKeepVersions = v), st._2)
         case "initialsegments" => throw new UnsupportedOperationException(
           "initialSegments describes creation-time layout and is immutable " +
             "(scaling changes the live segment count)")
         case other => throw new UnsupportedOperationException(
           s"unknown graft stream property '$other' — settable: tags, " +
             "targetRatePerSegment, scaleFactor, minSegments, " +
-            "retentionMillis, retentionMaxRows")
+            "retentionMillis, retentionMaxRows, manifestKeepVersions")
       }
     }
     cat.update(scope, stream) { m =>

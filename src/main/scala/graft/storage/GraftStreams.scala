@@ -28,8 +28,10 @@ import java.util.UUID
   * (segmentId long, offset long, routingKey string, eventTime long,
   *  processingTime timestamp, payload binary).
   */
-class GraftStreams(val spark: SparkSession, val rootDir: String) {
-  val catalog = new StreamCatalog(rootDir, spark.sessionState.newHadoopConf())
+class GraftStreams(val spark: SparkSession, val rootDir: String,
+                   checkpointInterval: Int = graft.catalog.StreamCatalog.DefaultCheckpointInterval) {
+  val catalog = new StreamCatalog(rootDir, spark.sessionState.newHadoopConf(),
+    checkpointInterval)
 
   import spark.implicits._
 

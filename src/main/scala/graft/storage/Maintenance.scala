@@ -31,7 +31,11 @@ class Maintenance(g: GraftStreams,
       filesAfter: Int,
       reclaimedFiles: Seq[String],
       reclaimedOrphans: Seq[String],
-      watermarkEmitted: Boolean)
+      watermarkEmitted: Boolean,
+      /** Manifest-log versions retired this pass under the stream's
+        * `manifestKeepVersions` policy (empty when the policy is off).
+        */
+      retiredManifests: Seq[Long] = Nil)
 
   def run(scope: String, stream: String,
           now: Long = System.currentTimeMillis()): Report = {
@@ -46,10 +50,36 @@ class Maintenance(g: GraftStreams,
     // PeriodicWatermarking analog: one watermark record per pass, feeding
     // per-reader TimeWindow interpolation
     val wm = g.emitWatermark(scope, stream).isDefined
-    Report(sweptTxns, truncated, scaled, before, after, reclaimed, orphans, wm)
+    // manifest-LOG retention on the same cadence as data retention
+    // (PeriodicRetention.java:51 runs both as bucket jobs). Policy-gated:
+    // 0 keeps manual CALL gc_manifests semantics. The sidecar the floor
+    // needs is verified (read-repaired) inside gcManifests itself; a
+    // drain first so a just-scheduled checkpoint can serve as the base.
+    val keep = g.catalog.getStream(scope, stream).config.manifestKeepVersions
+    val retiredLog =
+      if (keep <= 0) Nil
+      else {
+        g.catalog.flushCheckpoints()
+        g.catalog.gcManifests(scope, stream, keep)
+      }
+    Report(sweptTxns, truncated, scaled, before, after, reclaimed, orphans, wm,
+      retiredLog)
   }
 
   /** Maintenance across every stream of a scope. */
   def runScope(scope: String, now: Long = System.currentTimeMillis()): Map[String, Report] =
     g.catalog.listStreams(scope).map(st => st -> run(scope, st, now)).toMap
+
+  /** Manifest-log retention across a scope's KEY-VALUE tables, honoring
+    * each table's persisted `manifestKeepVersions` (the KVT side of the
+    * periodic-retention plane; KV manifests are self-contained, so no
+    * checkpoint base is involved). Returns retired versions per table.
+    */
+  def runKvTables(scope: String): Map[String, Seq[Long]] =
+    g.catalog.listKeyValueTables(scope).flatMap { name =>
+      val keep = g.catalog.getKeyValueTableConfig(scope, name).manifestKeepVersions
+      if (keep <= 0) None
+      else Some(name -> g.catalog.openKeyValueTable(g.spark, scope, name)
+        .gcManifests(keep))
+    }.toMap
 }

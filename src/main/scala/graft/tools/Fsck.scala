@@ -151,11 +151,14 @@ object Fsck {
     issues.result()
   }
 
-  def checkRoot(rootDir: String, onlyScope: Option[String] = None): Seq[Issue] = {
-    // the active session's Hadoop conf (credentials, custom fs.* impls)
-    // when there is one; a bare Configuration otherwise (CLI use)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
+  def checkRoot(rootDir: String, onlyScope: Option[String] = None,
+                hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Issue] = {
+    // an explicit conf wins (embedded use against a store the session
+    // doesn't know); else the active session's Hadoop conf (credentials,
+    // custom fs.* impls); a bare Configuration otherwise (CLI use)
+    val conf = hadoopConf.orElse(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf()))
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val cat = new StreamCatalog(rootDir, conf)
     val scopes = onlyScope.map(Seq(_)).getOrElse(cat.listScopes())

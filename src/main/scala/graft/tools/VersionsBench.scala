@@ -43,14 +43,37 @@ object VersionsBench {
       }
       val (objs0, cold0, warm0) = (metaObjects, coldRead, timed(cat.getStream("b", "s"): Unit))
       val commit0 = timed(cat.update("b", "s")(m => m.copy(tags = Set("x"))): Unit)
+      // STALE-CACHE read: an instance whose cached tip is the WHOLE CHAIN
+      // behind (primed at v0, tip now n) — the capped probe walk must
+      // abandon to the LIST path instead of paying one exists() GET per
+      // missed version (one probe per version inverts the warm-path win:
+      // ~n sequential round trips on an object store)
+      val staleCat = {
+        val c = new StreamCatalog(work)
+        c.getStreamAt("b", "s", 0L): Unit // caches v0 as its tip
+        c
+      }
+      val stale0 = timed(staleCat.getStream("b", "s"): Unit)
+      // TIMESTAMP AS OF at half the chain: skew-banded bisection vs the
+      // old full-chain scan (O(n) record GETs at depth n)
+      val tMid = {
+        val half = cat.getStreamAt("b", "s", n / 2L)
+        if (half.committedAt != 0L) half.committedAt else System.currentTimeMillis()
+      }
+      val resolve0 = timed(cat.versionAtTime("b", "s", tMid): Unit)
       val retired = cat.gcManifests("b", "s", keepVersions = 64).size
       val (objs1, cold1, warm1) = (metaObjects, coldRead, timed(cat.getStream("b", "s"): Unit))
       val commit1 = timed(cat.update("b", "s")(m => m.copy(tags = Set("y"))): Unit)
+      val resolve1 = timed(
+        try cat.versionAtTime("b", "s", System.currentTimeMillis()): Unit
+        catch { case _: graft.core.TruncatedDataException => () })
       def f(v: Double) = f"$v%.2f"
       println(s"""{"versions":$n,"meta_objects":$objs0,"cold_read_ms":${f(cold0)},""" +
-        s""""warm_read_ms":${f(warm0)},"commit_ms":${f(commit0)},"gc_retired":$retired,""" +
+        s""""warm_read_ms":${f(warm0)},"commit_ms":${f(commit0)},""" +
+        s""""stale_cache_read_ms":${f(stale0)},"time_resolve_ms":${f(resolve0)},"gc_retired":$retired,""" +
         s""""meta_objects_after_gc":$objs1,"cold_read_ms_after_gc":${f(cold1)},""" +
-        s""""warm_read_ms_after_gc":${f(warm1)},"commit_ms_after_gc":${f(commit1)}}""")
+        s""""warm_read_ms_after_gc":${f(warm1)},"commit_ms_after_gc":${f(commit1)},""" +
+        s""""time_resolve_ms_after_gc":${f(resolve1)}}""")
       def rm(p: java.io.File): Unit = {
         val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete(): Unit
       }

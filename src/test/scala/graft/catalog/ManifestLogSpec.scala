@@ -282,4 +282,212 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(c.versionAtTime("s", "x", mid).contains(v1.version))
     assert(c.versionAtTime("s", "x", System.currentTimeMillis() + 1000L).contains(v1.version + 1))
   }
+
+  test("TIMESTAMP AS OF binary search: every boundary of a deep chain") {
+    val (_, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    // burst commits: consecutive stamps tie at millisecond granularity
+    // (the commit-time clamp guarantees they never invert) — the
+    // bisection must return max{v : stamp(v) <= t} exactly, ties and all
+    val states = (1 to 50).map(i => c.update("s", "x")(m => m.copy(files = m.files :+ fe(i))))
+    for (st <- states) {
+      val expected = states.filter(_.committedAt <= st.committedAt).map(_.version).max
+      assert(c.versionAtTime("s", "x", st.committedAt).contains(expected),
+        s"instant ${st.committedAt} (stamp of v${st.version}) should resolve to v$expected")
+    }
+    // before creation → None
+    val v0Stamp = c.getStreamAt("s", "x", 0L).committedAt
+    assert(c.versionAtTime("s", "x", v0Stamp - 1L).isEmpty)
+    // far future → tip
+    assert(c.versionAtTime("s", "x", Long.MaxValue / 2).contains(50L))
+  }
+
+  test("TIMESTAMP AS OF inside GC-retired history fails loudly") {
+    val (_, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    val early = (1 to 6).map(i => c.update("s", "x")(m => m.copy(files = m.files :+ fe(i))))
+    Thread.sleep(10)
+    val retiredInstant = System.currentTimeMillis()
+    Thread.sleep(10)
+    for (i <- 7 to 20) c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 4).nonEmpty)
+    val floor = c.manifestFloor("s", "x")
+    assert(floor > 6L)
+    // an instant that WOULD have resolved below the floor must not
+    // silently resolve to the v0 creation state (an empty stream)
+    assertThrows[TruncatedDataException](
+      c.versionAtTime("s", "x", retiredInstant))
+    assertThrows[TruncatedDataException](
+      c.versionAtTime("s", "x", early.last.committedAt))
+    // before creation is still None (the stream didn't exist — that is
+    // not retention), and retained history still resolves normally
+    assert(c.versionAtTime("s", "x", c.getStreamAt("s", "x", 0L).committedAt - 1L).isEmpty)
+    assert(c.versionAtTime("s", "x", System.currentTimeMillis() + 1000L).contains(20L))
+    // the floor's own stamp resolves INSIDE retained history (ties with
+    // later same-millisecond commits allowed — max qualifying version)
+    val atFloor = c.getStreamAt("s", "x", floor)
+    val expected = (floor to 20L)
+      .filter(v => c.getStreamAt("s", "x", v).committedAt <= atFloor.committedAt).max
+    assert(c.versionAtTime("s", "x", atFloor.committedAt).contains(expected))
+  }
+
+  test("stale cached tip: capped probe walk falls back to the LIST path") {
+    val (root, a) = fresh(interval = 4)
+    a.createScope("s")
+    a.createStream("s", "x", StreamConfig(initialSegments = 1))
+    a.getStream("s", "x") // A caches tip v0
+    // another instance advances the chain FAR past A's cache (>> 2×interval)
+    val b = new StreamCatalog(root, checkpointInterval = 4)
+    for (i <- 1 to 40) b.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    // A's capped walk must abandon probing and still serve the true tip
+    val seen = a.getStream("s", "x")
+    assert(seen.version == 40L && seen.files.size == 40)
+    // …and after the fallback repaired the cache, the next read is warm
+    b.update("s", "x")(m => m.copy(files = m.files :+ fe(41)))
+    assert(a.getStream("s", "x").version == 41L)
+  }
+
+  test("capped walk engages the LIST fallback instead of per-version probes") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.cntfs.impl", classOf[CountingOsFs].getName)
+    val dir = Files.createTempDirectory("graft-mlog-cnt").toString
+    val root = "cntfs://" + dir
+    val a = new StreamCatalog(root, conf, checkpointInterval = 4)
+    a.createScope("s")
+    a.createStream("s", "x", StreamConfig(initialSegments = 1))
+    a.getStream("s", "x") // A caches tip v0
+    val b = new StreamCatalog(root, conf, checkpointInterval = 4)
+    for (i <- 1 to 200) b.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    b.flushCheckpoints()
+    val s0 = CountingOsFs.statusCalls.get()
+    val l0 = CountingOsFs.listCalls.get()
+    val seen = a.getStream("s", "x")
+    val probes = CountingOsFs.statusCalls.get() - s0
+    val lists = CountingOsFs.listCalls.get() - l0
+    assert(seen.version == 200L && seen.files.size == 200)
+    // without the cap this read pays ~201 sequential exists() GETs; the
+    // capped walk stops at 2×interval and takes ONE listing instead
+    assert(lists >= 1, "LIST fallback did not engage")
+    assert(probes <= 40L, s"stale-cache read made $probes point GETs (walk not capped)")
+    // steady state is untouched: the repaired cache makes the next read
+    // LIST-free again
+    b.update("s", "x")(m => m.copy(files = m.files :+ fe(201)))
+    val l1 = CountingOsFs.listCalls.get()
+    assert(a.getStream("s", "x").version == 201L)
+    assert(CountingOsFs.listCalls.get() == l1, "warm read re-listed _meta")
+  }
+
+  // the TOCTOU seams around deleteStream vs an in-flight checkpointer on
+  // ANOTHER instance (same-instance drains are covered by deleteStream
+  // itself). Parameterized over both FS contracts.
+  for (contract <- Seq("local", "objectstore")) {
+    def freshRoot(tag: String): (String, org.apache.hadoop.conf.Configuration) = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      if (contract == "objectstore")
+        conf.set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
+      val dir = Files.createTempDirectory(s"graft-mlog-$tag-$contract").toString
+      (if (contract == "objectstore") "oscas://" + dir else dir, conf)
+    }
+
+    test(s"[$contract] a v0-less _meta residue is not a stream: create/list recover") {
+      val (root, conf) = freshRoot("residue")
+      val a = new StreamCatalog(root, conf, checkpointInterval = 4)
+      a.createScope("s")
+      a.createStream("s", "x", StreamConfig(initialSegments = 1))
+      for (i <- 1 to 4) a.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      a.flushCheckpoints()
+      a.sealStream("s", "x")
+      a.deleteStream("s", "x")
+      // manufacture the worst-case residue a raced checkpointer can
+      // leave: _meta holding ONLY a sidecar, no chain records at all
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val meta = new org.apache.hadoop.fs.Path(s"$root/s/x/_meta")
+      fs.mkdirs(meta)
+      val side = new org.apache.hadoop.fs.Path(meta, f"checkpoint-${4L}%012d.json")
+      val out = fs.create(side, true)
+      out.write("{}".getBytes("UTF-8")); out.close()
+      // the residue is invisible to listings (so listStreamsByTag can't
+      // trip over it) and does not block re-creation of the name
+      val b = new StreamCatalog(root, conf, checkpointInterval = 4)
+      assert(!b.listStreams("s").contains("x"))
+      assert(b.listStreamsByTag("s", "t").isEmpty)
+      val recreated = b.createStream("s", "x", StreamConfig(initialSegments = 2))
+      assert(recreated.version == 0L && recreated.segments.size == 2)
+      assert(b.listStreams("s") == Seq("x"))
+      // the dead incarnation's sidecar must not shadow the new chain
+      assert(b.getStream("s", "x").incarnation == recreated.incarnation)
+      for (i <- 1 to 5) b.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      assert(new StreamCatalog(root, conf, checkpointInterval = 4)
+        .getStream("s", "x").files.size == 5)
+    }
+
+    test(s"[$contract] a remote instance's queued checkpointer races deleteStream") {
+      // IN-PROCESS, deleteStream's flushCheckpoints drains the shared
+      // executor, so the race only exists across JVMs — simulated here
+      // by a direct recursive delete (what a remote deleteStream's
+      // fs.delete looks like to THIS JVM) while a repair sits gated in
+      // the local checkpointer queue.
+      val (root, conf) = freshRoot("ckptrace")
+      val a = new StreamCatalog(root, conf, checkpointInterval = 4)
+      a.createScope("s")
+      a.createStream("s", "x", StreamConfig(initialSegments = 1))
+      for (i <- 1 to 8) a.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      a.flushCheckpoints()
+      // instance B queues a read-repair sidecar write for v8 — hold the
+      // shared checkpointer thread on a latch so the write is provably
+      // IN THE QUEUE while the stream is deleted under it
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/s/x/_meta", f"checkpoint-${8L}%012d.json"), false)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      StreamCatalog.ckptExec.submit(new Runnable { override def run(): Unit = gate.await() })
+      val b = new StreamCatalog(root, conf, checkpointInterval = 4)
+      assert(b.getStream("s", "x").version == 8L) // queues the v8 repair behind the gate
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/s/x"), true) // "remote" deleteStream
+      gate.countDown()
+      b.flushCheckpoints() // B's queued write now runs against a deleted stream
+      // whatever the interleaving left behind, the name must be fully
+      // recoverable: invisible to listings, reported nonexistent, and
+      // creatable again
+      val c2 = new StreamCatalog(root, conf, checkpointInterval = 4)
+      assert(!c2.listStreams("s").contains("x"))
+      assert(c2.listStreamsByTag("s", "t").isEmpty)
+      val recreated = c2.createStream("s", "x", StreamConfig(initialSegments = 1))
+      assert(recreated.version == 0L)
+      assert(c2.getStream("s", "x").incarnation == recreated.incarnation)
+      // B (stale cache, dead incarnation) converges on the new stream too
+      assert(b.getStream("s", "x").incarnation == recreated.incarnation)
+    }
+  }
+}
+
+/** Instrumented object-store contract FS: counts point-status probes and
+  * listings so specs can assert HOW a read resolved (probe walk vs LIST
+  * fallback), not only what it returned. Separate scheme (`cntfs`) keeps
+  * the counters isolated from parallel suites using `oscas`.
+  */
+class CountingOsFs extends graft.storage.LaggedObjectStoreFs {
+  override def getScheme: String = "cntfs"
+  override def getUri: java.net.URI = java.net.URI.create("cntfs:///")
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    // RawLocalFileSystem.listStatus materializes each child through
+    // getFileStatus — those are part of the ONE listing round trip on a
+    // real store, not extra point GETs, so don't double-count them
+    if (!CountingOsFs.inList.get()) CountingOsFs.statusCalls.incrementAndGet()
+    super.getFileStatus(f)
+  }
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingOsFs.listCalls.incrementAndGet()
+    CountingOsFs.inList.set(true)
+    try super.listStatus(f) finally CountingOsFs.inList.set(false)
+  }
+}
+
+object CountingOsFs {
+  val statusCalls = new java.util.concurrent.atomic.AtomicLong()
+  val listCalls = new java.util.concurrent.atomic.AtomicLong()
+  val inList: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

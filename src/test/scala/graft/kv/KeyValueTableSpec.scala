@@ -299,6 +299,56 @@ class KeyValueTableSpec extends AnyFunSuite {
     ()
   }
 
+  test("versionAtTime: bisection matches linear semantics at every boundary") {
+    val t = fresh(parts = 2)
+    val stamps = (1 to 10).map { i =>
+      t.put(kv(s"k$i" -> s"v$i"))
+      Thread.sleep(3)
+      // read the stamp back from the manifest (the resolution authority)
+      System.currentTimeMillis()
+    }
+    // an instant just after commit i resolves to version i (max stamp <= t)
+    for ((after, i) <- stamps.zipWithIndex)
+      assert(t.versionAtTime(after).contains(i + 1L), s"instant after v${i + 1}")
+    // before the first commit → None (no retention in play)
+    assert(t.versionAtTime(1L).isEmpty)
+  }
+
+  test("versionAtTime inside GC-retired history fails loudly; retained scan skips the floor") {
+    val t = fresh(parts = 2)
+    for (i <- 1 to 4) { t.put(kv(s"k$i" -> s"v$i")); Thread.sleep(3) }
+    val retiredInstant = System.currentTimeMillis()
+    Thread.sleep(3)
+    for (i <- 5 to 9) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.gcManifests(keepVersions = 3) == (1L to 5L))
+    assert(t.manifestFloor == 6L)
+    // t falls inside retired history → loud retention failure, never a
+    // silent resolve to some wrong retained version
+    assertThrows[graft.core.TruncatedDataException](t.versionAtTime(retiredInstant))
+    // …and an instant BEFORE the table existed is indistinguishable from
+    // retired history once a floor exists — also loud (documented)
+    assertThrows[graft.core.TruncatedDataException](t.versionAtTime(1L))
+    // retained instants resolve exactly as before
+    assert(t.versionAtTime(System.currentTimeMillis() + 1000L).contains(9L))
+  }
+
+  test("capped probe walk: a far-behind hint falls back to the listing") {
+    val work = Files.createTempDirectory("graft-kvcap").toString
+    val a = new KeyValueTable(spark, work, "t", 2)
+    a.put(kv("seed" -> "1"))
+    assert(a.currentVersion == 1L) // a's hint: v1
+    // another instance advances the chain PAST the probe cap
+    val b = new KeyValueTable(spark, work, "t", 2)
+    val gap = KeyValueTable.ProbeWalkCap + 8
+    for (i <- 1 to gap) b.put(kv(s"k$i" -> s"v$i"))
+    // a's capped walk abandons probing, takes the listing, serves the tip
+    assert(a.currentVersion == 1L + gap)
+    assert(a.entries().count() == 1L + gap)
+    // hint repaired: the next read stays on the fast path
+    b.put(kv("zz" -> "tail"))
+    assert(a.currentVersion == 2L + gap)
+  }
+
   test("stream -> KV materialized view via foreachBatch (latest value per key)") {
     // the reference pairing of streams and table segments: a stream of
     // events folded into a keyed table, exactly-once per micro-batch

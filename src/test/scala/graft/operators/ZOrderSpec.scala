@@ -115,4 +115,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(a.forall { case (mnx, mxx, mny, mxy) =>
       mnx / 64 == mxx / 64 && mny / 64 == mxy / 64 })
   }
+
+  test("binning is exact past double precision (bits > 26)") {
+    // bits = 31 → zSpan = 4^31 = 2^62, binW = 2^60 for 4 files. Double
+    // division rounds (2^60 - 1) / 2^60 to 1.0, misplacing the last row
+    // of bin 0 into bin 1; integral DIV must keep every boundary exact.
+    val numFiles = 4
+    val zSpan = 1L << 62
+    val binW = (zSpan + numFiles - 1) / numFiles // 2^60
+    val cases = spark.range(1).select(
+      lit(binW - 1L).as("z0"),      // last value of bin 0
+      lit(binW).as("z1"),           // first value of bin 1
+      lit(2L * binW - 1L).as("z2"), // last value of bin 1
+      lit(zSpan - 1L).as("z3"))     // last value of the whole curve
+    val r = cases.select(
+      (for (c <- Seq("z0", "z1", "z2", "z3")) yield
+        least(call_function("div", col(c), lit(binW)).cast("int"),
+          lit(numFiles - 1)).as(c)): _*).head()
+    assert(r.getInt(0) == 0, s"bin(binW-1) = ${r.getInt(0)} (double rounding)")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 3)
+    // and the double-division shape really IS wrong here (the regression
+    // this guards against): (binW-1)/binW rounds up to bin 1
+    val bad = cases.select((col("z0").cast("long") / binW).cast("int")).head().getInt(0)
+    assert(bad == 1, "double division unexpectedly exact — test premise broken")
+  }
 }

@@ -93,6 +93,53 @@ class CompactionSpec extends AnyFunSuite {
     assert(g.readEvents("s", "m").count() == liveRows)
   }
 
+  test("maintenance applies manifestKeepVersions: floor advances across passes") {
+    val g = new GraftStreams(spark, Files.createTempDirectory("graft-mgc").toString)
+    g.catalog.createScope("s")
+    // policy ON: keep 6 versions of manifest history behind the tip
+    g.catalog.createStream("s", "m",
+      StreamConfig(initialSegments = 1, manifestKeepVersions = 6))
+    def commits(n: Int, tag: String): Unit = (0 until n).foreach { i =>
+      g.writeEvents("s", "m", spark.range(20).select(
+        concat(lit("k"), col("id") % 3).as("routingKey"),
+        (lit(1704067200000L) + col("id")).as("eventTime"),
+        encode(concat(lit(s"$tag$i-"), col("id")), "UTF-8").as("payload")))
+    }
+    // the floor lands on checkpoint-eligible versions (default interval
+    // 16), so the chain must outgrow keep + interval before gc can act
+    commits(24, "a")
+    val maint = new Maintenance(g, compactMinFiles = 9999) // isolate log GC
+    val r1 = maint.run("s", "m")
+    assert(r1.retiredManifests.nonEmpty, "policy-driven gc retired nothing")
+    val floor1 = g.catalog.manifestFloor("s", "m")
+    assert(floor1 > 0L)
+    // data reads are untouched by log retention
+    assert(g.readEvents("s", "m").count() == 480L)
+    // more commits → the NEXT pass advances the floor (periodic cadence)
+    commits(24, "b")
+    val r2 = maint.run("s", "m")
+    assert(r2.retiredManifests.nonEmpty && r2.retiredManifests.head >= floor1)
+    val floor2 = g.catalog.manifestFloor("s", "m")
+    assert(floor2 > floor1, s"floor did not advance: $floor1 -> $floor2")
+    // a FRESH engine instance reads through the floor's checkpoint base
+    val g2 = new GraftStreams(spark, g.rootDir)
+    assert(g2.readEvents("s", "m").count() == 960L)
+    // policy OFF (the default) never gcs from the maintenance pass
+    g.catalog.createStream("s", "off", StreamConfig(initialSegments = 1))
+    (0 until 8).foreach { _ => g.catalog.update("s", "off")(m => m.copy(tags = m.tags)) }
+    val rOff = maint.run("s", "off")
+    assert(rOff.retiredManifests.isEmpty && g.catalog.manifestFloor("s", "off") == 0L)
+    // KVT side: per-table persisted policy, applied by runKvTables
+    g.catalog.createKeyValueTable("s", "kvgc",
+      graft.catalog.KvTableConfig(partitionCount = 2, manifestKeepVersions = 3))
+    val t = g.catalog.openKeyValueTable(spark, "s", "kvgc")
+    (1 to 8).foreach(i => t.put(Seq((s"k$i", "", s"v$i".getBytes("UTF-8")))
+      .toDF("pk", "sk", "value")))
+    val kvRetired = maint.runKvTables("s")
+    assert(kvRetired("kvgc") == (1L to 4L), s"kv retired ${kvRetired.get("kvgc")}")
+    assert(t.manifestFloor == 5L && t.entries().count() == 8L)
+  }
+
   test("compaction merges files, preserves rows/offsets/cuts, survives truncation") {
     val g = new GraftStreams(spark, Files.createTempDirectory("graft-comp").toString)
     g.catalog.createScope("s")
