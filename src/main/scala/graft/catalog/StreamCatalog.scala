@@ -714,7 +714,37 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     var next = if (listed.isEmpty) 0L else listed.max + 1
     val extra = Seq.newBuilder[Long]
     while (fs.exists(manifestPath(scope, stream, next))) { extra += next; next += 1 }
-    listed ++ holes ++ extra.result()
+    val found = listed ++ holes ++ extra.result()
+    // GC + list-lag double-blind (GcRaceSpec caught it live): after
+    // gcManifests retires (0, floor) the probe-past-max walk from a
+    // stale listing dies at the FIRST retired version — if the lag
+    // window additionally hides every retained manifest (floor..tip all
+    // younger than the lag), the listing collapses to {0} and getStream
+    // would silently reconstruct the EMPTY v0 creation state. The floor
+    // marker is the recovery base: its version is retained by the gc
+    // contract (base verified before the marker, marker before deletes,
+    // floors only move up), so probing forward FROM the floor always
+    // rediscovers the chain. One exact-key floor GET per listing; the
+    // re-read loop absorbs a gc advancing the floor mid-probe (each
+    // retry strictly increases the floor, so it terminates).
+    val maxFound = found.foldLeft(0L)(math.max)
+    var fromFloor = Seq.empty[Long]
+    var fl = manifestFloor(scope, stream)
+    var prevFl = -1L
+    while (fromFloor.isEmpty && fl > maxFound && fl != prevFl) {
+      var n2 = fl
+      val b = Seq.newBuilder[Long]
+      while (fs.exists(manifestPath(scope, stream, n2))) { b += n2; n2 += 1 }
+      fromFloor = b.result()
+      prevFl = fl
+      if (fromFloor.isEmpty) fl = manifestFloor(scope, stream)
+    }
+    if (fromFloor.isEmpty && fl > maxFound)
+      throw new ManifestChainBrokenException(
+        s"stream $scope/$stream: retention floor $fl names a retained " +
+          s"chain but no manifest at or above it is readable (max found " +
+          s"$maxFound) — concurrent delete or storage corruption")
+    found ++ fromFloor
   }
 
   private def latestVersion(scope: String, stream: String): Option[Long] = {
@@ -861,7 +891,12 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // stream (gcLocks), so the missing-marker window is a microsecond
     // single-writer seam; readers treat a missing floor as 0 (extra lag
     // probes, loud-retry reads — never a silently wrong answer) and the
-    // next gc pass rewrites it.
+    // next gc pass rewrites it. Residual corner: listVersions' floor-
+    // probe recovery (gc + list-lag double-blind) has no base during
+    // this window, so it would serve the stale pre-gc listing — bounded
+    // by the same microsecond and healed by the marker landing; the
+    // POSIX/object-store rename path (atomic replace) has no window at
+    // all.
     if (!fs.rename(tmp, dst)) {
       fs.delete(dst, false)
       if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }

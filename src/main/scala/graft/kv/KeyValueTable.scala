@@ -130,6 +130,29 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // never hide a committed manifest from the next reader/committer.
     var max = if (listed.isEmpty) 0L else listed.max
     while (fs.exists(manifestPath(max + 1))) max += 1
+    // GC + list-lag double-blind (GcRaceSpec caught the stream twin
+    // live): gcManifests retires [1, floor) and the probe walk above
+    // dies at the first retired version — if the lag window also hides
+    // every RETAINED manifest from the listing, max lands at 0 and the
+    // table would silently read as EMPTY. The floor marker is the
+    // recovery base (retained by contract: marker before deletes,
+    // floors only move up) — probe forward from it; re-read the floor
+    // if a concurrent gc advanced it mid-probe (strictly increasing,
+    // so the loop terminates; a floor file deleted by deleteTable reads
+    // as 0 and falls through).
+    var fl = manifestFloor
+    var prevFl = -1L
+    while (max < fl && fl != prevFl) {
+      var n2 = fl
+      while (fs.exists(manifestPath(n2))) { max = n2; n2 += 1 }
+      prevFl = fl
+      if (max < fl) fl = manifestFloor
+    }
+    if (max < fl)
+      throw new GraftException(
+        s"kv $name: retention floor $fl names a retained chain but no " +
+          s"manifest at or above it is readable (max found $max) — " +
+          "concurrent delete or storage corruption")
     // empty table = version 0, so the FIRST commit is version 1: entry
     // versions stay strictly positive and can never collide with the
     // reserved expectedVersion=0 ("must not exist") sentinel
@@ -563,7 +586,12 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
 
   def fsck(): Seq[String] = {
     val issues = Seq.newBuilder[String]
-    val m = latest()
+    // a floor naming an unreachable retained chain throws loudly in
+    // latest() (never a silent empty-table answer) — fsck's job is to
+    // REPORT that state, not crash on it
+    val m =
+      try latest()
+      catch { case e: GraftException => return Seq(s"gc-floor-base: ${e.getMessage}") }
     // versions below the GC floor are retired by contract, not holes
     (math.max(1L, manifestFloor) to m.version).foreach { v =>
       if (!fs.exists(manifestPath(v)))

@@ -173,7 +173,12 @@ object Fsck {
         // a direct exists() probe), so an object-store listing that
         // surfaces a newer manifest before an older one never reads as
         // corruption here
-        val listed = cat.manifestVersions(scope, st)
+        // a floor naming an unreachable retained chain throws loudly in
+        // listVersions (never a silent empty answer) — fsck's job is to
+        // REPORT that state, so catch and classify it here
+        val listed =
+          try cat.manifestVersions(scope, st)
+          catch { case _: graft.core.ManifestChainBrokenException => Seq.empty[Long] }
         // versions in (0, floor) are GC-retired by contract, not holes;
         // the floor itself must still carry its base (v0 + the retained
         // chain reconstruct everything at or above it)

@@ -70,30 +70,52 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(name: String, dir: String): Double = {
+    // A loud saturation guard TRIPPING is a valid scale datapoint, not a
+    // bench crash: dedup_prefix_join's plan-time candidate ceiling fires
+    // by design once ScaleGen replication saturates the sandbox's 31-word
+    // shingle space (qualifying pairs are inherently quadratic there —
+    // DedupOps.MaxPrefixCandidates). Record the time-to-trip (the guard
+    // is one map-combined aggregate, so IT must stay ~linear even where
+    // the join it protects would not) and flag the row `guard`.
+    def timed(name: String, dir: String): (Double, Boolean) = {
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, dir).count() // cold: codegen + AQE compile
-      val t0 = System.nanoTime()
-      fn(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val tripped =
+          try { fn(spark, dir).count(); false }
+          catch {
+            case e: IllegalArgumentException
+                if String.valueOf(e.getMessage).contains("candidate estimate") => true
+          }
+        ((System.nanoTime() - t0) / 1e9, tripped)
+      }
+      once() // cold: codegen + AQE compile (or a first guard evaluation)
+      once()
     }
 
     def fmt(v: Double): String = f"$v%.2f"
     val rows = subset.map { name =>
-      val tb = timed(name, base)
-      val ts = timed(name, scaled)
+      val (tb, gb) = timed(name, base)
+      val (ts, gs) = timed(name, scaled)
       val g = ts / math.max(tb, 1e-9)
-      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss scaled=${fmt(ts)}%6ss growth=${g}%5.1fx")
-      (name, tb, ts, g)
+      val mark = (gb, gs) match {
+        case (true, true) => " [guard tripped at BOTH scales]"
+        case (_, true)    => " [guard tripped at scaled]"
+        case (true, _)    => " [guard tripped at base]"
+        case _            => ""
+      }
+      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
+      (name, tb, ts, g, gb || gs)
     }
-    val qs = rows.map { case (n, tb, ts, g) =>
+    val qs = rows.map { case (n, tb, ts, g, guard) =>
       "\"" + n + "\":{\"base\":" + fmt(tb) + ",\"scaled\":" + fmt(ts) +
-        ",\"growth\":" + fmt(g) + "}"
+        ",\"growth\":" + fmt(g) + (if (guard) ",\"guard\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
     println(s"""{"metric":"scale_growth","k":$k,"n_queries":${rows.size},""" +
       s""""base_total":${fmt(rows.map(_._2).sum)},"scaled_total":${fmt(rows.map(_._3).sum)},""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""guard_tripped":${rows.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")},""" +
       s""""queries":$qs}""")
     spark.stop()
   }

@@ -461,6 +461,71 @@ class ManifestLogSpec extends AnyFunSuite {
       assert(b.getStream("s", "x").incarnation == recreated.incarnation)
     }
   }
+
+  // GC + list-lag DOUBLE-BLIND (GcRaceSpec caught it live; this is the
+  // deterministic pin): gcManifests retires (0, floor) while the lag
+  // window still hides every RETAINED manifest from listings, so a fresh
+  // instance's listing collapses to {manifest-0} — probe-past-max dies at
+  // the first retired version and, before the floor-probe recovery,
+  // getStream silently reconstructed the EMPTY v0 creation state. The
+  // floor marker is the recovery base: retained by the gc contract
+  // (base verified → marker written → deletes), so probing forward from
+  // it always rediscovers the chain.
+  test("gc + list-lag double-blind: fresh instance recovers the chain from the floor") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
+    val dir = Files.createTempDirectory("graft-mlog-blind").toString
+    val root = "oscas://" + dir
+    val prev = graft.storage.LaggedObjectStoreFs.lagMs
+    try {
+      val a = new StreamCatalog(root, conf, checkpointInterval = 4)
+      a.createScope("s")
+      a.createStream("s", "x", StreamConfig(initialSegments = 1))
+      for (i <- 1 to 10) a.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      // every FURTHER manifest stays invisible to LIST for an hour —
+      // exact-key reads stay consistent (the object-store contract)
+      graft.storage.LaggedObjectStoreFs.lagMs = 3600000L
+      for (i <- 11 to 14) a.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+      a.flushCheckpoints()
+      // tip 14, keep 2 → cut 12 → floor v12: the whole retained chain
+      // [12..14] sits inside the lag window, (0, 12) is deleted
+      assert(a.gcManifests("s", "x", keepVersions = 2) == (1L to 11L))
+      assert(a.manifestFloor("s", "x") == 12L)
+
+      val b = new StreamCatalog(root, conf, checkpointInterval = 4)
+      val tip = b.getStream("s", "x")
+      assert(tip.version == 14L && tip.files.size == 14,
+        s"fresh instance resolved v${tip.version}/${tip.files.size} files — " +
+          "the empty-creation-state answer is the bug this pins")
+      assert(b.manifestVersions("s", "x") == (0L +: (12L to 14L)))
+      for (v <- 12L to 14L)
+        assert(b.getStreamAt("s", "x", v).files.size == v.toInt, s"as-of v$v")
+      // commits keep extending the recovered chain
+      assert(b.update("s", "x")(m =>
+        m.copy(files = m.files :+ fe(99))).version == 15L)
+    } finally graft.storage.LaggedObjectStoreFs.lagMs = prev
+  }
+
+  // …and when the floor names a retained chain that is GENUINELY gone
+  // (not lag-hidden), resolution must fail loudly — the silent
+  // alternative is answering with the empty v0 creation state — while
+  // Fsck reports the state instead of crashing on it.
+  test("floor with no readable retained chain: loud failure; fsck classifies") {
+    val (root, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    for (i <- 1 to 14) c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 5).nonEmpty)
+    assert(c.manifestFloor("s", "x") == 8L)
+    // storage loses the ENTIRE retained chain (v0 + floor marker survive)
+    for (v <- 8L to 14L)
+      Files.deleteIfExists(Paths.get(root, "s", "x", "_meta", f"manifest-$v%012d.json"))
+    val c2 = new StreamCatalog(root, checkpointInterval = 4)
+    assertThrows[ManifestChainBrokenException](c2.getStream("s", "x"))
+    val kinds = graft.tools.Fsck.checkRoot(root).map(_.kind)
+    assert(kinds.contains("gc-floor-base"), kinds.mkString("; "))
+  }
 }
 
 /** Instrumented object-store contract FS: counts point-status probes and

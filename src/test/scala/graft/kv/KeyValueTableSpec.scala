@@ -202,6 +202,60 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(t.versionAtTime(System.currentTimeMillis() + 1000L).contains(9L))
   }
 
+  // GC + list-lag DOUBLE-BLIND, KV twin of ManifestLogSpec's case: with
+  // [1, floor) retired and every RETAINED manifest still inside the lag
+  // window, a fresh reader's listing is EMPTY (KV chains have no v0) and
+  // latest() silently answered "empty table" before the floor-probe
+  // recovery — the worst wrong-answer class. The floor marker is the
+  // recovery base (written before any delete, floors only move up).
+  test("gc + list-lag double-blind: fresh reader recovers the table from the floor") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
+    val dir = Files.createTempDirectory("graft-kv-blind").toString
+    val root = "oscas://" + dir
+    val prev = graft.storage.LaggedObjectStoreFs.lagMs
+    try {
+      val a = new KeyValueTable(spark, root, "t", 4, hadoopConf = conf)
+      for (i <- 1 to 9) a.put(kv(s"k$i" -> s"v$i"))
+      // every FURTHER manifest is invisible to LIST for an hour; exact-key
+      // reads stay consistent (the object-store contract)
+      graft.storage.LaggedObjectStoreFs.lagMs = 3600000L
+      for (i <- 10 to 12) a.put(kv(s"k$i" -> s"v$i"))
+      // tip 12, keep 2 → floor 10: the whole retained chain [10..12] sits
+      // inside the lag window, [1, 10) is deleted
+      assert(a.gcManifests(keepVersions = 2) == (1L to 9L))
+      assert(a.manifestFloor == 10L)
+
+      val b = new KeyValueTable(spark, root, "t", 4, hadoopConf = conf)
+      assert(b.currentVersion == 12L,
+        "fresh reader resolved the EMPTY table — the double-blind bug this pins")
+      assert(b.entries().count() == 12L)
+      assert(b.get("k12").map(p => new String(p._1, "UTF-8")).contains("v12"))
+      // commits keep extending the recovered chain
+      b.put(kv("k13" -> "v13"))
+      assert(b.currentVersion == 13L)
+    } finally graft.storage.LaggedObjectStoreFs.lagMs = prev
+  }
+
+  // …and when the floor names a retained chain that is GENUINELY gone
+  // (not lag-hidden), latest() must fail loudly — the silent alternative
+  // is answering with an EMPTY table — while fsck reports the state
+  // instead of crashing on it.
+  test("floor with no readable retained chain: loud failure; fsck classifies") {
+    val work = Files.createTempDirectory("graft-kv-lost").toString
+    val t = new KeyValueTable(spark, work, "t", 4)
+    for (i <- 1 to 8) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.gcManifests(keepVersions = 3).nonEmpty && t.manifestFloor == 5L)
+    for (v <- 5L to 8L)
+      Files.deleteIfExists(java.nio.file.Paths.get(work, "t", "_meta", f"manifest-$v%012d.json"))
+    val b = new KeyValueTable(spark, work, "t", 4)
+    val e = intercept[graft.core.GraftException](b.currentVersion)
+    assert(e.getMessage.contains("retention floor"), e.getMessage)
+    assert(b.fsck().exists(_.startsWith("gc-floor-base")), b.fsck().mkString("; "))
+  }
+
   test("probe-forward tip hint: stale hints fall back; recreates stay exact") {
     val work = Files.createTempDirectory("graft-kvpf").toString
     val a = new KeyValueTable(spark, work, "t", 4)
