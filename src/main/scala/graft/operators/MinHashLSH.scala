@@ -175,7 +175,8 @@ object MinHashLSH {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.35,
-                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                     maxBucketSize: Int = DefaultMaxBucketSize,
+                     maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
@@ -203,7 +204,7 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val sized = dropHotBuckets(banded, maxBucketSize)
+    val sized = boundedBuckets(banded, maxBucketSize, maxCandidates)
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
@@ -243,11 +244,94 @@ object MinHashLSH {
     banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
   }
 
+  /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
+    * bounds each bucket's pairs at C(cap, 2) but not their SUM: on a
+    * corpus whose signature space saturates (shingle vocabulary fixed
+    * while the corpus grows — the regime the prefix join's guard detects
+    * on the exact path), bucket sizes grow WITH the corpus, so candidate
+    * volume Σ C(n_b, 2) goes quadratic while every bucket still sits
+    * under the cap. The fourth-decade probe measured exactly that:
+    * 5×10⁵ docs verified fine, 1.5×10⁷ docs filled an 80 GB disk with
+    * one candidate shuffle (r12).
+    *
+    * So the cap is chosen ADAPTIVELY: from the exact bucket-size
+    * histogram (one map-combined aggregate over the banded rows — tiny:
+    * one row per distinct size), pick the largest cap ≤ `maxBucketSize`
+    * whose kept-bucket pair sum fits `maxCandidates`, which makes the
+    * candidate shuffle O(budget) BY CONSTRUCTION at any corpus size. At
+    * every tested scale factor the estimate sits far under the default
+    * budget, so the effective cap equals `maxBucketSize` and results —
+    * and the SQL oracle, which replays that cap — are unchanged;
+    * shrinking only engages in the saturated regime, where over-cap
+    * buckets are signature floods by construction (a bucket's members
+    * still pair through their other bands). A corpus so saturated that
+    * even size-2 buckets blow the budget fails loudly like the prefix
+    * guard, naming the knob.
+    *
+    * The hot set is broadcast-anti-joined when rare (the steady-state
+    * path: far-above-everything cap); when the adaptive cap engages, the
+    * hot set is no longer rare, so the filter switches to a shuffled
+    * count join — same answer, no driver-side hot list.
+    */
+  private def boundedBuckets(banded: DataFrame, maxBucketSize: Int,
+                             maxCandidates: Long): DataFrame = {
+    val counts = banded.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn"))
+    val hist = counts.filter(col("bn") >= 2).groupBy(col("bn"))
+      .agg(count(lit(1)).as("nbuckets"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val effCap = chooseBucketCap(hist, maxBucketSize, maxCandidates)
+    if (effCap >= maxBucketSize) dropHotBuckets(banded, maxBucketSize)
+    else banded.join(counts.filter(col("bn") > effCap).select(col("band"), col("bsig")),
+      Seq("band", "bsig"), "left_anti")
+  }
+
+  /** Largest bucket cap ≤ `maxBucketSize` with Σ_{2 ≤ n_b ≤ cap}
+    * C(n_b, 2) ≤ `maxCandidates`, from an exact (bucketSize, numBuckets)
+    * histogram. Deterministic in the data. Throws when no cap ≥ 2 fits —
+    * the saturation failure mode, loud by contract.
+    */
+  private[graft] def chooseBucketCap(hist: Seq[(Long, Long)], maxBucketSize: Int,
+                                     maxCandidates: Long): Int = {
+    var cum = 0L
+    var lastFit = -1L // largest histogram size whose cumulative sum fits
+    var overflowed = false
+    for ((sz, nb) <- hist.sortBy(_._1) if sz <= maxBucketSize && !overflowed) {
+      val add = nb * (sz * (sz - 1) / 2)
+      if (cum + add <= maxCandidates) { cum += add; lastFit = sz }
+      else overflowed = true
+    }
+    if (!overflowed) maxBucketSize // every under-base-cap size fits
+    else if (lastFit >= 2) lastFit.toInt
+    else throw new IllegalArgumentException(
+      s"minhash-lsh candidate estimate exceeds $maxCandidates at every " +
+        "bucket cap - the signature space has saturated (bucket sizes " +
+        "grow with the corpus, so qualifying candidates are inherently " +
+        "quadratic); raise maxCandidates to the cluster's shuffle " +
+        "capacity or shard the corpus")
+  }
+
   /** Hot-bucket cap shared by the Scala paths and the oracle generator —
     * far above any bucket at the tested scale factors (results identical
-    * with or without it there), a hard quadratic bound at corpus scale.
+    * with or without it there), a hard quadratic bound PER BUCKET at
+    * corpus scale; [[boundedBuckets]] bounds the sum.
     */
   val DefaultMaxBucketSize: Int = 4096
+
+  /** Default candidate-volume budget. The budget bounds the candidate
+    * shuffle at O(maxCandidates) ROWS, but the binding constraint is the
+    * VERIFICATION join, whose intermediate carries both token arrays per
+    * candidate (~2 × avg array bytes per row — the a-side join's output
+    * is the b-side join's shuffle input), so bytes ≈ budget × array
+    * width: 10⁸ × ~300 B ≈ 30 GB, sized to fit a single node's shuffle
+    * spill; a cluster deployment raises it toward aggregate shuffle
+    * capacity. Measured estimates (MinhashBreakdown SPARK_GRAFT_BUCKETS):
+    * 3.9×10⁷ at 5×10⁵ docs on the saturating sandbox corpus — the
+    * default keeps the effective cap at `maxBucketSize` (results
+    * byte-identical with or without the budget) at every tested scale
+    * factor, and engages only in the fourth-decade saturated regime.
+    */
+  val DefaultMaxCandidates: Long = 100_000_000L
 
   /** Maximum-throughput variant on the xxhash64/murmur3 family (native
     * `minhash_signature` kernel) — same pipeline shape, NOT replayable by
@@ -256,7 +340,8 @@ object MinHashLSH {
   def fastNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.35,
-                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                         maxBucketSize: Int = DefaultMaxBucketSize,
+                         maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
@@ -277,7 +362,7 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val sized = dropHotBuckets(banded, maxBucketSize)
+    val sized = boundedBuckets(banded, maxBucketSize, maxCandidates)
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))

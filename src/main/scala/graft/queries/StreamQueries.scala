@@ -430,8 +430,8 @@ object StreamQueries {
     * reference runs retention as periodic controller bucket jobs,
     * controller/.../server/bucket/PeriodicRetention.java:51 — here the
     * `manifestKeepVersions` StreamConfig knob applied by the maintenance
-    * pass): phase A lands in 10 commits, a maintenance pass retires
-    * history under the policy, phase B lands in 8 more, a SECOND pass
+    * pass): phase A lands in 8 commits, a maintenance pass retires
+    * history under the policy, phase B lands in 4 more, a SECOND pass
     * advances the floor again, and a fresh engine instance reads the
     * whole stream back through the floor's checkpoint base. The result
     * carries the per-key payload chain (hash-matched against the
@@ -455,12 +455,12 @@ object StreamQueries {
         encode($"event_id".cast("string"), "UTF-8").as("payload"),
         $"event_id")
     val maint = new graft.storage.Maintenance(g, compactMinFiles = 9999)
-    for (i <- 0 until 10)
-      g.writeEvents("q", "ev", src.filter($"event_id" % 18 === i).drop("event_id"))
+    for (i <- 0 until 8)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 12 === i).drop("event_id"))
     val r1 = maint.run("q", "ev")
     val floor1 = g.catalog.manifestFloor("q", "ev")
-    for (i <- 10 until 18)
-      g.writeEvents("q", "ev", src.filter($"event_id" % 18 === i).drop("event_id"))
+    for (i <- 8 until 12)
+      g.writeEvents("q", "ev", src.filter($"event_id" % 12 === i).drop("event_id"))
     val r2 = maint.run("q", "ev")
     val floor2 = g.catalog.manifestFloor("q", "ev")
     require(r1.retiredManifests.nonEmpty && r2.retiredManifests.nonEmpty,
@@ -481,7 +481,7 @@ object StreamQueries {
 
   private val maintenanceGcSql =
     """SELECT CAST(user_id AS VARCHAR) AS routingKey, COUNT(*) AS n,
-      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 18, event_id)) AS chain,
+      |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id % 12, event_id)) AS chain,
       |  CAST(1 AS BIGINT) AS retired_twice, CAST(1 AS BIGINT) AS floor_advanced
       |FROM events WHERE user_id < 150
       |GROUP BY user_id ORDER BY routingKey""".stripMargin

@@ -29,6 +29,23 @@ object MinhashBreakdown {
     }
     val docs = Tables.documents(spark, sfDir)
     time("docs.count")(docs.count())
+    // Bucket-size histogram + candidate-volume estimate (the quantity the
+    // maxCandidates budget bounds): SPARK_GRAFT_BUCKETS=1 prints it and
+    // exits — the sizing probe behind DefaultMaxCandidates.
+    if (sys.env.contains("SPARK_GRAFT_BUCKETS")) {
+      val banded = MinHashLSH.bandSignatures(docs, "doc_id", "text", 64, 16)
+      val hist = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") >= 2).groupBy(col("bn")).agg(count(lit(1)).as("nbuckets"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val underCap = hist.filter(_._1 <= MinHashLSH.DefaultMaxBucketSize)
+      val est = underCap.map { case (sz, nb) => nb * (sz * (sz - 1) / 2) }.sum
+      val over = hist.filter(_._1 > MinHashLSH.DefaultMaxBucketSize)
+      println(s"BREAK-BUCKETS distinct_sizes=${hist.length} " +
+        s"max_size=${hist.lastOption.map(_._1).getOrElse(0L)} " +
+        s"est_candidates_under_cap=$est over_cap_buckets=${over.map(_._2).sum} " +
+        s"top=${hist.takeRight(8).mkString(",")}")
+      spark.stop(); return
+    }
     val tokStr = array_distinct(split(lower(trim(col("text"))), "\\s+"))
     val toks = time("tokenize") {
       val d = docs.select(col("doc_id").as("id"), tokStr.as("tstr")).repartition(col("id"))

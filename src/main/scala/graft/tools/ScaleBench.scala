@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   * r4-r6 bench history showed ±4 s swings from exactly this).
   *
   * Usage: runMain graft.tools.ScaleBench <baseSfDir> <scaledDir> [k=10]
-  *        [comma-separated query subset]
+  *        [comma-separated query subset] [runs=2]
+  * `runs=1` skips the cold warm-up run: at fourth-decade sizes a single
+  * pass is minutes long, so codegen/AQE compile (the seconds the second
+  * run exists to exclude at small sf) is noise, and the double run would
+  * double a multi-hour probe for nothing.
   */
 object ScaleBench {
   /** Data-driven queries whose input volume scales with the sf dir. One
@@ -59,6 +63,7 @@ object ScaleBench {
     val subset: Seq[String] =
       if (args.length > 3) args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       else DataDriven
+    val runs = if (args.length > 4) args(4).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +94,7 @@ object ScaleBench {
           }
         ((System.nanoTime() - t0) / 1e9, tripped)
       }
-      once() // cold: codegen + AQE compile (or a first guard evaluation)
+      if (runs > 1) once() // cold: codegen + AQE compile (or a first guard evaluation)
       once()
     }
 

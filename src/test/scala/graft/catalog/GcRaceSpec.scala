@@ -27,6 +27,13 @@ class GcRaceSpec extends AnyFunSuite {
         conf.set("fs.oscas.impl", classOf[graft.storage.LaggedObjectStoreFs].getName)
       val dir = Files.createTempDirectory(s"graft-gcrace-$contract").toString
       val root = if (contract == "objectstore") "oscas://" + dir else dir
+      // pin a real list-after-write lag for the objectstore contract —
+      // inheriting whatever a previously-run suite left in the global
+      // made the gc × lag double-blind (caught by THIS suite) fire only
+      // in some suite orders; the race must always run lagged
+      val prevLag = graft.storage.LaggedObjectStoreFs.lagMs
+      if (contract == "objectstore") graft.storage.LaggedObjectStoreFs.lagMs = 150L
+      try {
 
       def fe(i: Long): FileEntry =
         FileEntry(0L, s"data/part-$i-${java.util.UUID.randomUUID()}.parquet",
@@ -152,6 +159,7 @@ class GcRaceSpec extends AnyFunSuite {
       val issues = graft.tools.Fsck.checkRoot(root, hadoopConf = Some(conf))
         .map(_.kind).filter(k => k == "manifest-chain" || k == "gc-floor-base")
       assert(issues.isEmpty, issues.mkString("; "))
+      } finally graft.storage.LaggedObjectStoreFs.lagMs = prevLag
     }
   }
 }

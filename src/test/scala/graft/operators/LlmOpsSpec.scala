@@ -53,6 +53,47 @@ class LlmOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("candidate budget: cap shrinks deterministically; results unchanged when under") {
+    // chooseBucketCap: exact arithmetic on the histogram
+    //   100 buckets of 3 (300 pairs) + 10 of 50 (12 250) + 1 of 5000 (over base cap)
+    val hist = Seq((3L, 100L), (50L, 10L), (5000L, 1L))
+    assert(MinHashLSH.chooseBucketCap(hist, 4096, 500L) === 3)     // 300 fits, +12 250 does not
+    assert(MinHashLSH.chooseBucketCap(hist, 4096, 13000L) === 4096) // all under-cap sizes fit
+    assert(MinHashLSH.chooseBucketCap(hist, 40, 13000L) === 40)     // the 50s are above the BASE cap
+    assert(MinHashLSH.chooseBucketCap(Nil, 4096, 0L) === 4096)      // nothing to drop
+    // saturation: even size-2 buckets blow the budget -> loud, names the knob
+    val e = intercept[IllegalArgumentException](
+      MinHashLSH.chooseBucketCap(Seq((2L, 100L)), 4096, 10L))
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+
+    // End to end on a fixture with EXACT bucket arithmetic: three groups
+    // of identical texts -> per band one bucket of 8, one of 4, one of 2
+    // (x16 bands). Ascending pair sums: 16 (cap 2), +96 = 112 (cap 4),
+    // +448 = 560 (cap >= 8).
+    val docs = (
+      (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      (11L to 14L).map(i => (i, "zeta eta theta iota kappa")) ++
+      Seq((21L, "lambda mu nu xi omicron"), (22L, "lambda mu nu xi omicron"))
+    ).toDF("doc_id", "text")
+    def run(budget: Long) =
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.5,
+          maxCandidates = budget)
+        .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run(Long.MaxValue)
+    assert(full.size === 28 + 6 + 1, s"expected all within-group pairs, got $full")
+    // generous budgets (incl. the default) reproduce the unbudgeted answer
+    assert(run(MinHashLSH.DefaultMaxCandidates) === full)
+    assert(run(560L) === full)
+    // a budget excluding the 8-group keeps the 4- and 2-groups, exactly
+    val tight = run(112L)
+    assert(tight.size === 6 + 1 && tight.subsetOf(full) && run(112L) === tight)
+    // a budget excluding all but the 2-group
+    assert(run(16L).size === 1)
+    // even size-2 buckets over budget: loud saturation failure
+    assert(intercept[IllegalArgumentException](run(15L))
+      .getMessage.contains("maxCandidates"))
+  }
+
   test("simhash signatures are deterministic and near-dup blocking works") {
     val docs = Tables.documents(spark, sf).limit(100)
     val s1 = SimHash.signatures(docs, "doc_id", "text").collect()
