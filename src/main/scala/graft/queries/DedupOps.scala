@@ -590,6 +590,32 @@ object DedupOps {
     import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
     import org.apache.spark.sql.expressions.Window
+    // STAGE-0 FAIL-FAST (r12): the exact guard below needs the per-doc
+    // shingle RANKING (a window sort over every gram row) plus two
+    // checkpoints before it can compute Σ C(df_prefix, 2) — at the
+    // fourth decade that is ~13 min of work just to say "no". A sound
+    // LOWER bound needs only the total prefix length P = Σ_d p_d (p_d
+    // depends on sz_d alone, not on ranks) and the vocabulary size V:
+    // by convexity, however the P prefix rows distribute over ≤ V
+    // shingles, Σ C(df, 2) ≥ V · C(P/V, 2). Two map-combined aggregates
+    // over the gram stream — no window, no join, no checkpoint — and
+    // strictly conservative: near the ceiling it falls through to the
+    // exact estimate (saturated corpora overshoot it by orders of
+    // magnitude: ×10³ at the 3000× probe).
+    val g0 = GramStage.explodeGrams(docs, 3, distinctPerDoc = true)
+    val pTotal = g0.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum(expr(
+        s"sz - (sz * $PrefixThetaNum + ${PrefixThetaDen - 1}) DIV $PrefixThetaDen + 1")),
+        lit(0L))).head().getLong(0)
+    val vocab = math.max(1L, g0.agg(countDistinct($"g")).head().getLong(0))
+    val uniform = pTotal.toDouble / vocab
+    val lowerBound = vocab.toDouble * (uniform * (uniform - 1.0) / 2.0)
+    require(lowerBound <= maxCandidates.toDouble,
+      f"prefix-join candidate estimate lower bound $lowerBound%.0f " +
+        s"(convexity bound from $pTotal prefix rows over $vocab shingles) " +
+        s"exceeds $maxCandidates — the shingle space has saturated " +
+        "(qualifying pairs are inherently quadratic here); use " +
+        "MinHashLSH.nearDuplicates with its bucket cap")
     // (doc_id, g): doc-distinct word 3-grams; read thrice (freq, rank,
     // verify arrays) → checkpoint so the regex split runs once.
     val toks = GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint()
