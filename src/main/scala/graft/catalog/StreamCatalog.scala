@@ -953,7 +953,15 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // floors only move UP: re-check right before the marker write so a
     // slower gc racing a larger-cut gc cannot regress the floor (a
     // regression would turn the winner's deletes into phantom listing
-    // holes until the next pass heals it)
+    // holes until the next pass heals it). In-JVM this is airtight
+    // (gcLocks serialize writers); ACROSS JVMs a microsecond
+    // check-then-write window remains, and its worst case is bounded:
+    // tip reads are unaffected (the retained chain sits above any
+    // regressed marker, so the floor-probe recovery never engages),
+    // as-of reads into the winner's deleted range fail LOUDLY via the
+    // chain-walk hole classification, and Fsck may report those holes
+    // as chain issues until the next pass rewrites the marker — never a
+    // silent wrong answer, always self-healing.
     if (manifestFloor(scope, stream) >= cv) return Nil
     writeFloor(scope, stream, ManifestFloor(cv, inc))
     val retired = versions.filter(v => v > 0 && v < cv).sorted
