@@ -94,17 +94,18 @@ object ManifestRecord {
   val Delta = "delta"
 }
 
-/** Manifest-log retention marker (`_meta/floor.json`): versions in
-  * (0, floor) have been garbage-collected — the log-retention contract
-  * every production log-plus-checkpoint table needs (Delta's
-  * logRetentionDuration, Iceberg's expire_snapshots), or the chain
-  * grows one file per commit forever. Version 0 is always retained
-  * (the tiny identity record the incarnation guard validates against);
-  * `floor` itself is always a checkpoint-eligible version whose sidecar
-  * was verified readable BEFORE anything was deleted, so every retained
-  * version still reconstructs. Written before the deletes (a floor
-  * claiming more than was deleted is harmless; the reverse would turn
-  * GC holes into phantom lag probes).
+/** Manifest-log retention marker (one record of the `_meta/floor-<seq>`
+  * CAS chain — see [[FloorChain]]): versions in (0, floor) have been
+  * garbage-collected — the log-retention contract every production
+  * log-plus-checkpoint table needs (Delta's logRetentionDuration,
+  * Iceberg's expire_snapshots), or the chain grows one file per commit
+  * forever. Version 0 is always retained (the tiny identity record the
+  * incarnation guard validates against); `floor` itself is always a
+  * checkpoint-eligible version whose sidecar was verified readable
+  * BEFORE anything was deleted, so every retained version still
+  * reconstructs. Committed before the deletes (a floor claiming more
+  * than was deleted is harmless; the reverse would turn GC holes into
+  * phantom lag probes), and monotone across JVMs by CAS-append.
   */
 final case class ManifestFloor(floor: Long, incarnation: String)
 
@@ -138,18 +139,17 @@ object StreamCatalog {
       t
     })
 
-  /** Per-stream serialization of manifest GC within this JVM. The floor
-    * marker is a rename-replaced file (no CAS on rename exists on any
-    * store), so two UNSERIALIZED gcs with different keepVersions could
-    * interleave floor writes and regress the marker below committed
-    * deletes. In-process races are fully serialized here; across JVMs
-    * the reference's deployment contract applies — retention runs under
-    * bucket OWNERSHIP (one controller owns a stream's periodic jobs,
-    * controller/.../server/bucket/BucketManager.java), mirrored by
-    * running one maintenance owner per stream — and gcManifests
-    * additionally re-checks the floor right before writing, so a raced
-    * marker needs a sub-ms cross-JVM interleaving and self-heals on the
-    * next pass (floors only grow; deletes are idempotent).
+  /** Per-stream serialization of manifest GC within this JVM — a WORK
+    * deduplication, not a correctness lock: the floor marker is a
+    * CAS-appended chain ([[FloorChain]]), monotone across any number of
+    * JVMs by construction, so unserialized concurrent gcs can never
+    * regress it — the loser of the marker CAS discovers supersession
+    * and skips its deletes (which would have been a harmless subset
+    * anyway; deletes are idempotent). The lock just keeps two in-process
+    * maintenance tickers from re-listing and re-deleting the same
+    * retired range. (The reference runs retention under bucket
+    * OWNERSHIP — controller/.../server/bucket/BucketManager.java — a
+    * deployment contract this engine no longer needs for the floor.)
     */
   private[catalog] val gcLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -189,8 +189,14 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   // collection and to Fsck's chain check
   private def checkpointPath(scope: String, stream: String, version: Long) =
     new Path(metaPath(scope, stream), f"checkpoint-$version%012d.json")
-  private def floorPath(scope: String, stream: String) =
-    new Path(metaPath(scope, stream), "floor.json")
+  // the GC retention floor: a CAS-appended chain of `floor-<seq>.json`
+  // records under _meta (see FloorChain) — one instance per stream so
+  // warm reads ride an in-memory tip hint, like the manifest tipCache
+  private val floorChains =
+    scala.collection.concurrent.TrieMap.empty[(String, String), FloorChain]
+  private def floorChain(scope: String, stream: String): FloorChain =
+    floorChains.getOrElseUpdate((scope, stream),
+      new FloorChain(() => fs, metaPath(scope, stream)))
   def dataDir(scope: String, stream: String): Path = new Path(streamPath(scope, stream), "data")
   def txnDir(scope: String, stream: String, txnId: String): Path =
     new Path(streamPath(scope, stream), s"txn-$txnId")
@@ -221,6 +227,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val ok = fs.delete(scopePath(scope), true)
     // recreated streams under a recreated scope restart their chains at 0
     tipCache.keysIterator.filter(_._1 == scope).foreach(tipCache.remove)
+    floorChains.keysIterator.filter(_._1 == scope).foreach(floorChains.remove)
     ok
   }
 
@@ -289,7 +296,15 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
         val cap = c.version + math.max(2L * checkpointInterval, 8L)
         var max = c.version
         while (max < cap && fs.exists(manifestPath(scope, stream, max + 1))) max += 1
-        if (max < cap && max >= manifestFloor(scope, stream)) {
+        // the floor gate catches a walk that stalled at a concurrent
+        // GC's delete hole (manifests below the floor vanish while the
+        // cached tip's own manifest may linger mid-sweep): max < floor
+        // means the true tip is NOT reachable by probes — LIST path.
+        // floorFast is one exists() miss when the chain hasn't advanced
+        // (vs a full record GET before the FloorChain move): staleness
+        // is bounded by reconstruct()'s v0 identity validation plus the
+        // LIST path's authoritative recovery, same as the tipCache.
+        if (max < cap && max >= floorChain(scope, stream).floorFast()) {
           // torn-tip handling mirrors the LIST path: retry the newest
           // briefly, fall back one version (never below the cached tip,
           // which reconstructed successfully once already). A broken
@@ -368,8 +383,9 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     flushCheckpoints()
     fs.delete(streamPath(scope, stream), true)
     // a recreated stream restarts its version chain at 0 — the old tip
-    // must not shadow it
-    tipCache.remove((scope, stream)): Unit
+    // must not shadow it; same for the floor chain hint
+    tipCache.remove((scope, stream))
+    floorChains.remove((scope, stream)).foreach(_.invalidate())
   }
 
   /** Optimistic-concurrency update: transform the latest manifest and
@@ -694,27 +710,32 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // to the listed max, because eventually-consistent listings surface
     // objects in no particular order (a newer manifest can appear before
     // an older one). Versions in (0, floor) are GC-RETIRED, not lagged
-    // — skipped without probes (the floor marker is read only when the
-    // listing actually has holes, so the common dense case costs
-    // nothing). Cost on a consistent listing: one exists() miss.
+    // — skipped without probes. The floor is read lazily and at most
+    // once per listing (shared between the hole filter and the recovery
+    // check below; only the recovery's own re-read loop goes back to
+    // the chain). Cost on a dense consistent listing: one exists() miss
+    // plus the one recovery floor read.
     // Fsck's chain-density check reads this same compensated listing, so
     // it never reports a LIST-lag hole (or a GC hole) as corruption.
     val listedSet = listed.toSet
+    var floorKnown = -1L
+    def floorOnce(): Long = {
+      if (floorKnown < 0L) floorKnown = manifestFloor(scope, stream)
+      floorKnown
+    }
     val holes =
       if (listed.isEmpty) Seq.empty[Long]
       else {
         val holes0 = (0L to listed.max).filterNot(listedSet)
         if (holes0.isEmpty) holes0
-        else {
-          val floor = manifestFloor(scope, stream)
-          holes0.filter(v => v == 0L || v >= floor)
-            .filter(v => fs.exists(manifestPath(scope, stream, v)))
-        }
+        else holes0.filter(v => v == 0L || v >= floorOnce())
+          .filter(v => fs.exists(manifestPath(scope, stream, v)))
       }
     var next = if (listed.isEmpty) 0L else listed.max + 1
     val extra = Seq.newBuilder[Long]
     while (fs.exists(manifestPath(scope, stream, next))) { extra += next; next += 1 }
-    val found = listed ++ holes ++ extra.result()
+    val extras = extra.result()
+    val found = listed ++ holes ++ extras
     // GC + list-lag double-blind (GcRaceSpec caught it live): after
     // gcManifests retires (0, floor) the probe-past-max walk from a
     // stale listing dies at the FIRST retired version — if the lag
@@ -724,12 +745,20 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // marker is the recovery base: its version is retained by the gc
     // contract (base verified before the marker, marker before deletes,
     // floors only move up), so probing forward FROM the floor always
-    // rediscovers the chain. One exact-key floor GET per listing; the
-    // re-read loop absorbs a gc advancing the floor mid-probe (each
-    // retry strictly increases the floor, so it terminates).
+    // rediscovers the chain. The recovery is SKIPPED when the
+    // probe-past-max walk extended the chain from a version >= 1: gc
+    // deletes ascend, so a partially-swept chain is always a deleted
+    // PREFIX of (0, floor) — an existing manifest above 0 proves the
+    // walk ran through contiguous survivors all the way to the true
+    // tip, which can never be floor-blind (extras ending at 0 prove
+    // nothing: v0 is retained BELOW the floor by the identity
+    // contract). The re-read loop absorbs a gc advancing the floor
+    // mid-probe (each retry strictly increases the floor, so it
+    // terminates).
     val maxFound = found.foldLeft(0L)(math.max)
+    val walkReachedTip = extras.lastOption.exists(_ >= 1L)
     var fromFloor = Seq.empty[Long]
-    var fl = manifestFloor(scope, stream)
+    var fl = if (walkReachedTip) 0L else floorOnce()
     var prevFl = -1L
     while (fromFloor.isEmpty && fl > maxFound && fl != prevFl) {
       var n2 = fl
@@ -867,41 +896,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * never GC'd (no marker file). See [[ManifestFloor]].
     */
   def manifestFloor(scope: String, stream: String): Long =
-    readFloor(scope, stream).fold(0L)(_.floor)
-
-  private def readFloor(scope: String, stream: String): Option[ManifestFloor] =
-    try {
-      val in = fs.open(floorPath(scope, stream))
-      try Some(Serialization.read[ManifestFloor](
-        new java.io.InputStreamReader(in, StandardCharsets.UTF_8)))
-      finally in.close()
-    } catch { case _: Exception => None }
-
-  private def writeFloor(scope: String, stream: String, f: ManifestFloor): Unit = {
-    val dst = floorPath(scope, stream)
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(Serialization.write(f).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-onto-existing is NOT portable: POSIX replaces, HDFS-semantics
-    // stores (incl. Hive's proxy local FS) return false — which would
-    // silently pin the floor at its FIRST value forever while deletes
-    // keep advancing (exactly the divergence GcRaceSpec caught). Replace
-    // via delete+rename on those stores: floor writes are serialized per
-    // stream (gcLocks), so the missing-marker window is a microsecond
-    // single-writer seam; readers treat a missing floor as 0 (extra lag
-    // probes, loud-retry reads — never a silently wrong answer) and the
-    // next gc pass rewrites it. Residual corner: listVersions' floor-
-    // probe recovery (gc + list-lag double-blind) has no base during
-    // this window, so it would serve the stale pre-gc listing — bounded
-    // by the same microsecond and healed by the marker landing; the
-    // POSIX/object-store rename path (atomic replace) has no window at
-    // all.
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(dst, false)
-      if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
-    }
-  }
+    floorChain(scope, stream).read().floor
 
   /** Retire manifest history older than `keepVersions` behind the tip —
     * log retention, the piece that keeps `_meta/` from growing one file
@@ -950,20 +945,19 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
           s"gc aborted for $scope/$stream: could not establish a checkpoint base at v$cv")
       }
     }
-    // floors only move UP: re-check right before the marker write so a
-    // slower gc racing a larger-cut gc cannot regress the floor (a
-    // regression would turn the winner's deletes into phantom listing
-    // holes until the next pass heals it). In-JVM this is airtight
-    // (gcLocks serialize writers); ACROSS JVMs a microsecond
-    // check-then-write window remains, and its worst case is bounded:
-    // tip reads are unaffected (the retained chain sits above any
-    // regressed marker, so the floor-probe recovery never engages),
-    // as-of reads into the winner's deleted range fail LOUDLY via the
-    // chain-walk hole classification, and Fsck may report those holes
-    // as chain issues until the next pass rewrites the marker — never a
-    // silent wrong answer, always self-healing.
-    if (manifestFloor(scope, stream) >= cv) return Nil
-    writeFloor(scope, stream, ManifestFloor(cv, inc))
+    // the marker CAS: floors are monotone across JVMs by construction
+    // (FloorChain appends through exclusive-create — losing the append
+    // means a concurrent gc advanced the chain first), so a slower gc
+    // racing a larger-cut gc can never regress the floor; the loser
+    // discovers supersession atomically and leaves the deletes to the
+    // winner (whose retired range covers ours).
+    if (!floorChain(scope, stream).advance(cv, inc)) return Nil
+    // ASCENDING delete order is load-bearing: listVersions may skip the
+    // floor-recovery read when its probe-past-max walk extended the
+    // chain from a version >= 1, which is sound only because a
+    // partially-swept chain is always a deleted PREFIX of (0, floor) —
+    // any existing manifest > 0 then proves everything above it up to
+    // the tip still exists.
     val retired = versions.filter(v => v > 0 && v < cv).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(scope, stream, v), false)
@@ -1080,10 +1074,26 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
                     if (fl > v)
                       incarnation().flatMap(i => readSidecar(scope, stream, fl, i))
                     else None
-                  side match {
+                  // a REGRESSED marker (legacy rename-replaced floors or
+                  // hand surgery; unreachable through the FloorChain CAS)
+                  // points BELOW the retired range, so the floor lookup
+                  // above misses — but the retained chain's true base is
+                  // some version in (v, requested] with a readable
+                  // sidecar: probe them all before giving up. Exact-key
+                  // GETs on a rare already-broken recovery path, and the
+                  // only thing that keeps a different-checkpointInterval
+                  // instance able to read such a stream at all (sidecar
+                  // placement follows the WRITER's interval, so this
+                  // instance's eligibility test can skip right past it).
+                  val mandated = side.orElse(incarnation().flatMap { i =>
+                    ((v + 1) to version).iterator
+                      .flatMap(w => readSidecar(scope, stream, w, i))
+                      .nextOption()
+                  })
+                  mandated match {
                     case Some(st) =>
                       base = st
-                      // records at or below the floor are already folded
+                      // records at or below the base are already folded
                       // into the sidecar state
                       chain = chain.dropWhile(_.meta.version <= st.version)
                       null

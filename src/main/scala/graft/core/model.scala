@@ -314,6 +314,12 @@ class NoSuchStreamException(msg: String) extends GraftException(msg)
   * `manifest-chain` issue.
   */
 class ManifestChainBrokenException(msg: String) extends GraftException(msg)
+/** A GC retention floor names a retained chain, but no manifest at or
+  * above it is readable — concurrent delete or storage corruption. The
+  * loud alternative to silently serving the empty pre-history state;
+  * fsck classifies exactly this type as `gc-floor-base`.
+  */
+class RetentionFloorLostException(msg: String) extends GraftException(msg)
 class StreamSealedException(msg: String) extends GraftException(msg)
 class TruncatedDataException(msg: String) extends GraftException(msg)
 class ConditionalCheckFailedException(msg: String) extends GraftException(msg)

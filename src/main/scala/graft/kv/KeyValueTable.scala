@@ -1,6 +1,6 @@
 package graft.kv
 
-import graft.core.{ConditionalCheckFailedException, GraftException}
+import graft.core.{ConditionalCheckFailedException, GraftException, RetentionFloorLostException}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -49,11 +49,11 @@ object KeyValueTable {
     */
   val ConditionPruneLimit: Int = 1024
 
-  /** Per-table serialization of manifest GC within this JVM (same
-    * rationale as `StreamCatalog.gcLocks`: the floor marker is a
-    * rename-replaced file, so unserialized concurrent gcs could regress
-    * it; cross-JVM the one-retention-owner deployment contract plus the
-    * pre-write re-check apply).
+  /** Per-table serialization of manifest GC within this JVM — work
+    * deduplication, not a correctness lock (same rationale as
+    * `StreamCatalog.gcLocks`): the floor marker is a CAS-appended chain
+    * ([[graft.catalog.FloorChain]]), monotone across JVMs by
+    * construction, so unserialized concurrent gcs can never regress it.
     */
   private[kv] val gcLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -82,9 +82,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   // ------------------------------------------------------------- manifest io
 
   private def manifestPath(v: Long) = new Path(metaDir, f"manifest-$v%012d.json")
-  // name deliberately outside the `manifest-*` pattern (invisible to the
-  // version listing): records the GC retention floor, see gcManifests
-  private def floorFilePath = new Path(metaDir, "floor.json")
+  // the GC retention floor: a CAS-appended `floor-<seq>.json` chain
+  // under _meta (names deliberately outside the `manifest-*` pattern,
+  // invisible to the version listing) — see graft.catalog.FloorChain
+  private val floorChain = new graft.catalog.FloorChain(() => fs, metaDir)
 
   private def listedVersions(): Seq[Long] =
     try fs.listStatus(metaDir).iterator.map(_.getPath.getName)
@@ -117,7 +118,10 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       val cap = hint + KeyValueTable.ProbeWalkCap
       var max = hint
       while (max < cap && fs.exists(manifestPath(max + 1))) max += 1
-      if (max < cap && max >= manifestFloor) {
+      // floorFast: one exists() miss when the floor chain hasn't
+      // advanced — stale only after a cross-instance delete+recreate,
+      // which the LIST-path fallback below resolves authoritatively
+      if (max < cap && max >= floorChain.floorFast()) {
         val m = readManifest(max)
         tipHint = max
         return m
@@ -128,7 +132,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // .listVersions): the commit chain is dense from 1, so probe
     // exists() past the listed max — an object store's stale LIST can
     // never hide a committed manifest from the next reader/committer.
-    var max = if (listed.isEmpty) 0L else listed.max
+    val listedMax = if (listed.isEmpty) 0L else listed.max
+    var max = listedMax
     while (fs.exists(manifestPath(max + 1))) max += 1
     // GC + list-lag double-blind (GcRaceSpec caught the stream twin
     // live): gcManifests retires [1, floor) and the probe walk above
@@ -136,23 +141,29 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // every RETAINED manifest from the listing, max lands at 0 and the
     // table would silently read as EMPTY. The floor marker is the
     // recovery base (retained by contract: marker before deletes,
-    // floors only move up) — probe forward from it; re-read the floor
-    // if a concurrent gc advanced it mid-probe (strictly increasing,
-    // so the loop terminates; a floor file deleted by deleteTable reads
-    // as 0 and falls through).
-    var fl = manifestFloor
-    var prevFl = -1L
-    while (max < fl && fl != prevFl) {
-      var n2 = fl
-      while (fs.exists(manifestPath(n2))) { max = n2; n2 += 1 }
-      prevFl = fl
-      if (max < fl) fl = manifestFloor
+    // floors monotone across JVMs by CAS-append) — probe forward from
+    // it; re-read the floor if a concurrent gc advanced it mid-probe
+    // (strictly increasing, so the loop terminates; a floor chain
+    // removed by deleteTable reads as 0 and falls through). SKIPPED
+    // when the probe walk advanced past the listed max: gc deletes
+    // ascend, so a partially-swept chain is a deleted PREFIX of
+    // [1, floor) — an exists()-confirmed manifest proves the walk ran
+    // through contiguous survivors to the true tip, never floor-blind.
+    if (max == listedMax) {
+      var fl = floorChain.read().floor
+      var prevFl = -1L
+      while (max < fl && fl != prevFl) {
+        var n2 = fl
+        while (fs.exists(manifestPath(n2))) { max = n2; n2 += 1 }
+        prevFl = fl
+        if (max < fl) fl = floorChain.read().floor
+      }
+      if (max < fl)
+        throw new RetentionFloorLostException(
+          s"kv $name: retention floor $fl names a retained chain but no " +
+            s"manifest at or above it is readable (max found $max) — " +
+            "concurrent delete or storage corruption")
     }
-    if (max < fl)
-      throw new GraftException(
-        s"kv $name: retention floor $fl names a retained chain but no " +
-          s"manifest at or above it is readable (max found $max) — " +
-          "concurrent delete or storage corruption")
     // empty table = version 0, so the FIRST commit is version 1: entry
     // versions stay strictly positive and can never collide with the
     // reserved expectedVersion=0 ("must not exist") sentinel
@@ -404,14 +415,7 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   /** The GC retention floor: manifest versions below it are retired.
     * 0 = never GC'd.
     */
-  def manifestFloor: Long =
-    try {
-      val in = fs.open(floorFilePath)
-      try (org.json4s.jackson.JsonMethods.parse(
-        new java.io.InputStreamReader(in, StandardCharsets.UTF_8)) \ "floor")
-        .extract[Long]
-      finally in.close()
-    } catch { case _: Exception => 0L }
+  def manifestFloor: Long = floorChain.read().floor
 
   /** Retire manifest history older than `keepVersions` behind the tip —
     * the KVT side of manifest-log retention (the chain otherwise grows
@@ -435,22 +439,17 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
   private def gcManifestsLocked(keepVersions: Int): Seq[Long] = {
     val m = latest()
     val cut = m.version - keepVersions
-    if (cut <= manifestFloor || cut <= 0) return Nil
-    // floors only move up: re-read right before the marker write so a
-    // slower gc racing a larger-cut concurrent gc cannot regress it
-    if (manifestFloor >= cut) return Nil
-    val tmp = new Path(metaDir, s"floor.json.tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"floor":$cut}""".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // portable replace: HDFS-semantics stores refuse rename onto an
-    // existing key (POSIX replaces) — without the delete+rename fallback
-    // the floor would silently pin at its first value while deletes
-    // advance (see StreamCatalog.writeFloor; serialized by gcLocks)
-    if (!fs.rename(tmp, floorFilePath)) {
-      fs.delete(floorFilePath, false)
-      if (!fs.rename(tmp, floorFilePath)) { fs.delete(tmp, false); () }
-    }
+    if (cut <= 0 || cut <= manifestFloor) return Nil
+    // the marker CAS: floors are monotone across JVMs by construction
+    // (FloorChain appends through exclusive-create), so a slower gc
+    // racing a larger-cut gc can never regress the floor — the loser
+    // discovers supersession atomically and leaves the deletes to the
+    // winner (whose retired range covers ours).
+    if (!floorChain.advance(cut, "")) return Nil
+    // ASCENDING delete order is load-bearing: latest() skips the
+    // floor-recovery read when its probe walk advanced past the listed
+    // max, sound only because a partially-swept chain is always a
+    // deleted PREFIX of [1, floor).
     val retired = listedVersions().filter(v => v >= 1 && v < cut).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(v), false)
@@ -588,10 +587,15 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     val issues = Seq.newBuilder[String]
     // a floor naming an unreachable retained chain throws loudly in
     // latest() (never a silent empty-table answer) — fsck's job is to
-    // REPORT that state, not crash on it
+    // REPORT that state, not crash on it. Only the DEDICATED type is
+    // classified: any other failure from latest() is not a floor issue
+    // and must propagate as itself, not masquerade as one.
     val m =
       try latest()
-      catch { case e: GraftException => return Seq(s"gc-floor-base: ${e.getMessage}") }
+      catch {
+        case e: RetentionFloorLostException =>
+          return Seq(s"gc-floor-base: ${e.getMessage}")
+      }
     // versions below the GC floor are retired by contract, not holes
     (math.max(1L, manifestFloor) to m.version).foreach { v =>
       if (!fs.exists(manifestPath(v)))

@@ -31,14 +31,18 @@ object Fsck {
   final case class Issue(where: String, kind: String, detail: String)
 
   def checkStream(cat: StreamCatalog, meta: StreamMetadata,
-                  conf: org.apache.hadoop.conf.Configuration): Seq[Issue] = {
+                  conf: org.apache.hadoop.conf.Configuration,
+                  floorOverride: Option[Long] = None): Seq[Issue] = {
     val where = s"${meta.scope}/${meta.name}"
     val issues = Seq.newBuilder[Issue]
 
     // manifest history (delta feed / as-of read dependency); versions in
-    // (0, floor) are GC-retired by contract, not holes
+    // (0, floor) are GC-retired by contract, not holes. A caller that
+    // already classified a REGRESSED marker (checkRoot) passes the
+    // effective retained base so the same benign holes are not
+    // re-reported as chain corruption here.
     val versions = cat.manifestVersions(meta.scope, meta.name).toSet
-    val floor = cat.manifestFloor(meta.scope, meta.name)
+    val floor = floorOverride.getOrElse(cat.manifestFloor(meta.scope, meta.name))
     (1L to meta.version).filterNot(versions.contains).filter(_ >= floor).foreach(v =>
       issues += Issue(where, "manifest-chain", s"missing manifest version $v"))
 
@@ -183,24 +187,51 @@ object Fsck {
         // the floor itself must still carry its base (v0 + the retained
         // chain reconstruct everything at or above it)
         val floor = cat.manifestFloor(scope, st)
-        val chainIssues =
-          if (listed.isEmpty) Seq.empty
+        val holes =
+          if (listed.isEmpty) Seq.empty[Long]
           else (0L to listed.max).filterNot(listed.toSet)
             .filter(v => v == 0L || v >= floor)
-            .map(v =>
-              Issue(s"$scope/$st", "manifest-chain", s"missing manifest version $v"))
+        // gc-floor-regressed: the marker sits BELOW already-retired
+        // history — the holes are exactly the contiguous range
+        // [floor, X) for a retained X that reconstructs, with the chain
+        // above X intact. That is a healthy store with a stale marker
+        // (self-healing: floors only move up, the next gc pass rewrites
+        // it), not corruption — one advisory line instead of N
+        // chain-corruption pages. Reachable only through legacy
+        // rename-replaced markers or hand surgery: the FloorChain CAS
+        // makes a live regression impossible going forward.
+        val regressedBase: Option[Long] =
+          if (floor <= 0L || holes.isEmpty || holes.head == 0L) None
+          else {
+            val x = holes.max + 1
+            val contiguousFromFloor =
+              holes.head == floor && holes.sameElements(floor until x)
+            val baseOk = contiguousFromFloor && x <= listed.max &&
+              (try { cat.getStreamAt(scope, st, x); true }
+               catch { case _: Exception => false })
+            if (baseOk) Some(x) else None
+          }
+        val chainIssues = regressedBase match {
+          case Some(x) => Seq(Issue(s"$scope/$st", "gc-floor-regressed",
+            s"floor marker at v$floor but versions $floor..${x - 1} are " +
+              s"already retired; retained chain from v$x is intact — " +
+              "benign stale marker, self-heals on the next gc pass"))
+          case None => holes.map(v =>
+            Issue(s"$scope/$st", "manifest-chain", s"missing manifest version $v"))
+        }
         // a GC'd stream's oldest retained versions reconstruct from the
         // floor's checkpoint sidecar — if that base was lost after GC,
-        // they are unreadable: corruption, not retention
+        // they are unreadable: corruption, not retention. In the
+        // regressed state the effective base is X (already verified).
         val floorIssues =
-          if (floor <= 0L) Seq.empty
+          if (floor <= 0L || regressedBase.isDefined) Seq.empty
           else try { cat.getStreamAt(scope, st, floor); Seq.empty[Issue] }
           catch {
             case e: Exception => Seq(Issue(s"$scope/$st", "gc-floor-base",
               s"floor v$floor does not reconstruct (checkpoint base lost after gc): $e"))
           }
         chainIssues ++ floorIssues ++ (
-          try checkStream(cat, cat.getStream(scope, st), conf)
+          try checkStream(cat, cat.getStream(scope, st), conf, floorOverride = regressedBase)
           catch {
             case e: Exception =>
               Seq(Issue(s"$scope/$st", "manifest-unreadable", e.toString))

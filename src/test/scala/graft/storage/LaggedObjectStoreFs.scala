@@ -107,12 +107,15 @@ object LaggedObjectStoreFs {
   @volatile var lagMs: Long = 0L
 
   /** Which files lag: manifest-version discovery is the contract under
-    * test; data files stay list-consistent so Spark's own output
-    * committers are not part of the experiment.
+    * test — and the GC floor chain records (`floor-<seq>.json`), whose
+    * read path claims list-lag immunity via exact-key probes (the LIST
+    * fallback only seeds the probe walk, never terminates it). Data
+    * files stay list-consistent so Spark's own output committers are
+    * not part of the experiment.
     */
   private def lagged(path: String): Boolean = {
     val name = path.substring(path.lastIndexOf('/') + 1)
-    name.startsWith("manifest-")
+    name.startsWith("manifest-") || name.startsWith("floor-")
   }
 
   def reset(): Unit = { visibleAt.clear(); lagMs = 0L }

@@ -117,4 +117,44 @@ class FsckSpec extends AnyFunSuite {
     val kinds = Fsck.checkRoot(root).map(_.kind).toSet
     assert(kinds.contains("manifest-chain"))
   }
+
+  test("a regressed floor marker reads as gc-floor-regressed (benign), not chain corruption") {
+    import graft.core.FileEntry
+    val root = Files.createTempDirectory("graft-fsck-regress").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val c = new graft.catalog.StreamCatalog(root, conf, checkpointInterval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    for (i <- 1 to 24) c.update("s", "x")(m => m.copy(files = m.files :+
+      FileEntry(0L, s"data/part-$i.parquet", i * 100L, 100L, 0L, 99L, 1, 1024L)))
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 4).nonEmpty)
+    val floor = c.manifestFloor("s", "x")
+    assert(floor == 20L)
+    // construct the REGRESSED-marker state directly: a legacy
+    // rename-replaced marker could land a smaller floor after a
+    // larger-cut gc's deletes (the FloorChain CAS makes this
+    // unreachable going forward — hence raw surgery, not engine calls)
+    val fs = new Path(root).getFileSystem(conf)
+    val rec = new Path(root, f"s/x/_meta/floor-${1L}%012d.json")
+    assert(fs.exists(rec))
+    fs.delete(rec, false)
+    val out = fs.create(rec, true)
+    out.write("""{"floor":8,"incarnation":"legacy"}""".getBytes("UTF-8"))
+    out.close()
+    val issues = Fsck.checkRoot(root, hadoopConf = Some(conf))
+    val regressed = issues.filter(_.kind == "gc-floor-regressed")
+    assert(regressed.size == 1, issues.mkString("; "))
+    assert(regressed.head.detail.contains("v8") && regressed.head.detail.contains("v20"))
+    // the benign state must NOT page as corruption: no chain-hole spam
+    // for the retired range, no gc-floor-base (the effective base v20
+    // reconstructs fine)
+    assert(!issues.exists(i => i.kind == "manifest-chain" || i.kind == "gc-floor-base"),
+      issues.mkString("; "))
+    // and a genuinely broken chain above the regressed marker still pages
+    fs.delete(new Path(root, f"s/x/_meta/manifest-${22L}%012d.json"), false)
+    val issues2 = Fsck.checkRoot(root, hadoopConf = Some(conf))
+    assert(issues2.exists(i => i.kind == "manifest-chain" && i.detail.contains("22")),
+      issues2.mkString("; "))
+  }
 }
