@@ -153,6 +153,13 @@ object StreamCatalog {
     */
   private[catalog] val gcLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-wide count of manifest-CAS losses (an `update` attempt beaten to
+    * its version by a concurrent committer, re-read + retried). Pure
+    * telemetry for contention measurement (CommitContentionBench /
+    * ConcurrencySpec): retries-per-commit = Δlosses / commits.
+    */
+  val casLosses = new java.util.concurrent.atomic.LongAdder()
 }
 
 class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configuration(),
@@ -405,13 +412,23 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
         return writeManifest(next, Some(cur))
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+          StreamCatalog.casLosses.increment()
           attempt += 1
           if (attempt > maxRetries)
             throw new ConditionalCheckFailedException(
               s"manifest CAS for $scope/$stream lost $maxRetries times")
-          // jittered backoff: contending committers otherwise re-collide
-          // in lockstep (they all reread the same fresh manifest)
-          Thread.sleep(scala.util.Random.nextInt(20 * math.min(attempt, 8)) + 1L)
+          // FULL-JITTER exponential backoff, sized to the CAS cost: the
+          // winner has already finished when a loser learns it lost, so
+          // the first retries are near-immediate (a warm re-read + CAS
+          // is ~0.5 ms locally; the old U(1,20) ms first sleep wasted
+          // ~20 commit slots per loss and collapsed 64-writer
+          // throughput 2.7× — CommitContentionBench), escalating
+          // U(0, 2^attempt) ms only on REPEATED loss, capped at 256 ms.
+          // Full jitter (floor 0) also breaks the lockstep starvation
+          // that pushed p99 to ~5 s: an old loser's window always
+          // overlaps a fresh committer's, so it is never structurally
+          // outbid.
+          Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 9)).toLong)
       }
     }
     throw new IllegalStateException("unreachable")

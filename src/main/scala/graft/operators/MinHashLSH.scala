@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection, entirely in codegen'd
@@ -176,7 +176,7 @@ object MinHashLSH {
                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.35,
                      maxBucketSize: Int = DefaultMaxBucketSize,
-                     maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
+                     maxCandidates: Long = AutoMaxCandidates): DataFrame = {
     import graft.functions.GraftFunctions.{affine_minhash, md5_shingle_hashes, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
@@ -204,7 +204,8 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val sized = boundedBuckets(banded, maxBucketSize, maxCandidates)
+    val sized = boundedBuckets(banded, maxBucketSize,
+      resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
@@ -307,8 +308,9 @@ object MinHashLSH {
       s"minhash-lsh candidate estimate exceeds $maxCandidates at every " +
         "bucket cap - the signature space has saturated (bucket sizes " +
         "grow with the corpus, so qualifying candidates are inherently " +
-        "quadratic); raise maxCandidates to the cluster's shuffle " +
-        "capacity or shard the corpus")
+        s"quadratic); raise maxCandidates (session conf $MaxCandidatesConf," +
+        " or the explicit argument) to the cluster's shuffle capacity or " +
+        "shard the corpus")
   }
 
   /** Hot-bucket cap shared by the Scala paths and the oracle generator —
@@ -318,20 +320,55 @@ object MinHashLSH {
     */
   val DefaultMaxBucketSize: Int = 4096
 
-  /** Default candidate-volume budget. The budget bounds the candidate
-    * shuffle at O(maxCandidates) ROWS, but the binding constraint is the
-    * VERIFICATION join, whose intermediate carries both token arrays per
-    * candidate (~2 × avg array bytes per row — the a-side join's output
-    * is the b-side join's shuffle input), so bytes ≈ budget × array
-    * width: 10⁸ × ~300 B ≈ 30 GB, sized to fit a single node's shuffle
-    * spill; a cluster deployment raises it toward aggregate shuffle
-    * capacity. Measured estimates (MinhashBreakdown SPARK_GRAFT_BUCKETS):
-    * 3.9×10⁷ at 5×10⁵ docs on the saturating sandbox corpus — the
-    * default keeps the effective cap at `maxBucketSize` (results
-    * byte-identical with or without the budget) at every tested scale
-    * factor, and engages only in the fourth-decade saturated regime.
+  /** Single-node floor of the candidate-volume budget. The budget bounds
+    * the candidate shuffle at O(maxCandidates) ROWS, but the binding
+    * constraint is the VERIFICATION join, whose intermediate carries both
+    * token arrays per candidate (~2 × avg array bytes per row — the
+    * a-side join's output is the b-side join's shuffle input), so bytes
+    * ≈ budget × array width: 10⁸ × ~300 B ≈ 30 GB, sized to fit a single
+    * node's shuffle spill. Measured estimates (MinhashBreakdown
+    * SPARK_GRAFT_BUCKETS): 3.9×10⁷ at 5×10⁵ docs on the saturating
+    * sandbox corpus — this floor keeps the effective cap at
+    * `maxBucketSize` (results byte-identical with or without the budget)
+    * at every tested scale factor, and engages only in the fourth-decade
+    * saturated regime.
     */
   val DefaultMaxCandidates: Long = 100_000_000L
+
+  /** Sentinel default for `maxCandidates`: resolve the budget from the
+    * session — [[MaxCandidatesConf]] if set, else the CLUSTER-AWARE
+    * derivation in [[resolvedMaxCandidates]]. A node-sized constant is
+    * the wrong default on a 1000-executor cluster (it would throttle the
+    * candidate shuffle to one node's spill capacity); an explicit
+    * argument always wins.
+    */
+  val AutoMaxCandidates: Long = -1L
+
+  /** Session conf overriding the candidate-volume budget — the knob the
+    * saturation error names.
+    */
+  val MaxCandidatesConf = "spark.graft.lsh.maxCandidates"
+
+  /** Per-shuffle-task slice of the derived budget: ~6.25M candidates ×
+    * ~300 B of verification-join intermediate ≈ 1.9 GB per task — inside
+    * a default executor's spill comfort zone. The derived budget scales
+    * with `spark.sql.shuffle.partitions` (the deployment's statement of
+    * aggregate shuffle width), floored at [[DefaultMaxCandidates]] so a
+    * small local session never gets LESS than the measured single-node
+    * budget.
+    */
+  val PerTaskCandidates: Long = 6_250_000L
+
+  /** Effective candidate budget: an explicit non-negative request wins;
+    * otherwise `spark.graft.lsh.maxCandidates` if set; otherwise
+    * max(DefaultMaxCandidates, shufflePartitions × PerTaskCandidates).
+    */
+  def resolvedMaxCandidates(s: SparkSession, requested: Long): Long =
+    if (requested >= 0L) requested
+    else s.conf.getOption(MaxCandidatesConf).map(_.trim.toLong).getOrElse {
+      val parts = s.sessionState.conf.numShufflePartitions.toLong
+      math.max(DefaultMaxCandidates, parts * PerTaskCandidates)
+    }
 
   /** Maximum-throughput variant on the xxhash64/murmur3 family (native
     * `minhash_signature` kernel) — same pipeline shape, NOT replayable by
@@ -341,7 +378,7 @@ object MinHashLSH {
                          shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.35,
                          maxBucketSize: Int = DefaultMaxBucketSize,
-                         maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
+                         maxCandidates: Long = AutoMaxCandidates): DataFrame = {
     import graft.functions.GraftFunctions.{minhash_signature, sorted_intersect_size}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
@@ -362,7 +399,8 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
 
-    val sized = boundedBuckets(banded, maxBucketSize, maxCandidates)
+    val sized = boundedBuckets(banded, maxBucketSize,
+      resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))

@@ -590,36 +590,41 @@ object DedupOps {
     import s.implicits._
     import graft.functions.GraftFunctions.sorted_intersect_size
     import org.apache.spark.sql.expressions.Window
-    // STAGE-0 FAIL-FAST (r12): the exact guard below needs the per-doc
-    // shingle RANKING (a window sort over every gram row) plus two
-    // checkpoints before it can compute Σ C(df_prefix, 2) — at the
-    // fourth decade that is ~13 min of work just to say "no". A sound
-    // LOWER bound needs only the total prefix length P = Σ_d p_d (p_d
-    // depends on sz_d alone, not on ranks) and the vocabulary size V:
-    // by convexity, however the P prefix rows distribute over ≤ V
-    // shingles, Σ C(df, 2) ≥ V · C(P/V, 2). Two map-combined aggregates
-    // over the gram stream — no window, no join, no checkpoint — and
-    // strictly conservative: near the ceiling it falls through to the
-    // exact estimate (saturated corpora overshoot it by orders of
-    // magnitude: ×10³ at the 3000× probe).
+    // STAGE-0 FAIL-FAST (r12; folded to ONE pass in r13): the exact
+    // guard below needs the per-doc shingle RANKING (a window sort over
+    // every gram row) plus two checkpoints before it can compute
+    // Σ C(df_prefix, 2) — at the fourth decade that is ~13 min of work
+    // just to say "no". A sound LOWER bound needs only the total prefix
+    // length P and the vocabulary size V: by convexity, however the P
+    // prefix rows distribute over ≤ V shingles, Σ C(df, 2) ≥ V·C(P/V, 2).
+    // P is relaxed to its linear lower bound (1−θ)·G (prefix length
+    // sz − ⌈θ·sz⌉ + 1 ≥ (1−θ)·sz, G = total gram rows), so BOTH terms
+    // ride one map-combined aggregation — the per-shingle document
+    // frequencies, which the exact path then REUSES as `freq`: the
+    // happy (non-saturated) path pays zero extra tokenize passes for
+    // the bound (r12 paid two). No window, no join, and no gram-stream
+    // checkpoint before the verdict; strictly conservative — near the
+    // ceiling it falls through to the exact estimate (saturated corpora
+    // overshoot it by orders of magnitude: ×10³ at the 3000× probe).
     val g0 = GramStage.explodeGrams(docs, 3, distinctPerDoc = true)
-    val pTotal = g0.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      .agg(coalesce(sum(expr(
-        s"sz - (sz * $PrefixThetaNum + ${PrefixThetaDen - 1}) DIV $PrefixThetaDen + 1")),
-        lit(0L))).head().getLong(0)
-    val vocab = math.max(1L, g0.agg(countDistinct($"g")).head().getLong(0))
-    val uniform = pTotal.toDouble / vocab
+    val freq = g0.groupBy($"g").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // vocabulary-sized; both the bound and `ranked` read it
+    val fRow = freq.agg(count(lit(1)), coalesce(sum($"df"), lit(0L))).head()
+    val vocab = math.max(1L, fRow.getLong(0))
+    val gTotal = fRow.getLong(1)
+    val pLower = gTotal.toDouble * (PrefixThetaDen - PrefixThetaNum) / PrefixThetaDen
+    val uniform = pLower / vocab
     val lowerBound = vocab.toDouble * (uniform * (uniform - 1.0) / 2.0)
     require(lowerBound <= maxCandidates.toDouble,
       f"prefix-join candidate estimate lower bound $lowerBound%.0f " +
-        s"(convexity bound from $pTotal prefix rows over $vocab shingles) " +
+        f"(convexity bound from $pLower%.0f prefix rows over $vocab shingles) " +
         s"exceeds $maxCandidates — the shingle space has saturated " +
         "(qualifying pairs are inherently quadratic here); use " +
         "MinHashLSH.nearDuplicates with its bucket cap")
-    // (doc_id, g): doc-distinct word 3-grams; read thrice (freq, rank,
-    // verify arrays) → checkpoint so the regex split runs once.
+    // (doc_id, g): doc-distinct word 3-grams; read thrice (rank join,
+    // both candidate sides, verify arrays) → checkpoint so the regex
+    // split runs once more at most.
     val toks = GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint()
-    val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val ranked = toks.join(freq, "g")
       .select($"doc_id", $"g",

@@ -94,6 +94,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .getMessage.contains("maxCandidates"))
   }
 
+  test("candidate budget resolution: explicit wins, conf overrides, cluster-aware default with floor") {
+    import MinHashLSH._
+    // explicit argument always wins
+    assert(resolvedMaxCandidates(spark, 42L) === 42L)
+    // the derived default scales with the deployment's shuffle width,
+    // floored at the measured single-node constant (a node-sized budget
+    // must not throttle a 1000-executor cluster)
+    val parts = spark.sessionState.conf.numShufflePartitions.toLong
+    assert(resolvedMaxCandidates(spark, AutoMaxCandidates) ===
+      math.max(DefaultMaxCandidates, parts * PerTaskCandidates))
+    // session conf overrides the derivation END TO END: a 15-candidate
+    // budget saturates even one bucket of 2 (16 bands x 1 pair = 16)
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    spark.conf.set(MaxCandidatesConf, "15")
+    try {
+      val e = intercept[IllegalArgumentException](
+        MinHashLSH.nearDuplicates(docs, "doc_id", "text").count())
+      assert(e.getMessage.contains(MaxCandidatesConf), e.getMessage)
+    } finally spark.conf.unset(MaxCandidatesConf)
+    // with the conf gone the same call rides the derived default
+    assert(MinHashLSH.nearDuplicates(docs, "doc_id", "text").count() === 1L)
+  }
+
   test("simhash signatures are deterministic and near-dup blocking works") {
     val docs = Tables.documents(spark, sf).limit(100)
     val s1 = SimHash.signatures(docs, "doc_id", "text").collect()
