@@ -645,11 +645,28 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * A short backward verify-walk absorbs local inversions in chains
     * whose stamps predate the clamp (mtime-fallback manifests included);
     * on clamped chains it never takes a step. Concurrent GC/delete
-    * mid-search falls back to one linear pass over what remains.
+    * mid-search falls back to one linear pass over the compensated
+    * listing.
+    *
+    * LIST-free (r13): resolution needs only the RANGE, not the listing —
+    * the retained chain is dense over [max(1, floor), tip] by the GC
+    * contract (plus the always-retained v0), so tip rides `getStream`'s
+    * warm probe path and the floor rides the floor chain: with a warm
+    * cache the whole query is O(log n) exact-key record GETs and ZERO
+    * directory listings (the one compensated LIST — 195 ms at 10^4
+    * versions — was the entire pre-GC `time_resolve` cost in
+    * VersionsBench; the listing now appears only in the concurrent-GC
+    * linear fallback).
     */
   def versionAtTime(scope: String, stream: String, epochMillis: Long): Option[Long] = {
-    val vs = manifestVersions(scope, stream).toIndexedSeq
-    if (vs.isEmpty) return None
+    val tip =
+      try getStream(scope, stream).version
+      catch { case _: NoSuchStreamException => return None }
+    val floor = manifestFloor(scope, stream)
+    // v0 always rides along: resolving INTO the retired gap must land on
+    // it and fail loudly through gated() (Some(0) < floor), exactly as
+    // with the old listing — stamps stay monotone across the gap
+    val vs: IndexedSeq[Long] = 0L +: (math.max(1L, floor) to tip)
     def stampOf(v: Long): Long = {
       def once(): Long =
         readRecord(scope, stream, v).meta.committedAt match {
@@ -680,7 +697,9 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     }
     def linear(): Option[Long] = {
       var best: Option[Long] = None
-      for (v <- vs) {
+      // re-list: concurrent GC just moved the ground under the range —
+      // the compensated listing is the authority on what remains
+      for (v <- manifestVersions(scope, stream)) {
         try if (stampOf(v) <= epochMillis) best = Some(v)
         catch { case _: FileNotFoundException => } // concurrently removed: skip
       }
