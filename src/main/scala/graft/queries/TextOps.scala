@@ -1460,7 +1460,17 @@ object TextOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val work = graft.util.WorkDirs.temp("graft-searchkv")
-    val ix = new graft.kv.KeyValueTable(s, work, "postings", partitionCount = 8)
+    // Index bucket count SCALES WITH THE CORPUS: a KVT put writes one
+    // task per bucket (`repartition(partitionCount, bucket)`), so the
+    // fixed 8 buckets that are perfect at 5×10^4 docs serialize ~75M
+    // posting rows per task at 1.5×10^7 docs — the r13 sf300 probe
+    // measured txt_search_lookup 39× wall at 30× data, all of it in the
+    // 8-way postings write. One bucket per ~250k docs (≈10M postings),
+    // floor 8 (the oracle-scale fixtures keep their old layout), cap 256
+    // (serve-side bucket pruning stays one-bucket-per-term effective at
+    // any corpus). docs.count() rides parquet row-group stats — no scan.
+    val parts = math.max(8L, math.min(256L, docs.count() / 250000L)).toInt
+    val ix = new graft.kv.KeyValueTable(s, work, "postings", partitionCount = parts)
     val dl = docs.select($"doc_id",
       size(split(lower(trim($"text")), "\\s+")).cast("long").as("dl"))
     val tf = docs

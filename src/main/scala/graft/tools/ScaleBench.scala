@@ -74,6 +74,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra session conf via env, e.g. pinning the LSH candidate budget
+    // for cross-round comparability: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     // A loud saturation guard TRIPPING is a valid scale datapoint, not a
     // bench crash: dedup_prefix_join's plan-time candidate ceiling fires
