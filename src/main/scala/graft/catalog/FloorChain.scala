@@ -7,12 +7,28 @@ import org.json4s.jackson.Serialization
 import java.nio.charset.StandardCharsets
 
 object FloorChain {
-  /** Cap on the probe-forward walk before one LIST page takes over —
-    * same rationale as the manifest tip walks: each probe is one
-    * exists() GET, so an instance many floor advances behind should pay
-    * one listing, not a serial round trip per advance.
+  /** Cap on any forward exists()-probe walk before one LIST page takes
+    * over — same rationale as the manifest tip walks: an instance many
+    * floor advances behind should pay one listing, not a serial round
+    * trip per advance.
     */
   val ProbeCap: Int = 32
+
+  /** Retained chain window: the winner of an advance prunes records
+    * more than this many seqs behind its own, EXCEPT `floor-1` (the
+    * permanent anchor). Without pruning the chain grows one object per
+    * advancing GC pass — minutely maintenance against a busy stream is
+    * ~5×10^5 objects/year back in the `_meta` listing, the disease
+    * manifest GC exists to cure. 256 records keeps the on-disk set
+    * trivial (a few hours of history at even a minutely cadence) while
+    * guaranteeing the LIST fallback a wide runway of old-enough-to-be-
+    * list-visible records: a lag-blinded reader only needs the listing
+    * to surface ONE suffix record — the probe-forward walk covers the
+    * rest with exact keys — so the window must span far more wall time
+    * than any list-lag horizon even under pathological advance rates
+    * (GcRaceSpec advances every few ms against a 150 ms lag).
+    */
+  val KeepRecords: Int = 256
 
   private val SeqPattern = "floor-(\\d+)\\.json".r
 
@@ -20,8 +36,8 @@ object FloorChain {
 }
 
 /** CAS-appended monotone floor register — a manifest log's GC retention
-  * floor, stored as a DENSE chain of immutable records
-  * `floor-<seq>.json` (seq from 1) instead of a single rewritten file.
+  * floor, stored as a chain of immutable records `floor-<seq>.json`
+  * (seq from 1) instead of a single rewritten file.
   *
   * Why a chain: a single `floor.json` must be REPLACED on every floor
   * advance, and replace is delete+rename on stores without atomic
@@ -32,21 +48,31 @@ object FloorChain {
   * small-cut GC could land its marker AFTER a larger-cut GC's deletes,
   * regressing the floor below committed deletes. With exclusive-create
   * records ([[CasFiles.createExclusive]] — the same CAS primitive the
-  * manifest chain itself commits through) no record is ever rewritten
-  * or deleted, so neither window exists: appending `floor-(S+1)` is
-  * atomic arbitration, losers re-read the new tip and either retry
-  * above it or discover they are superseded. Floors are monotone by
+  * manifest chain itself commits through) no record is ever rewritten,
+  * so neither window exists: appending `floor-(S+1)` is atomic
+  * arbitration, losers re-read the new tip and either retry above it
+  * or discover they are superseded. Floors are monotone by
   * construction across any number of instances and JVMs — no lock, no
   * deployment-ownership contract, no reasoned-about window.
   *
-  * Read protocol mirrors the manifest chain's: probe exact keys forward
-  * from a cached seq (read-after-write consistent on object stores —
-  * list lag can never hide an advance from the probe), capped, with one
-  * LIST page past the cap. Records are never pruned: one tiny record
-  * lands per floor ADVANCE (each ≥ one checkpoint interval), so the
-  * chain grows like GC passes, not like commits, and `floor-1` is a
-  * permanent exact-key anchor a cold reader finds without any LIST —
-  * the strong base the double-blind recovery rests on.
+  * On-disk shape: `{1} ∪ (tip − KeepRecords, tip]` — `floor-1` is the
+  * PERMANENT ANCHOR (one exact-key GET, read-after-write consistent,
+  * that list lag can never hide: its presence is strong proof the
+  * chain was ever GC'd, which is what makes the double-blind recovery
+  * base unlosable), and the retained window is a CONTIGUOUS SUFFIX
+  * (pruning deletes ascending, so even a crashed prune leaves a
+  * contiguous suffix — the invariant every probe walk relies on:
+  * inside the suffix, a miss at seq+1 means seq IS the tip).
+  *
+  * Read protocol: probe exact keys forward from a cached seq; a walk
+  * that sees no advance re-verifies its own record — present above the
+  * anchor means genuinely at the tip (suffix contiguity), pruned-under
+  * or sitting on the anchor means one LIST page resolves the retained
+  * window, with a further probe-forward absorbing list lag. A reader
+  * blinded by BOTH a pruned gap and total list lag still returns a
+  * POSITIVE floor from the anchor — stale-low at worst, which every
+  * consumer turns into a retry or a loud error, never a silent empty
+  * answer (the one outcome the old rename-replace window allowed).
   */
 final class FloorChain(fsf: () => FileSystem, dir: Path) {
   import FloorChain._
@@ -54,20 +80,18 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
   private implicit val fmts: Formats = DefaultFormats
 
   /** Newest chain record this instance has seen: (seq, record). Only a
-    * hint: full reads re-read the record at the final seq, and a seq
-    * that vanished (the whole chain deleted and recreated under the
-    * same path) falls back to a cold probe from 1 — never to a wrong
-    * answer.
+    * hint — full reads re-verify, and every degraded path falls back to
+    * the LIST or the anchor, never to a silently wrong answer.
     */
   @volatile private var tip: (Long, ManifestFloor) = (0L, Empty)
 
   private def path(k: Long) = new Path(dir, f"floor-$k%012d.json")
 
-  /** Records are immutable once written, so an unreadable record can
-    * only be the chain TIP mid-write (created-but-unwritten by a racing
-    * [[advance]]) — brief retry, then "not committed yet": the previous
-    * record stays authoritative until the write lands (floors only
-    * grow, so reading one advance late is always safe).
+  /** Records are immutable once written, so an unreadable-but-present
+    * record can only be the chain TIP mid-write (created-but-unwritten
+    * by a racing [[advance]]) — brief retry, then "not committed yet":
+    * the previous record stays authoritative until the write lands
+    * (floors only grow, so reading one advance late is always safe).
     */
   private def readRecord(k: Long): Option[ManifestFloor] = {
     val fs = fsf()
@@ -91,10 +115,54 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     }.foldLeft(0L)(math.max)
     catch { case _: java.io.FileNotFoundException => 0L }
 
+  /** Exists-walk forward from `seq` (dense inside the retained suffix),
+    * capped; past the cap one LIST page re-seeds the walk. Returns the
+    * last seq whose record file exists.
+    */
+  private def walkForward(fs: FileSystem, start: Long): Long = {
+    var seq = start
+    var rounds = 0
+    var walked = true
+    while (walked) {
+      var probes = 0
+      while (probes < ProbeCap && fs.exists(path(seq + 1))) { seq += 1; probes += 1 }
+      walked = false
+      if (probes >= ProbeCap && rounds < 3) {
+        val m = listMaxSeq(fs)
+        if (m > seq) seq = m
+        rounds += 1
+        walked = true
+      }
+    }
+    seq
+  }
+
+  /** Read the record at `seq`, absorbing a torn tip by stepping back one
+    * (the predecessor is inside the retained suffix and immutable).
+    */
+  private def settle(seq: Long, floorOf: Long => Option[ManifestFloor]): Option[(Long, ManifestFloor)] =
+    floorOf(seq).map((seq, _)).orElse(
+      if (seq - 1 >= 1) floorOf(seq - 1).map((seq - 1, _)) else None)
+
+  /** One LIST page resolves the retained window, then a probe-forward
+    * absorbs list lag; `anchor` is the fallback when the listing is
+    * fully blind (stale-low but positive — loud-bounded downstream).
+    */
+  private def listResolve(fs: FileSystem, anchor: Option[(Long, ManifestFloor)]): (Long, ManifestFloor) = {
+    val m = listMaxSeq(fs)
+    if (m > 0L) {
+      val w = walkForward(fs, m)
+      settle(w, readRecord).orElse(anchor).getOrElse((0L, Empty))
+    } else anchor.getOrElse {
+      // LIST blind or empty: the anchor's exact key is the authority
+      readRecord(1L).map((1L, _)).getOrElse((0L, Empty))
+    }
+  }
+
   /** Fast floor read for hot per-read gates (the getStream / latest
     * probe walks): one exists() miss when the chain has not advanced
-    * past this instance's cache, zero record reads. Skips re-verifying
-    * the cached record, so after a delete+recreate of the same path by
+    * past this instance's cache, zero record reads. Skips the
+    * re-verification, so after a delete+recreate or a prune-under by
     * ANOTHER instance the value can be stale until the next full read —
     * callers' own identity validation (v0 incarnation checks, LIST-path
     * fallbacks) bounds that to a loud error or a fallback, never a
@@ -102,9 +170,8 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     */
   def floorFast(): Long = readTip(verifyCache = false)._2.floor
 
-  /** Authoritative floor read: re-reads the record at the resolved tip
-    * seq, probes the chain forward with exact-key GETs (list lag can
-    * never hide an advance), one LIST page past the cap.
+  /** Authoritative floor read: probes forward, re-verifies the landing
+    * record, and resolves pruned gaps through one LIST page.
     */
   def read(): ManifestFloor = readTip(verifyCache = true)._2
 
@@ -112,50 +179,42 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
 
   private def readTip(verifyCache: Boolean): (Long, ManifestFloor) = {
     val fs = fsf()
-    val (cachedSeq, cachedRec) = tip
-
-    def resolveFrom(start: Long, allowRestart: Boolean): (Long, ManifestFloor) = {
-      var seq = start
-      var rounds = 0
-      var walked = true
-      while (walked) {
-        var probes = 0
-        while (probes < ProbeCap && fs.exists(path(seq + 1))) { seq += 1; probes += 1 }
-        walked = false
-        if (probes >= ProbeCap && rounds < 3) {
-          // far behind: jump to the listed max, then resume probing PAST
-          // it — list lag costs extra probes, never a stale answer
-          val m = listMaxSeq(fs)
-          if (m > seq) seq = m
-          rounds += 1
-          walked = true
+    val (cs, cr) = tip
+    val out: (Long, ManifestFloor) =
+      if (cs > 0L) {
+        val w = walkForward(fs, cs)
+        if (w > cs) settle(w, readRecord).getOrElse(listResolve(fs, None))
+        else if (!verifyCache) (cs, cr)
+        else readRecord(cs) match {
+          // suffix contiguity: a live record above the anchor with no
+          // successor IS the tip; the anchor itself may sit below a
+          // pruned gap, so it resolves through the listing
+          case Some(r) if cs > 1L => (cs, r)
+          case Some(r)            => listResolve(fs, Some((1L, r)))
+          // pruned under us (we idled past KeepRecords advances) or the
+          // chain was deleted/recreated: the listing is the authority
+          case None               => listResolve(fs, None)
         }
+      } else readRecord(1L) match {
+        case None => (0L, Empty) // never GC'd — strong exact-key proof
+        case Some(r1) =>
+          // the chain may be pruned directly above the anchor: walk what
+          // is dense, then let one LIST page reveal a retained window
+          // beyond any gap (probe-forward absorbs lag past its max)
+          val w = walkForward(fs, 1L)
+          val dense = settle(w, readRecord).getOrElse((1L, r1))
+          val m = listMaxSeq(fs)
+          if (m > dense._1) listResolve(fs, Some(dense)) else dense
       }
-      if (seq == 0L) (0L, Empty)
-      else if (!verifyCache && seq == cachedSeq) (cachedSeq, cachedRec)
-      else readRecord(seq) match {
-        case Some(r) => (seq, r)
-        case None if seq > math.max(start, 1L) =>
-          // torn tip: the previous record is the floor until the write
-          // lands (it is immutable and was readable to the prober)
-          readRecord(seq - 1).map((seq - 1, _)).getOrElse((0L, Empty))
-        case None if allowRestart && start > 0L =>
-          // the cached seq itself is gone: the chain was deleted (and
-          // possibly recreated) under this path — cold probe from 1
-          resolveFrom(0L, allowRestart = false)
-        case None => (0L, Empty)
-      }
-    }
-
-    val out = resolveFrom(cachedSeq, allowRestart = true)
     if (out._1 > 0L) tip = out
     out
   }
 
   /** CAS-append `floor` if it advances the chain. Returns true iff THIS
-    * call wrote the record; false = the chain is already at or above
-    * `floor` (supersession — the concurrent winner owns the deletes, by
-    * the same contract as the old pre-write re-check, now atomic).
+    * call wrote the record (false = already at/above `floor`:
+    * supersession — the concurrent winner owns the deletes, by the same
+    * contract as the old pre-write re-check, now atomic). The winner
+    * prunes records behind the retained window before returning.
     */
   def advance(floor: Long, incarnation: String): Boolean = {
     require(floor > 0L, s"floor must be positive, got $floor")
@@ -168,13 +227,14 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
         try out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
         finally out.close()
         tip = (seq + 1, rec)
+        prune(fs, seq + 1)
         return true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.nio.file.FileAlreadyExistsException =>
           // lost seq+1 to a concurrent gc: re-read and re-decide. The
           // winner's record may still be torn (created, bytes not yet
-          // visible) — readTip reads that as not-yet-committed, so we
+          // visible): readTip reads that as not-yet-committed, so we
           // pause briefly and lose again until its write lands (ms).
           Thread.sleep(2)
           val again = readTip(verifyCache = true)
@@ -182,6 +242,27 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
       }
     }
     false
+  }
+
+  /** Retire records outside `{1} ∪ (tipSeq − KeepRecords, tipSeq]`.
+    * Walk DOWN from the window edge to the first already-missing seq
+    * (everything below was pruned by earlier passes — cost is one miss
+    * plus one probe per record actually deleted), then delete ASCENDING
+    * so a crash mid-prune always leaves the retained set a contiguous
+    * suffix plus the anchor — the invariant every probe walk relies on.
+    */
+  private def prune(fs: FileSystem, tipSeq: Long): Unit = {
+    val cut = tipSeq - KeepRecords
+    if (cut < 2L) return
+    try {
+      var lo = cut
+      while (lo - 1 >= 2L && fs.exists(path(lo - 1))) lo -= 1 // never seq 1: the anchor is permanent
+      var k = lo
+      while (k <= cut) {
+        try { fs.delete(path(k), false); () } catch { case _: Exception => () }
+        k += 1
+      }
+    } catch { case _: Exception => () } // best effort: the next pass finishes
   }
 
   /** Drop the in-memory hint (the backing chain was deleted). */

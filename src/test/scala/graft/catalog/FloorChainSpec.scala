@@ -49,6 +49,7 @@ class FloorChainSpec extends AnyFunSuite {
     assert(new Path(rootA).toString != new Path(rootB).toString,
       "aliases must resolve to distinct lock keys")
     val prevLag = graft.storage.LaggedObjectStoreFs.lagMs
+    graft.storage.LaggedObjectStoreFs.lagMs = 0L // pinned; lag cases set their own
     try body(conf, rootA, rootB)
     finally graft.storage.LaggedObjectStoreFs.lagMs = prevLag
   }
@@ -109,12 +110,14 @@ class FloorChainSpec extends AnyFunSuite {
         assert(errors.isEmpty, errors.toArray.mkString("\n"))
         val (seq, rec) = chain(conf, rootB).readWithSeq()
         assert(rec.floor == 360L, s"final floor ${rec.floor}")
-        // dense: every seq 1..tip exists exactly once (exclusive create)
+        // on-disk shape: the anchor plus a contiguous retained suffix
+        // (records behind the KeepRecords window are pruned by winners)
         val fs = new Path(rootA).getFileSystem(conf)
-        for (k <- 1L to seq)
-          assert(fs.exists(new Path(new Path(rootA, "meta"), f"floor-$k%012d.json")),
-            s"chain hole at seq $k")
-        // one CAS win per record — no seq double-written
+        def rec_(k: Long) = new Path(new Path(rootA, "meta"), f"floor-$k%012d.json")
+        assert(fs.exists(rec_(1L)), "the floor-1 anchor must never be pruned")
+        for (k <- math.max(2L, seq - FloorChain.KeepRecords + 1) to seq)
+          assert(fs.exists(rec_(k)), s"hole at seq $k inside the retained window")
+        // one CAS win per seq ever allocated — no seq double-written
         assert(wins.get() == seq, s"${wins.get()} wins for $seq records")
       }
     }
@@ -129,6 +132,33 @@ class FloorChainSpec extends AnyFunSuite {
         val fresh = chain(conf, rootA)
         assert(fresh.read() == ManifestFloor(24L, "i"),
           "cold read under full list lag must walk the dense chain from the floor-1 anchor")
+      }
+    }
+
+    test(s"[$contract] pruning: anchor + contiguous suffix; pruned-under readers resolve via the listing") {
+      withContract(contract) { (conf, rootA, rootB) =>
+        val w = chain(conf, rootA)
+        val stale = chain(conf, rootB)
+        assert(w.advance(4L, "i"))
+        stale.read() // cache the seq-1 tip, then idle past the window
+        val n = FloorChain.KeepRecords + 20
+        for (k <- 2 to n) assert(w.advance(k * 4L, "i"))
+        val fs = new Path(rootA).getFileSystem(conf)
+        def rec_(k: Long) = new Path(new Path(rootA, "meta"), f"floor-$k%012d.json")
+        // anchor retained; everything between it and the window pruned;
+        // the window itself dense
+        assert(fs.exists(rec_(1L)))
+        for (k <- 2L to (n - FloorChain.KeepRecords))
+          assert(!fs.exists(rec_(k)), s"seq $k should be pruned")
+        for (k <- (n - FloorChain.KeepRecords + 1).toLong to n.toLong)
+          assert(fs.exists(rec_(k)), s"retained seq $k missing")
+        // a completely fresh reader resolves the exact floor (anchor →
+        // listing → probe-forward), as does the pruned-under stale one
+        assert(chain(conf, rootA).read() == ManifestFloor(n * 4L, "i"))
+        assert(stale.read() == ManifestFloor(n * 4L, "i"),
+          "a reader cached below the pruned gap must resolve via the listing")
+        // and the fast gate read never regresses below its own cache
+        assert(stale.floorFast() >= 4L)
       }
     }
 
