@@ -37,12 +37,20 @@ object VersionsBench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
       }
+      // sub-ms figures are JIT/scheduler-noisy in one shot (r13 saw the
+      // same build swing 1.0-2.4 ms across runs) — report the MEDIAN of
+      // 9 for the hot-path numbers; cold/stale stay single-shot (each
+      // needs virgin instance state, and they are 100x the noise floor)
+      def med9(f: => Unit): Double = {
+        val xs = Array.fill(9) { timed(f) }.sorted
+        xs(4)
+      }
       def coldRead: Double = {
         val c2 = new StreamCatalog(work)
         timed(c2.getStream("b", "s"): Unit)
       }
-      val (objs0, cold0, warm0) = (metaObjects, coldRead, timed(cat.getStream("b", "s"): Unit))
-      val commit0 = timed(cat.update("b", "s")(m => m.copy(tags = Set("x"))): Unit)
+      val (objs0, cold0, warm0) = (metaObjects, coldRead, med9(cat.getStream("b", "s"): Unit))
+      val commit0 = med9(cat.update("b", "s")(m => m.copy(tags = Set("x"))): Unit)
       // STALE-CACHE read: an instance whose cached tip is the WHOLE CHAIN
       // behind (primed at v0, tip now n) — the capped probe walk must
       // abandon to the LIST path instead of paying one exists() GET per
@@ -60,11 +68,11 @@ object VersionsBench {
         val half = cat.getStreamAt("b", "s", n / 2L)
         if (half.committedAt != 0L) half.committedAt else System.currentTimeMillis()
       }
-      val resolve0 = timed(cat.versionAtTime("b", "s", tMid): Unit)
+      val resolve0 = med9(cat.versionAtTime("b", "s", tMid): Unit)
       val retired = cat.gcManifests("b", "s", keepVersions = 64).size
-      val (objs1, cold1, warm1) = (metaObjects, coldRead, timed(cat.getStream("b", "s"): Unit))
-      val commit1 = timed(cat.update("b", "s")(m => m.copy(tags = Set("y"))): Unit)
-      val resolve1 = timed(
+      val (objs1, cold1, warm1) = (metaObjects, coldRead, med9(cat.getStream("b", "s"): Unit))
+      val commit1 = med9(cat.update("b", "s")(m => m.copy(tags = Set("y"))): Unit)
+      val resolve1 = med9(
         try cat.versionAtTime("b", "s", System.currentTimeMillis()): Unit
         catch { case _: graft.core.TruncatedDataException => () })
       def f(v: Double) = f"$v%.2f"
