@@ -665,8 +665,15 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     val floor = manifestFloor(scope, stream)
     // v0 always rides along: resolving INTO the retired gap must land on
     // it and fail loudly through gated() (Some(0) < floor), exactly as
-    // with the old listing — stamps stay monotone across the gap
-    val vs: IndexedSeq[Long] = 0L +: (math.max(1L, floor) to tip)
+    // with the old listing — stamps stay monotone across the gap.
+    // VIRTUAL sequence, never materialized: an un-GC'd year-deep chain
+    // (3×10^7 versions) must cost the driver O(1) memory here, not a
+    // 240 MB vector — the bisection only ever indexes it.
+    val lo = math.max(1L, floor)
+    val vs: IndexedSeq[Long] = new IndexedSeq[Long] {
+      override val length: Int = (tip - lo + 2).toInt
+      override def apply(i: Int): Long = if (i == 0) 0L else lo + (i - 1)
+    }
     def stampOf(v: Long): Long = {
       def once(): Long =
         readRecord(scope, stream, v).meta.committedAt match {

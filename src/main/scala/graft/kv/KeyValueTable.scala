@@ -596,10 +596,38 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
         case e: RetentionFloorLostException =>
           return Seq(s"gc-floor-base: ${e.getMessage}")
       }
-    // versions below the GC floor are retired by contract, not holes
-    (math.max(1L, manifestFloor) to m.version).foreach { v =>
-      if (!fs.exists(manifestPath(v)))
-        issues += s"manifest-chain: missing version $v of ${m.version}"
+    // versions below the GC floor are retired by contract, not holes.
+    // A REGRESSED marker (legacy rename-replace surgery; unreachable
+    // through the FloorChain CAS) reads as holes spanning exactly
+    // [floor, X) with the chain from X intact — a healthy store with a
+    // stale marker, self-healing because floors only move up: one
+    // benign advisory, not chain-corruption spam (mirrors the stream
+    // side's Fsck classification).
+    val floor = manifestFloor
+    val missing = (math.max(1L, floor) to m.version)
+      .filterNot(v => fs.exists(manifestPath(v)))
+    val regressedBase: Option[Long] =
+      if (floor <= 0L || missing.isEmpty) None
+      else {
+        val x = missing.max + 1
+        val contiguousFromFloor =
+          missing.head == floor && missing.sameElements(floor until x) &&
+            x <= m.version
+        // KV manifests are self-contained: X parsing IS the base check
+        if (contiguousFromFloor &&
+            (try { readManifest(x); true } catch { case _: Exception => false }))
+          Some(x)
+        else None
+      }
+    regressedBase match {
+      case Some(x) =>
+        issues += (s"gc-floor-regressed: floor marker at v$floor but " +
+          s"versions $floor..${x - 1} are already retired; retained " +
+          "chain from v" + x + " is intact — benign stale marker, " +
+          "self-heals on the next gc pass")
+      case None =>
+        missing.foreach(v =>
+          issues += s"manifest-chain: missing version $v of ${m.version}")
     }
     m.files.foreach { f =>
       if (!fs.exists(new Path(f.path)))

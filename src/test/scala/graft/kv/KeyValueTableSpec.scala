@@ -202,6 +202,37 @@ class KeyValueTableSpec extends AnyFunSuite {
     assert(t.versionAtTime(System.currentTimeMillis() + 1000L).contains(9L))
   }
 
+  test("a regressed floor marker reads as gc-floor-regressed (benign), not chain corruption") {
+    val t = fresh(parts = 4)
+    for (i <- 1 to 12) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.gcManifests(keepVersions = 3).nonEmpty && t.manifestFloor == 9L)
+    // construct the LEGACY regressed-marker state directly (impossible
+    // through the FloorChain CAS): rewrite floor-1 with a smaller floor
+    val fs = new org.apache.hadoop.fs.Path(t.tableDirPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rec = new org.apache.hadoop.fs.Path(
+      s"${t.tableDirPath}/_meta/floor-${"%012d".format(1)}.json")
+    assert(fs.exists(rec))
+    fs.delete(rec, false)
+    val out = fs.create(rec, true)
+    out.write("""{"floor":4,"incarnation":"legacy"}""".getBytes("UTF-8"))
+    out.close()
+    val t2 = new KeyValueTable(spark, t.tableDirPath.stripSuffix("/" + t.name), t.name,
+      partitionCount = 4) // fresh instance: no cached floor
+    assert(t2.manifestFloor == 4L)
+    val issues = t2.fsck()
+    assert(issues.count(_.startsWith("gc-floor-regressed")) == 1, issues.mkString("; "))
+    assert(!issues.exists(_.startsWith("manifest-chain")), issues.mkString("; "))
+    // live reads unaffected by the stale marker
+    assert(t2.entries().count() == 12L)
+    // a genuinely broken chain above the regressed marker still pages
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${t.tableDirPath}/_meta/manifest-${"%012d".format(10)}.json"), false)
+    val issues2 = t2.fsck()
+    assert(issues2.exists(i => i.startsWith("manifest-chain") && i.contains("10")),
+      issues2.mkString("; "))
+  }
+
   // GC + list-lag DOUBLE-BLIND, KV twin of ManifestLogSpec's case: with
   // [1, floor) retired and every RETAINED manifest still inside the lag
   // window, a fresh reader's listing is EMPTY (KV chains have no v0) and
