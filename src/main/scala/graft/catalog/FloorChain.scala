@@ -85,6 +85,15 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     */
   @volatile private var tip: (Long, ManifestFloor) = (0L, Empty)
 
+  /** One-shot memo that the never-GC'd conclusion (anchor absent AND
+    * nothing listed) was LIST-verified — the cold-read corruption check
+    * below must not turn every floor read on a never-GC'd stream into a
+    * directory listing. Safe to latch: the anchor is the FIRST record
+    * any advance ever writes, so a later legitimate GC is discovered by
+    * the `readRecord(1)` hit itself, never by re-listing.
+    */
+  @volatile private var neverGcVerified = false
+
   private def path(k: Long) = new Path(dir, f"floor-$k%012d.json")
 
   /** Records are immutable once written, so an unreadable-but-present
@@ -92,9 +101,20 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     * by a racing [[advance]]) — brief retry, then "not committed yet":
     * the previous record stays authoritative until the write lands
     * (floors only grow, so reading one advance late is always safe).
+    *
+    * `strict` (the ANCHOR reads whose None is treated as proof of
+    * absence): only FileNotFoundException is actual proof — a
+    * PERSISTENT IO error rethrows after the retries instead of reading
+    * as absence, because "anchor absent" downstream means "never GC'd,
+    * floor 0", and turning a failing store into that silently disables
+    * the gc × list-lag recovery base (the exact silent-empty hazard
+    * class the chain exists to close). Non-anchor reads keep
+    * retry-then-None: there None only ever steps a walk back one
+    * record or defers to the listing, never concludes absence.
     */
-  private def readRecord(k: Long): Option[ManifestFloor] = {
+  private def readRecord(k: Long, strict: Boolean = false): Option[ManifestFloor] = {
     val fs = fsf()
+    var lastErr: Exception = null
     for (_ <- 1 to 10) {
       try {
         val in = fs.open(path(k))
@@ -103,9 +123,10 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
         finally in.close()
       } catch {
         case _: java.io.FileNotFoundException => return None
-        case _: Exception => Thread.sleep(5)
+        case e: Exception => lastErr = e; Thread.sleep(5)
       }
     }
+    if (strict && lastErr != null) throw lastErr
     None
   }
 
@@ -152,11 +173,28 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     val m = listMaxSeq(fs)
     if (m > 0L) {
       val w = walkForward(fs, m)
-      settle(w, readRecord).orElse(anchor).getOrElse((0L, Empty))
+      settle(w, readRecord(_)).orElse(anchor).getOrElse((0L, Empty))
     } else anchor.getOrElse {
       // LIST blind or empty: the anchor's exact key is the authority
-      readRecord(1L).map((1L, _)).getOrElse((0L, Empty))
+      readRecord(1L, strict = true).map((1L, _)).getOrElse((0L, Empty))
     }
+  }
+
+  /** Corruption audit (Fsck's `gc-floor-anchor-lost`): suffix records
+    * are listable while the PERMANENT anchor misses its exact-key read.
+    * [[prune]] never deletes seq 1 and exact-key reads are
+    * read-after-write consistent, so this state is unreachable through
+    * the chain's own protocol — only hand surgery or storage corruption
+    * produces it, and a fully lag-blinded cold reader in it would
+    * conclude "never GC'd" (floor 0), disengaging the gc × list-lag
+    * recovery base. The listing is consulted FIRST: lag hides records,
+    * never fabricates them, so anything listed exists, and the anchor
+    * re-read afterwards cannot race a first advance into a false
+    * positive (the anchor IS the first record ever written).
+    */
+  def anchorLost(): Boolean = {
+    val fs = fsf()
+    listMaxSeq(fs) > 0L && readRecord(1L).isEmpty
   }
 
   /** Fast floor read for hot per-read gates (the getStream / latest
@@ -183,7 +221,7 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     val out: (Long, ManifestFloor) =
       if (cs > 0L) {
         val w = walkForward(fs, cs)
-        if (w > cs) settle(w, readRecord).getOrElse(listResolve(fs, None))
+        if (w > cs) settle(w, readRecord(_)).getOrElse(listResolve(fs, None))
         else if (!verifyCache) (cs, cr)
         else readRecord(cs) match {
           // suffix contiguity: a live record above the anchor with no
@@ -195,14 +233,31 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
           // chain was deleted/recreated: the listing is the authority
           case None               => listResolve(fs, None)
         }
-      } else readRecord(1L) match {
-        case None => (0L, Empty) // never GC'd — strong exact-key proof
+      } else readRecord(1L, strict = true) match {
+        case None =>
+          // Exact-key absence of the anchor is strong proof on a store
+          // honoring the chain's protocol — but the protocol cannot rule
+          // out hand surgery/corruption losing the anchor WHILE suffix
+          // records survive, and concluding "never GC'd" there serves
+          // floor 0 to a reader that should see a positive floor. A COLD
+          // read (no cached seq) therefore pays one LIST page before
+          // concluding: suffix present → recover a POSITIVE floor from
+          // it (stale-low at worst — loud-bounded downstream; Fsck
+          // classifies the state as gc-floor-anchor-lost); nothing
+          // listed → memoize so steady-state reads on never-GC'd
+          // streams stay one exact-key miss, never a listing.
+          if (neverGcVerified) (0L, Empty)
+          else {
+            val m = listMaxSeq(fs)
+            if (m > 0L) settle(walkForward(fs, m), readRecord(_)).getOrElse((0L, Empty))
+            else { neverGcVerified = true; (0L, Empty) }
+          }
         case Some(r1) =>
           // the chain may be pruned directly above the anchor: walk what
           // is dense, then let one LIST page reveal a retained window
           // beyond any gap (probe-forward absorbs lag past its max)
           val w = walkForward(fs, 1L)
-          val dense = settle(w, readRecord).getOrElse((1L, r1))
+          val dense = settle(w, readRecord(_)).getOrElse((1L, r1))
           val m = listMaxSeq(fs)
           if (m > dense._1) listResolve(fs, Some(dense)) else dense
       }
@@ -266,5 +321,5 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
   }
 
   /** Drop the in-memory hint (the backing chain was deleted). */
-  def invalidate(): Unit = tip = (0L, Empty)
+  def invalidate(): Unit = { tip = (0L, Empty); neverGcVerified = false }
 }

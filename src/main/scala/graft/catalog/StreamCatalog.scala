@@ -423,7 +423,7 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
           // is ~0.5 ms locally; the old U(1,20) ms first sleep wasted
           // ~20 commit slots per loss and collapsed 64-writer
           // throughput 2.7× — CommitContentionBench), escalating
-          // U(0, 2^attempt) ms only on REPEATED loss, capped at 256 ms.
+          // U(0, 2^attempt) ms only on REPEATED loss, capped at 512 ms.
           // Full jitter (floor 0) also breaks the lockstep starvation
           // that pushed p99 to ~5 s: an old loser's window always
           // overlaps a fresh committer's, so it is never structurally
@@ -659,21 +659,29 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * linear fallback).
     */
   def versionAtTime(scope: String, stream: String, epochMillis: Long): Option[Long] = {
-    val tip =
+    var tip =
       try getStream(scope, stream).version
       catch { case _: NoSuchStreamException => return None }
     val floor = manifestFloor(scope, stream)
+    // tip is snapshotted BEFORE the floor, so a gc racing fast commits
+    // can advance the floor past the stale tip (floor <= tip holds on
+    // any consistent snapshot: the gc cuts strictly below the tip it
+    // listed). One tip re-read restores order; persisting disorder
+    // means the ground moved wholesale (delete/recreate mid-call) —
+    // resolve linearly over the fresh compensated listing rather than
+    // bisect an empty/negative range (which would silently return None
+    // for a resolvable time — r13 ADVICE).
+    if (floor > tip)
+      tip = try getStream(scope, stream).version
+            catch { case _: NoSuchStreamException => return None }
     // v0 always rides along: resolving INTO the retired gap must land on
     // it and fail loudly through gated() (Some(0) < floor), exactly as
     // with the old listing — stamps stay monotone across the gap.
-    // VIRTUAL sequence, never materialized: an un-GC'd year-deep chain
-    // (3×10^7 versions) must cost the driver O(1) memory here, not a
-    // 240 MB vector — the bisection only ever indexes it.
+    // The sequence {v0} ++ [lo, tip] is never materialized: the
+    // bisection runs over Long INDICES (an un-GC'd year-deep chain —
+    // 3×10^7 versions, or far past Int range — costs the driver O(1)
+    // memory and no truncation).
     val lo = math.max(1L, floor)
-    val vs: IndexedSeq[Long] = new IndexedSeq[Long] {
-      override val length: Int = (tip - lo + 2).toInt
-      override def apply(i: Int): Long = if (i == 0) 0L else lo + (i - 1)
-    }
     def stampOf(v: Long): Long = {
       def once(): Long =
         readRecord(scope, stream, v).meta.committedAt match {
@@ -712,19 +720,22 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       }
       gated(best)
     }
+    if (floor > tip) return linear()
+    def verAt(i: Long): Long = if (i == 0L) 0L else lo + (i - 1)
+    val n = tip - lo + 2 // |{v0}| + |[lo, tip]|
     try {
       // first index with stamp > t (stamps ascend with version)
-      var lo = 0
-      var hi = vs.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (stampOf(vs(mid)) > epochMillis) hi = mid else lo = mid + 1
+      var l = 0L
+      var h = n
+      while (l < h) {
+        val mid = (l + h) >>> 1
+        if (stampOf(verAt(mid)) > epochMillis) h = mid else l = mid + 1
       }
       // verify-walk for pre-clamp local inversions; 0 steps on clamped
-      // chains (vs(lo-1) was read as <= t by the search itself)
-      var i = lo - 1
-      while (i >= 0 && stampOf(vs(i)) > epochMillis) i -= 1
-      gated(if (i < 0) None else Some(vs(i)))
+      // chains (verAt(l-1) was read as <= t by the search itself)
+      var i = l - 1
+      while (i >= 0L && stampOf(verAt(i)) > epochMillis) i -= 1
+      gated(if (i < 0L) None else Some(verAt(i)))
     } catch {
       // a version retired by concurrent GC (or the stream dropped) mid-
       // search breaks the bisection invariants — re-resolve linearly
@@ -788,20 +799,21 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // marker is the recovery base: its version is retained by the gc
     // contract (base verified before the marker, marker before deletes,
     // floors only move up), so probing forward FROM the floor always
-    // rediscovers the chain. The recovery is SKIPPED when the
-    // probe-past-max walk extended the chain from a version >= 1: gc
-    // deletes ascend, so a partially-swept chain is always a deleted
-    // PREFIX of (0, floor) — an existing manifest above 0 proves the
-    // walk ran through contiguous survivors all the way to the true
-    // tip, which can never be floor-blind (extras ending at 0 prove
-    // nothing: v0 is retained BELOW the floor by the identity
-    // contract). The re-read loop absorbs a gc advancing the floor
-    // mid-probe (each retry strictly increases the floor, so it
-    // terminates).
+    // rediscovers the chain. The floor is read UNCONDITIONALLY here
+    // (one cheap chain read — shared with the hole filter above via
+    // floorOnce) and the from-floor probe skipped only when maxFound
+    // already reached it. A manifest the probe walk confirmed is NOT
+    // proof by itself: "a partially-swept chain is a deleted prefix"
+    // holds for a snapshot, not for a time-spanning walk — a concurrent
+    // gc can overtake the walk (walk confirms v, gc retires v..floor-1,
+    // walk's probe of v+1 misses), leaving extras ending at a
+    // now-deleted version >= 1 while the whole retained chain is still
+    // undiscovered (r13 ADVICE). The re-read loop absorbs a gc
+    // advancing the floor mid-probe (each retry strictly increases the
+    // floor, so it terminates).
     val maxFound = found.foldLeft(0L)(math.max)
-    val walkReachedTip = extras.lastOption.exists(_ >= 1L)
     var fromFloor = Seq.empty[Long]
-    var fl = if (walkReachedTip) 0L else floorOnce()
+    var fl = floorOnce()
     var prevFl = -1L
     while (fromFloor.isEmpty && fl > maxFound && fl != prevFl) {
       var n2 = fl
@@ -941,6 +953,19 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def manifestFloor(scope: String, stream: String): Long =
     floorChain(scope, stream).read().floor
 
+  /** The full floor record (floor + the stamping gc's incarnation) —
+    * the audit surface Fsck compares against the live v0 identity.
+    */
+  def manifestFloorRecord(scope: String, stream: String): ManifestFloor =
+    floorChain(scope, stream).read()
+
+  /** Corruption audit for Fsck (`gc-floor-anchor-lost`): floor-chain
+    * suffix records are listable while the permanent anchor misses its
+    * exact-key read — see [[FloorChain.anchorLost]].
+    */
+  def floorAnchorLost(scope: String, stream: String): Boolean =
+    floorChain(scope, stream).anchorLost()
+
   /** Retire manifest history older than `keepVersions` behind the tip —
     * log retention, the piece that keeps `_meta/` from growing one file
     * per commit forever (at one commit/second a year of history is
@@ -995,12 +1020,10 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     // discovers supersession atomically and leaves the deletes to the
     // winner (whose retired range covers ours).
     if (!floorChain(scope, stream).advance(cv, inc)) return Nil
-    // ASCENDING delete order is load-bearing: listVersions may skip the
-    // floor-recovery read when its probe-past-max walk extended the
-    // chain from a version >= 1, which is sound only because a
-    // partially-swept chain is always a deleted PREFIX of (0, floor) —
-    // any existing manifest > 0 then proves everything above it up to
-    // the tip still exists.
+    // ASCENDING delete order: a crashed/overtaken sweep always leaves a
+    // deleted PREFIX of (0, floor), which is what lets Fsck classify a
+    // partially-swept chain as benign retention (not corruption) and
+    // keeps the probe walks' miss-at-first-hole geometry predictable.
     val retired = versions.filter(v => v > 0 && v < cv).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(scope, stream, v), false)

@@ -40,7 +40,20 @@ final case class KvManifest(name: String, partitionCount: Int, version: Long,
                               * StreamMetadata.committedAt. 0 = pre-upgrade
                               * manifest (resolution falls back to mtime).
                               */
-                            committedAt: Long = 0L)
+                            committedAt: Long = 0L,
+                            /** Creation identity of this table INCARNATION
+                              * (mirrors StreamMetadata.incarnation): a fresh
+                              * UUID stamped by the v1 commit — the table's
+                              * first after (re)creation, since chains
+                              * restart at 1 — and force-carried by every
+                              * later commit. GC stamps it into the floor
+                              * chain, so a floor chain that survived a
+                              * delete+recreate (hand surgery / partial
+                              * delete) is auditable as STALE by comparing
+                              * against the live chain's identity ("" =
+                              * pre-upgrade manifest, exempt).
+                              */
+                            incarnation: String = "")
 
 object KeyValueTable {
   /** Conditional batches up to this many touched keys are validated with
@@ -144,26 +157,27 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // floors monotone across JVMs by CAS-append) — probe forward from
     // it; re-read the floor if a concurrent gc advanced it mid-probe
     // (strictly increasing, so the loop terminates; a floor chain
-    // removed by deleteTable reads as 0 and falls through). SKIPPED
-    // when the probe walk advanced past the listed max: gc deletes
-    // ascend, so a partially-swept chain is a deleted PREFIX of
-    // [1, floor) — an exists()-confirmed manifest proves the walk ran
-    // through contiguous survivors to the true tip, never floor-blind.
-    if (max == listedMax) {
-      var fl = floorChain.read().floor
-      var prevFl = -1L
-      while (max < fl && fl != prevFl) {
-        var n2 = fl
-        while (fs.exists(manifestPath(n2))) { max = n2; n2 += 1 }
-        prevFl = fl
-        if (max < fl) fl = floorChain.read().floor
-      }
-      if (max < fl)
-        throw new RetentionFloorLostException(
-          s"kv $name: retention floor $fl names a retained chain but no " +
-            s"manifest at or above it is readable (max found $max) — " +
-            "concurrent delete or storage corruption")
+    // removed by deleteTable reads as 0 and falls through). The floor
+    // is read UNCONDITIONALLY (one cheap chain read) and the recovery
+    // skipped only when max already reached it: a probe-confirmed
+    // manifest is NOT proof by itself — a concurrent gc can OVERTAKE
+    // the walk (walk confirms v, gc retires v..floor-1, probe of v+1
+    // misses), leaving max at a now-deleted version >= 1 below the
+    // whole retained chain (r13 ADVICE; "deleted prefix" holds for a
+    // snapshot, not a time-spanning walk).
+    var fl = floorChain.read().floor
+    var prevFl = -1L
+    while (max < fl && fl != prevFl) {
+      var n2 = fl
+      while (fs.exists(manifestPath(n2))) { max = n2; n2 += 1 }
+      prevFl = fl
+      if (max < fl) fl = floorChain.read().floor
     }
+    if (max < fl)
+      throw new RetentionFloorLostException(
+        s"kv $name: retention floor $fl names a retained chain but no " +
+          s"manifest at or above it is readable (max found $max) — " +
+          "concurrent delete or storage corruption")
     // empty table = version 0, so the FIRST commit is version 1: entry
     // versions stay strictly positive and can never collide with the
     // reserved expectedVersion=0 ("must not exist") sentinel
@@ -190,8 +204,13 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // even across skewed writer clocks, which is what lets versionAtTime
     // resolve by pure binary search (same contract as
     // StreamCatalog.writeManifest)
+    // v1 = the incarnation's first commit: mint its identity here (the
+    // CAS arbitrates racing first-committers, so exactly one identity
+    // ever lands); every later commit carries the tip's forward
     val m = m0.copy(committedAt =
-      math.max(System.currentTimeMillis(), prevCommittedAt))
+      math.max(System.currentTimeMillis(), prevCommittedAt),
+      incarnation =
+        if (m0.version == 1L) UUID.randomUUID().toString else m0.incarnation)
     fs.mkdirs(metaDir)
     val out = graft.catalog.CasFiles.createExclusive(fs, manifestPath(m.version)) // exclusive → CAS
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
@@ -417,6 +436,12 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     */
   def manifestFloor: Long = floorChain.read().floor
 
+  /** This table incarnation's creation identity (minted by the v1
+    * commit, carried by every commit after it; "" before the first
+    * commit and on pre-upgrade chains). See [[KvManifest.incarnation]].
+    */
+  def incarnation: String = latest().incarnation
+
   /** Retire manifest history older than `keepVersions` behind the tip —
     * the KVT side of manifest-log retention (the chain otherwise grows
     * one file per commit forever). KV manifests are SELF-CONTAINED full
@@ -444,12 +469,14 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     // (FloorChain appends through exclusive-create), so a slower gc
     // racing a larger-cut gc can never regress the floor — the loser
     // discovers supersession atomically and leaves the deletes to the
-    // winner (whose retired range covers ours).
-    if (!floorChain.advance(cut, "")) return Nil
-    // ASCENDING delete order is load-bearing: latest() skips the
-    // floor-recovery read when its probe walk advanced past the listed
-    // max, sound only because a partially-swept chain is always a
-    // deleted PREFIX of [1, floor).
+    // winner (whose retired range covers ours). The record carries the
+    // table's incarnation identity (symmetric with the stream side's v0
+    // stamp) so a chain surviving a delete+recreate audits as stale.
+    if (!floorChain.advance(cut, m.incarnation)) return Nil
+    // ASCENDING delete order: a crashed/overtaken sweep always leaves a
+    // deleted PREFIX of [1, floor), which is what lets fsck classify a
+    // partially-swept chain as benign retention (not corruption) and
+    // keeps the probe walks' miss-at-first-hole geometry predictable.
     val retired = listedVersions().filter(v => v >= 1 && v < cut).sorted
     retired.foreach { v =>
       try fs.delete(manifestPath(v), false)
@@ -629,6 +656,32 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
         missing.foreach(v =>
           issues += s"manifest-chain: missing version $v of ${m.version}")
     }
+    // gc-floor-anchor-lost: suffix floor records listable while the
+    // PERMANENT anchor (floor-1, never pruned) misses its exact-key
+    // read — unreachable through the chain's own protocol, so hand
+    // surgery or storage corruption. A fully lag-blinded cold reader in
+    // this state would read floor 0 and lose the gc × list-lag recovery
+    // base; the chain's cold read now recovers a positive floor from
+    // the listed suffix, and THIS is where the state gets reported.
+    if (floorChain.anchorLost())
+      issues += ("gc-floor-anchor-lost: floor chain records exist but " +
+        "the permanent floor-1 anchor misses its exact-key read — hand " +
+        "surgery or storage corruption; a fully list-lag-blinded cold " +
+        "reader would otherwise conclude the table was never GC'd")
+    // gc-floor-stale-incarnation: the floor chain names a DIFFERENT
+    // table incarnation than the live manifest chain — a chain that
+    // survived a delete+recreate (its floor constrains versions of a
+    // dead chain; the new chain's versions collide numerically). ""
+    // on either side = pre-upgrade records, exempt.
+    locally {
+      val fc = floorChain.read()
+      if (fc.floor > 0L && fc.incarnation.nonEmpty && m.incarnation.nonEmpty &&
+          fc.incarnation != m.incarnation)
+        issues += (s"gc-floor-stale-incarnation: floor chain stamped by " +
+          s"incarnation ${fc.incarnation} but the live chain is " +
+          s"${m.incarnation} — floor survived a delete+recreate; delete " +
+          "the floor-*.json records (next gc re-establishes the floor)")
+    }
     m.files.foreach { f =>
       if (!fs.exists(new Path(f.path)))
         issues += s"file-missing: live ${f.kind} file ${f.path} (commit ${f.commitVersion})"
@@ -683,7 +736,8 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
       val deadline = System.currentTimeMillis() + deleteGraceMillis
       commit(KvManifest(name, partitionCount, m.version + 1,
         Seq(KvFile(baseDir.toString, "base", m.version)),
-        m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline))),
+        m.pendingDeletes ++ m.files.map(f => KvPendingDelete(f.path, deadline)),
+        incarnation = m.incarnation),
         m.committedAt)
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>

@@ -349,25 +349,31 @@ object MinHashLSH {
     */
   val MaxCandidatesConf = "spark.graft.lsh.maxCandidates"
 
-  /** Per-shuffle-task slice of the derived budget: ~6.25M candidates ×
-    * ~300 B of verification-join intermediate ≈ 1.9 GB per task — inside
-    * a default executor's spill comfort zone. The derived budget scales
-    * with `spark.sql.shuffle.partitions` (the deployment's statement of
-    * aggregate shuffle width), floored at [[DefaultMaxCandidates]] so a
-    * small local session never gets LESS than the measured single-node
-    * budget.
+  /** Per-CORE slice of the derived budget, calibrated so the measured
+    * 32-thread single-node budget is exactly the floor: 32 cores ×
+    * 3.125M candidates × ~300 B of verification-join intermediate ≈ the
+    * ~30 GB single-node spill budget [[DefaultMaxCandidates]] encodes —
+    * ~0.94 GB of intermediate per concurrently-running task. Derived
+    * from `defaultParallelism` (actual aggregate executor cores), NOT
+    * `spark.sql.shuffle.partitions`: that knob's DEFAULT (200) states
+    * nothing about capacity — an untuned single-node session would get
+    * 12.5× its measured spill budget and the saturation fail-fast would
+    * effectively never trip on exactly the deployments it protects
+    * (r13 ADVICE). On a real cluster defaultParallelism is the
+    * deployment's own statement of width (1000 executors × 8 cores →
+    * 8000 → 2.5×10¹⁰ candidates ≈ 7.5 GB of spill per executor).
     */
-  val PerTaskCandidates: Long = 6_250_000L
+  val PerCoreCandidates: Long = 3_125_000L
 
   /** Effective candidate budget: an explicit non-negative request wins;
     * otherwise `spark.graft.lsh.maxCandidates` if set; otherwise
-    * max(DefaultMaxCandidates, shufflePartitions × PerTaskCandidates).
+    * max(DefaultMaxCandidates, defaultParallelism × PerCoreCandidates).
     */
   def resolvedMaxCandidates(s: SparkSession, requested: Long): Long =
     if (requested >= 0L) requested
     else s.conf.getOption(MaxCandidatesConf).map(_.trim.toLong).getOrElse {
-      val parts = s.sessionState.conf.numShufflePartitions.toLong
-      math.max(DefaultMaxCandidates, parts * PerTaskCandidates)
+      val cores = s.sparkContext.defaultParallelism.toLong
+      math.max(DefaultMaxCandidates, cores * PerCoreCandidates)
     }
 
   /** Maximum-throughput variant on the xxhash64/murmur3 family (native

@@ -230,7 +230,38 @@ object Fsck {
             case e: Exception => Seq(Issue(s"$scope/$st", "gc-floor-base",
               s"floor v$floor does not reconstruct (checkpoint base lost after gc): $e"))
           }
-        chainIssues ++ floorIssues ++ (
+        // gc-floor-anchor-lost: suffix floor-chain records listable while
+        // the PERMANENT floor-1 anchor misses its exact-key read —
+        // unreachable through the chain's own protocol (prune never
+        // touches seq 1), so hand surgery or storage corruption. A fully
+        // list-lag-blinded cold reader in this state would conclude
+        // "never GC'd" (floor 0) and lose the gc × list-lag recovery
+        // base; FloorChain's cold read now recovers a positive floor
+        // from the listed suffix — this is where the state is REPORTED.
+        val anchorIssues =
+          if (cat.floorAnchorLost(scope, st))
+            Seq(Issue(s"$scope/$st", "gc-floor-anchor-lost",
+              "floor chain records exist but the permanent floor-1 anchor " +
+                "misses its exact-key read — hand surgery or storage " +
+                "corruption; a fully list-lag-blinded cold reader would " +
+                "otherwise conclude the stream was never GC'd"))
+          else Seq.empty
+        // gc-floor-stale-incarnation: the floor chain was stamped by a
+        // DIFFERENT stream incarnation than the live chain — it survived
+        // a delete+recreate and constrains a dead chain's version space.
+        val staleIncIssues =
+          (try {
+            val fr = cat.manifestFloorRecord(scope, st)
+            val live = cat.getStream(scope, st).incarnation
+            if (fr.floor > 0L && fr.incarnation.nonEmpty && live.nonEmpty &&
+                fr.incarnation != live)
+              Seq(Issue(s"$scope/$st", "gc-floor-stale-incarnation",
+                s"floor chain stamped by incarnation ${fr.incarnation} but " +
+                  s"the live chain is $live — floor survived a " +
+                  "delete+recreate; delete the floor-*.json records"))
+            else Seq.empty[Issue]
+          } catch { case _: Exception => Seq.empty[Issue] })
+        chainIssues ++ floorIssues ++ anchorIssues ++ staleIncIssues ++ (
           try checkStream(cat, cat.getStream(scope, st), conf, floorOverride = regressedBase)
           catch {
             case e: Exception =>

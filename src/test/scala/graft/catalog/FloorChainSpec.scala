@@ -162,6 +162,37 @@ class FloorChainSpec extends AnyFunSuite {
       }
     }
 
+    test(s"[$contract] anchor-lost corruption: a cold reader still returns a positive floor; the state is auditable") {
+      withContract(contract) { (conf, rootA, _) =>
+        val w = chain(conf, rootA)
+        // never-GC'd and healthy chains audit clean
+        assert(!w.anchorLost(), "empty chain must not read as anchor-lost")
+        for (k <- 1 to 6) assert(w.advance(k * 10L, "i"))
+        assert(!chain(conf, rootA).anchorLost(), "healthy chain must audit clean")
+        // hand surgery / storage corruption: the PERMANENT anchor vanishes
+        // while the suffix records survive — unreachable through the
+        // chain's own protocol (prune never touches seq 1)
+        val fs = new Path(rootA).getFileSystem(conf)
+        assert(fs.delete(new Path(new Path(rootA, "meta"), f"floor-${1L}%012d.json"), false))
+        // a COLD reader must NOT conclude "never GC'd" (floor 0) from the
+        // one missing exact key: one LIST page reveals the suffix and the
+        // positive floor is recovered (stale-low at worst, loud-bounded
+        // downstream — never the silent empty answer)
+        val cold = chain(conf, rootA)
+        assert(cold.read() == ManifestFloor(60L, "i"),
+          "cold read must recover the floor from the listed suffix")
+        val coldFast = chain(conf, rootA)
+        assert(coldFast.floorFast() == 60L,
+          "the fast gate's cold path takes the same recovery")
+        // and the corruption is classified, not silent
+        assert(chain(conf, rootA).anchorLost())
+        // the chain still advances (a later gc repairs nothing — the
+        // anchor stays lost — but floors remain monotone and readable)
+        assert(cold.advance(70L, "i"))
+        assert(chain(conf, rootA).read().floor == 70L)
+      }
+    }
+
     test(s"[$contract] two catalog instances, unshared gc locks: racing keepVersions never regress the floor") {
       withContract(contract) { (conf, rootA, rootB) =>
         def fe(i: Long): FileEntry =

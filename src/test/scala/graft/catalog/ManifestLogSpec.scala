@@ -303,6 +303,34 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(c.versionAtTime("s", "x", Long.MaxValue / 2).contains(50L))
   }
 
+  test("TIMESTAMP AS OF tip/floor race: a stale tip snapshot re-reads instead of silently returning None") {
+    // versionAtTime snapshots the tip BEFORE the floor — a gc racing
+    // fast commits can advance the floor past the stale snapshot (r13
+    // ADVICE: lo > tip made the bisection range negative and the query
+    // silently returned None for a resolvable time). Replay the exact
+    // interleaving deterministically: the FIRST tip read returns a
+    // pre-gc value below the floor; the fix re-reads the tip and the
+    // bisection resolves normally.
+    val (root, c) = fresh(interval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    for (i <- 1 to 20) c.update("s", "x")(m => m.copy(files = m.files :+ fe(i)))
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 4).nonEmpty)
+    val floor = c.manifestFloor("s", "x")
+    assert(floor > 2L)
+    val racy = new StreamCatalog(root, new org.apache.hadoop.conf.Configuration(),
+        checkpointInterval = 4) {
+      private val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      override def getStream(scope: String, stream: String): StreamMetadata = {
+        val m = super.getStream(scope, stream)
+        if (first.getAndSet(false)) m.copy(version = floor - 2L) else m
+      }
+    }
+    assert(racy.versionAtTime("s", "x", System.currentTimeMillis() + 1000L).contains(20L),
+      "a resolvable instant must resolve despite the stale tip snapshot")
+  }
+
   test("TIMESTAMP AS OF inside GC-retired history fails loudly") {
     val (_, c) = fresh(interval = 4)
     c.createScope("s")

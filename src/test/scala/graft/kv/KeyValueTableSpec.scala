@@ -233,6 +233,64 @@ class KeyValueTableSpec extends AnyFunSuite {
       issues2.mkString("; "))
   }
 
+  test("floor records carry the table incarnation; a recreate-surviving chain audits as stale") {
+    val conf = spark.sessionState.newHadoopConf()
+    def manifests(t: KeyValueTable) = new org.apache.hadoop.fs.Path(t.tableDirPath, "_meta")
+    // table A: commit, gc → its floor chain is stamped with A's identity
+    val a = fresh(parts = 4)
+    for (i <- 1 to 8) a.put(kv(s"k$i" -> s"v$i"))
+    val incA = a.incarnation
+    assert(incA.nonEmpty, "the v1 commit must mint the incarnation")
+    assert(a.gcManifests(keepVersions = 3).nonEmpty)
+    val fs = manifests(a).getFileSystem(conf)
+    val recPath = new org.apache.hadoop.fs.Path(manifests(a), f"floor-${1L}%012d.json")
+    val in = fs.open(recPath)
+    val recTxt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(recTxt.contains(incA), s"floor record must carry the incarnation: $recTxt")
+    // compaction (a fresh-manifest construction) carries the identity too
+    a.compact()
+    assert(a.incarnation == incA, "compaction must not drop the incarnation")
+    assert(a.fsck().isEmpty, a.fsck().mkString("; "))
+    // table B: same name, independent root, NO gc — then table A's floor
+    // chain lands in B's _meta (the delete+recreate survivor shape: a
+    // partial hand-delete left the old chain under a recreated table)
+    val b = fresh(parts = 4)
+    for (i <- 1 to 8) b.put(kv(s"k$i" -> s"v$i"))
+    assert(b.incarnation.nonEmpty && b.incarnation != incA)
+    org.apache.hadoop.fs.FileUtil.copy(fs, recPath,
+      fs, new org.apache.hadoop.fs.Path(manifests(b), f"floor-${1L}%012d.json"),
+      false, conf)
+    val b2 = new KeyValueTable(spark, b.tableDirPath.stripSuffix("/" + b.name),
+      b.name, partitionCount = 4) // fresh instance: no cached floor
+    val issues = b2.fsck()
+    assert(issues.exists(_.startsWith("gc-floor-stale-incarnation")),
+      issues.mkString("; "))
+    // live reads keep working — the stale chain is an audit finding, not
+    // a read outage (B's versions 1..8 all exist at/above the floor 5)
+    assert(b2.entries().count() == 8L)
+  }
+
+  test("a lost floor-chain anchor: positive floor recovered; fsck classifies gc-floor-anchor-lost") {
+    val t = fresh(parts = 4)
+    for (i <- 1 to 12) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.gcManifests(keepVersions = 6).nonEmpty && t.manifestFloor == 6L)
+    for (i <- 13 to 16) t.put(kv(s"k$i" -> s"v$i"))
+    assert(t.gcManifests(keepVersions = 3).nonEmpty && t.manifestFloor == 13L)
+    // hand surgery: the permanent anchor vanishes, the suffix survives
+    val fs = new org.apache.hadoop.fs.Path(t.tableDirPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"${t.tableDirPath}/_meta/floor-${"%012d".format(1)}.json"), false))
+    // a completely COLD instance must not conclude "never GC'd"
+    val t2 = new KeyValueTable(spark, t.tableDirPath.stripSuffix("/" + t.name),
+      t.name, partitionCount = 4)
+    assert(t2.manifestFloor == 13L, "cold floor read must recover from the suffix")
+    assert(t2.entries().count() == 16L)
+    val issues = t2.fsck()
+    assert(issues.exists(_.startsWith("gc-floor-anchor-lost")), issues.mkString("; "))
+    assert(!issues.exists(_.startsWith("manifest-chain")), issues.mkString("; "))
+  }
+
   // GC + list-lag DOUBLE-BLIND, KV twin of ManifestLogSpec's case: with
   // [1, floor) retired and every RETAINED manifest still inside the lag
   // window, a fresh reader's listing is EMPTY (KV chains have no v0) and

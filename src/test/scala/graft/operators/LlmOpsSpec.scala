@@ -98,12 +98,18 @@ class LlmOpsSpec extends AnyFunSuite {
     import MinHashLSH._
     // explicit argument always wins
     assert(resolvedMaxCandidates(spark, 42L) === 42L)
-    // the derived default scales with the deployment's shuffle width,
-    // floored at the measured single-node constant (a node-sized budget
-    // must not throttle a 1000-executor cluster)
-    val parts = spark.sessionState.conf.numShufflePartitions.toLong
+    // the derived default scales with the deployment's ACTUAL core count
+    // (defaultParallelism — not the shuffle.partitions knob, whose
+    // untuned default of 200 says nothing about capacity), floored at
+    // the measured single-node constant (a node-sized budget must not
+    // throttle a 1000-executor cluster)
+    val cores = spark.sparkContext.defaultParallelism.toLong
     assert(resolvedMaxCandidates(spark, AutoMaxCandidates) ===
-      math.max(DefaultMaxCandidates, parts * PerTaskCandidates))
+      math.max(DefaultMaxCandidates, cores * PerCoreCandidates))
+    // the calibration puts a 32-thread local session exactly AT the
+    // measured single-node floor — and an untuned wide
+    // shuffle.partitions can no longer inflate the budget 12.5×
+    assert(32L * PerCoreCandidates === DefaultMaxCandidates)
     // session conf overrides the derivation END TO END: a 15-candidate
     // budget saturates even one bucket of 2 (16 bands x 1 pair = 16)
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")

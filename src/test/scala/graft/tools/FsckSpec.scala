@@ -118,6 +118,40 @@ class FsckSpec extends AnyFunSuite {
     assert(kinds.contains("manifest-chain"))
   }
 
+  test("a lost floor-chain anchor is classified gc-floor-anchor-lost; reads recover a positive floor") {
+    import graft.core.FileEntry
+    val root = Files.createTempDirectory("graft-fsck-anchor").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val c = new graft.catalog.StreamCatalog(root, conf, checkpointInterval = 4)
+    c.createScope("s")
+    c.createStream("s", "x", StreamConfig(initialSegments = 1))
+    def add(i: Int): Unit = c.update("s", "x")(m => m.copy(files = m.files :+
+      FileEntry(0L, s"data/part-$i.parquet", i * 100L, 100L, 0L, 99L, 1, 1024L)))
+    for (i <- 1 to 24) add(i)
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 12).nonEmpty) // floor 12 → floor-1
+    for (i <- 25 to 28) add(i)
+    c.flushCheckpoints()
+    assert(c.gcManifests("s", "x", keepVersions = 4).nonEmpty) // floor 24 → floor-2
+    assert(c.manifestFloor("s", "x") == 24L)
+    // hand surgery / storage corruption: the PERMANENT anchor vanishes
+    // while the suffix record survives (unreachable through the chain's
+    // own protocol — prune never touches seq 1)
+    val fs = new Path(root).getFileSystem(conf)
+    assert(fs.delete(new Path(root, f"s/x/_meta/floor-${1L}%012d.json"), false))
+    // a completely COLD instance must not conclude "never GC'd": the
+    // positive floor recovers from the listed suffix and reads work
+    val fresh = new graft.catalog.StreamCatalog(root, conf, checkpointInterval = 4)
+    assert(fresh.manifestFloor("s", "x") == 24L)
+    assert(fresh.getStream("s", "x").version == 28L)
+    // and fsck classifies the corruption instead of staying silent
+    val issues = Fsck.checkRoot(root, hadoopConf = Some(conf))
+    assert(issues.exists(_.kind == "gc-floor-anchor-lost"), issues.mkString("; "))
+    // retention holes stay retention, not corruption spam
+    assert(!issues.exists(i => i.kind == "manifest-chain" || i.kind == "gc-floor-base"),
+      issues.mkString("; "))
+  }
+
   test("a regressed floor marker reads as gc-floor-regressed (benign), not chain corruption") {
     import graft.core.FileEntry
     val root = Files.createTempDirectory("graft-fsck-regress").toString
