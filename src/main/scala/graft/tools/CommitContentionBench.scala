@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.catalog.StreamCatalog
 import graft.core.StreamConfig
+import graft.storage.LaggedObjectStoreFs
 
 import java.nio.file.Files
 import java.util.concurrent.CyclicBarrier
@@ -18,69 +19,98 @@ import java.util.concurrent.atomic.AtomicLong
   * work per commit is O(writers) and total retries O(commits × writers)
   * unless the backoff spreads the herd.
   *
-  * Measures, per writer count N (each writer an independent
-  * StreamCatalog instance on the same root): sustained commits/sec over
-  * a fixed window, CAS losses per commit (retry amplification), and
-  * p50/p99 per-commit latency. `StreamCatalog.update` already backs off
-  * with jitter (sleep U(1, 20·min(attempt,8)) ms), so the expected shape
-  * is throughput holding near the single-writer ceiling with
-  * retries/commit well below N — this bench is the evidence, and the
-  * regression canary if the backoff is ever touched.
+  * Measures, per (writer count N, simulated RTT): sustained commits/sec
+  * over a fixed window, CAS losses per commit (retry amplification), and
+  * p50/p99 per-commit latency. Each writer is an independent
+  * StreamCatalog instance on the same root (no shared tip cache).
   *
-  * Note on writeEvents vs update: DATA-plane appends batch many events
-  * into ONE manifest commit (files land first, one CAS publishes them),
-  * so N here models N independent committing PROCESSES (writers,
-  * txn commits, scale/seal/truncate control ops), not N events/sec.
+  * TWO storage regimes, because the numbers differ by nature:
+  *  - rtt=0 → local FS (kernel-atomic create, ~0.5 ms per CAS round):
+  *    the backoff-tuning regime — r12 found the old U(1,20·attempt) ms
+  *    backoff starving here and sized the full-jitter replacement.
+  *  - rtt>0 → the `oscas://` object-store contract with
+  *    [[LaggedObjectStoreFs.opLatencyMs]] charged per metadata op: the
+  *    DEPLOYMENT regime. A commit is a handful of serial round trips
+  *    (tip probe, record read, conditional put), so the per-stream
+  *    ceiling is RTT-BOUND — the bench's job is to show throughput
+  *    tracking ~1/RTT with retries/commit still O(1) and no backoff
+  *    thrash (the sleep curve was sized against a 0.5 ms CAS; at 30 ms
+  *    the natural rate-limiting of the round trips themselves
+  *    dominates). The reference's analog ceiling is per-SEGMENT, not
+  *    per-stream (appends serialize in AppendProcessor); data-plane
+  *    events ride writeEvents batching, so N here models N committing
+  *    PROCESSES (txn commits, scale/seal/truncate, independent
+  *    writers), not N events/sec.
   *
-  * Usage: runMain graft.tools.CommitContentionBench [seconds] [n1 n2 ...]
-  *        (default 8 s per point; writers 1 4 16 64)
-  * One JSON line per writer count.
+  * Usage: runMain graft.tools.CommitContentionBench
+  *          [seconds] [writersCsv] [rttMsCsv]
+  *        (defaults: 8 s per point; writers 1,4,16,64; rtt 0)
+  * One JSON line per (writers, rtt) point.
   */
 object CommitContentionBench {
   def main(args: Array[String]): Unit = {
     val windowSec = args.headOption.map(_.toInt).getOrElse(8)
-    val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16, 64)
-    for (n <- counts) {
-      val work = Files.createTempDirectory("graft-ccb").toString
-      val boot = new StreamCatalog(work)
-      boot.createScope("b")
-      boot.createStream("b", "s", StreamConfig(initialSegments = 2))
-      val commits = new AtomicLong(0L)
-      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-      val errors = new AtomicLong(0L)
-      @volatile var stop = false
-      val barrier = new CyclicBarrier(n + 1)
-      val lossStart = StreamCatalog.casLosses.sum()
-      val threads = (1 to n).map { i =>
-        val t = new Thread(() => {
-          val cat = new StreamCatalog(work) // per-writer instance: no shared tip cache
-          barrier.await()
-          while (!stop) {
-            val t0 = System.nanoTime()
-            try {
-              cat.update("b", "s")(m => m.copy(tags = Set(s"w$i-${m.version}")))
-              commits.incrementAndGet()
-              latencies.add(System.nanoTime() - t0)
-            } catch { case _: Throwable => errors.incrementAndGet() }
-          }
-        }, s"committer-$i")
-        t.start(); t
-      }
-      barrier.await()
-      val t0 = System.nanoTime()
-      Thread.sleep(windowSec * 1000L)
-      stop = true
-      threads.foreach(_.join(30000))
-      val wallSec = (System.nanoTime() - t0) / 1e9
-      val losses = StreamCatalog.casLosses.sum() - lossStart
-      val done = commits.get()
-      val lat = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-      def pct(p: Double): Double =
-        if (lat.isEmpty) -1 else lat(math.min(lat.length - 1, (p * lat.length).toInt)) / 1e6
-      println(f"""{"writers":$n,"window_sec":$wallSec%.1f,"commits":$done,""" +
-        f""""commits_per_sec":${done / wallSec}%.1f,""" +
-        f""""cas_losses":$losses,"retries_per_commit":${if (done == 0) -1.0 else losses.toDouble / done}%.2f,""" +
-        f""""p50_ms":${pct(0.5)}%.1f,"p99_ms":${pct(0.99)}%.1f,"errors":${errors.get()}}""")
+    val counts = args.lift(1).map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16, 64))
+    val rtts = args.lift(2).map(_.split(',').map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(0L))
+    for (rtt <- rtts; n <- counts) {
+      val local = Files.createTempDirectory("graft-ccb").toString
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val work =
+        if (rtt <= 0L) local
+        else {
+          conf.set("fs.oscas.impl", classOf[LaggedObjectStoreFs].getName)
+          "oscas://" + local
+        }
+      LaggedObjectStoreFs.opLatencyMs = math.max(0L, rtt)
+      try {
+        val boot = new StreamCatalog(work, conf)
+        boot.createScope("b")
+        boot.createStream("b", "s", StreamConfig(initialSegments = 2))
+        val commits = new AtomicLong(0L)
+        val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val errors = new AtomicLong(0L)
+        @volatile var stop = false
+        val barrier = new CyclicBarrier(n + 1)
+        val lossStart = StreamCatalog.casLosses.sum()
+        val opsStart = LaggedObjectStoreFs.opsCharged.sum()
+        val threads = (1 to n).map { i =>
+          val t = new Thread(() => {
+            val cat = new StreamCatalog(work, conf) // per-writer instance: no shared tip cache
+            barrier.await()
+            while (!stop) {
+              val t0 = System.nanoTime()
+              try {
+                cat.update("b", "s")(m => m.copy(tags = Set(s"w$i-${m.version}")))
+                commits.incrementAndGet()
+                latencies.add(System.nanoTime() - t0)
+              } catch { case _: Throwable => errors.incrementAndGet() }
+            }
+          }, s"committer-$i")
+          t.start(); t
+        }
+        barrier.await()
+        val t0 = System.nanoTime()
+        Thread.sleep(windowSec * 1000L)
+        stop = true
+        threads.foreach(_.join(60000))
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val losses = StreamCatalog.casLosses.sum() - lossStart
+        val done = commits.get()
+        val lat = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+        def pct(p: Double): Double =
+          if (lat.isEmpty) -1 else lat(math.min(lat.length - 1, (p * lat.length).toInt)) / 1e6
+        // ops/commit: the serial-round-trip multiplier (rtt legs only) —
+        // per-stream ceiling ≈ writers_effect × 1000 / (rtt × ops_per_commit)
+        val ops = LaggedObjectStoreFs.opsCharged.sum() - opsStart
+        val opsPer = if (rtt <= 0L || done == 0) -1.0 else ops.toDouble / done
+        println(f"""{"writers":$n,"rtt_ms":$rtt,"window_sec":$wallSec%.1f,"commits":$done,""" +
+          f""""commits_per_sec":${done / wallSec}%.1f,""" +
+          f""""cas_losses":$losses,"retries_per_commit":${if (done == 0) -1.0 else losses.toDouble / done}%.2f,""" +
+          f""""ops_per_commit":$opsPer%.1f,""" +
+          f""""p50_ms":${pct(0.5)}%.1f,"p99_ms":${pct(0.99)}%.1f,"errors":${errors.get()}}""")
+      } finally LaggedObjectStoreFs.opLatencyMs = 0L
     }
   }
 }

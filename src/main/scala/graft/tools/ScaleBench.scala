@@ -21,11 +21,20 @@ import org.apache.spark.sql.SparkSession
   * r4-r6 bench history showed ±4 s swings from exactly this).
   *
   * Usage: runMain graft.tools.ScaleBench <baseSfDir> <scaledDir> [k=10]
-  *        [comma-separated query subset] [runs=2]
+  *        [comma-separated query subset] [runs=2] [baseRuns=3]
   * `runs=1` skips the cold warm-up run: at fourth-decade sizes a single
   * pass is minutes long, so codegen/AQE compile (the seconds the second
   * run exists to exclude at small sf) is noise, and the double run would
   * double a multi-hour probe for nothing.
+  *
+  * The BASE leg is timed `baseRuns` times and the MEDIAN reported, with
+  * the observed spread (max−min)/median riding in the JSON: r13's growth
+  * ratios were denominator-noise-dominated (the same query's base leg
+  * measured 18.9/27.5/32.9 s across sessions → "growth" swung 29× vs
+  * 19× from the SAME scaled wall). Base runs are seconds at sf0.1, so
+  * the medianing is ~free next to a fourth-decade scaled leg — and the
+  * scaled WALL stays the primary cross-round metric; growth is derived
+  * and only as good as its printed spread.
   */
 object ScaleBench {
   /** Data-driven queries whose input volume scales with the sf dir. One
@@ -64,6 +73,7 @@ object ScaleBench {
       if (args.length > 3) args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       else DataDriven
     val runs = if (args.length > 4) args(4).toInt else 2
+    val baseRuns = if (args.length > 5) args(5).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -106,9 +116,31 @@ object ScaleBench {
       once()
     }
 
+    // median-of-N base leg (one shared warm run, then N timed): the
+    // growth denominator must not be a single noisy sample
+    def timedBase(name: String): (Double, Double, Boolean) = {
+      val fn = graft.SparkEntry.queries(name)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val tripped =
+          try { fn(spark, base).count(); false }
+          catch {
+            case e: IllegalArgumentException
+                if String.valueOf(e.getMessage).contains("candidate estimate") => true
+          }
+        ((System.nanoTime() - t0) / 1e9, tripped)
+      }
+      if (runs > 1) once()
+      val legs = (1 to math.max(1, baseRuns)).map(_ => once())
+      val ts = legs.map(_._1).sorted
+      val med = ts(ts.length / 2)
+      val spread = if (med > 0) (ts.last - ts.head) / med else 0.0
+      (med, spread, legs.exists(_._2))
+    }
+
     def fmt(v: Double): String = f"$v%.2f"
     val rows = subset.map { name =>
-      val (tb, gb) = timed(name, base)
+      val (tb, spread, gb) = timedBase(name)
       val (ts, gs) = timed(name, scaled)
       val g = ts / math.max(tb, 1e-9)
       val mark = (gb, gs) match {
@@ -117,12 +149,13 @@ object ScaleBench {
         case (true, _)    => " [guard tripped at base]"
         case _            => ""
       }
-      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
-      (name, tb, ts, g, gb || gs)
+      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss (±${spread * 100}%.0f%%) scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
+      (name, tb, ts, g, gb || gs, spread)
     }
-    val qs = rows.map { case (n, tb, ts, g, guard) =>
+    val qs = rows.map { case (n, tb, ts, g, guard, spread) =>
       "\"" + n + "\":{\"base\":" + fmt(tb) + ",\"scaled\":" + fmt(ts) +
-        ",\"growth\":" + fmt(g) + (if (guard) ",\"guard\":true" else "") + "}"
+        ",\"growth\":" + fmt(g) + ",\"base_spread\":" + fmt(spread) +
+        (if (guard) ",\"guard\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
     println(s"""{"metric":"scale_growth","k":$k,"n_queries":${rows.size},""" +

@@ -176,6 +176,41 @@ class ConcurrencySpec extends AnyFunSuite {
 
   } // contract loop
 
+  test("object-store contract at simulated RTT: commits land, retries stay bounded, no backoff thrash") {
+    // the deployment regime behind CommitContentionBench's rtt legs: a
+    // metadata op costs ~10-50 ms on a real object store, so a commit is
+    // a handful of SERIAL round trips and the per-stream ceiling is
+    // RTT-bound. The full-jitter backoff was sized against a 0.5 ms CAS
+    // — this pins that at wire latency it does not thrash (retry
+    // amplification stays O(1) per commit, far below O(writers)) and
+    // nobody starves into the 50-loss exhaustion.
+    val root = mkRoot("objectstore", "rtt")
+    val prev = LaggedObjectStoreFs.opLatencyMs
+    LaggedObjectStoreFs.opLatencyMs = 25L
+    try {
+      val boot = new graft.catalog.StreamCatalog(root,
+        spark.sessionState.newHadoopConf())
+      boot.createScope("s")
+      boot.createStream("s", "x", StreamConfig(initialSegments = 1))
+      val lossStart = graft.catalog.StreamCatalog.casLosses.sum()
+      val futures = (1 to 4).map { w =>
+        Future {
+          val cat = new graft.catalog.StreamCatalog(root,
+            spark.sessionState.newHadoopConf()) // per-writer instance
+          (1 to 6).foreach { i =>
+            cat.update("s", "x")(m => m.copy(tags = Set(s"w$w-$i")))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 300.seconds)
+      val commits = 4 * 6
+      val losses = graft.catalog.StreamCatalog.casLosses.sum() - lossStart
+      assert(boot.getStream("s", "x").version == commits.toLong)
+      assert(losses <= 3L * commits,
+        s"retry storm at RTT: $losses CAS losses for $commits commits")
+    } finally LaggedObjectStoreFs.opLatencyMs = prev
+  }
+
   test("object-store contract: probe-past-listing defeats list lag; unreadable newest falls back one version") {
     val root = mkRoot("objectstore", "lag")
     val g = new GraftStreams(spark, root)
