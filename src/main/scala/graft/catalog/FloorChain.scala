@@ -197,6 +197,11 @@ final class FloorChain(fsf: () => FileSystem, dir: Path) {
     listMaxSeq(fs) > 0L && readRecord(1L).isEmpty
   }
 
+  /** One exact-key probe of the permanent anchor — ops introspection
+    * (the `describe_retention` procedure). False on a never-GC'd chain.
+    */
+  def anchorPresent(): Boolean = readRecord(1L).isDefined
+
   /** Fast floor read for hot per-read gates (the getStream / latest
     * probe walks): one exists() miss when the chain has not advanced
     * past this instance's cache, zero record reads. Skips the

@@ -959,6 +959,16 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   def manifestFloorRecord(scope: String, stream: String): ManifestFloor =
     floorChain(scope, stream).read()
 
+  /** (chain seq, floor record) — the `describe_retention` surface. */
+  def manifestFloorWithSeq(scope: String, stream: String): (Long, ManifestFloor) =
+    floorChain(scope, stream).readWithSeq()
+
+  /** Exact-key probe of the chain's permanent anchor (ops introspection;
+    * false on a never-GC'd stream).
+    */
+  def floorAnchorPresent(scope: String, stream: String): Boolean =
+    floorChain(scope, stream).anchorPresent()
+
   /** Corruption audit for Fsck (`gc-floor-anchor-lost`): floor-chain
     * suffix records are listable while the permanent anchor misses its
     * exact-key read — see [[FloorChain.anchorLost]].

@@ -442,6 +442,14 @@ class KeyValueTable(spark: SparkSession, rootDir: String, val name: String,
     */
   def incarnation: String = latest().incarnation
 
+  /** (chain seq, floor record) — the `kv_describe_retention` surface. */
+  def floorWithSeq: (Long, graft.catalog.ManifestFloor) = floorChain.readWithSeq()
+
+  /** Exact-key probe of the floor chain's permanent anchor (false on a
+    * never-GC'd table).
+    */
+  def floorAnchorPresent: Boolean = floorChain.anchorPresent()
+
   /** Retire manifest history older than `keepVersions` behind the tip —
     * the KVT side of manifest-log retention (the chain otherwise grows
     * one file per commit forever). KV manifests are SELF-CONTAINED full

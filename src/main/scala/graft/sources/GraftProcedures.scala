@@ -23,6 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL g.system.seal('scope', 'stream')
   *   CALL g.system.save_cut('scope', 'stream', 'name')
   *   CALL g.system.fsck('scope')
+  *   CALL g.system.describe_retention('scope', 'stream')
+  *   CALL g.system.kv_describe_retention('scope', 'kvt')
   *   CALL g.system.kv_compact('scope', 'kvt')
   *   CALL g.system.kv_sweep('scope', 'kvt', 0)
   *   CALL g.system.kv_fsck('scope', 'kvt')
@@ -37,7 +39,9 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("redact", "compact", "truncate_at", "scale_to",
     "maintenance", "sweep", "seal", "save_cut", "fsck", "gc_manifests",
+    "describe_retention",
     "kv_compact", "kv_sweep", "kv_fsck", "kv_gc_manifests",
+    "kv_describe_retention",
     "bs_fsck", "bs_sweep")
 
   private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
@@ -136,6 +140,32 @@ object GraftProcedures {
           val n = eng.catalog.gcManifests(str(r, 0), str(r, 1), r.getInt(2)).size.toLong
           Seq(Seq(n, eng.catalog.manifestFloor(str(r, 0), str(r, 1))))
         }
+      case "describe_retention" =>
+        // one-stream retention introspection — the ops-loop twin of fsck:
+        // CALL g.system.describe_retention('s','x') →
+        // (floor, chain seq, stamping/live incarnations, anchor, tip,
+        //  retained count, checkpoint base readable). Read-only.
+        proc("describe_retention", ss, StructType(Seq(
+          StructField("floor", LongType, nullable = false),
+          StructField("floor_seq", LongType, nullable = false),
+          StructField("floor_incarnation", StringType, nullable = false),
+          StructField("live_incarnation", StringType, nullable = false),
+          StructField("anchor_present", BooleanType, nullable = false),
+          StructField("tip_version", LongType, nullable = false),
+          StructField("retained_versions", LongType, nullable = false),
+          StructField("checkpoint_base_ok", BooleanType, nullable = false)))) { r =>
+          val c = g.catalog
+          val (scope, stream) = (str(r, 0), str(r, 1))
+          val (seq, rec) = c.manifestFloorWithSeq(scope, stream)
+          val tip = c.getStream(scope, stream)
+          val baseOk = rec.floor <= 0L ||
+            (try { c.getStreamAt(scope, stream, rec.floor); true }
+             catch { case _: Exception => false })
+          // v0 is always retained alongside [max(1, floor), tip]
+          val retained = tip.version - math.max(1L, rec.floor) + 2L
+          Seq(Seq(rec.floor, seq, rec.incarnation, tip.incarnation,
+            c.floorAnchorPresent(scope, stream), tip.version, retained, baseOk))
+        }
       case "sweep" =>
         proc("sweep", ss :+ in("grace_ms", LongType), StructType(Seq(
           StructField("reclaimed", StringType, nullable = false)))) { r =>
@@ -189,6 +219,24 @@ object GraftProcedures {
           val eng = g
           val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
           Seq(Seq(t.gcManifests(r.getInt(2)).size.toLong, t.manifestFloor))
+        }
+      case "kv_describe_retention" =>
+        proc("kv_describe_retention", kvp, StructType(Seq(
+          StructField("floor", LongType, nullable = false),
+          StructField("floor_seq", LongType, nullable = false),
+          StructField("floor_incarnation", StringType, nullable = false),
+          StructField("live_incarnation", StringType, nullable = false),
+          StructField("anchor_present", BooleanType, nullable = false),
+          StructField("tip_version", LongType, nullable = false),
+          StructField("retained_versions", LongType, nullable = false)))) { r =>
+          val eng = g
+          val t = eng.catalog.openKeyValueTable(eng.spark, str(r, 0), str(r, 1))
+          val (seq, rec) = t.floorWithSeq
+          val tip = t.currentVersion
+          // KV manifests are self-contained: the retained range is
+          // [max(1, floor), tip], no separate checkpoint base to verify
+          Seq(Seq(rec.floor, seq, rec.incarnation, t.incarnation,
+            t.floorAnchorPresent, tip, tip - math.max(1L, rec.floor) + 1L))
         }
       case "kv_fsck" =>
         proc("kv_fsck", kvp, StructType(Seq(

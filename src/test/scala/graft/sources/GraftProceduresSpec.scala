@@ -81,6 +81,45 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(spark.sql(s"CALL $cat.system.kv_fsck('s', 'kt')").as[String].head() == "clean")
   }
 
+  test("describe_retention: the ops-loop twin of fsck, before and after gc") {
+    val (g, cat) = fixture() // 3 write batches → tip v3
+    // never-GC'd: floor 0, no anchor, whole chain retained, base trivially ok
+    val pre = spark.sql(s"CALL $cat.system.describe_retention('s', 'ev')").head()
+    assert(pre.getLong(0) == 0L && pre.getLong(1) == 0L)
+    assert(!pre.getBoolean(4) && pre.getBoolean(7))
+    val tip0 = g.catalog.getStream("s", "ev").version
+    assert(pre.getLong(5) == tip0 && pre.getLong(6) == tip0 + 1L) // v0 rides along
+    (3 until 20).foreach { i =>
+      g.writeEvents("s", "ev", Seq((s"k$i", i.toLong, s"b$i")).toDF("routingKey", "eventTime", "p")
+        .select($"routingKey", $"eventTime", encode($"p", "UTF-8").as("payload")))
+    }
+    g.catalog.flushCheckpoints()
+    assert(spark.sql(s"CALL $cat.system.gc_manifests('s', 'ev', 2)").head().getLong(0) > 0L)
+    val row = spark.sql(s"CALL $cat.system.describe_retention('s', 'ev')").head()
+    val floor = g.catalog.manifestFloor("s", "ev")
+    val tip = g.catalog.getStream("s", "ev")
+    assert(row.getLong(0) == floor && floor > 0L)
+    assert(row.getLong(1) == 1L, "first advance = chain seq 1")
+    assert(row.getString(2) == tip.incarnation && row.getString(3) == tip.incarnation,
+      "the floor must be stamped by the live incarnation")
+    assert(row.getBoolean(4), "anchor present after the first gc")
+    assert(row.getLong(5) == tip.version)
+    assert(row.getLong(6) == tip.version - floor + 2L)
+    assert(row.getBoolean(7), "checkpoint base must reconstruct")
+
+    // KVT twin
+    g.catalog.createKeyValueTable("s", "kt", graft.catalog.KvTableConfig(partitionCount = 4))
+    val t = g.catalog.openKeyValueTable(spark, "s", "kt")
+    for (i <- 1 to 6)
+      t.put(Seq((s"k$i", "", s"v$i")).toDF("pk", "sk", "v")
+        .select($"pk", $"sk", encode($"v", "UTF-8").as("value")))
+    spark.sql(s"CALL $cat.system.kv_gc_manifests('s', 'kt', 2)").head()
+    val kv = spark.sql(s"CALL $cat.system.kv_describe_retention('s', 'kt')").head()
+    assert(kv.getLong(0) == 4L && kv.getLong(1) == 1L)
+    assert(kv.getString(2) == t.incarnation && kv.getString(3) == t.incarnation)
+    assert(kv.getBoolean(4) && kv.getLong(5) == 6L && kv.getLong(6) == 3L)
+  }
+
   test("compact folds the manifest and reports before/after file counts") {
     val (g, cat) = fixture()
     val before = g.catalog.getStream("s", "ev").files.size
