@@ -401,10 +401,31 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * primitive — transactions, truncation, scale, sealing all go through
     * it.
     */
+  /** EWMA (α=¼) of one CAS attempt's wall cost — read tip + transform +
+    * conditional create — in nanos. This is the backoff SLOT: the unit
+    * the jittered sleep below is expressed in. Seeded at 1 ms (the local
+    * regime's measured ~0.5–1 ms, preserving the r13 tuning exactly);
+    * against an object store an attempt is ~2–3 round trips, so the
+    * slot self-calibrates to ~2–3×RTT. A fixed millisecond slot THRASHES
+    * there: losers retry ~100× inside one commit's wall, each retry
+    * re-paying the round trips, so a 64-writer herd burnt 15–20 billed
+    * retries per commit with p99 at 19–24 s and retry-EXHAUSTIONS at
+    * 50 ms RTT (CommitContentionBench rtt legs, pre-scaling).
+    */
+  private val casSlotNanos =
+    new java.util.concurrent.atomic.AtomicLong(1_000_000L)
+
+  /** Optimistic-concurrency update: transform the latest manifest and
+    * commit as version+1; create-if-absent loses → ConditionalCheckFailed,
+    * caller retries with fresh state. This is the engine's single CAS
+    * primitive — transactions, truncation, scale, sealing all go through
+    * it.
+    */
   def update(scope: String, stream: String, maxRetries: Int = 50)
             (f: StreamMetadata => StreamMetadata): StreamMetadata = {
     var attempt = 0
     while (true) {
+      val t0 = System.nanoTime()
       val cur = getStream(scope, stream)
       val next0 = f(cur)
       val next = next0.copy(version = cur.version + 1)
@@ -413,22 +434,36 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
           StreamCatalog.casLosses.increment()
+          val prev = casSlotNanos.get()
+          casSlotNanos.set(prev - (prev >> 2) + ((System.nanoTime() - t0) >> 2))
           attempt += 1
           if (attempt > maxRetries)
             throw new ConditionalCheckFailedException(
               s"manifest CAS for $scope/$stream lost $maxRetries times")
-          // FULL-JITTER exponential backoff, sized to the CAS cost: the
-          // winner has already finished when a loser learns it lost, so
-          // the first retries are near-immediate (a warm re-read + CAS
-          // is ~0.5 ms locally; the old U(1,20) ms first sleep wasted
-          // ~20 commit slots per loss and collapsed 64-writer
-          // throughput 2.7× — CommitContentionBench), escalating
-          // U(0, 2^attempt) ms only on REPEATED loss, capped at 512 ms.
-          // Full jitter (floor 0) also breaks the lockstep starvation
-          // that pushed p99 to ~5 s: an old loser's window always
+          // FULL-JITTER exponential backoff in SLOT units: the winner
+          // has already finished when a loser learns it lost, so the
+          // first retries are near-immediate AT THE STORE'S OWN
+          // TIMESCALE — U(0, slot·2^attempt), slot = the measured
+          // attempt cost above (~1 ms local — the old U(1,20) ms first
+          // sleep wasted ~20 commit slots per loss and collapsed
+          // 64-writer throughput 2.7×; ~2–3×RTT on an object store,
+          // where a 1 ms slot replayed the whole herd inside one
+          // commit's wall). Escalates only on REPEATED loss. The window
+          // caps at 2^6 slots: a loser's attempt rate in steady state is
+          // ~2/(window), so wasted attempts per commit ≈ 2W/window−1 —
+          // the window only needs to reach the HERD SIZE in slots, and
+          // 2^attempt gets there in log₂(W) losses; growing further
+          // (the old 2^9 cap) buys nothing but idle gaps where every
+          // writer is asleep and the stream commits nothing (measured:
+          // the 512-slot cap halved 64-writer throughput at 30–50 ms
+          // RTT vs this cap, for the same retries/commit). 4 s absolute
+          // cap bounds the tail at any slot. Full jitter (floor 0)
+          // breaks lockstep starvation: an old loser's window always
           // overlaps a fresh committer's, so it is never structurally
           // outbid.
-          Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 9)).toLong)
+          val slotMs = math.max(1L, casSlotNanos.get() / 1_000_000L)
+          val windowMs = math.min(slotMs * (1L << math.min(attempt, 6)), 4000L)
+          Thread.sleep((scala.util.Random.nextDouble() * windowMs).toLong)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -94,6 +94,11 @@ object CommitContentionBench {
         val t0 = System.nanoTime()
         Thread.sleep(windowSec * 1000L)
         stop = true
+        // rate over the STEADY window only: threads still asleep in a
+        // backoff (or mid-commit) drain after stop, and counting their
+        // late commits against the longer wall under-reports the rate
+        val steadyCommits = commits.get()
+        val steadySec = (System.nanoTime() - t0) / 1e9
         threads.foreach(_.join(60000))
         val wallSec = (System.nanoTime() - t0) / 1e9
         val losses = StreamCatalog.casLosses.sum() - lossStart
@@ -106,7 +111,7 @@ object CommitContentionBench {
         val ops = LaggedObjectStoreFs.opsCharged.sum() - opsStart
         val opsPer = if (rtt <= 0L || done == 0) -1.0 else ops.toDouble / done
         println(f"""{"writers":$n,"rtt_ms":$rtt,"window_sec":$wallSec%.1f,"commits":$done,""" +
-          f""""commits_per_sec":${done / wallSec}%.1f,""" +
+          f""""commits_per_sec":${steadyCommits / steadySec}%.1f,""" +
           f""""cas_losses":$losses,"retries_per_commit":${if (done == 0) -1.0 else losses.toDouble / done}%.2f,""" +
           f""""ops_per_commit":$opsPer%.1f,""" +
           f""""p50_ms":${pct(0.5)}%.1f,"p99_ms":${pct(0.99)}%.1f,"errors":${errors.get()}}""")
