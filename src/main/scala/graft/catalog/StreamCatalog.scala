@@ -411,6 +411,18 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     * re-paying the round trips, so a 64-writer herd burnt 15–20 billed
     * retries per commit with p99 at 19–24 s and retry-EXHAUSTIONS at
     * 50 ms RTT (CommitContentionBench rtt legs, pre-scaling).
+    *
+    * Updated on EVERY attempt, wins included — not just losses. A
+    * loss-only EWMA couples its own decay rate to the loss rate, and
+    * that feedback loop latches: one slow sample (a GC pause, a
+    * contention-inflated attempt) inflates the slot, the longer sleeps
+    * then suppress losses, and with no losses the poisoned value never
+    * decays — measured as intermittent 2× throughput collapses with p99
+    * in the SECONDS at 64 local writers (CommitContentionBench, rtt=0,
+    * first-leg JVM warmup poisoning the slot). Win-updates arrive at
+    * the commit rate — orders of magnitude above the loss rate — so a
+    * poisoned slot now decays within ~4 commits instead of ~20 losses
+    * that the inflation itself prevents from happening.
     */
   private val casSlotNanos =
     new java.util.concurrent.atomic.AtomicLong(1_000_000L)
@@ -426,16 +438,21 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     var attempt = 0
     while (true) {
       val t0 = System.nanoTime()
+      def observeAttempt(): Unit = {
+        val prev = casSlotNanos.get()
+        casSlotNanos.set(prev - (prev >> 2) + ((System.nanoTime() - t0) >> 2))
+      }
       val cur = getStream(scope, stream)
       val next0 = f(cur)
       val next = next0.copy(version = cur.version + 1)
       try {
-        return writeManifest(next, Some(cur))
+        val committed = writeManifest(next, Some(cur))
+        observeAttempt()
+        return committed
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
           StreamCatalog.casLosses.increment()
-          val prev = casSlotNanos.get()
-          casSlotNanos.set(prev - (prev >> 2) + ((System.nanoTime() - t0) >> 2))
+          observeAttempt()
           attempt += 1
           if (attempt > maxRetries)
             throw new ConditionalCheckFailedException(
