@@ -7,19 +7,25 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   */
 object Bench {
-  /** 1-minute load average — lets the artifact self-document whether the
-    * box was quiet (r8/r9 both recorded load-inflated walls with nothing
-    * in the artifact to prove it; now load_start/load_end ride along).
+  /** Load average (field 0 = 1-min, 1 = 5-min) — lets the artifact
+    * self-document whether the box was quiet (r8/r9 both recorded
+    * load-inflated walls with nothing in the artifact to prove it; now
+    * load_start/load_end ride along). The 5-min figure matters on its
+    * own: r14 measured a run that started at 1-min load 0.28 but 15-min
+    * 3.3 (residual page-cache/writeback churn from an 11 GB data
+    * generation minutes earlier) and came out 19% inflated across the
+    * board — the 1-min gate alone is blind to exactly that state.
     */
-  private def loadAvg(): String =
+  private def loadAvg(field: Int = 0): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(field)
       f"${s.toDouble}%.2f"
     } catch { case _: Throwable => "-1" }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    val load5Start = loadAvg(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -138,11 +144,18 @@ object Bench {
     // with per-query skews that read as regressions) must not silently
     // enter round-over-round comparisons — tag the artifact so
     // consumers can discount it. 0.5 on a 32-core box is already pure
-    // decay, not real contention; a quiet anchor starts below 0.1.
-    val contaminated = try loadStart.toDouble > 0.5 catch { case _: Throwable => false }
+    // decay, not real contention; a quiet anchor starts below 0.1. The
+    // 5-min load is gated too (threshold 1.0): an instantaneous-quiet
+    // box can still be digesting page-cache/writeback debt from heavy
+    // recent I/O, and that state measured a 19% across-the-board
+    // inflation with the 1-min figure at 0.28.
+    val contaminated =
+      try loadStart.toDouble > 0.5 || load5Start.toDouble > 1.0
+      catch { case _: Throwable => false }
     if (contaminated)
-      System.err.println(s"[bench] WARN: started at loadavg $loadStart (> 0.5) — " +
-        "totals are inflated by residual box load; artifact tagged contaminated")
+      System.err.println(s"[bench] WARN: started at loadavg $loadStart " +
+        s"(1-min; gate 0.5) / $load5Start (5-min; gate 1.0) — totals are " +
+        "inflated by residual box load; artifact tagged contaminated")
     val contamJson = if (contaminated) ""","contaminated":true""" else ""
     def line(entries: Seq[(String, String)], extra: String = "",
              nQueries: Boolean = true): String = {
@@ -160,7 +173,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine = line(results.map { case (k, v) => k -> fmt(v) },
       s""","warm":$warmJson,"cold":$coldJson,"total_cold":${fmt(totalCold)}""" +
-        s""","load_start":$loadStart,"load_end":${loadAvg()}$contamJson""")
+        s""","load_start":$loadStart,"load5_start":$load5Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)}$contamJson""")
     println(fullLine)
     // The compact line below itemizes only the slowest ~45 rows — 43% of
     // r12's wall rode in "_rest", invisible to round-over-round diffing.
@@ -183,7 +196,7 @@ object Bench {
     // the artifact self-document host contention.
     def fmtc(v: Double): String = f"$v%.1f"
     val lineBudget = 1200
-    val loadJson = s""","load_start":$loadStart,"load_end":${loadAvg()}$contamJson"""
+    val loadJson = s""","load_start":$loadStart,"load5_start":$load5Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)}$contamJson"""
     val fixedOverhead = line(Seq.empty, extra = loadJson).length +
       ",\"_rest\":".length + 8
     var used = fixedOverhead

@@ -395,12 +395,6 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
     floorChains.remove((scope, stream)).foreach(_.invalidate())
   }
 
-  /** Optimistic-concurrency update: transform the latest manifest and
-    * commit as version+1; create-if-absent loses → ConditionalCheckFailed,
-    * caller retries with fresh state. This is the engine's single CAS
-    * primitive — transactions, truncation, scale, sealing all go through
-    * it.
-    */
   /** EWMA (α=¼) of one CAS attempt's wall cost — read tip + transform +
     * conditional create — in nanos. This is the backoff SLOT: the unit
     * the jittered sleep below is expressed in. Seeded at 1 ms (the local

@@ -182,24 +182,42 @@ object MinHashLSH {
     require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
     val rows = numHashes / bands
 
-    // Raw text is repartitioned FIRST so tokenization and hashing spread
-    // across all cores even when the corpus arrives as one file; persist
-    // because the base feeds the banding once and the verification join
-    // twice.
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // NOTHING corpus-×-payload-sized is ever materialized (r14: the
+    // fifth-decade probe filled a 90 GB disk at 5×10⁷ docs before this
+    // shape — the old `base` cache carried every doc's full
+    // distinct-token-hash array, an intermediate the candidate BUDGET
+    // does not bound, ~corpus-sized on disk; the hex-md5 banded cache
+    // added ~0.1 KB/row on top). What persists now, and why it is
+    // bounded:
+    //  - `banded` (id, band, 16-byte binary bsig): O(corpus × bands ×
+    //    28 B) ≈ 0.3% of corpus bytes — the one cache worth its disk,
+    //    because three independent jobs consume it (bucket histogram,
+    //    hot-set/count side, candidate self-join) and skipping it
+    //    re-pays the minhash kernel (the operator's dominant CPU) per
+    //    consumer. bsig is unhex(md5): equality-identical buckets
+    //    (1:1), ~3× narrower rows than the hex string in cache AND in
+    //    the self-join exchange.
+    //  - `candidates` (a_id, b_id): O(maxCandidates) rows by the
+    //    adaptive-cap construction — the budget knob IS its bound.
+    //  - `verif` token arrays: built by SEMI-JOINING the corpus to the
+    //    candidate id set and re-tokenizing only the survivors —
+    //    O(candidate ids) ≤ 2×budget docs, NOT O(corpus). Tokenization
+    //    is one cheap scan-side pass; re-paying it for the candidate
+    //    slice beats caching it for the whole corpus at any scale where
+    //    the difference matters.
+    // Raw text is repartitioned FIRST so tokenization and hashing
+    // spread across all cores even when the corpus arrives as one file.
+    val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))
       .select(col("id"), split(lower(trim(col("txt"))), "\\s+").as("tk"))
       .select(col("id"),
-        array_sort(array_distinct(transform(col("tk"), x => xxhash64(x)))).as("toks"),
         affine_minhash(md5_shingle_hashes(col("tk"), shingleSize), numHashes).as("sig"))
-      .persist()
-
-    val banded = base.select(col("id"),
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            md5(array_join(
+            unhex(md5(array_join(
               transform(slice(col("sig"), b * rows + 1, lit(rows)), v => v.cast("string")),
-              "|")).as("bsig"))))
+              "|"))).as("bsig"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .persist()
@@ -211,9 +229,19 @@ object MinHashLSH {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+      .persist()
 
-    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    val candIds = candidates.select(col("a_id").as("id"))
+      .union(candidates.select(col("b_id").as("id"))).distinct()
+    val verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_sort(array_distinct(
+          transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
+      .persist()
+
+    val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
     val pairs = candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard",
@@ -221,8 +249,9 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .localCheckpoint() // eager: pairs computed here, caches released below
-    base.unpersist(false)
     banded.unpersist(false)
+    candidates.unpersist(false)
+    verif.unpersist(false)
     pairs
   }
 

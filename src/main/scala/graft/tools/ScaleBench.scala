@@ -139,18 +139,31 @@ object ScaleBench {
     }
 
     def fmt(v: Double): String = f"$v%.2f"
-    val rows = subset.map { name =>
-      val (tb, spread, gb) = timedBase(name)
-      val (ts, gs) = timed(name, scaled)
-      val g = ts / math.max(tb, 1e-9)
-      val mark = (gb, gs) match {
-        case (true, true) => " [guard tripped at BOTH scales]"
-        case (_, true)    => " [guard tripped at scaled]"
-        case (true, _)    => " [guard tripped at base]"
-        case _            => ""
+    // One query dying (OOM, disk, env) must not abort a multi-hour
+    // probe and silently drop every later row (the r14 sf1000 probe
+    // lost its full first pass to a stderr-only kryo failure): record
+    // the failure AS a row and keep going.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rows = subset.flatMap { name =>
+      try {
+        val (tb, spread, gb) = timedBase(name)
+        val (ts, gs) = timed(name, scaled)
+        val g = ts / math.max(tb, 1e-9)
+        val mark = (gb, gs) match {
+          case (true, true) => " [guard tripped at BOTH scales]"
+          case (_, true)    => " [guard tripped at scaled]"
+          case (true, _)    => " [guard tripped at base]"
+          case _            => ""
+        }
+        println(f"[scale] $name%-28s base=${fmt(tb)}%6ss (±${spread * 100}%.0f%%) scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
+        Some((name, tb, ts, g, gb || gs, spread))
+      } catch {
+        case e: Throwable =>
+          val why = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          println(s"[scale] $name FAILED $why")
+          failed(name) = why
+          None
       }
-      println(f"[scale] $name%-28s base=${fmt(tb)}%6ss (±${spread * 100}%.0f%%) scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
-      (name, tb, ts, g, gb || gs, spread)
     }
     val qs = rows.map { case (n, tb, ts, g, guard, spread) =>
       "\"" + n + "\":{\"base\":" + fmt(tb) + ",\"scaled\":" + fmt(ts) +
@@ -158,11 +171,15 @@ object ScaleBench {
         (if (guard) ",\"guard\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map { case (n, w) => "\"" + n + "\":\"" + w.replace("\"", "'") + "\"" }
+        .mkString(""","failed":{""", ",", "}")
     println(s"""{"metric":"scale_growth","k":$k,"n_queries":${rows.size},""" +
       s""""base_total":${fmt(rows.map(_._2).sum)},"scaled_total":${fmt(rows.map(_._3).sum)},""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""guard_tripped":${rows.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")},""" +
-      s""""queries":$qs}""")
+      s""""queries":$qs$failedJson}""")
     spark.stop()
   }
 }
