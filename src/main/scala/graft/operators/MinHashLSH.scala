@@ -182,29 +182,31 @@ object MinHashLSH {
     require(shingleSize == 3, "the oracle-reproducible path fixes shingleSize = 3")
     val rows = numHashes / bands
 
-    // NOTHING corpus-×-payload-sized is ever materialized (r14: the
-    // fifth-decade probe filled a 90 GB disk at 5×10⁷ docs before this
-    // shape — the old `base` cache carried every doc's full
-    // distinct-token-hash array, an intermediate the candidate BUDGET
-    // does not bound, ~corpus-sized on disk; the hex-md5 banded cache
-    // added ~0.1 KB/row on top). What persists now, and why it is
-    // bounded:
-    //  - `banded` (id, band, 16-byte binary bsig): O(corpus × bands ×
-    //    28 B) ≈ 0.3% of corpus bytes — the one cache worth its disk,
-    //    because three independent jobs consume it (bucket histogram,
-    //    hot-set/count side, candidate self-join) and skipping it
-    //    re-pays the minhash kernel (the operator's dominant CPU) per
-    //    consumer. bsig is unhex(md5): equality-identical buckets
-    //    (1:1), ~3× narrower rows than the hex string in cache AND in
-    //    the self-join exchange.
+    // NOTHING corpus-sized is ever materialized (r14: the fifth-decade
+    // probe filled a 90 GB disk at 5×10⁷ docs — twice — before this
+    // shape. First the old `base` cache, carrying every doc's full
+    // distinct-token-hash array: an intermediate the candidate BUDGET
+    // does not bound, ~corpus-sized on disk. Then the banded cache plus
+    // BOTH self-join shuffle legs, each O(corpus × bands) bytes). What
+    // persists now, and why each is bounded:
+    //  - `dup` collision buckets (inside boundedBuckets): O(buckets
+    //    with ≥ 2 members) — proportional to true near-dup density, not
+    //    corpus size; singleton buckets (the overwhelming majority on a
+    //    healthy corpus) never leave the map-combined aggregate.
     //  - `candidates` (a_id, b_id): O(maxCandidates) rows by the
     //    adaptive-cap construction — the budget knob IS its bound.
     //  - `verif` token arrays: built by SEMI-JOINING the corpus to the
     //    candidate id set and re-tokenizing only the survivors —
-    //    O(candidate ids) ≤ 2×budget docs, NOT O(corpus). Tokenization
-    //    is one cheap scan-side pass; re-paying it for the candidate
-    //    slice beats caching it for the whole corpus at any scale where
-    //    the difference matters.
+    //    O(candidate ids) ≤ 2×budget docs, NOT O(corpus).
+    // The minhash kernel consequently runs twice (once for the bucket
+    // counts, once feeding the self-join) — a deliberate CPU-for-disk
+    // trade: recompute is a scan-side pass that scales with executors,
+    // while a corpus-sized cache is storage pressure every executor
+    // pays at exactly the scale where it hurts. The self-join's
+    // exchange carries only collision-bucket rows (the semi-join drops
+    // singletons — identical candidates, since singletons cannot pair),
+    // and bsig is unhex(md5): equality-identical buckets, ~3× narrower
+    // rows than the hex string in every exchange.
     // Raw text is repartitioned FIRST so tokenization and hashing
     // spread across all cores even when the corpus arrives as one file.
     val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
@@ -220,9 +222,8 @@ object MinHashLSH {
               "|"))).as("bsig"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .persist()
 
-    val sized = boundedBuckets(banded, maxBucketSize,
+    val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -249,29 +250,10 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .localCheckpoint() // eager: pairs computed here, caches released below
-    banded.unpersist(false)
+    dupCache.unpersist(false)
     candidates.unpersist(false)
     verif.unpersist(false)
     pairs
-  }
-
-  /** Hot-bucket guard: exclude (band, bsig) buckets with more than
-    * `maxBucketSize` members. Buckets over the cap are RARE by
-    * construction (the cap is far above any bucket at tested scale and
-    * only boilerplate floods reach it at corpus scale), so the hot set is
-    * computed with a map-combined aggregate — rows shrink to distinct
-    * buckets per map partition before the exchange — and removed with a
-    * broadcast ANTI join: no sort, no second full shuffle of the banded
-    * rows (the r8 window-count guard sorted the whole relation on BOTH
-    * sides of the candidate self-join, ~0.4 s of the 1.3 s quiet-box
-    * wall at sf0.1).
-    */
-  private def dropHotBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val hot = banded.groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucketSize)
-      .select(col("band"), col("bsig"))
-    banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
   }
 
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
@@ -298,22 +280,31 @@ object MinHashLSH {
     * even size-2 buckets blow the budget fails loudly like the prefix
     * guard, naming the knob.
     *
-    * The hot set is broadcast-anti-joined when rare (the steady-state
-    * path: far-above-everything cap); when the adaptive cap engages, the
-    * hot set is no longer rare, so the filter switches to a shuffled
-    * count join — same answer, no driver-side hot list.
+    * Both paths unify into ONE shape (r14): candidates can only form
+    * inside buckets with ≥ 2 members, so the self-join input is the
+    * banded rows SEMI-joined to the kept COLLISION-bucket set
+    * (2 ≤ bn ≤ cap). That is exactly the old anti-join against over-cap
+    * buckets minus the singleton rows — which produce no pairs, so the
+    * candidate set is identical — and it is the scale-correct shape
+    * twice over: the collision-bucket set is O(true near-dup density),
+    * tiny on healthy corpora (AQE broadcasts it, so the semi-join
+    * re-shuffles NOTHING), and the self-join's exchange then carries
+    * only collision rows instead of the whole corpus × bands.
+    * Returns (sized, dupBuckets-cache) — the caller releases the cache
+    * after the pairs materialize (the semi-join consumes it lazily).
     */
   private def boundedBuckets(banded: DataFrame, maxBucketSize: Int,
-                             maxCandidates: Long): DataFrame = {
-    val counts = banded.groupBy(col("band"), col("bsig"))
+                             maxCandidates: Long): (DataFrame, DataFrame) = {
+    val dup = banded.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("bn"))
-    val hist = counts.filter(col("bn") >= 2).groupBy(col("bn"))
+      .filter(col("bn") >= 2)
+      .persist()
+    val hist = dup.groupBy(col("bn"))
       .agg(count(lit(1)).as("nbuckets"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val effCap = chooseBucketCap(hist, maxBucketSize, maxCandidates)
-    if (effCap >= maxBucketSize) dropHotBuckets(banded, maxBucketSize)
-    else banded.join(counts.filter(col("bn") > effCap).select(col("band"), col("bsig")),
-      Seq("band", "bsig"), "left_anti")
+    val keep = dup.filter(col("bn") <= effCap).select(col("band"), col("bsig"))
+    (banded.join(keep, Seq("band", "bsig"), "left_semi"), dup)
   }
 
   /** Largest bucket cap ≤ `maxBucketSize` with Σ_{2 ≤ n_b ≤ cap}
@@ -418,32 +409,42 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // Same bounded-materialization shape as [[nearDuplicates]] (r14):
+    // no corpus-sized cache anywhere — the self-join input semi-joins
+    // to the collision-bucket set, verification re-tokenizes only
+    // candidate-touched docs, and the minhash kernel runs twice as the
+    // deliberate CPU-for-disk trade.
+    val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .repartition(col("id"))
       .select(col("id"),
         transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)).as("th"))
+      .select(col("id"), minhash_signature(col("th"), shingleSize, numHashes).as("sig"))
       .select(col("id"),
-        array_sort(array_distinct(col("th"))).as("toks"),
-        minhash_signature(col("th"), shingleSize, numHashes).as("sig"))
-      .persist()
-
-    val banded = base.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), hash(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .persist()
 
-    val sized = boundedBuckets(banded, maxBucketSize,
+    val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     val candidates = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+      .persist()
 
-    val a = base.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = base.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    val candIds = candidates.select(col("a_id").as("id"))
+      .union(candidates.select(col("b_id").as("id"))).distinct()
+    val verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_sort(array_distinct(
+          transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
+      .persist()
+
+    val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
     val pairs = candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard",
@@ -451,8 +452,9 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .localCheckpoint() // eager: caches released below
-    base.unpersist(false)
-    banded.unpersist(false)
+    dupCache.unpersist(false)
+    candidates.unpersist(false)
+    verif.unpersist(false)
     pairs
   }
 
