@@ -7,14 +7,17 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   */
 object Bench {
-  /** Load average (field 0 = 1-min, 1 = 5-min) — lets the artifact
-    * self-document whether the box was quiet (r8/r9 both recorded
-    * load-inflated walls with nothing in the artifact to prove it; now
-    * load_start/load_end ride along). The 5-min figure matters on its
-    * own: r14 measured a run that started at 1-min load 0.28 but 15-min
-    * 3.3 (residual page-cache/writeback churn from an 11 GB data
-    * generation minutes earlier) and came out 19% inflated across the
-    * board — the 1-min gate alone is blind to exactly that state.
+  /** Load average (field 0 = 1-min, 1 = 5-min, 2 = 15-min) — lets the
+    * artifact self-document whether the box was quiet (r8/r9 both
+    * recorded load-inflated walls with nothing in the artifact to prove
+    * it; now load_start/load_end ride along). The slower fields matter
+    * on their own: r14 measured a run that started at 1-min load 0.28
+    * but 15-MIN 3.3 (residual page-cache/writeback churn from an 11 GB
+    * data generation minutes earlier) and came out 19% inflated across
+    * the board — the 1-min gate alone is blind to exactly that state,
+    * and because load decays on a ~5×-field-constant e-fold, the 5-min
+    * figure can already sit under 1.0 while the 15-min still shows the
+    * debt (r14 ADVICE) — so the gate reads BOTH slow fields.
     */
   private def loadAvg(field: Int = 0): String =
     try {
@@ -26,6 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val load5Start = loadAvg(1)
+    val load15Start = loadAvg(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -148,13 +152,21 @@ object Bench {
     // 5-min load is gated too (threshold 1.0): an instantaneous-quiet
     // box can still be digesting page-cache/writeback debt from heavy
     // recent I/O, and that state measured a 19% across-the-board
-    // inflation with the 1-min figure at 0.28.
+    // inflation with the 1-min figure at 0.28 (15-min was 3.3). And
+    // because each loadavg field e-folds on its own timescale, debt from
+    // I/O finished >5 minutes ago can show ONLY in the 15-min figure —
+    // the motivating r14 incident is exactly that shape — so the 15-min
+    // field gates as well (threshold 1.5: tighter than the raw incident
+    // value, loose enough that the tail of a legitimately-completed
+    // warmup doesn't flag a genuinely quiet box).
     val contaminated =
-      try loadStart.toDouble > 0.5 || load5Start.toDouble > 1.0
+      try loadStart.toDouble > 0.5 || load5Start.toDouble > 1.0 ||
+        load15Start.toDouble > 1.5
       catch { case _: Throwable => false }
     if (contaminated)
       System.err.println(s"[bench] WARN: started at loadavg $loadStart " +
-        s"(1-min; gate 0.5) / $load5Start (5-min; gate 1.0) — totals are " +
+        s"(1-min; gate 0.5) / $load5Start (5-min; gate 1.0) / " +
+        s"$load15Start (15-min; gate 1.5) — totals are " +
         "inflated by residual box load; artifact tagged contaminated")
     val contamJson = if (contaminated) ""","contaminated":true""" else ""
     def line(entries: Seq[(String, String)], extra: String = "",
@@ -173,7 +185,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine = line(results.map { case (k, v) => k -> fmt(v) },
       s""","warm":$warmJson,"cold":$coldJson,"total_cold":${fmt(totalCold)}""" +
-        s""","load_start":$loadStart,"load5_start":$load5Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)}$contamJson""")
+        s""","load_start":$loadStart,"load5_start":$load5Start,"load15_start":$load15Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)},"load15_end":${loadAvg(2)}$contamJson""")
     println(fullLine)
     // The compact line below itemizes only the slowest ~45 rows — 43% of
     // r12's wall rode in "_rest", invisible to round-over-round diffing.
@@ -196,7 +208,7 @@ object Bench {
     // the artifact self-document host contention.
     def fmtc(v: Double): String = f"$v%.1f"
     val lineBudget = 1200
-    val loadJson = s""","load_start":$loadStart,"load5_start":$load5Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)}$contamJson"""
+    val loadJson = s""","load_start":$loadStart,"load5_start":$load5Start,"load15_start":$load15Start,"load_end":${loadAvg()},"load5_end":${loadAvg(1)},"load15_end":${loadAvg(2)}$contamJson"""
     val fixedOverhead = line(Seq.empty, extra = loadJson).length +
       ",\"_rest\":".length + 8
     var used = fixedOverhead

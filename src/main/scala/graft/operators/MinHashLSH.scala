@@ -172,6 +172,17 @@ object MinHashLSH {
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
   }
 
+  /** DETERMINISTIC-INPUT REQUIREMENT (both this and [[fastNearDuplicates]]):
+    * since r14 the input is scanned THREE times (bucket counts, self-join
+    * feed, verification semi-join) with no persisted snapshot — the price
+    * of never materializing anything corpus-sized. A non-deterministic
+    * `docs` (sample/limit without a seed-stable plan, ids minted by
+    * `monotonically_increasing_id`, a table mutating under the read) can
+    * present different rows per scan, silently dropping or corrupting
+    * pairs. Feed a deterministic source (parquet snapshot, stable ids);
+    * when in doubt, `docs.select(id, text).localCheckpoint()` first —
+    * that narrow projection is the ONE intermediate worth pinning.
+    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.35,
@@ -223,37 +234,47 @@ object MinHashLSH {
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
+    // Cache lifecycle rides in try/finally: the saturation guard and any
+    // failed job between persist() and release would otherwise leave the
+    // caches pinned — and a session that hits the designed fail-loud
+    // path, raises the budget knob, and retries would accumulate leaked
+    // cached partitions, largest exactly in the saturated regime where
+    // memory is already the problem (r14 ADVICE).
     val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
-    val candidates = sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-      .persist()
+    var candidates: DataFrame = null
+    var verif: DataFrame = null
+    try {
+      candidates = sized.as("x").join(sized.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+        .distinct()
+        .persist()
 
-    val candIds = candidates.select(col("a_id").as("id"))
-      .union(candidates.select(col("b_id").as("id"))).distinct()
-    val verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_sort(array_distinct(
-          transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
-      .persist()
+      val candIds = candidates.select(col("a_id").as("id"))
+        .union(candidates.select(col("b_id").as("id"))).distinct()
+      verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+        .join(candIds, Seq("id"), "left_semi")
+        .select(col("id"),
+          array_sort(array_distinct(
+            transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
+        .persist()
 
-    val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    val pairs = candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .localCheckpoint() // eager: pairs computed here, caches released below
-    dupCache.unpersist(false)
-    candidates.unpersist(false)
-    verif.unpersist(false)
-    pairs
+      val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
+      val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
+      candidates.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .localCheckpoint() // eager: pairs computed here, caches released in finally
+    } finally {
+      dupCache.unpersist(false)
+      if (candidates != null) candidates.unpersist(false)
+      if (verif != null) verif.unpersist(false)
+    }
   }
 
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
@@ -299,12 +320,21 @@ object MinHashLSH {
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2)
       .persist()
-    val hist = dup.groupBy(col("bn"))
-      .agg(count(lit(1)).as("nbuckets"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val effCap = chooseBucketCap(hist, maxBucketSize, maxCandidates)
-    val keep = dup.filter(col("bn") <= effCap).select(col("band"), col("bsig"))
-    (banded.join(keep, Seq("band", "bsig"), "left_semi"), dup)
+    // Release the cache if anything between persist() and the return
+    // throws — chooseBucketCap's saturation failure is DESIGNED to throw
+    // here, and that is exactly the regime where the collision-bucket
+    // cache is largest (r14 ADVICE: a retry-after-raising-the-knob
+    // session would otherwise accumulate the leak).
+    try {
+      val hist = dup.groupBy(col("bn"))
+        .agg(count(lit(1)).as("nbuckets"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val effCap = chooseBucketCap(hist, maxBucketSize, maxCandidates)
+      val keep = dup.filter(col("bn") <= effCap).select(col("band"), col("bsig"))
+      (banded.join(keep, Seq("band", "bsig"), "left_semi"), dup)
+    } catch {
+      case t: Throwable => dup.unpersist(false); throw t
+    }
   }
 
   /** Largest bucket cap ≤ `maxBucketSize` with Σ_{2 ≤ n_b ≤ cap}
@@ -425,37 +455,43 @@ object MinHashLSH {
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
+    // Same try/finally cache lifecycle as [[nearDuplicates]] — no leaked
+    // cached partitions on the fail-loud saturation path (r14 ADVICE).
     val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
-    val candidates = sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-      .persist()
+    var candidates: DataFrame = null
+    var verif: DataFrame = null
+    try {
+      candidates = sized.as("x").join(sized.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+        .distinct()
+        .persist()
 
-    val candIds = candidates.select(col("a_id").as("id"))
-      .union(candidates.select(col("b_id").as("id"))).distinct()
-    val verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_sort(array_distinct(
-          transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
-      .persist()
+      val candIds = candidates.select(col("a_id").as("id"))
+        .union(candidates.select(col("b_id").as("id"))).distinct()
+      verif = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+        .join(candIds, Seq("id"), "left_semi")
+        .select(col("id"),
+          array_sort(array_distinct(
+            transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)))).as("toks"))
+        .persist()
 
-    val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    val pairs = candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .localCheckpoint() // eager: caches released below
-    dupCache.unpersist(false)
-    candidates.unpersist(false)
-    verif.unpersist(false)
-    pairs
+      val a = verif.select(col("id").as("a_id"), col("toks").as("a_toks"))
+      val b = verif.select(col("id").as("b_id"), col("toks").as("b_toks"))
+      candidates.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter", sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .localCheckpoint() // eager: caches released in finally
+    } finally {
+      dupCache.unpersist(false)
+      if (candidates != null) candidates.unpersist(false)
+      if (verif != null) verif.unpersist(false)
+    }
   }
 
   /** Back-compat alias: [[nearDuplicates]] with the bounded-slice default

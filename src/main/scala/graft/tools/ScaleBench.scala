@@ -171,9 +171,22 @@ object ScaleBench {
         (if (guard) ",\"guard\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
+    // Full JSON string escaping: exception messages routinely carry
+    // newlines, backslashes and control characters (Spark/Kryo stack
+    // prefixes especially) — a quote-only replacement made the artifact
+    // line invalid JSON on exactly the runs it exists to record.
+    def jesc(s: String): String = s.flatMap {
+      case '"'               => "\\\""
+      case '\\'              => "\\\\"
+      case '\n'              => "\\n"
+      case '\r'              => "\\r"
+      case '\t'              => "\\t"
+      case c if c < ' '      => f"\\u${c.toInt}%04x"
+      case c                 => c.toString
+    }
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.map { case (n, w) => "\"" + n + "\":\"" + w.replace("\"", "'") + "\"" }
+      else failed.map { case (n, w) => "\"" + n + "\":\"" + jesc(w) + "\"" }
         .mkString(""","failed":{""", ",", "}")
     println(s"""{"metric":"scale_growth","k":$k,"n_queries":${rows.size},""" +
       s""""base_total":${fmt(rows.map(_._2).sum)},"scaled_total":${fmt(rows.map(_._3).sum)},""" +
