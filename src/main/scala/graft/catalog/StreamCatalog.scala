@@ -421,20 +421,97 @@ class StreamCatalog(rootDir: String, hadoopConf: Configuration = new Configurati
   private val casSlotNanos =
     new java.util.concurrent.atomic.AtomicLong(1_000_000L)
 
+  /** Per-stream group-commit funnels (see [[CommitCombiner]]): concurrent
+    * in-process `update()` callers land as ONE manifest version. Keyed by
+    * stream name; a funnel outliving a deleted stream is harmless (it is
+    * only a queue — the CAS inside still validates against the store).
+    */
+  private val combiners = scala.collection.concurrent.TrieMap
+    .empty[(String, String), CommitCombiner[StreamMetadata]]
+
   /** Optimistic-concurrency update: transform the latest manifest and
     * commit as version+1; create-if-absent loses → ConditionalCheckFailed,
     * caller retries with fresh state. This is the engine's single CAS
     * primitive — transactions, truncation, scale, sealing all go through
     * it.
+    *
+    * In-process concurrency GROUP-COMMITS (r15): concurrent callers on
+    * the same stream from this catalog instance are drained by one
+    * leader and applied, in arrival order, inside a single CAS'd
+    * version — the committed state is identical to serial execution,
+    * the store pays ~3 round trips per BATCH instead of per caller, and
+    * the r14 per-stream ceiling (~1000/(RTT×3.1) manifest commits/s)
+    * multiplies by the batch size in user-visible commits/s. `f` must be
+    * a pure function of the metadata — it can run multiple times (CAS
+    * retry against OTHER processes) and composes with the rest of its
+    * batch. An `f` that throws fails only its own caller (serial
+    * semantics); the rest of the batch still commits.
     */
   def update(scope: String, stream: String, maxRetries: Int = 50)
             (f: StreamMetadata => StreamMetadata): StreamMetadata = {
+    val c = combiners.getOrElseUpdate((scope, stream), new CommitCombiner[StreamMetadata])
+    // re-entrant transform (update inside a transform on the same
+    // stream): the leader cannot queue behind itself — raw CAS instead
+    if (c.isLeaderThread) return updateNow(scope, stream, maxRetries)(f)
+    c.submit(f, maxRetries)(batch => commitBatch(scope, stream, batch))
+  }
+
+  /** Apply one drained combiner batch as a single CAS'd version.
+    * Per-transform failures are recorded per attempt (the composed
+    * closure reruns on cross-process CAS loss, so only the FINAL
+    * attempt's outcomes are authoritative) and isolated: failed
+    * transforms are skipped, their callers get exactly their exception.
+    * When every transform fails there is nothing to commit — the CAS is
+    * skipped entirely rather than minting an empty version.
+    */
+  private def commitBatch(scope: String, stream: String,
+                          batch: IndexedSeq[CommitCombiner.Pending[StreamMetadata]]): Unit = {
+    val errs = new Array[Throwable](batch.length)
+    var maxR = 0
+    batch.foreach(p => maxR = math.max(maxR, p.maxRetries))
+    try {
+      val committed = updateNow(scope, stream, maxR) { cur =>
+        var m = cur
+        var applied = 0
+        var i = 0
+        while (i < batch.length) {
+          errs(i) = null
+          try { m = batch(i).f(m); applied += 1 }
+          catch { case scala.util.control.NonFatal(t) => errs(i) = t }
+          i += 1
+        }
+        if (applied == 0) throw CommitCombiner.AllTransformsFailed
+        m
+      }
+      var i = 0
+      while (i < batch.length) {
+        if (errs(i) != null) batch(i).fail(errs(i)) else batch(i).complete(committed)
+        i += 1
+      }
+    } catch {
+      case CommitCombiner.AllTransformsFailed =>
+        var i = 0
+        while (i < batch.length) { batch(i).fail(errs(i)); i += 1 }
+      case t: Throwable =>
+        // commit-level failure (retries exhausted, IO): everyone in the
+        // batch shares the outcome, exactly as each would have alone
+        batch.foreach(p => if (!p.isDone) p.fail(t))
+    }
+  }
+
+  /** The raw CAS retry loop — one caller, one transform, no combining. */
+  private def updateNow(scope: String, stream: String, maxRetries: Int)
+                       (f: StreamMetadata => StreamMetadata): StreamMetadata = {
     var attempt = 0
     while (true) {
       val t0 = System.nanoTime()
       def observeAttempt(): Unit = {
-        val prev = casSlotNanos.get()
-        casSlotNanos.set(prev - (prev >> 2) + ((System.nanoTime() - t0) >> 2))
+        val dt = System.nanoTime() - t0
+        // updateAndGet keeps concurrent samples from overwriting each
+        // other — a dropped sample only delayed smoothing convergence a
+        // few commits, but the atomic costs nothing on this path (one
+        // CAS per manifest commit, next to filesystem round trips).
+        casSlotNanos.updateAndGet(prev => prev - (prev >> 2) + (dt >> 2))
       }
       val cur = getStream(scope, stream)
       val next0 = f(cur)

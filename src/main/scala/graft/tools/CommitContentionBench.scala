@@ -42,10 +42,24 @@ import java.util.concurrent.atomic.AtomicLong
   *    PROCESSES (txn commits, scale/seal/truncate, independent
   *    writers), not N events/sec.
   *
+  * TWO writer topologies, because the r15 group commit makes them
+  * different machines:
+  *  - mode `percat` (default, the r14-comparable curve): each writer is
+  *    an independent StreamCatalog instance — the model of N committing
+  *    PROCESSES. They contend on the raw CAS; per-stream throughput is
+  *    the RTT-bound manifest-commit ceiling, writer-count-invariant.
+  *  - mode `shared`: all writers share ONE catalog instance — the model
+  *    of N committing THREADS in one JVM (a Spark driver's concurrent
+  *    txn commits, the state-synchronizer's callers). These combine
+  *    through [[graft.catalog.CommitCombiner]]: one leader CASes the
+  *    whole queue as a single manifest version, so user-visible
+  *    commits/s ≈ ceiling × batch size (≈ N at saturation) and BILLED
+  *    store ops per user commit FALL ~1/N instead of growing O(N).
+  *
   * Usage: runMain graft.tools.CommitContentionBench
-  *          [seconds] [writersCsv] [rttMsCsv]
-  *        (defaults: 8 s per point; writers 1,4,16,64; rtt 0)
-  * One JSON line per (writers, rtt) point.
+  *          [seconds] [writersCsv] [rttMsCsv] [modeCsv]
+  *        (defaults: 8 s per point; writers 1,4,16,64; rtt 0; percat)
+  * One JSON line per (mode, writers, rtt) point.
   */
 object CommitContentionBench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +68,9 @@ object CommitContentionBench {
       .getOrElse(Seq(1, 4, 16, 64))
     val rtts = args.lift(2).map(_.split(',').map(_.trim.toLong).toSeq)
       .getOrElse(Seq(0L))
-    for (rtt <- rtts; n <- counts) {
+    val modes = args.lift(3).map(_.split(',').map(_.trim).toSeq)
+      .getOrElse(Seq("percat"))
+    for (mode <- modes; rtt <- rtts; n <- counts) {
       val local = Files.createTempDirectory("graft-ccb").toString
       val conf = new org.apache.hadoop.conf.Configuration()
       val work =
@@ -75,9 +91,13 @@ object CommitContentionBench {
         val barrier = new CyclicBarrier(n + 1)
         val lossStart = StreamCatalog.casLosses.sum()
         val opsStart = LaggedObjectStoreFs.opsCharged.sum()
+        // shared mode: every thread commits through ONE instance (the
+        // group-commit funnel); percat: per-writer instances, raw CAS
+        val sharedCat = if (mode == "shared") new StreamCatalog(work, conf) else null
         val threads = (1 to n).map { i =>
           val t = new Thread(() => {
-            val cat = new StreamCatalog(work, conf) // per-writer instance: no shared tip cache
+            val cat = if (sharedCat != null) sharedCat
+                      else new StreamCatalog(work, conf) // per-writer instance: no shared tip cache
             barrier.await()
             while (!stop) {
               val t0 = System.nanoTime()
@@ -110,7 +130,12 @@ object CommitContentionBench {
         // per-stream ceiling ≈ writers_effect × 1000 / (rtt × ops_per_commit)
         val ops = LaggedObjectStoreFs.opsCharged.sum() - opsStart
         val opsPer = if (rtt <= 0L || done == 0) -1.0 else ops.toDouble / done
-        println(f"""{"writers":$n,"rtt_ms":$rtt,"window_sec":$wallSec%.1f,"commits":$done,""" +
+        // shared mode: manifest versions actually minted — user commits
+        // per manifest version is the measured batch (combine) factor
+        val versions = boot.getStream("b", "s").version
+        val batchFactor = if (versions == 0) -1.0 else done.toDouble / versions
+        println(f"""{"mode":"$mode","writers":$n,"rtt_ms":$rtt,"window_sec":$wallSec%.1f,"commits":$done,""" +
+          f""""manifest_versions":$versions,"commits_per_version":$batchFactor%.1f,""" +
           f""""commits_per_sec":${steadyCommits / steadySec}%.1f,""" +
           f""""cas_losses":$losses,"retries_per_commit":${if (done == 0) -1.0 else losses.toDouble / done}%.2f,""" +
           f""""ops_per_commit":$opsPer%.1f,""" +

@@ -247,6 +247,113 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(g.readEvents("s", "x").count() == 30L)
     fsys.delete(empty, false)
   }
+
+  test("group commit: concurrent in-process updates apply exactly once, as fewer versions") {
+    // the r15 commit combiner (OperationProcessor group-commit analog):
+    // N threads on ONE catalog instance must each see their transform
+    // applied EXACTLY once (counters, not idempotent set-adds, so a
+    // double application would show as count 2), while the manifest
+    // chain grows by FEWER versions than user commits — the whole point.
+    // 25 ms simulated RTT makes batching certain: while one commit's
+    // round trips are in flight, every other thread enqueues.
+    val root = mkRoot("objectstore", "gc25")
+    val prev = LaggedObjectStoreFs.opLatencyMs
+    LaggedObjectStoreFs.opLatencyMs = 25L
+    try {
+      val cat = new graft.catalog.StreamCatalog(root,
+        spark.sessionState.newHadoopConf())
+      cat.createScope("s")
+      cat.createStream("s", "x", StreamConfig(initialSegments = 1))
+      val v0 = cat.getStream("s", "x").version
+      val writers = 16
+      val perWriter = 8
+      val futures = (1 to writers).map { w =>
+        Future {
+          (1 to perWriter).foreach { _ =>
+            val committed = cat.update("s", "x") { m =>
+              val k = s"w$w"
+              m.copy(writerBatches =
+                m.writerBatches + (k -> (m.writerBatches.getOrElse(k, 0L) + 1L)))
+            }
+            // every caller gets committed metadata that already contains
+            // its own change (its counter is at least its commit index)
+            assert(committed.writerBatches.getOrElse(s"w$w", 0L) >= 1L)
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 300.seconds)
+      val fin = cat.getStream("s", "x")
+      // exactly once: every writer's counter is exactly perWriter
+      (1 to writers).foreach { w =>
+        assert(fin.writerBatches.get(s"w$w").contains(perWriter.toLong),
+          s"writer w$w counter ${fin.writerBatches.get(s"w$w")} != $perWriter")
+      }
+      val versions = fin.version - v0
+      val commits = writers.toLong * perWriter
+      assert(versions < commits / 2,
+        s"no combining happened: $versions manifest versions for $commits commits")
+    } finally LaggedObjectStoreFs.opLatencyMs = prev
+  }
+
+  test("group commit: a throwing transform fails only its own caller; the batch still lands") {
+    val root = mkRoot("objectstore", "gcfail")
+    val prev = LaggedObjectStoreFs.opLatencyMs
+    LaggedObjectStoreFs.opLatencyMs = 25L
+    try {
+      val cat = new graft.catalog.StreamCatalog(root,
+        spark.sessionState.newHadoopConf())
+      cat.createScope("s")
+      cat.createStream("s", "x", StreamConfig(initialSegments = 1))
+      val boom = new java.util.concurrent.atomic.AtomicLong(0L)
+      val futures = (1 to 12).map { w =>
+        Future {
+          (1 to 6).foreach { i =>
+            if (w % 3 == 0) {
+              // every third writer's transform throws by design
+              val e = intercept[IllegalStateException] {
+                cat.update("s", "x") { _ =>
+                  throw new IllegalStateException(s"designed failure w$w-$i")
+                }
+              }
+              assert(e.getMessage.startsWith("designed failure"))
+              boom.incrementAndGet()
+            } else {
+              val k = s"w$w"
+              cat.update("s", "x") { m =>
+                m.copy(writerBatches =
+                  m.writerBatches + (k -> (m.writerBatches.getOrElse(k, 0L) + 1L)))
+              }
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 300.seconds)
+      val fin = cat.getStream("s", "x")
+      assert(boom.get() == 4L * 6L)
+      (1 to 12).filter(_ % 3 != 0).foreach { w =>
+        assert(fin.writerBatches.get(s"w$w").contains(6L),
+          s"writer w$w lost commits to a neighbor's designed failure")
+      }
+      // failed transforms left no trace in the committed state
+      assert(!fin.writerBatches.keys.exists(k => Set("w3", "w6", "w9", "w12")(k)))
+    } finally LaggedObjectStoreFs.opLatencyMs = prev
+  }
+
+  test("group commit: all-failed batch commits nothing (no empty manifest versions)") {
+    val root = mkRoot("local", "gcnone")
+    val cat = new graft.catalog.StreamCatalog(root,
+      spark.sessionState.newHadoopConf())
+    cat.createScope("s")
+    cat.createStream("s", "x", StreamConfig(initialSegments = 1))
+    val v0 = cat.getStream("s", "x").version
+    (1 to 5).foreach { i =>
+      intercept[IllegalStateException] {
+        cat.update("s", "x")(_ => throw new IllegalStateException(s"f$i"))
+      }
+    }
+    assert(cat.getStream("s", "x").version == v0,
+      "a failing transform must not mint a manifest version")
+  }
 }
 
 /** Registers the `oscas` scheme on the shared session (idempotent) and
