@@ -93,6 +93,41 @@ object ScaleBench {
       }
     })
 
+    // Spill/shuffle attribution (r15): every probe residue so far either
+    // became a found defect or a proven box effect — "tracks spill
+    // pressure" must be a MEASURED claim, not an asserted one. A task
+    // listener accumulates memory/disk spill and shuffle read/write
+    // bytes; each SCALED leg snapshots the counters around its timed
+    // run, so a growth residue can be read directly against the bytes
+    // that hit the disk. (Listener events drain asynchronously; the
+    // short settle sleep bounds the undercount at GB scale.)
+    object Metrics extends org.apache.spark.scheduler.SparkListener {
+      val memSpill = new java.util.concurrent.atomic.LongAdder
+      val diskSpill = new java.util.concurrent.atomic.LongAdder
+      val shufWrite = new java.util.concurrent.atomic.LongAdder
+      val shufRead = new java.util.concurrent.atomic.LongAdder
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.add(m.memoryBytesSpilled)
+          diskSpill.add(m.diskBytesSpilled)
+          shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.add(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      def snap(): Seq[Long] =
+        Seq(memSpill.sum(), diskSpill.sum(), shufWrite.sum(), shufRead.sum())
+    }
+    spark.sparkContext.addSparkListener(Metrics)
+    final case class Spill(memGb: Double, diskGb: Double, shufWriteGb: Double, shufReadGb: Double)
+    def spillAround[A](body: => A): (A, Spill) = {
+      Thread.sleep(150); val before = Metrics.snap()
+      val a = body
+      Thread.sleep(150); val after = Metrics.snap()
+      val d = after.zip(before).map { case (x, y) => (x - y) / 1e9 }
+      (a, Spill(d(0), d(1), d(2), d(3)))
+    }
+
     // A loud saturation guard TRIPPING is a valid scale datapoint, not a
     // bench crash: dedup_prefix_join's plan-time candidate ceiling fires
     // by design once ScaleGen replication saturates the sandbox's 31-word
@@ -147,7 +182,7 @@ object ScaleBench {
     val rows = subset.flatMap { name =>
       try {
         val (tb, spread, gb) = timedBase(name)
-        val (ts, gs) = timed(name, scaled)
+        val ((ts, gs), sp) = spillAround(timed(name, scaled))
         val g = ts / math.max(tb, 1e-9)
         val mark = (gb, gs) match {
           case (true, true) => " [guard tripped at BOTH scales]"
@@ -155,8 +190,9 @@ object ScaleBench {
           case (true, _)    => " [guard tripped at base]"
           case _            => ""
         }
-        println(f"[scale] $name%-28s base=${fmt(tb)}%6ss (±${spread * 100}%.0f%%) scaled=${fmt(ts)}%6ss growth=${g}%5.1fx$mark")
-        Some((name, tb, ts, g, gb || gs, spread))
+        println(f"[scale] $name%-28s base=${fmt(tb)}%6ss (±${spread * 100}%.0f%%) scaled=${fmt(ts)}%6ss growth=${g}%5.1fx " +
+          f"spill=${sp.diskGb}%.3fGB shufW=${sp.shufWriteGb}%.3fGB shufR=${sp.shufReadGb}%.3fGB$mark")
+        Some((name, tb, ts, g, gb || gs, spread, sp))
       } catch {
         case e: Throwable =>
           val why = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -165,9 +201,13 @@ object ScaleBench {
           None
       }
     }
-    val qs = rows.map { case (n, tb, ts, g, guard, spread) =>
+    val qs = rows.map { case (n, tb, ts, g, guard, spread, sp) =>
       "\"" + n + "\":{\"base\":" + fmt(tb) + ",\"scaled\":" + fmt(ts) +
         ",\"growth\":" + fmt(g) + ",\"base_spread\":" + fmt(spread) +
+        f",${"\"scaled_spill_mem_gb\""}:${sp.memGb}%.3f" +
+        f",${"\"scaled_spill_disk_gb\""}:${sp.diskGb}%.3f" +
+        f",${"\"scaled_shuffle_write_gb\""}:${sp.shufWriteGb}%.3f" +
+        f",${"\"scaled_shuffle_read_gb\""}:${sp.shufReadGb}%.3f" +
         (if (guard) ",\"guard\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val superlinear = rows.filter(_._4 > k * 1.25).map(_._1)
