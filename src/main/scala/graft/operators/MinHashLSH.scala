@@ -240,7 +240,9 @@ object MinHashLSH {
     // path, raises the budget knob, and retries would accumulate leaked
     // cached partitions, largest exactly in the saturated regime where
     // memory is already the problem (r14 ADVICE).
-    val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
+    val cacheSigs = persistSignatures(docs.sparkSession)
+    val bandedIn = if (cacheSigs) banded.persist() else banded
+    val (sized, dupCache) = boundedBuckets(bandedIn, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     var candidates: DataFrame = null
     var verif: DataFrame = null
@@ -272,10 +274,28 @@ object MinHashLSH {
         .localCheckpoint() // eager: pairs computed here, caches released in finally
     } finally {
       dupCache.unpersist(false)
+      if (cacheSigs) bandedIn.unpersist(false)
       if (candidates != null) candidates.unpersist(false)
       if (verif != null) verif.unpersist(false)
     }
   }
+
+  /** OPT-IN banded-signature cache (`spark.graft.lsh.persistSignatures`):
+    * trade ~(28 bytes × bands) of storage per doc (≈22 GB at 5×10⁷ docs
+    * / 16 bands) for running the minhash kernel ONCE instead of twice.
+    * Default OFF — the r14 fifth-decade probe established that
+    * corpus-sized storage is the resource that actually dies first at
+    * scale (recompute is a scan-side pass that parallelizes with
+    * executors; cached corpus-sized partitions are pressure every
+    * executor pays), so recompute is the scale-safe default and the
+    * cache is a small-corpus optimization. The cache point is the
+    * BANDED rows (post-kernel), so both the bucket counts and the
+    * self-join feed reuse one computation; results are identical either
+    * way (same deterministic kernel on the same input).
+    */
+  val PersistSignaturesConf = "spark.graft.lsh.persistSignatures"
+  private def persistSignatures(s: SparkSession): Boolean =
+    s.conf.getOption(PersistSignaturesConf).exists(_.trim.toBoolean)
 
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
     * bounds each bucket's pairs at C(cap, 2) but not their SUM: on a
@@ -457,7 +477,9 @@ object MinHashLSH {
 
     // Same try/finally cache lifecycle as [[nearDuplicates]] — no leaked
     // cached partitions on the fail-loud saturation path (r14 ADVICE).
-    val (sized, dupCache) = boundedBuckets(banded, maxBucketSize,
+    val cacheSigs = persistSignatures(docs.sparkSession)
+    val bandedIn = if (cacheSigs) banded.persist() else banded
+    val (sized, dupCache) = boundedBuckets(bandedIn, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
     var candidates: DataFrame = null
     var verif: DataFrame = null
@@ -489,6 +511,7 @@ object MinHashLSH {
         .localCheckpoint() // eager: caches released in finally
     } finally {
       dupCache.unpersist(false)
+      if (cacheSigs) bandedIn.unpersist(false)
       if (candidates != null) candidates.unpersist(false)
       if (verif != null) verif.unpersist(false)
     }

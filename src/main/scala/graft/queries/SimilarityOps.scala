@@ -193,12 +193,35 @@ object SimilarityOps {
     * folded into a dedup decision (every duplicate maps to its
     * lowest-id keeper) — the canonical embedding-dedup shape for a
     * training pipeline.
+    *
+    * This is the BRUTE baseline: label blocks are whatever the data
+    * says, and pair volume is Σ C(n_label, 2) — quadratic in block size
+    * whenever labels don't grow with the corpus (on the sandbox tables
+    * they never do: 10 labels at every scale factor, so the fifth
+    * decade would be ~10¹³ cosines). Like the other loudly-bounded
+    * brute verifiers (prefix join's convexity guard, LSH's candidate
+    * budget), it now checks the exact label histogram against the
+    * shared candidate-volume budget BEFORE the join and fails naming
+    * the knob; the scale paths are `dedup_semdedup` (corpus-scaled
+    * clusters) and the LSH/ANN family.
     */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"label", $"vec_id", $"embedding",
         Similarity.norm($"embedding").as("nrm"))
+    val hist = e.groupBy($"label").count()
+      .groupBy($"count").agg(count(lit(1)).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val est = hist.map { case (sz, nb) => nb * (sz * (sz - 1) / 2) }.sum
+    val budget = graft.operators.MinHashLSH.resolvedMaxCandidates(s, -1L)
+    require(est <= budget,
+      s"dedup_embedding label-blocked pair estimate $est exceeds the " +
+        s"candidate budget $budget (session conf " +
+        s"${graft.operators.MinHashLSH.MaxCandidatesConf}) - label blocks " +
+        "grow with the corpus, so brute pairs are inherently quadratic " +
+        "here; use dedup_semdedup / the LSH-ANN family at this scale, or " +
+        "raise the budget to the cluster's shuffle capacity")
     val a = e.select($"label", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = e.select($"label", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(b, Seq("label"))
@@ -225,61 +248,194 @@ object SimilarityOps {
       |GROUP BY qb ORDER BY dup_id""".stripMargin
 
   /** SemDeDup-style SEMANTIC dedup: cluster-scope the quadratic term.
-    * Vectors are assigned to their nearest of K centroids (broadcast +
-    * map-side partial `max_by`, the `sim_ann_ivf` assignment), and
-    * near-duplicate pairs are searched only WITHIN a cluster — the
+    * Near-duplicate pairs are searched only WITHIN a cluster — the
     * SemDeDup contract (Abbas et al., 2023): K grows with the corpus so
     * per-cluster C(n,2) stays bounded while cross-cluster pairs (which
     * cannot be near-dups of a tight threshold) are never generated.
+    *
+    * The r14 implementation pinned K = 16 — the documented contract
+    * without the implementation: with fixed K the within-cluster pair
+    * term is N²/32, certain death at the fifth decade (2×10⁷ vectors →
+    * ~10¹³ cosines). Since r15 the contract is real, and every constant
+    * in it is replayed by the oracle:
+    *
+    *  - K_fine = max(16, ⌈N / 512⌉) centroids — the md5-hash-ordered
+    *    prefix of the corpus ([[Similarity.ivfCentsDf]]'s deterministic
+    *    sampling rule), so expected cluster size stays ~512 and the
+    *    pair term is ~N×256, LINEAR in the corpus.
+    *  - A corpus-scaled K makes single-level exact assignment N×K =
+    *    N²/512 — the quadratic would just move. Assignment is therefore
+    *    TWO-LEVEL: K_coarse = max(4, ⌈√K_fine⌉) group centroids (the
+    *    first K_coarse of the same hash ordering, so coarse ⊆ fine and
+    *    no group is empty); each fine centroid belongs to its nearest
+    *    group (computed on the driver over the ≤ K_fine collected
+    *    centroids — bounded by construction); each vector picks its
+    *    nearest GROUP against a literal-inlined coarse set (codegen, no
+    *    join), then its nearest fine centroid WITHIN that group via one
+    *    broadcast join against the K_coarse-row group→centroids pack.
+    *    Per-vector cost ~2√(N/512) dots — N^1.5-ish worst case in the
+    *    assignment, N-linear in the pair term, nothing quadratic.
+    *    Two-level nearest is deliberately approximate (a vector near a
+    *    group boundary can land one cluster over — the standard IVF
+    *    trade); it is DETERMINISTIC, and the oracle replays the same
+    *    two hops bit-for-bit, so approximate ≠ unverified.
+    *  - The within-cluster pair estimate Σ C(n_c, 2) is checked from
+    *    the exact cluster histogram against the shared candidate-volume
+    *    budget ([[graft.operators.MinHashLSH.resolvedMaxCandidates]],
+    *    knob `spark.graft.lsh.maxCandidates`) BEFORE the pair join —
+    *    a pathologically clustered corpus fails loudly naming the knob
+    *    instead of melting the shuffle tier.
+    *
     * Per cluster: member count, dropped members (those with a
     * smaller-id in-cluster neighbor above the cosine threshold — the
     * keep-lowest-id policy of `dedup_embedding`), and qualifying pair
-    * count. The oracle replays assignment (row_number tie-broken
-    * exactly like the partial max_by) and the pairwise cosines
-    * bit-for-bit.
+    * count. The only persisted intermediate is the assignment
+    * projection (vec_id, embedding, nrm, c_id) — read three times
+    * (histogram + both pair sides), released in try/finally.
     */
+  private[queries] val SemDedupTargetCluster = 512
   private def semDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
-    val cents = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-    val assigned = e.as("v").join(broadcast(cents), col("c_id").isNotNull)
-      .withColumn("ccos", Similarity.dot($"embedding", $"c_emb") / ($"nrm" * $"c_nrm"))
-      .groupBy($"vec_id")
-      .agg(first($"embedding").as("embedding"), first($"nrm").as("nrm"),
-        max_by($"c_id", struct($"ccos", -$"c_id")).as("c_id"))
-    val a = assigned.select($"c_id", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
-    val b = assigned.select($"c_id", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
-    val pairs = a.join(b, Seq("c_id"))
-      .filter($"qa" < $"qb")
-      .withColumn("cos", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
-      .filter($"cos" >= 0.35)
-    val drops = pairs.groupBy($"c_id", $"qb").agg(count(lit(1)).as("nn"))
-      .groupBy($"c_id").agg(count(lit(1)).as("n_dropped"), sum($"nn").as("n_pairs"))
-    assigned.groupBy($"c_id").agg(count(lit(1)).as("n_vecs"))
-      .join(drops, Seq("c_id"), "left")
-      .select($"c_id", $"n_vecs",
-        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
-        coalesce($"n_pairs", lit(0L)).as("n_pairs"))
-      .orderBy($"c_id")
+    val n = e.count()
+    val kFine = math.max(16L, math.ceil(n / SemDedupTargetCluster.toDouble).toLong).toInt
+    val kCoarse = math.max(4, math.ceil(math.sqrt(kFine.toDouble)).toInt)
+
+    // deterministic centroid prefix: the ivfCentsDf hash-order rule;
+    // collected rows are ≤ K_fine = N/512 — bounded by construction
+    val idHash = conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long")
+    val fine: Array[(Long, Array[Float], Double)] = e
+      .select($"vec_id", $"embedding", $"nrm", idHash.as("h"))
+      .orderBy($"h", $"vec_id").limit(kFine)
+      .select($"vec_id", $"embedding", $"nrm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val coarse = fine.take(kCoarse)
+    // left-to-right double accumulation — the exact arithmetic of
+    // Similarity.dot's codegen and the oracle's list_sum
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def nearestGroup(emb: Array[Float], nrm: Double): Long = {
+      var bestG = Long.MaxValue; var bestCos = Double.NegativeInfinity
+      coarse.foreach { case (gid, gemb, gnrm) =>
+        val c = dotD(emb, gemb) / (nrm * gnrm)
+        if (c > bestCos || (c == bestCos && gid < bestG)) { bestCos = c; bestG = gid }
+      }
+      bestG
+    }
+    val packRows: Seq[(Long, Seq[(Long, Seq[Float], Double)])] =
+      fine.groupBy { case (_, cemb, cnrm) => nearestGroup(cemb, cnrm) }
+        .toSeq
+        .map { case (g, arr) =>
+          (g, arr.sortBy(_._1).map { case (cid, cemb, cnrm) =>
+            (cid, cemb.toSeq, cnrm) }.toSeq)
+        }
+    val pack = packRows.toDF("g_id", "f0")
+      .select($"g_id", transform($"f0", f => struct(
+        f.getField("_1").as("c_id"), f.getField("_2").as("c_emb"),
+        f.getField("_3").as("c_nrm"))).as("fents"))
+
+    // vector → group: literal-inlined argmax (codegen, no join), the
+    // ivfAssign shape; then → fine centroid within the group via ONE
+    // broadcast join (K_coarse rows) and an in-row argmax
+    val coarseLit = array(coarse.map { case (gid, gemb, gnrm) =>
+      struct(lit(gid).as("g_id"), lit(gemb).as("g_emb"), lit(gnrm).as("g_nrm"))
+    }.toIndexedSeq: _*)
+    val assigned = e
+      .withColumn("bg", array_max(transform(coarseLit, c =>
+        struct((Similarity.dot($"embedding", c.getField("g_emb")) /
+            ($"nrm" * c.getField("g_nrm"))).as("gcos"),
+          (-c.getField("g_id")).as("neg")))))
+      .withColumn("g_id", -$"bg.neg")
+      .join(broadcast(pack), Seq("g_id"))
+      .withColumn("bf", array_max(transform($"fents", f =>
+        struct((Similarity.dot($"embedding", f.getField("c_emb")) /
+            ($"nrm" * f.getField("c_nrm"))).as("fcos"),
+          (-f.getField("c_id")).as("neg")))))
+      .select($"vec_id", $"embedding", $"nrm", (-$"bf.neg").as("c_id"))
+      .persist()
+    try {
+      // pair-budget guard from the EXACT cluster histogram (kFine rows
+      // at most): fail loudly before the pair join, naming the knob
+      val hist = assigned.groupBy($"c_id").count()
+        .groupBy($"count").agg(count(lit(1)).as("nb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val est = hist.map { case (sz, nb) => nb * (sz * (sz - 1) / 2) }.sum
+      val budget = graft.operators.MinHashLSH.resolvedMaxCandidates(s, -1L)
+      require(est <= budget,
+        s"semdedup within-cluster pair estimate $est exceeds the candidate " +
+          s"budget $budget (session conf ${graft.operators.MinHashLSH.MaxCandidatesConf}) " +
+          "- the corpus is pathologically clustered at this K; raise the " +
+          "budget to the cluster's shuffle capacity or shard the corpus")
+      val a = assigned.select($"c_id", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
+      val b = assigned.select($"c_id", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
+      val pairs = a.join(b, Seq("c_id"))
+        .filter($"qa" < $"qb")
+        .withColumn("cos", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.35)
+      val drops = pairs.groupBy($"c_id", $"qb").agg(count(lit(1)).as("nn"))
+        .groupBy($"c_id").agg(count(lit(1)).as("n_dropped"), sum($"nn").as("n_pairs"))
+      assigned.groupBy($"c_id").agg(count(lit(1)).as("n_vecs"))
+        .join(drops, Seq("c_id"), "left")
+        .select($"c_id", $"n_vecs",
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+        .orderBy($"c_id")
+        .localCheckpoint() // eager: the persisted assignment is released below
+    } finally assigned.unpersist(false)
   }
 
+  /** Replays the two-level corpus-scaled assignment end to end: the same
+    * K_fine/K_coarse derivation (subqueries over the table, so the SAME
+    * corpus size feeds both engines), the same hash-ordered centroid
+    * prefixes, fine→group and vector→group→centroid hops with identical
+    * (cos DESC, id ASC) tie-breaks, then the within-cluster pairs.
+    */
   private val semDedupSql =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-      |          FROM n WHERE vec_id < 16),
+      |kf AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / $SemDedupTargetCluster.0) AS BIGINT)) AS k FROM n),
+      |kc AS (SELECT GREATEST(4, CAST(CEIL(SQRT(k)) AS BIGINT)) AS k FROM kf),
+      |ranked AS (
+      |  SELECT vec_id, embedding, nrm, ROW_NUMBER() OVER (ORDER BY
+      |    CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |    vec_id) AS rn
+      |  FROM n),
+      |fine AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, rn
+      |         FROM ranked WHERE rn <= (SELECT k FROM kf)),
+      |coarse AS (SELECT c_id AS g_id, c_emb AS g_emb, c_nrm AS g_nrm
+      |           FROM fine WHERE rn <= (SELECT k FROM kc)),
+      |f2c AS (
+      |  SELECT c_id, c_emb, c_nrm, g_id FROM (
+      |    SELECT f.c_id, f.c_emb, f.c_nrm, g.g_id,
+      |      ROW_NUMBER() OVER (PARTITION BY f.c_id ORDER BY
+      |        list_sum(list_transform(list_zip(f.c_emb, g.g_emb),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |          / (f.c_nrm * g.g_nrm) DESC, g.g_id) AS r
+      |    FROM fine f CROSS JOIN coarse g) t WHERE r = 1),
+      |v2c AS (
+      |  SELECT vec_id, g_id FROM (
+      |    SELECT v.vec_id, g.g_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(v.embedding, g.g_emb),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |          / (v.nrm * g.g_nrm) DESC, g.g_id) AS r
+      |    FROM n v CROSS JOIN coarse g) t WHERE r = 1),
       |assigned AS (
       |  SELECT vec_id, embedding, nrm, c_id FROM (
-      |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+      |    SELECT v.vec_id, v.embedding, v.nrm, f.c_id,
       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_sum(list_transform(list_zip(v.embedding, c.c_emb),
+      |        list_sum(list_transform(list_zip(v.embedding, f.c_emb),
       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      |          / (v.nrm * c.c_nrm) DESC, c.c_id) AS r
-      |    FROM n v CROSS JOIN cents c) t WHERE r = 1),
+      |          / (v.nrm * f.c_nrm) DESC, f.c_id) AS r
+      |    FROM n v JOIN v2c ON v.vec_id = v2c.vec_id
+      |      JOIN f2c f ON f.g_id = v2c.g_id) t WHERE r = 1),
       |pairs AS (
       |  SELECT a.c_id, a.vec_id AS qa, b.vec_id AS qb,
       |    list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -143,7 +143,7 @@ object ScaleBench {
           try { fn(spark, dir).count(); false }
           catch {
             case e: IllegalArgumentException
-                if String.valueOf(e.getMessage).contains("candidate estimate") => true
+                if {val m = String.valueOf(e.getMessage); m.contains("candidate estimate") || m.contains("candidate budget")} => true
           }
         ((System.nanoTime() - t0) / 1e9, tripped)
       }
@@ -161,7 +161,7 @@ object ScaleBench {
           try { fn(spark, base).count(); false }
           catch {
             case e: IllegalArgumentException
-                if String.valueOf(e.getMessage).contains("candidate estimate") => true
+                if {val m = String.valueOf(e.getMessage); m.contains("candidate estimate") || m.contains("candidate budget")} => true
           }
         ((System.nanoTime() - t0) / 1e9, tripped)
       }
