@@ -280,11 +280,17 @@ object SimilarityOps {
     *    trade); it is DETERMINISTIC, and the oracle replays the same
     *    two hops bit-for-bit, so approximate ≠ unverified.
     *  - The within-cluster pair estimate Σ C(n_c, 2) is checked from
-    *    the exact cluster histogram against the shared candidate-volume
-    *    budget ([[graft.operators.MinHashLSH.resolvedMaxCandidates]],
-    *    knob `spark.graft.lsh.maxCandidates`) BEFORE the pair join —
-    *    a pathologically clustered corpus fails loudly naming the knob
-    *    instead of melting the shuffle tier.
+    *    the exact cluster histogram BEFORE the pair join against a
+    *    SKEW bound: [[SemDedupSkewFactor]] × the healthy-contract term
+    *    N×(target−1)/2 (with the shared LSH candidate budget as a
+    *    small-corpus floor). The pair term itself is linear in N by
+    *    contract and CPU-only — pairs stream through in-partition
+    *    filter+aggregation after an O(N) shuffle, nothing pair-sized
+    *    is ever shuffled or stored — so an absolute budget would
+    *    refuse healthy corpora at exactly the scale this operator is
+    *    the designed path for; what the guard hunts is pathological
+    *    clustering, where a few far-over-target clusters carry a
+    *    quadratic share. Fails loudly naming the knob.
     *
     * Per cluster: member count, dropped members (those with a
     * smaller-id in-cluster neighbor above the cosine threshold — the
@@ -294,6 +300,12 @@ object SimilarityOps {
     * (histogram + both pair sides), released in try/finally.
     */
   private[queries] val SemDedupTargetCluster = 512
+  /** Skew-guard multiplier: the within-cluster pair sum may exceed the
+    * healthy-contract term N×(target−1)/2 by at most this factor before
+    * the operator refuses — above it a few over-target clusters are
+    * carrying a quadratic share of the cosines.
+    */
+  private[queries] val SemDedupSkewFactor = 8L
   private def semDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -359,18 +371,39 @@ object SimilarityOps {
       .select($"vec_id", $"embedding", $"nrm", (-$"bf.neg").as("c_id"))
       .persist()
     try {
-      // pair-budget guard from the EXACT cluster histogram (kFine rows
-      // at most): fail loudly before the pair join, naming the knob
+      // SKEW guard from the EXACT cluster histogram (kFine rows at
+      // most): fail loudly before the pair join, naming the knob. The
+      // bound is RELATIVE to the healthy-contract pair term, not the
+      // LSH shuffle budget: with corpus-scaled K the within-cluster sum
+      // Σ C(n_c, 2) is ~N × (target−1)/2 BY DESIGN — linear in the
+      // corpus — and the pairs are CPU-only (generated in-partition
+      // after an O(N) shuffle of `assigned`, filtered and aggregated
+      // before anything is materialized), so a corpus-sized pair term
+      // is the contract's cost, not a hazard. What IS a hazard is
+      // SKEW: clusters far above the target make the sum quadratic in
+      // the biggest cluster (one 10⁷-member cluster is 5×10¹³ cosines).
+      // Guarding against the absolute LSH budget instead would refuse
+      // healthy corpora at exactly the scale this operator is the
+      // designed path for (est ≈ 5×10⁹ at 2×10⁷ vectors on a 32-core
+      // budget of 10⁸ — measured r15). The LSH budget still rides as a
+      // floor so small-corpus behavior (and every oracle row) is
+      // unchanged.
       val hist = assigned.groupBy($"c_id").count()
         .groupBy($"count").agg(count(lit(1)).as("nb"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val est = hist.map { case (sz, nb) => nb * (sz * (sz - 1) / 2) }.sum
-      val budget = graft.operators.MinHashLSH.resolvedMaxCandidates(s, -1L)
+      val healthy = n * ((SemDedupTargetCluster - 1) / 2).toLong
+      val budget = math.max(
+        graft.operators.MinHashLSH.resolvedMaxCandidates(s, -1L),
+        SemDedupSkewFactor * healthy)
       require(est <= budget,
-        s"semdedup within-cluster pair estimate $est exceeds the candidate " +
-          s"budget $budget (session conf ${graft.operators.MinHashLSH.MaxCandidatesConf}) " +
-          "- the corpus is pathologically clustered at this K; raise the " +
-          "budget to the cluster's shuffle capacity or shard the corpus")
+        s"semdedup within-cluster pair estimate $est exceeds " +
+          s"$SemDedupSkewFactor x the healthy-contract pair term ($healthy " +
+          s"for $n vectors at target cluster $SemDedupTargetCluster) - the " +
+          "corpus is pathologically clustered at this K (a few clusters " +
+          "far above target are carrying a quadratic share); raise " +
+          s"session conf ${graft.operators.MinHashLSH.MaxCandidatesConf} " +
+          "to accept the CPU cost or shard the corpus")
       val a = assigned.select($"c_id", $"vec_id".as("qa"), $"embedding".as("ea"), $"nrm".as("na"))
       val b = assigned.select($"c_id", $"vec_id".as("qb"), $"embedding".as("eb"), $"nrm".as("nb"))
       val pairs = a.join(b, Seq("c_id"))
