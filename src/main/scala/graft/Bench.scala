@@ -32,6 +32,14 @@ object Bench {
     val load15Start = loadAvg(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Ephemeral scratch (shuffle/local dirs, temp checkpoints, fixture
+    // workspaces) on the fastest local media — java.io.tmpdir is what
+    // Spark's local-dir resolution and every temp-checkpoint path read,
+    // so set it BEFORE the session exists. On this box the root disk
+    // sustains ~85 MB/s and its writeback flushes stalled single bench
+    // queries 20–35 s (pure noise in per-query rows); a production
+    // cluster points spark.local.dir at local NVMe for the same reason.
+    System.setProperty("java.io.tmpdir", graft.util.WorkDirs.scratchRoot)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +66,7 @@ object Bench {
         concat(lit("k"), col("id") % 50).as("routingKey"),
         col("id").as("eventTime"),
         encode(concat(lit("p"), col("id")), "UTF-8").as("payload"))
-      val work = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val work = graft.util.WorkDirs.temp("graft-warm")
       val g = new graft.storage.GraftStreams(spark, work)
       g.catalog.createScope("w"); g.catalog.createStream("w", "s", graft.core.StreamConfig(2))
       g.writeEvents("w", "s", tiny)

@@ -7,6 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same fast-scratch substrate as Bench (shuffle dirs, fixture
+    // workspaces); result parquet still lands at the caller's outDir.
+    System.setProperty("java.io.tmpdir", graft.util.WorkDirs.scratchRoot)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

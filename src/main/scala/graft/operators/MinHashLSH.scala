@@ -220,7 +220,8 @@ object MinHashLSH {
     // rows than the hex string in every exchange.
     // Raw text is repartitioned FIRST so tokenization and hashing
     // spread across all cores even when the corpus arrives as one file.
-    val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val narrow = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val banded = narrow
       .repartition(col("id"))
       .select(col("id"), split(lower(trim(col("txt"))), "\\s+").as("tk"))
       .select(col("id"),
@@ -240,7 +241,7 @@ object MinHashLSH {
     // path, raises the budget knob, and retries would accumulate leaked
     // cached partitions, largest exactly in the saturated regime where
     // memory is already the problem (r14 ADVICE).
-    val cacheSigs = persistSignatures(docs.sparkSession)
+    val cacheSigs = persistSignatures(narrow)
     val bandedIn = if (cacheSigs) banded.persist() else banded
     val (sized, dupCache) = boundedBuckets(bandedIn, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))
@@ -280,22 +281,42 @@ object MinHashLSH {
     }
   }
 
-  /** OPT-IN banded-signature cache (`spark.graft.lsh.persistSignatures`):
-    * trade ~(28 bytes × bands) of storage per doc (≈22 GB at 5×10⁷ docs
-    * / 16 bands) for running the minhash kernel ONCE instead of twice.
-    * Default OFF — the r14 fifth-decade probe established that
-    * corpus-sized storage is the resource that actually dies first at
-    * scale (recompute is a scan-side pass that parallelizes with
-    * executors; cached corpus-sized partitions are pressure every
-    * executor pays), so recompute is the scale-safe default and the
-    * cache is a small-corpus optimization. The cache point is the
-    * BANDED rows (post-kernel), so both the bucket counts and the
-    * self-join feed reuse one computation; results are identical either
-    * way (same deterministic kernel on the same input).
+  /** Banded-signature cache (`spark.graft.lsh.persistSignatures`): trade
+    * ~(28 bytes × bands) of storage per doc (≈22 GB at 5×10⁷ docs / 16
+    * bands) for running the minhash kernel ONCE instead of twice. The
+    * r14 fifth-decade probe established that corpus-sized storage is the
+    * resource that actually dies first at scale (recompute is a
+    * scan-side pass that parallelizes with executors; cached
+    * corpus-sized partitions are pressure every executor pays), so
+    * recompute stays the policy for large corpora. Since r15 the default
+    * is SIZE-ADAPTIVE rather than always-off: when the optimizer's size
+    * estimate for the narrow (id, text) projection fits
+    * [[AutoPersistMaxBytesConf]] (default 2 GiB — banded rows are the
+    * same order as the raw text, comfortably inside storage memory on
+    * any executor that holds a 2 GiB scan), the banded rows persist and
+    * both the bucket counts and the self-join feed reuse one kernel
+    * pass; above it, or when the estimate is unavailable, recompute —
+    * exactly the r14 behavior the fifth-decade probe validated. An
+    * explicit true/false in the conf always wins. Results are identical
+    * either way (same deterministic kernel on the same input).
     */
   val PersistSignaturesConf = "spark.graft.lsh.persistSignatures"
-  private def persistSignatures(s: SparkSession): Boolean =
-    s.conf.getOption(PersistSignaturesConf).exists(_.trim.toBoolean)
+
+  /** Ceiling (bytes) on the optimizer size estimate of the (id, text)
+    * projection under which the banded rows are persisted by default.
+    */
+  val AutoPersistMaxBytesConf = "spark.graft.lsh.autoPersistMaxBytes"
+  val DefaultAutoPersistMaxBytes: Long = 2L * 1024 * 1024 * 1024
+
+  private def persistSignatures(narrow: DataFrame): Boolean = {
+    val s = narrow.sparkSession
+    s.conf.getOption(PersistSignaturesConf).map(_.trim.toBoolean).getOrElse {
+      val cap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
+        .getOrElse(DefaultAutoPersistMaxBytes)
+      val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+      est >= 0 && est <= cap
+    }
+  }
 
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
     * bounds each bucket's pairs at C(cap, 2) but not their SUM: on a
@@ -464,7 +485,8 @@ object MinHashLSH {
     // to the collision-bucket set, verification re-tokenizes only
     // candidate-touched docs, and the minhash kernel runs twice as the
     // deliberate CPU-for-disk trade.
-    val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val narrow = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val banded = narrow
       .repartition(col("id"))
       .select(col("id"),
         transform(split(lower(trim(col("txt"))), "\\s+"), x => xxhash64(x)).as("th"))
@@ -477,7 +499,7 @@ object MinHashLSH {
 
     // Same try/finally cache lifecycle as [[nearDuplicates]] — no leaked
     // cached partitions on the fail-loud saturation path (r14 ADVICE).
-    val cacheSigs = persistSignatures(docs.sparkSession)
+    val cacheSigs = persistSignatures(narrow)
     val bandedIn = if (cacheSigs) banded.persist() else banded
     val (sized, dupCache) = boundedBuckets(bandedIn, maxBucketSize,
       resolvedMaxCandidates(docs.sparkSession, maxCandidates))

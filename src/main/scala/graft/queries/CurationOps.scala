@@ -846,7 +846,12 @@ object CurationOps {
     val packRows = packed
       .groupBy(concat(lit("6_pack_"), $"split").as("stage"))
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-    stages.unionByName(packRows).orderBy($"stage")
+    // Materialize the (tiny) report eagerly so the corpus cache can be
+    // RELEASED before returning — this query used to leak one cached
+    // corpus copy per invocation into the session (the bench invokes it
+    // twice), storage pressure every later query paid (r15).
+    try stages.unionByName(packRows).orderBy($"stage").localCheckpoint()
+    finally d.unpersist(false)
   }
 
   private val pipelineFullSql = {

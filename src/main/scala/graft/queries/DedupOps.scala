@@ -770,13 +770,21 @@ object DedupOps {
     val scored = a.join(b, $"a_id" < $"b_id")
       .withColumn("jw", jacc(sorted_intersect_size($"a_toks", $"b_toks"), $"a_toks", $"b_toks"))
       .withColumn("js", jacc(sorted_intersect_size($"a_shin", $"b_shin"), $"a_shin", $"b_shin"))
-    val truth = scored.filter($"jw" >= theta && $"js" >= theta).select($"a_id", $"b_id")
-    val wordOnly = scored.filter($"jw" >= theta && $"js" < theta)
-    val common = truth.join(lsh, Seq("a_id", "b_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth")).crossJoin(
-        wordOnly.agg(count(lit(1)).as("n_truth_word_only"))).crossJoin(
-        lsh.agg(count(lit(1)).as("n_lsh"))).crossJoin(
-        common.agg(count(lit(1)).as("n_common")))
+    // ONE pass over the brute-force O(n²) join (r15: the previous
+    // truth/wordOnly/common trio of aggregates re-ran `scored` — the
+    // single most expensive subtree here — THREE times): LSH membership
+    // rides in as a broadcast left-join flag (pairs are distinct by
+    // construction, so the join cannot duplicate rows), and all three
+    // truth-side counters fold into one conditional aggregate. Counts
+    // and recall are identical to the three-pass formulation.
+    val flagged = scored.join(
+      broadcast(lsh.withColumn("in_lsh", lit(1L))), Seq("a_id", "b_id"), "left")
+    flagged.agg(
+        coalesce(sum(when($"jw" >= theta && $"js" >= theta, 1L)), lit(0L)).as("n_truth"),
+        coalesce(sum(when($"jw" >= theta && $"js" < theta, 1L)), lit(0L)).as("n_truth_word_only"),
+        coalesce(sum(when($"jw" >= theta && $"js" >= theta && $"in_lsh".isNotNull, 1L)),
+          lit(0L)).as("n_common"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .select($"n_truth", $"n_truth_word_only", $"n_lsh", $"n_common",
         when($"n_truth" > 0, $"n_common".cast("double") / $"n_truth")
           .otherwise(lit(0.0)).as("recall"))

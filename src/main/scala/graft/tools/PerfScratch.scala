@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
 object PerfScratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // measurement parity with Bench: same scratch substrate
+    System.setProperty("java.io.tmpdir", graft.util.WorkDirs.scratchRoot)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
