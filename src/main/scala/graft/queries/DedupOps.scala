@@ -606,7 +606,21 @@ object DedupOps {
     // checkpoint before the verdict; strictly conservative — near the
     // ceiling it falls through to the exact estimate (saturated corpora
     // overshoot it by orders of magnitude: ×10³ at the 3000× probe).
-    val g0 = GramStage.explodeGrams(docs, 3, distinctPerDoc = true)
+    // SIZE-ADAPTIVE gram pinning (r15, same policy as MinHashLSH's
+    // signature cache): when the optimizer's estimate of the corpus is
+    // small, checkpoint the gram stream BEFORE the guard so the happy
+    // path tokenizes ONCE (freq and the exact path share it); above the
+    // cap keep the r13 shape — guard verdict first, zero corpus-sized
+    // materialization before "no" (the fourth-decade regime where the
+    // pre-pin would itself be the disk hazard).
+    val pinGrams = {
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      est >= 0 && est <= MinHashLSH.DefaultAutoPersistMaxBytes
+    }
+    val toksPre =
+      if (pinGrams) Some(GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint())
+      else None
+    val g0 = toksPre.getOrElse(GramStage.explodeGrams(docs, 3, distinctPerDoc = true))
     val freq = g0.groupBy($"g").agg(count(lit(1)).as("df"))
       .localCheckpoint() // vocabulary-sized; both the bound and `ranked` read it
     val fRow = freq.agg(count(lit(1)), coalesce(sum($"df"), lit(0L))).head()
@@ -623,8 +637,9 @@ object DedupOps {
         "MinHashLSH.nearDuplicates with its bucket cap")
     // (doc_id, g): doc-distinct word 3-grams; read thrice (rank join,
     // both candidate sides, verify arrays) → checkpoint so the regex
-    // split runs once more at most.
-    val toks = GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint()
+    // split runs once more at most (reused from the pre-pin when small).
+    val toks = toksPre.getOrElse(
+      GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint())
     val byDoc = Window.partitionBy($"doc_id")
     val ranked = toks.join(freq, "g")
       .select($"doc_id", $"g",

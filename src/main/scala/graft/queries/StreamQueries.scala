@@ -352,6 +352,11 @@ object StreamQueries {
         $"event_id".as("eventTime"),
         encode($"event_id".cast("string"), "UTF-8").as("payload"),
         $"event_id")
+      // pin the sorted slice once: the 5 batch writes below otherwise
+      // re-scan and re-SORT the source per commit (filter preserves the
+      // checkpointed order, so every batch's content and arrival order —
+      // and hence the engine chain — are unchanged) (r15)
+      .localCheckpoint()
     for (i <- 0 until 4)
       g.writeEvents("q", "ev", src.filter($"event_id" % 5 === i).drop("event_id"))
     g.compactStream("q", "ev", minFilesPerSegment = 2)
@@ -404,6 +409,9 @@ object StreamQueries {
         $"event_id".as("eventTime"),
         encode($"event_id".cast("string"), "UTF-8").as("payload"),
         $"event_id")
+      // one scan+sort for all 12 commits instead of 12 (see
+      // compactedRoundtrip — order-preserving, chain unchanged) (r15)
+      .localCheckpoint()
     for (i <- 0 until 12)
       g.writeEvents("q", "ev", src.filter($"event_id" % 12 === i).drop("event_id"))
     g.catalog.flushCheckpoints()
@@ -454,6 +462,9 @@ object StreamQueries {
         $"event_id".as("eventTime"),
         encode($"event_id".cast("string"), "UTF-8").as("payload"),
         $"event_id")
+      // one scan+sort for all 12 commits instead of 12 (see
+      // compactedRoundtrip — order-preserving, chain unchanged) (r15)
+      .localCheckpoint()
     val maint = new graft.storage.Maintenance(g, compactMinFiles = 9999)
     for (i <- 0 until 8)
       g.writeEvents("q", "ev", src.filter($"event_id" % 12 === i).drop("event_id"))

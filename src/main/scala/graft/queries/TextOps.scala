@@ -965,9 +965,16 @@ object TextOps {
     * (grow D, not the plan); passes are sequential jobs like
     * `emb_kmeans_iter`'s rounds.
     */
-  private def trainPerceptron(s: SparkSession, dir: String): DataFrame = {
+  private def trainPerceptron(s: SparkSession, dir: String): DataFrame =
+    trainPerceptronOn(perceptronFeats(s, dir))
+
+  /** The shared hashed-bucket feature pass `(doc_id, y, b, x)`, pinned
+    * once — `txt_model_registry` reuses it for the inference leg instead
+    * of re-tokenizing the corpus (r15).
+    */
+  private def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id",
         when($"lang" === "en", 1L).otherwise(-1L).as("y"),
         explode(split(lower(trim($"text")), "\\s+")).as("t"))
@@ -976,6 +983,11 @@ object TextOps {
       .groupBy($"doc_id", $"y", $"b")
       .agg(count(lit(1)).as("x"))
       .localCheckpoint() // both passes read the features; cut the lineage once
+  }
+
+  private def trainPerceptronOn(feats: DataFrame): DataFrame = {
+    val s = feats.sparkSession
+    import s.implicits._
     // pass 1: w = 0 ⇒ every margin is 0 ⇒ every doc updates
     val w1 = feats.groupBy($"b").agg(sum($"y" * $"x").as("w"))
     // pass 2: update only the docs w1 still misclassifies
@@ -1079,22 +1091,22 @@ object TextOps {
   private def modelRegistry(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // training job: the 2-pass batch perceptron (the oracle-replayed form)
-    val w = trainPerceptron(s, dir)
+    val feats0 = perceptronFeats(s, dir)
+    val w = trainPerceptronOn(feats0)
     // register the model
     val work = graft.util.WorkDirs.temp("graft-modelkv")
     val reg = new graft.kv.KeyValueTable(s, work, "models", partitionCount = 4)
     reg.put(w.select(lit("quality_v1").as("pk"),
       format_string("%05d", $"bucket").as("sk"),
       encode($"w".cast("string"), "UTF-8").as("value")))
-    // inference job: load the model from the store, score the corpus
+    // inference job: load the model from the store, score the corpus.
+    // The per-doc bucket counts are exactly the training features minus
+    // the label column (x is y-independent), so the pinned feature pass
+    // is REUSED instead of re-tokenizing the corpus (r15).
     val loaded = reg.entries().filter($"pk" === "quality_v1")
       .select($"sk".cast("long").as("b"),
         decode($"value", "UTF-8").cast("long").as("w"))
-    val feats = Tables.documents(s, dir)
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("t"))
-      .select($"doc_id",
-        (conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 256L).as("b"))
-      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("x"))
+    val feats = feats0.select($"doc_id", $"b", $"x")
     feats.join(broadcast(loaded), Seq("b"), "left")
       .groupBy($"doc_id")
       .agg(sum($"x" * coalesce($"w", lit(0L))).as("margin"))
