@@ -250,16 +250,28 @@ object CurationOps {
     // don't pay the tokenize job; the blocks pin on first action only.
     // At 100 TB the same holds — the checkpoint spills to executor
     // disk and is still one pass over the corpus instead of two.
-    // ONE gram-explosion pass feeds both splits (r15; was one pass per
-    // split): per-doc-distinct grams are exact for the eval side, and
-    // the train side's GLOBAL distinct is unchanged by the per-doc
-    // pre-distinct, so both filters ride the same pinned stage.
-    val grams = GramStage.explodeGrams(docs, 6, distinctPerDoc = true)
-      .localCheckpoint(eager = false)
-    val train = grams
+    // SIZE-ADAPTIVE single gram pass (r15, same 2 GiB policy as the LSH
+    // signature cache): on small corpora ONE per-doc-distinct explosion
+    // feeds both splits (the train side's GLOBAL distinct is unchanged
+    // by the per-doc pre-distinct; the eval side needs it anyway). On
+    // large corpora the pin would itself be a corpus-sized
+    // materialization — exactly the r14 disk hazard — so each split
+    // keeps its own unmaterialized pass, as before.
+    val pinGrams = {
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      est >= 0 && est <= graft.operators.MinHashLSH.DefaultAutoPersistMaxBytes
+    }
+    val grams =
+      if (pinGrams)
+        Some(GramStage.explodeGrams(docs, 6, distinctPerDoc = true)
+          .localCheckpoint(eager = false))
+      else None
+    val train = grams.getOrElse(GramStage.explodeGrams(docs, 6))
       .filter($"doc_id" % 10 < 8).select($"g").distinct()
       .localCheckpoint(eager = false)
-    val evalGrams = grams.filter($"doc_id" % 10 >= 8)
+    val evalGrams = grams
+      .getOrElse(GramStage.explodeGrams(docs, 6, distinctPerDoc = true))
+      .filter($"doc_id" % 10 >= 8)
     // the sketch is sized from the ACTUAL train cardinality (the count
     // materializes the checkpoint the bloom build reads anyway), capped
     // at 8 MiB — Spark's own runtime-filter ceiling — so it stays
