@@ -318,6 +318,23 @@ object MinHashLSH {
     }
   }
 
+  /** Gate for pinning DERIVED data whose size is a multiple of the source
+    * estimate (r15 verdict/advice: the gram-explosion pins in
+    * DedupOps/CurationOps gated the exploded stream on the RAW corpus
+    * estimate, so a corpus just under the 2 GiB cap could pin ~gramSize×
+    * that). The blow-up factor scales the estimate before the compare: a
+    * word k-gram explosion emits ≤ k gram rows per token, each ~k tokens
+    * long plus per-row id/overhead, so callers pass ~2·k. Same cap conf
+    * as the signature cache; conservative (unknown estimate → no pin).
+    */
+  def pinEstimateFits(src: DataFrame, blowUp: Long): Boolean = {
+    val s = src.sparkSession
+    val cap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
+      .getOrElse(DefaultAutoPersistMaxBytes)
+    val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    est >= 0 && est * blowUp <= cap
+  }
+
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone
     * bounds each bucket's pairs at C(cap, 2) but not their SUM: on a
     * corpus whose signature space saturates (shingle vocabulary fixed

@@ -257,10 +257,10 @@ object CurationOps {
     // large corpora the pin would itself be a corpus-sized
     // materialization — exactly the r14 disk hazard — so each split
     // keeps its own unmaterialized pass, as before.
-    val pinGrams = {
-      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      est >= 0 && est <= graft.operators.MinHashLSH.DefaultAutoPersistMaxBytes
-    }
+    // gate on the EXPLODED size (estimate × ~2·gramSize — r16, verdict
+    // item 4): what pins is the 6-gram stream, ~12× the raw corpus bytes
+    // the old gate measured
+    val pinGrams = graft.operators.MinHashLSH.pinEstimateFits(docs, 12L)
     val grams =
       if (pinGrams)
         Some(GramStage.explodeGrams(docs, 6, distinctPerDoc = true)

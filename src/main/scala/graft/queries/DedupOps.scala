@@ -162,8 +162,17 @@ object DedupOps {
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
       .localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("lbl")).localCheckpoint()
+    // seed = min(self, min neighbor): EXACTLY the result of propagation
+    // round 1 (whose pointer-jump term is still the identity), computed
+    // inside the same single shuffle the old `distinct()` init already
+    // paid — one full join round ahead for free (r16; guide §2 — fewer
+    // shuffle rounds). The fixpoint is unchanged: seeds are ids of nodes
+    // in the same component, propagation stays monotone non-increasing
+    // and bounded by the component min, and every seed value is itself a
+    // labeled node id (each dst is also a src in the symmetrized edge
+    // set), so the pointer-jump join stays total.
+    var labels = edges.groupBy($"src".as("id")).agg(min($"dst").as("mn"))
+      .select($"id", least($"id", $"mn").as("lbl")).localCheckpoint()
     // one propagation round: min over self, edge neighbors and
     // label-of-label (pointer jumping — chains halve per round)
     def step(ls: DataFrame): DataFrame = {
@@ -173,7 +182,14 @@ object DedupOps {
       ls.union(prop).union(viaLbl).groupBy($"id").agg(min($"lbl").as("lbl"))
     }
     var converged = false
-    var lastSum: Option[Long] = None
+    // prime the probe with the SEED's sum (one cheap aggregate over the
+    // just-checkpointed init): labels are monotone non-increasing per id
+    // under step, so sum(step(step(seed))) == sum(seed) already implies
+    // the seed was the fixpoint — near-dup components are mostly cliques
+    // of diameter ≤ 2, where the min(self, neighbors) seed IS the final
+    // label and the first pass doubles as the confirming pass (r16)
+    var lastSum: Option[Long] =
+      Some(labels.agg(org.apache.spark.sql.functions.sum($"lbl")).head().getLong(0))
     var iter = 0
     while (!converged && iter < 13) {
       // two composed rounds per materialization (lazy checkpoint): the
@@ -187,6 +203,8 @@ object DedupOps {
       lastSum = Some(sum)
       labels = next
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_JOBS"))
+        println(s"CLUSTER pass=$iter sum=$sum converged=$converged")
     }
     labels
   }
@@ -613,12 +631,15 @@ object DedupOps {
     // cap keep the r13 shape — guard verdict first, zero corpus-sized
     // materialization before "no" (the fourth-decade regime where the
     // pre-pin would itself be the disk hazard).
-    val pinGrams = {
-      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      est >= 0 && est <= MinHashLSH.DefaultAutoPersistMaxBytes
-    }
+    // gate on the EXPLODED size (estimate × ~2·gramSize — r16, verdict
+    // item 4: the pinned stream is the gram explosion, a multiple of the
+    // raw corpus the old gate measured), and pin LAZILY so a missing or
+    // under-estimated stat degrades to guard-first ordering instead of
+    // materializing a corpus-gram-sized checkpoint before the verdict
+    val pinGrams = MinHashLSH.pinEstimateFits(docs, 6L)
     val toksPre =
-      if (pinGrams) Some(GramStage.explodeGrams(docs, 3, distinctPerDoc = true).localCheckpoint())
+      if (pinGrams) Some(GramStage.explodeGrams(docs, 3, distinctPerDoc = true)
+        .localCheckpoint(eager = false))
       else None
     val g0 = toksPre.getOrElse(GramStage.explodeGrams(docs, 3, distinctPerDoc = true))
     val freq = g0.groupBy($"g").agg(count(lit(1)).as("df"))
@@ -792,8 +813,15 @@ object DedupOps {
     // construction, so the join cannot duplicate rows), and all three
     // truth-side counters fold into one conditional aggregate. Counts
     // and recall are identical to the three-pass formulation.
+    // dropDuplicates pins the one-pass rewrite's correctness invariant
+    // (r16, verdict item 6): n_truth/n_common count SCORED rows, so a
+    // duplicate (a_id, b_id) in the candidate set would inflate them
+    // through this join. nearDuplicates returns distinct pairs by
+    // construction today — this is a bounded-eval-scale no-op that keeps
+    // the eval row correct if that construction ever changes.
     val flagged = scored.join(
-      broadcast(lsh.withColumn("in_lsh", lit(1L))), Seq("a_id", "b_id"), "left")
+      broadcast(lsh.dropDuplicates("a_id", "b_id").withColumn("in_lsh", lit(1L))),
+      Seq("a_id", "b_id"), "left")
     flagged.agg(
         coalesce(sum(when($"jw" >= theta && $"js" >= theta, 1L)), lit(0L)).as("n_truth"),
         coalesce(sum(when($"jw" >= theta && $"js" < theta, 1L)), lit(0L)).as("n_truth_word_only"),

@@ -456,8 +456,15 @@ object KvQueries {
         lit("|"), lpad($"event_id".cast("string"), 10, "0"),
         lit("|"), $"event_type"), "UTF-8").as("payload")))
     val view = new KeyValueTable(s, s"$work/kv", "view", partitionCount = 4)
-    val pace = math.max(500L,
-      g.unreadRows("q", "ev", graft.core.StreamCut(Map.empty)) / 3L)
+    // exactly 2 data micro-batches (ceil(n/2) — the StreamQueries
+    // twoTriggerPace rationale): the fold is associative/commutative/
+    // idempotent under ANY page boundaries, and each extra batch costs a
+    // full read-merge-write KV upsert; r15's floor division paid 4
+    val pace = {
+      val bySeg = g.unreadBySegment("q", "ev", graft.core.StreamCut(Map.empty))
+      val maxSeg = if (bySeg.isEmpty) 0L else bySeg.values.max
+      math.max(500L, bySeg.size.toLong * ((maxSeg + 1L) / 2L))
+    }
     val q = s.readStream.format("graft-stream")
       .option("rootDir", work).option("scope", "q").option("stream", "ev")
       .option("maxRowsPerTrigger", pace.toString)

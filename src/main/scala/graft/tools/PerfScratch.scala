@@ -28,6 +28,24 @@ object PerfScratch {
           println(f"STAGE ${si.stageId}%3d ${dur.getOrElse(-1L)}%6dms tasks=${si.numTasks}%3d ${si.name.take(70)}")
         }
       })
+    // Job-level attribution (SPARK_GRAFT_JOBS): streaming micro-batches
+    // tag their jobs with "... batch = N" in the description, so a job
+    // log cleanly separates fixture-construction jobs from per-trigger
+    // jobs and exposes driver-side gaps (planning/WAL) between them.
+    if (sys.env.contains("SPARK_GRAFT_JOBS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val desc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          t0.put(e.jobId, e.time)
+          desc.put(e.jobId,
+            Option(e.properties.getProperty("spark.job.description")).getOrElse("").take(100))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val d = e.time - t0.getOrDefault(e.jobId, e.time)
+          println(f"JOB ${e.jobId}%4d end=${e.time}%d ${d}%6dms ${desc.getOrDefault(e.jobId, "")}")
+        }
+      })
     try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
     for (name <- names; it <- 1 to 2) {
