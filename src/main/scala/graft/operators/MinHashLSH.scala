@@ -308,13 +308,23 @@ object MinHashLSH {
   val AutoPersistMaxBytesConf = "spark.graft.lsh.autoPersistMaxBytes"
   val DefaultAutoPersistMaxBytes: Long = 2L * 1024 * 1024 * 1024
 
+  /** Adaptive-branch audit trail (`SPARK_GRAFT_BRANCHLOG`): one line per
+    * cache/pin decision so a scale probe can PROVE which branch ran
+    * (r16, verdict item 7 — the fallbacks had only been reasoned about).
+    */
+  @inline private[graft] def logBranch(site: String, pin: Boolean, est: BigInt): Unit =
+    if (sys.env.contains("SPARK_GRAFT_BRANCHLOG"))
+      println(s"BRANCH $site pin=$pin est=$est")
+
   private def persistSignatures(narrow: DataFrame): Boolean = {
     val s = narrow.sparkSession
     s.conf.getOption(PersistSignaturesConf).map(_.trim.toBoolean).getOrElse {
       val cap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
         .getOrElse(DefaultAutoPersistMaxBytes)
       val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
-      est >= 0 && est <= cap
+      val pin = est >= 0 && est <= cap
+      logBranch("lsh.persistSignatures", pin, est)
+      pin
     }
   }
 
@@ -327,12 +337,17 @@ object MinHashLSH {
     * long plus per-row id/overhead, so callers pass ~2·k. Same cap conf
     * as the signature cache; conservative (unknown estimate → no pin).
     */
-  def pinEstimateFits(src: DataFrame, blowUp: Long): Boolean = {
+  def pinEstimateFits(src: DataFrame, blowUp: Long): Boolean =
+    pinEstimateFits(src, blowUp, "pinEstimateFits")
+
+  def pinEstimateFits(src: DataFrame, blowUp: Long, site: String): Boolean = {
     val s = src.sparkSession
     val cap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
       .getOrElse(DefaultAutoPersistMaxBytes)
     val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
-    est >= 0 && est * blowUp <= cap
+    val pin = est >= 0 && est * blowUp <= cap
+    logBranch(site, pin, est)
+    pin
   }
 
   /** Hot-bucket guard + CANDIDATE-VOLUME budget. The per-bucket cap alone

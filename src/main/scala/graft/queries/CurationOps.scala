@@ -260,7 +260,7 @@ object CurationOps {
     // gate on the EXPLODED size (estimate × ~2·gramSize — r16, verdict
     // item 4): what pins is the 6-gram stream, ~12× the raw corpus bytes
     // the old gate measured
-    val pinGrams = graft.operators.MinHashLSH.pinEstimateFits(docs, 12L)
+    val pinGrams = graft.operators.MinHashLSH.pinEstimateFits(docs, 12L, "bloomContamination.gramPin")
     val grams =
       if (pinGrams)
         Some(GramStage.explodeGrams(docs, 6, distinctPerDoc = true)

@@ -636,7 +636,7 @@ object DedupOps {
     // raw corpus the old gate measured), and pin LAZILY so a missing or
     // under-estimated stat degrades to guard-first ordering instead of
     // materializing a corpus-gram-sized checkpoint before the verdict
-    val pinGrams = MinHashLSH.pinEstimateFits(docs, 6L)
+    val pinGrams = MinHashLSH.pinEstimateFits(docs, 6L, "prefixJoin.gramPin")
     val toksPre =
       if (pinGrams) Some(GramStage.explodeGrams(docs, 3, distinctPerDoc = true)
         .localCheckpoint(eager = false))

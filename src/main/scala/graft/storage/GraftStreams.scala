@@ -45,10 +45,24 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
     * already-committed batch is a no-op (the Spark translation of the
     * reference's writer-id event-number dedup, AppendProcessor.java:179-387).
     */
+  // Phase profiler for the per-commit driver path (SPARK_GRAFT_WRITE_PROF):
+  // prints where a writeEvents wall goes — manifest read, write job,
+  // footer stats, manifest CAS — so engine-write bench rows can be
+  // attributed without guessing (guide §1).
+  private val writeProf = sys.env.contains("SPARK_GRAFT_WRITE_PROF")
+  @inline private def prof[T](tag: String)(body: => T): T =
+    if (!writeProf) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"WPROF $tag ${(System.nanoTime() - t0) / 1e6}%.1fms")
+      r
+    }
+
   def writeEvents(scope: String, stream: String, df: DataFrame,
                   writerId: Option[String] = None, batchId: Option[Long] = None,
                   noteTimeFromBatch: Boolean = false): StreamCut = {
-    val meta = catalog.getStream(scope, stream)
+    val meta = prof("getStream")(catalog.getStream(scope, stream))
     if (meta.isSealed) throw new StreamSealedException(s"$scope/$stream is sealed")
     for (w <- writerId; b <- batchId)
       if (meta.writerBatches.get(w).exists(_ >= b)) return meta.tailCut
@@ -91,7 +105,7 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
     // no extra sort: the ranking window already leaves each partition
     // ordered by (segmentId, arrivalSeq, chunkSeq) == (segmentId, offset)
 
-    try routed.write.partitionBy("segId").parquet(batchDir.toString)
+    try prof("writeJob")(routed.write.partitionBy("segId").parquet(batchDir.toString))
     catch {
       case e: Throwable =>
         batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
@@ -99,10 +113,10 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
     }
 
     // Per-file commit stats from parquet footers — no second data scan.
-    val entries = statsFromFooters(batchDir)
+    val entries = prof("footerStats")(statsFromFooters(batchDir))
     GraftStreams.kp("write.staged") // crash here = staged batch, no CAS
 
-    val updated = try catalog.update(scope, stream) { m =>
+    val updated = try prof("manifestCas")(catalog.update(scope, stream) { m =>
       if (m.isSealed) throw new StreamSealedException(s"$scope/$stream sealed during write")
       // Offsets were assigned against `meta`'s tails; if another writer
       // advanced them meanwhile, this commit would interleave offsets —
@@ -144,7 +158,7 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
           t = entries.map(_.maxEventTime).max
           if !m.writerMarks.get(w).exists(_.time >= t)
         } yield m.writerMarks + (w -> WriterMark(w, t, now))).getOrElse(m.writerMarks))
-    } catch {
+    }) catch {
       case e: ConditionalCheckFailedException =>
         // never committed — drop the staged files so retries don't leak
         batchDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(batchDir, true)
@@ -216,13 +230,44 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
     import org.apache.parquet.hadoop.ParquetFileReader
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val fsys = dir.getFileSystem(conf)
-    val it = fsys.listFiles(dir, true)
-    val out = scala.collection.mutable.ListBuffer.empty[FileEntry]
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (st.isFile && p.getName.endsWith(".parquet")) {
+    // (path, byteSize) of every staged parquet file. Hadoop's local FS
+    // shells out per entry for permission metadata the commit never reads
+    // (~40 ms per staging dir, paid once per commit — 12× on the deep
+    // version-chain fixtures); local paths take a java.nio walk instead
+    // (~0.5 ms), remote schemes keep the Hadoop listing (r16, guide §1).
+    val files: List[(Path, Long)] = prof("fs.list") {
+      val fsys = dir.getFileSystem(conf)
+      // EXACT class match, not isInstanceOf: object-store simulations
+      // (LaggedObjectStoreFs) subclass RawLocalFileSystem to override
+      // listing visibility — the NIO fast-path must never bypass them
+      if (fsys.getClass == classOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fsys.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+        val root = java.nio.file.Paths.get(stripScheme(dir.toString))
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p))
+            .map(p => (new Path("file:" + p.toAbsolutePath), java.nio.file.Files.size(p)))
+            .toList
+        } finally walk.close()
+      } else {
+        val it = fsys.listFiles(dir, true)
+        val fs = scala.collection.mutable.ListBuffer.empty[(Path, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            fs += ((st.getPath, st.getLen))
+        }
+        fs.toList
+      }
+    }
+    // footer reads are independent per file — read them concurrently
+    // (one file per open segment per commit; serial reads stack up on
+    // the commit-heavy fixtures) (r16)
+    val futs = files.map { case (p, len) =>
+      scala.concurrent.Future {
         val segId = p.getParent.getName.stripPrefix("segId=").toLong
         val footer = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
         var rows = 0L
@@ -248,13 +293,17 @@ class GraftStreams(val spark: SparkSession, val rootDir: String,
           }
         }
         if (rows > 0)
-          out += FileEntry(segId, stripScheme(p.toString), offLo, rows,
+          Some(FileEntry(segId, stripScheme(p.toString), offLo, rows,
             if (tLo == Long.MaxValue) 0L else tLo,
             if (tHi == Long.MinValue) 0L else tHi,
-            maxChunkCount = ckMax, byteSize = st.getLen)
-      }
+            maxChunkCount = ckMax, byteSize = len))
+        else None
+      }(scala.concurrent.ExecutionContext.global)
     }
-    out.toList
+    // listing order preserved (map over the ordered file list) — entry
+    // order never carried meaning, but determinism keeps manifests diffable
+    futs.map(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration(120, "s"))).flatten
   }
 
   // ------------------------------------------------------------------- read
