@@ -274,6 +274,14 @@ object MinHashLSH {
         .select(col("a_id"), col("b_id"), col("jaccard"))
         .localCheckpoint() // eager: pairs computed here, caches released in finally
     } finally {
+      // audit the ACTUAL cached bytes before release (BRANCHLOG): the
+      // heap-relative cap below rests on the banded-rows blow-up factor
+      // being a large multiple of the narrow estimate — keep it measured
+      if (cacheSigs && sys.env.contains("SPARK_GRAFT_BRANCHLOG")) {
+        val st = docs.sparkSession.sparkContext.getRDDStorageInfo
+        println(s"BRANCH lsh.bandedCacheBytes mem=${st.map(_.memSize).sum} " +
+          s"disk=${st.map(_.diskSize).sum}")
+      }
       dupCache.unpersist(false)
       if (cacheSigs) bandedIn.unpersist(false)
       if (candidates != null) candidates.unpersist(false)
@@ -319,8 +327,22 @@ object MinHashLSH {
   private def persistSignatures(narrow: DataFrame): Boolean = {
     val s = narrow.sparkSession
     s.conf.getOption(PersistSignaturesConf).map(_.trim.toBoolean).getOrElse {
-      val cap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
+      val confCap = s.conf.getOption(AutoPersistMaxBytesConf).map(_.trim.toLong)
         .getOrElse(DefaultAutoPersistMaxBytes)
+      // HEAP-RELATIVE ceiling on the auto decision (r16 fifth-decade
+      // probe): at estimate 759 MB on an 8 GiB heap the pinned banded
+      // rows OOM'd the sf300 leg outright (UnsafeKVExternalSorter heap
+      // exhaustion under the self-join agg), while the >cap recompute
+      // branch completed the 3.3×-larger sf1000 leg on the same code.
+      // The blow-up is MEASURED, not assumed: `lsh.bandedCacheBytes`
+      // recorded 3.30 GB of cache for a 25 MB estimate (~130× — the
+      // optimizer estimates the compressed parquet scan, the cache holds
+      // 16 exploded band rows per doc in columnar batches). An absolute
+      // byte cap is only meaningful relative to executor memory:
+      // heap/512 keeps the post-blow-up pin ≈25% of the heap, leaving
+      // execution headroom for the bucket agg + self-join. An explicit
+      // persistSignatures=true still forces the cache.
+      val cap = math.min(confCap, Runtime.getRuntime.maxMemory() / 512)
       val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
       val pin = est >= 0 && est <= cap
       logBranch("lsh.persistSignatures", pin, est)

@@ -306,6 +306,35 @@ object SimilarityOps {
     * carrying a quadratic share of the cosines.
     */
   private[queries] val SemDedupSkewFactor = 8L
+  /** Deterministic `(h, vec_id)`-ordered kFine-row prefix of `hashed`
+    * (columns `vec_id, embedding, nrm, h`), driver-result-bounded.
+    * Above `gate` rows, pre-filter to `h ≤ 4× the expected kFine-
+    * quantile` of the uniform md5-prefix hash before the sort: the
+    * global top-K otherwise ships up to kFine rows PER MAP TASK to the
+    * driver (TakeOrdered merges driver-side), and kFine grows with n —
+    * the r16 fifth-decade probe burst spark.driver.maxResultSize at
+    * 5×10⁶ vectors. Exactness: `h ≤ hCut` is downward-closed under the
+    * sort order's leading key, so any filtered set holding ≥ kFine rows
+    * contains the true top-kFine and the re-sorted limit is IDENTICAL;
+    * an (astronomically unlikely) undershoot falls back to the
+    * unfiltered sort. Below the gate the plan is byte-identical to the
+    * direct sort (guide §5 — driver).
+    */
+  private[queries] def centroidPrefix(hashed: DataFrame, n: Long, kFine: Int,
+                                      gate: Long = 1000000L): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val prefiltered =
+      if (n > gate) {
+        val hCut = math.min(4294967295L, (kFine.toLong * 17179869184L) / math.max(1L, n))
+        val cand = hashed.filter($"h" <= hCut)
+        val engaged = cand.count() >= kFine
+        graft.operators.MinHashLSH.logBranch("semDedup.centroidPrefilter", engaged, BigInt(hCut))
+        if (engaged) cand else hashed
+      } else hashed
+    prefiltered.orderBy($"h", $"vec_id").limit(kFine)
+      .select($"vec_id", $"embedding", $"nrm")
+  }
+
   private def semDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -317,10 +346,22 @@ object SimilarityOps {
     // deterministic centroid prefix: the ivfCentsDf hash-order rule;
     // collected rows are ≤ K_fine = N/512 — bounded by construction
     val idHash = conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long")
-    val fine: Array[(Long, Array[Float], Double)] = e
-      .select($"vec_id", $"embedding", $"nrm", idHash.as("h"))
-      .orderBy($"h", $"vec_id").limit(kFine)
-      .select($"vec_id", $"embedding", $"nrm")
+    val hashed = e.select($"vec_id", $"embedding", $"nrm", idHash.as("h"))
+    // The COLLECT is bounded, but the global (h, vec_id) top-K ships up
+    // to kFine rows PER MAP TASK to the driver (TakeOrdered merges on
+    // the driver), and kFine grows with n — the r16 fifth-decade probe
+    // burst spark.driver.maxResultSize at 5×10⁶ vectors (83 tasks ×
+    // ~10⁴ rows × embedding bytes > 1 GiB). h is uniform on [0, 2³²)
+    // (md5 prefix), so pre-filtering to h ≤ 4× the expected kFine-
+    // quantile bounds the shipped superset at ~4×kFine rows TOTAL
+    // regardless of task count. Exactness: h ≤ hCut is downward-closed
+    // under the (h, vec_id) sort order's leading key, so any filtered
+    // set holding ≥ kFine rows contains the true top-kFine and the
+    // re-sorted limit is IDENTICAL; an (astronomically unlikely)
+    // undershoot falls back to the unfiltered sort. Gated on n so
+    // bench-scale plans are byte-identical (r16, guide §5 — driver).
+    val fine: Array[(Long, Array[Float], Double)] =
+      centroidPrefix(hashed, n, kFine)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
     val coarse = fine.take(kCoarse)
